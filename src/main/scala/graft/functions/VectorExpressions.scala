@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native vector math over `array<float>` embedding columns.
+  *
+  * These are the hot path of similarity search / embedding dedup: at 100 TB
+  * a UDF would deserialize every array into boxed `Seq[Float]`; these
+  * expressions read the columnar `ArrayData` floats directly inside
+  * whole-stage codegen (one static call, no boxing, no serialization).
+  * Accumulation is sequential left-to-right in double precision, which
+  * makes results deterministic (independent of partitioning).
+  */
+object VectorOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Sign-random-projection (SimHash-for-vectors) signature: bit i of the
+    * result is the sign of the dot product with a deterministic pseudo-random
+    * hyperplane derived from (seed, i, dim). Used for LSH bucketing in ANN
+    * search — vectors with small angle collide with high probability.
+    */
+  def srpSignature(a: ArrayData, bits: Int, seed: Long): Long = {
+    var sig = 0L
+    val n = a.numElements()
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        // splitmix64-style mix of (seed, bit, dim) -> gaussian-ish weight in [-1,1)
+        var z = seed + (b.toLong << 32) + i.toLong
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        z = z ^ (z >>> 33)
+        val w = (z >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+        s += w * a.getFloat(i).toDouble
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a)")
+  override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
+}
+
+case class SrpSignature(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.srpSignature(a.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.srpSignature($a, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SrpSignature = copy(child = c)
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column-level entry points for graft's native Catalyst expressions. */
+package object functions {
+  private def expr(c: Column) = ColumnBridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    ColumnBridge.column(e)
+
+  /** Python `str.capitalize` semantics (SURVEY.md F3). */
+  def py_capitalize(c: Column): Column = col(PyCapitalize(expr(c)))
+
+  /** Python `str.title` semantics (SURVEY.md F4). */
+  def py_title(c: Column): Column = col(PyTitle(expr(c)))
+
+  /** Cosine similarity between two `array<float>` columns. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Dot product of two `array<float>` columns. */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** L2 norm of an `array<float>` column. */
+  def vector_norm(c: Column): Column = col(VectorNorm(expr(c)))
+
+  /** Sign-random-projection LSH signature of an `array<float>` column. */
+  def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L): Column =
+    col(SrpSignature(expr(c), bits, seed))
+}

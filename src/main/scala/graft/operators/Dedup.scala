@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document-deduplication operators for training-data pipelines, from exact
+  * to fuzzy, each shaped for 100 TB:
+  *
+  *  - [[exact]]            — hash-groupBy, one shuffle on a 128-bit digest.
+  *  - [[ngramJaccard]]     — shingle-inverted-index candidate join + exact
+  *    Jaccard verify; hot shingles capped by document frequency so no
+  *    single key can quadratically explode the pair join (skew guard).
+  *  - [[minhashLsh]]       — MinHash signatures, banded LSH candidate join,
+  *    exact-Jaccard verification of candidates only.
+  *  - [[simhashPairs]]     — 64-bit SimHash + block-permutation hamming join.
+  *  - [[embeddingNearDup]] — SRP-LSH bucketing over embeddings + cosine
+  *    verify (graft's native codegen'd cosine expression).
+  *
+  * All emit deterministic results: candidate generation may differ in
+  * order, but verification recomputes exact similarities and outputs are
+  * keyed (id_a < id_b) and sortable.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the lowest id as canonical. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct k-word shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sh = when(size(toks) < k, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard over an inverted shingle index.
+    *
+    * Shingles with document frequency > `maxDf` are dropped before the
+    * pair join — at corpus scale a single stop-shingle shared by 1M docs
+    * would otherwise produce 10^12 candidate pairs on one shuffle key.
+    * With k large enough, dropped shingles are near-universal boilerplate
+    * and do not affect near-dup pairs above the threshold materially; the
+    * cap is part of the operator's declared semantics (and of the oracle).
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
+                   threshold: Double, maxDf: Int = 100): DataFrame = {
+    val sh = shingles(df, textCol, idCol, k)
+    val kept = {
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle")
+      sh.join(kept_hint(dfreq), "shingle")
+    }
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col(idCol).as("id_a"), col("shingle"))
+    val b = kept.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // The shingle-df filter side is small; broadcast it to avoid shuffling
+  // the full inverted index twice.
+  private def kept_hint(dfreq: DataFrame): DataFrame = broadcast(dfreq)
+
+  /** MinHash signature column: for each of `numHashes` seeded xxhash64
+    * functions, the minimum hash over the document's shingles.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hashCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * numHashes = bands * rowsPerBand. Docs colliding on any band become
+    * candidates (one shuffle per band, unioned), then candidates are
+    * verified against the exact shingle sets. Probability a pair with
+    * Jaccard j becomes a candidate: 1 - (1 - j^rows)^bands.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String, k: Int,
+                 threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+                 maxDf: Int = 100): DataFrame = {
+    val sh = shingles(df, textCol, idCol, k).cache()
+    val sig = minhashSignatures(sh, idCol, bands * rowsPerBand)
+    // band key = hash of the band's minhash slice
+    val banded = (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(col(idCol),
+        xxhash64(lit(b) +: bandCols: _*).as("band_key"))
+    }.reduce(_.unionByName(_))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), Seq("band_key"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = cand.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token stream: bit j of the signature is the
+    * sign of the sum over tokens of (+1/-1 per token-hash bit j).
+    */
+  def simhash(toks: Column): Column = {
+    val h = transform(toks, w => xxhash64(w))
+    // fold 64 bits: for each bit, count of set minus count of unset >= 0
+    val bitCols = (0 until 64).map { j =>
+      val votes = aggregate(h, lit(0L),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes >= 0, lit(1L).cast("long") * lit(1L << j)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: candidates collide on any of 4 16-bit blocks
+    * (catches all pairs within hamming distance 3), verified by exact
+    * hamming distance <= `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val blocked = (0 until 4).map { blk =>
+      sigs.select(col(idCol), col("sig"),
+        concat_ws(":", lit(blk),
+          shiftright(col("sig"), blk * 16).bitwiseAND(0xFFFFL)).as("block_key"))
+    }.reduce(_.unionByName(_))
+    val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup: SRP-LSH buckets (multi-probe via several seeds) +
+    * exact cosine verify with graft's native expression.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
+    import graft.functions.{cosine_similarity, srp_signature}
+    val sigs = (0 until tables).map { t =>
+      df.select(col(idCol), col(vecCol),
+        concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t)).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = sigs.alias("x").join(sigs.alias("y"), Seq("bucket"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col(s"x.$vecCol").as("vec_a"), col(s"y.$vecCol").as("vec_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+    cand
+      .withColumn("cosine", cosine_similarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

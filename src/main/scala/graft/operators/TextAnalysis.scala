@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword-lexicon heuristic), quality scoring, token
+  * counting, and document fingerprinting. All are single-pass, codegen'd
+  * column expressions — map-only stages at 100 TB (no shuffle, no UDF).
+  *
+  * Tokenization is single-space split after lower+trim, matching the
+  * corpus's normalized form; `tokensRegex` offers the BPE-ish regex
+  * alternative for noisy text.
+  */
+object TextAnalysis {
+
+  /** Per-language marker lexicons (tiny, high-frequency function words). */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "von", "mit", "ist", "ein"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"))
+
+  val stopwordsEn: Seq[String] = lexicons.head._2
+
+  /** Normalized whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** BPE-ish token stream: maximal alpha / digit runs. */
+  def tokensRegex(text: Column): Column = // kept simple + RE2-compatible for oracle parity
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Count of tokens present in `lexicon`. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(lexicon))).cast("long")
+
+  /** Language-ID by argmax of lexicon hits, ties broken by lexicon order,
+    * all-zero -> "unknown". Returns (lang_pred, n_hits) columns.
+    */
+  def langId(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val hits = lexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    // first language (in lexicon order) reaching the max wins
+    val pred = hits.tail.foldLeft(when(hits.head._2 === maxHits, lit(hits.head._1))) {
+      case (chain, (lang, h)) => chain.when(h === maxHits, lit(lang))
+    }
+    (when(maxHits === 0, lit("unknown")).otherwise(pred), maxHits)
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * token count, unique-token ratio, mean token length, stopword ratio.
+    */
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+        col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        lexiconHits(toks, stopwordsEn).as("n_stopwords"))
+      .withColumn("unique_ratio", col("n_unique").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        round(lit(0.5) * col("unique_ratio")
+          + lit(0.3) * least(col("stopword_ratio") * 4, lit(1.0))
+          + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
+  }
+
+  /** Canonical content fingerprint: md5 of the normalized token stream. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Order-sensitive rolling fingerprint: polynomial hash over per-token
+    * md5-derived 24-bit ints, mod 1e9+7 — portable across engines (same
+    * arithmetic is expressible in ANSI SQL for the oracle).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => (acc * 31 + conv(substring(md5(w), 1, 6), 16, 10).cast("long")) % 1000000007L)
+}

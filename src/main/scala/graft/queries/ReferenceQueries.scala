@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.{py_capitalize, py_title}
+import graft.operators.Validator
+
+/** The reference's operator surface (SURVEY.md §2) re-expressed as
+  * deterministic, oracle-checkable Spark queries over the harness's star
+  * schema. Every query ends in an explicit ORDER BY on a unique key and
+  * funnels floating-point aggregation through DECIMAL(38,4) so results are
+  * bit-identical regardless of partitioning (double addition is not
+  * associative; decimal addition is — this is what makes the engine's
+  * results reproducible on a 1000-executor cluster, not just local[32]).
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  /** Exact distributed-deterministic sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 4))).cast("double")
+
+  // S2/S4 + P1/P2 — scan with projection; pruned at the parquet footer.
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  // P3/P7 — predicates pushed to the scan (PushedFilters in explain).
+  def filterPredicate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 25 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // P5/P6/P8 — the validating-route operator on a typed table: first-failing
+  // reason wins, same precedence mechanism as the reference CSV pipeline.
+  def validateRoute(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      Validator.Rule(col("c_name").isNull || col("c_mktsegment").isNull,
+        lit("Valor None en campo requerido")),
+      Validator.Rule(col("c_acctbal") < 0, lit("Saldo < 0")))
+    Validator.route(t(s, dir, "customer"), rules)
+      .select(col("c_custkey"), col("motivo"), col("motivo").isNull.as("is_valid"))
+      .orderBy("c_custkey")
+  }
+
+  // F1-F3 — trim/lower + exact Python capitalize (custom codegen expression).
+  def normalizeCapitalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), py_capitalize(lower(trim(col("c_name")))).as("nombre"))
+      .orderBy("c_custkey")
+
+  // F4 — exact Python title-case (custom codegen expression).
+  def normalizeTitle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), py_title(lower(trim(col("p_name")))).as("nombre"))
+      .orderBy("p_partkey")
+
+  // J1/§7.3 — dimension build with dense surrogate keys.
+  def dimSurrogate(s: SparkSession, dir: String): DataFrame = {
+    val distinctSeg = t(s, dir, "customer").select(col("c_mktsegment").as("nombre")).distinct()
+    val w = Window.orderBy("nombre") // dimension-sized input: single window is fine
+    distinctSeg
+      .withColumn("dim_id", row_number().over(w).cast("long"))
+      .select("dim_id", "nombre")
+      .orderBy("dim_id")
+  }
+
+  // J2/A2/O2 — the reference's flagship readback: star join + group-agg
+  // (reference scr/etl_relational.py:198-204 scaled up). Dimensions
+  // broadcast; only the customer scan is large.
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        count(lit(1)).as("total_customers"),
+        (dsum(col("c_acctbal")) / count(lit(1))).as("avg_acctbal"))
+      .orderBy(desc("total_customers"), col("n_name"))
+
+  // J3 — filtered join; filter is pushed below the join by Catalyst.
+  def filteredJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  // J4 — anti join (NOT EXISTS): customers that never ordered.
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  // K2 — the INSERT OR IGNORE write primitive as a query: rows of the
+  // incoming batch that survive intra-batch dedup + anti-join vs existing.
+  def idempotentAppendPlan(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val existing = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"))
+    incoming.dropDuplicates(Seq("o_orderkey"))
+      .join(existing, Seq("o_orderkey"), "left_anti")
+      .orderBy("o_orderkey")
+  }
+
+  // A1 — scalar count.
+  def scalarCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  // A3/K5 — per-run audit metrics derived in one aggregate pass.
+  def auditMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("input_count"),
+      count(when(col("o_totalprice") >= 1000, 1)).as("valid_count"),
+      count(when(col("o_totalprice") < 1000, 1)).as("rejected_count"),
+      countDistinct(col("o_custkey")).as("distinct_customers"))
+
+  // A4 — distinct.
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // O1/O2 — global sort, descending with unique tie-break.
+  def sortDesc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(desc("s_acctbal"), col("s_suppkey"))
+
+  // K6 — schema migration: old rows widened with lineage defaults
+  // (reference scr/etl_incremental_audit.py:144-145).
+  def schemaMigration(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .withColumn("processed_at", lit("1970-01-01T00:00:00Z"))
+      .withColumn("run_id", lit("MIGRATION"))
+      .orderBy("n_nationkey")
+
+  // Window — per-customer running order count and spend (beyond the
+  // reference surface; exercises WindowExec with decimal running sums).
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(38, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("order_seq"), col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // Event-time tumbling window aggregate (batch form of the streaming path).
+  def eventsWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  // JSON extraction from the events.props payload column.
+  def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  // Sessionization: a session break is a >30 min gap per user.
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1))
+          .as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle SQL per query — same table names, same aliases, same
+    * ORDER BY, same decimal funneling.
+    */
+  val oracles: Map[String, String] = Map(
+    "s2_scan_project" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "p3_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity >= 25 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p8_validate_route" ->
+      """SELECT c_custkey,
+                CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN 'Valor None en campo requerido'
+                     WHEN c_acctbal < 0 THEN 'Saldo < 0' END AS motivo,
+                (c_name IS NOT NULL AND c_mktsegment IS NOT NULL AND c_acctbal >= 0) AS is_valid
+         FROM customer ORDER BY c_custkey""",
+    "f3_normalize_capitalize" ->
+      """SELECT c_custkey,
+                upper(substr(lower(trim(c_name)),1,1)) || substr(lower(trim(c_name)),2) AS nombre
+         FROM customer ORDER BY c_custkey""",
+    "f4_normalize_title" ->
+      """SELECT p_partkey,
+                array_to_string(list_transform(string_split(lower(trim(p_name)), ' '),
+                  w -> upper(substr(w,1,1)) || substr(w,2)), ' ') AS nombre
+         FROM part ORDER BY p_partkey""",
+    "j1_dim_surrogate" ->
+      """SELECT row_number() OVER (ORDER BY nombre) AS dim_id, nombre
+         FROM (SELECT DISTINCT c_mktsegment AS nombre FROM customer)
+         ORDER BY dim_id""",
+    "j2_join_agg" ->
+      """SELECT n_name, r_name, count(*) AS total_customers,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name
+         ORDER BY total_customers DESC, n_name""",
+    "j3_filtered_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey""",
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "k2_idempotent_append" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey % 2 = 0
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_orderkey % 3 = 0 AND o2.o_orderkey = orders.o_orderkey)
+         ORDER BY o_orderkey""",
+    "a1_count" -> "SELECT count(*) AS n FROM lineitem",
+    "a3_audit_metrics" ->
+      """SELECT count(*) AS input_count,
+                count(CASE WHEN o_totalprice >= 1000 THEN 1 END) AS valid_count,
+                count(CASE WHEN o_totalprice < 1000 THEN 1 END) AS rejected_count,
+                count(DISTINCT o_custkey) AS distinct_customers
+         FROM orders""",
+    "a4_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "o1_sort_desc" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         ORDER BY s_acctbal DESC, s_suppkey""",
+    "k6_schema_migration" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+                '1970-01-01T00:00:00Z' AS processed_at, 'MIGRATION' AS run_id
+         FROM nation ORDER BY n_nationkey""",
+    "w1_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                row_number() OVER w AS order_seq,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "ev_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "ev_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY k""",
+    "ev_sessionize" ->
+      """SELECT user_id,
+                count(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 END)
+                  AS n_sessions,
+                count(*) AS n_events
+         FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""")
+
+  /** Query-name → implementation, aligned with [[oracles]] keys. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_scan_project" -> (scanProject _),
+    "p3_filter_predicate" -> (filterPredicate _),
+    "p8_validate_route" -> (validateRoute _),
+    "f3_normalize_capitalize" -> (normalizeCapitalize _),
+    "f4_normalize_title" -> (normalizeTitle _),
+    "j1_dim_surrogate" -> (dimSurrogate _),
+    "j2_join_agg" -> (joinAgg _),
+    "j3_filtered_join" -> (filteredJoin _),
+    "j4_anti_join" -> (antiJoin _),
+    "k2_idempotent_append" -> (idempotentAppendPlan _),
+    "a1_count" -> (scalarCount _),
+    "a3_audit_metrics" -> (auditMetrics _),
+    "a4_distinct" -> (distinctPairs _),
+    "o1_sort_desc" -> (sortDesc _),
+    "k6_schema_migration" -> (schemaMigration _),
+    "w1_window_running" -> (windowRunning _),
+    "ev_window_agg" -> (eventsWindowAgg _),
+    "ev_json_extract" -> (eventsJsonExtract _),
+    "ev_sessionize" -> (eventsSessionize _))
+}

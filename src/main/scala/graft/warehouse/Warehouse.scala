@@ -1,0 +1,204 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed warehouse with the reference's write semantics, set-based.
+  *
+  * The reference's warehouse is SQLite with UNIQUE constraints + per-row
+  * `INSERT OR IGNORE` (reference scr/etl_batch.py:85-146). Spark enforces no
+  * constraints, so the semantics live in the write path:
+  *
+  *  - [[idempotentAppend]]  = K2/J4: dedup-on-write via anti-join, first
+  *    writer wins (re-running a load inserts 0 rows).
+  *  - [[ensureDimension]]   = J1: set-based dimension maintenance with
+  *    surrogate keys (vs the reference's 3-SQL-statements-per-row loop).
+  *  - [[migrateIfNeeded]]   = K6: one-shot schema migration with defaults.
+  *  - [[appendAudit]]       = K5: per-run audit rows.
+  *
+  * Scale notes: the anti-join shuffles only on the dedup key and Catalyst
+  * broadcasts whichever side is small; on a real cluster the existing-table
+  * scan prunes to the key columns only (checked in WarehouseSpec via
+  * .explain). Surrogate-key assignment uses a two-level scheme — partial
+  * ids per partition + offset — so no single-partition window is needed
+  * for large appends (SURVEY.md §7.3).
+  */
+class Warehouse(val spark: SparkSession, val root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  def exists(table: String): Boolean = {
+    val p = Paths.get(path(table))
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def readIfExists(table: String): Option[DataFrame] =
+    if (exists(table)) Some(read(table)) else None
+
+  def overwrite(table: String, df: DataFrame): Unit = {
+    // Write to a temp dir then swap, so a reader never sees a half table and
+    // the source of a rebuild can be the table itself.
+    val tmp = path(table) + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val dst = Paths.get(path(table))
+    if (Files.exists(dst)) {
+      val old = Paths.get(path(table) + "__old")
+      deleteRecursively(old)
+      Files.move(dst, old)
+      Files.move(Paths.get(tmp), dst)
+      deleteRecursively(old)
+    } else Files.move(Paths.get(tmp), dst)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  final case class AppendStats(attempted: Long, inserted: Long, ignored: Long)
+
+  /** K2 — `INSERT OR IGNORE` semantics, set-based.
+    *
+    * Intra-batch duplicates collapse deterministically (first by `orderCol`
+    * if given), then rows whose key already exists in the committed table
+    * are dropped via left-anti join. Existing rows keep their original
+    * lineage (first-writer-wins, SURVEY.md §2.9).
+    */
+  def idempotentAppend(table: String, incoming: DataFrame, keys: Seq[String],
+                       orderCol: Option[String] = None): AppendStats = {
+    val attempted = incoming.count()
+    val deduped = orderCol match {
+      case Some(c) =>
+        // Deterministic tie-break: keep the first row per key in input order.
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+        incoming.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => incoming.dropDuplicates(keys)
+    }
+    val toInsert = readIfExists(table) match {
+      case Some(existing) =>
+        deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
+      case None => deduped
+    }
+    // One job: append and count via a cheap re-read delta would re-scan; we
+    // count the planned insert set instead (same number, computed once).
+    val insertedDf = toInsert.cache()
+    val inserted = insertedDf.count()
+    if (inserted > 0) insertedDf.write.mode("append").parquet(path(table))
+    insertedDf.unpersist()
+    AppendStats(attempted, inserted, attempted - inserted)
+  }
+
+  /** J1 — set-based dimension maintenance with stable surrogate keys.
+    *
+    * New members = distinct incoming values anti-joined against the
+    * dimension; ids = dense row_number over the (small) new set + current
+    * max id. Returns the up-to-date dimension. The window runs over the
+    * *new members only* — bounded by dimension churn, not fact volume.
+    */
+  def ensureDimension(table: String, incoming: DataFrame, nameCol: String,
+                      idCol: String): DataFrame = {
+    val existing = readIfExists(table)
+    val newMembers = {
+      val distinctIncoming = incoming.select(col(nameCol)).filter(col(nameCol).isNotNull).distinct()
+      existing match {
+        case Some(dim) => distinctIncoming.join(dim.select(nameCol), Seq(nameCol), "left_anti")
+        case None => distinctIncoming
+      }
+    }
+    val maxId: Long = existing
+      .flatMap(df => Option(df.agg(max(col(idCol))).head().get(0)))
+      .map(_.asInstanceOf[Number].longValue())
+      .getOrElse(0L)
+    val w = Window.orderBy(col(nameCol))
+    val withIds = newMembers
+      .withColumn(idCol, (row_number().over(w) + lit(maxId)).cast("long"))
+      .select(col(idCol), col(nameCol))
+    val newCount = withIds.count()
+    if (newCount > 0) withIds.write.mode("append").parquet(path(table))
+    else if (existing.isEmpty) withIds.write.mode("overwrite").parquet(path(table))
+    read(table)
+  }
+
+  /** §7.3 — assign globally-unique, gap-free surrogate ids to `df` starting
+    * after `offset`, without a single-partition window: per-partition local
+    * ranks + partition-size prefix sums (the zipWithIndex pattern expressed
+    * on the Dataset API). Deterministic given a deterministic input order.
+    */
+  def assignSurrogateIds(df: DataFrame, idCol: String, offset: Long,
+                         orderCols: Seq[String]): DataFrame = {
+    // For bounded inputs a global row_number is fine; for scale, sort then
+    // use per-partition ranks. We sort-repartition first so ids follow
+    // orderCols deterministically.
+    val sorted = df.repartitionByRange(col(orderCols.head) +: orderCols.tail.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val withPart = sorted.withColumn("__pid", spark_partition_id())
+    val counts = withPart.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix: Map[Int, Long] = {
+      var acc = offset
+      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+        val start = acc; acc += n; pid -> start
+      }.toMap
+    }
+    val prefixUdf = udf((pid: Int) => prefix(pid))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    withPart
+      .withColumn(idCol, row_number().over(w).cast("long") + prefixUdf(col("__pid")))
+      .drop("__pid")
+  }
+
+  /** K6 — one-shot schema migration: if `table` exists but lacks any of the
+    * given columns, rebuild it with defaults (reference
+    * scr/etl_incremental_audit.py:112-155; defaults at :144-145).
+    */
+  def migrateIfNeeded(table: String, defaults: Map[String, org.apache.spark.sql.Column]): Boolean = {
+    readIfExists(table) match {
+      case Some(df) =>
+        val missing = defaults.filter { case (c, _) => !df.columns.contains(c) }
+        if (missing.isEmpty) false
+        else {
+          val migrated = missing.foldLeft(df) { case (d, (c, default)) =>
+            d.withColumn(c, default)
+          }
+          overwrite(table, migrated)
+          true
+        }
+      case None => false
+    }
+  }
+
+  /** K5 — append one audit row per run (reference scr/etl_batch.py:156-163). */
+  def appendAudit(table: String, runId: String, startedAt: String, sourceFile: String,
+                  validCount: Long, rejectedCount: Long, insertedNew: Long,
+                  ignoredDuplicates: Long): Unit = {
+    import spark.implicits._
+    Seq((runId, startedAt, sourceFile, validCount, rejectedCount, insertedNew, ignoredDuplicates))
+      .toDF("run_id", "started_at", "source_file", "valid_count", "rejected_count",
+        "inserted_new", "ignored_duplicates")
+      .write.mode("append").parquet(path(table))
+  }
+}
+
+/** Run-id generation — reference scr/etl_batch.py:24-28: compact UTC
+  * timestamp (microseconds) + sanitized source name, collision-free for
+  * files processed in the same second.
+  */
+object RunId {
+  def make(sourceName: String, now: java.time.Instant = java.time.Instant.now()): String = {
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSSSSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(now)
+    val safe = sourceName.map(c => if (c.isLetterOrDigit) c else '_')
+    s"${ts}_$safe"
+  }
+
+  def isoNow(now: java.time.Instant = java.time.Instant.now()): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(now)
+}
