@@ -45,7 +45,10 @@ object ValidatingTransform {
 
     val nombreNorm = py_capitalize(lower(trim(col("nombre"))))
     val ciudadNorm = py_title(lower(trim(col("ciudad"))))
-    val edadInt = trim(col("edad")).cast("int")
+    // try_cast: malformed ages route to rejects instead of failing the job
+    // (Spark 4 ANSI mode makes plain cast throw; Python int() raising is the
+    // reference's reject trigger — reference scr/etl_relational.py:71-79).
+    val edadInt = trim(col("edad")).try_cast("int")
 
     // Precedence via a single when-chain: first match wins, like the
     // reference's early-continue loop.

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators as oracle-checkable queries over
+  * the `documents` and `embeddings` tables. Exact/brute-force variants
+  * carry DuckDB oracles; LSH/approximate variants are checked rows-only
+  * (their hash functions aren't reproducible in SQL — the exact variants
+  * are their verifiers instead, see DedupSpec/SimilaritySpec).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  // ---- deduplication -----------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "text", "doc_id")
+      .orderBy("keep_id")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", k = 8,
+        threshold = 0.30, maxDf = 100)
+      .orderBy("id_a", "id_b")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), "text", "doc_id", k = 8,
+        threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    // Threshold tuned to the synthetic corpus (max pairwise cosine ~0.46;
+    // real near-dup corpora would use ~0.9 with more bits per table).
+    Dedup.embeddingNearDup(embs(s, dir), "embedding", "vec_id",
+        threshold = 0.35, bits = 4, tables = 8)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search -------------------------------------------------
+
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Similarity.bruteForceTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def simTopkSrp(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Similarity.srpTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, bits = 8, tables = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val (pred, hits) = TextAnalysis.langId(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), pred.as("lang_pred"), hits.as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(TextAnalysis.tokensRegex(col("text"))).cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("canonical_md5"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  // ---- multimodal plumbing ----------------------------------------------
+
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asBinaryPayloads(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        sha2(col("payload"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  def mmFeaturesStub(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.asBinaryPayloads(docs(s, dir), "text", "doc_id"))
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      .orderBy("doc_id")
+
+  // ---- oracles -----------------------------------------------------------
+
+  /** Shared SQL fragment: distinct 8-gram shingles per doc, df-capped. */
+  private val shingleCte =
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       sh0 AS (
+         SELECT doc_id,
+                unnest(CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, len(w) - 6),
+                            i -> array_to_string(list_slice(w, i, i + 7), ' ')) END) AS shingle
+         FROM toks),
+       sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+       kept AS (
+         SELECT doc_id, shingle FROM sh
+         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_ngram_jaccard" -> (shingleCte +
+      """
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(count(*) AS DOUBLE)
+                      / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
+         FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         JOIN sizes sa ON sa.doc_id = a.doc_id
+         JOIN sizes sb ON sb.doc_id = b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+                / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
+         ORDER BY id_a, id_b"""),
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, len(qv)+1),
+                         i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                            i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+                         AS cos_exact
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos_exact,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_exact DESC, neighbor_id) AS rank
+                FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos_exact, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "text_langid" -> {
+      val hitExprs = TextAnalysis.lexicons.map { case (lang, lex) =>
+        val inList = lex.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($inList))) AS h_$lang"
+      }.mkString(",\n                ")
+      val langs = TextAnalysis.lexicons.map(_._1)
+      val caseChain = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("\n                     ") + s" ELSE '${langs.last}'"
+      val greatest = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+              hits AS (SELECT doc_id,
+                $hitExprs
+                FROM toks)
+         SELECT doc_id,
+                CASE WHEN $greatest = 0 THEN 'unknown'
+                     ELSE CASE $caseChain END END AS lang_pred,
+                $greatest AS n_hits
+         FROM hits ORDER BY doc_id"""
+    },
+    "text_quality" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stopwords
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens, n_unique, n_stopwords,
+                CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+                CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+                CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+                round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                    + 0.3 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4, 1.0)
+                    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+         FROM f ORDER BY doc_id"""
+    },
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(string_split(lower(trim(text)), ' '), ' ')) AS canonical_md5,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(lower(trim(text)), ' '),
+                      w -> CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+         FROM documents ORDER BY doc_id""",
+    "mm_binary_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                sha256(text) AS sha256
+         FROM documents ORDER BY doc_id""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_topk_srp" -> (simTopkSrp _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_features_stub" -> (mmFeaturesStub _))
+}

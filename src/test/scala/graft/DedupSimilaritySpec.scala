@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** LSH variants verified against their exact counterparts: the approximate
+  * path may only miss pairs, never invent them, and at the test thresholds
+  * on planted near-dups it must find what brute force finds.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 docs: 0/1 near-dup (one word changed), 2/3 identical, rest unrelated
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    (3L, "one two three four five six seven eight nine ten eleven twelve"),
+    (4L, "red orange yellow green blue indigo violet cyan magenta white black gray"),
+    (5L, "spark scala catalyst tungsten parquet arrow shuffle broadcast join agg sort scan"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(r.length == 5) // 6 docs, one exact-dup pair
+    assert(r.find(_.getLong(2) == 2L).get.getLong(1) == 2L) // keep_id = min id
+  }
+
+  test("ngram jaccard finds planted near-dups only") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", k = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("minhash LSH candidates cover what exact jaccard confirms") {
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", k = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", k = 3, threshold = 0.3,
+      bands = 8, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step guarantees no false positives; bands chosen so the
+    // planted pairs (jaccard >= 0.5) are found with overwhelming probability
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at distance 0; bound respected") {
+    // The block-LSH guarantees finding every pair within hamming distance 3
+    // (4 blocks of 16 bits — pigeonhole); identical docs are distance 0.
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((2L, 3L)) == 0L)
+    assert(pairs.forall(_._3 <= 3)) // no false positives past the bound
+  }
+
+  test("embedding near-dup LSH vs brute force on sf0.001") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Dedup.embeddingNearDup(embs, "embedding", "vec_id",
+      threshold = 0.35, bits = 4, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force ground truth
+    val e1 = embs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val e2 = embs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val bf = e1.join(e2, col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bf.nonEmpty)
+    assert(lsh.subsetOf(bf)) // verification step: never invents pairs
+    val recall = lsh.size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall $recall over ${bf.size} true pairs")
+  }
+
+  test("SRP top-k recall vs brute force on sf0.001") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.srpTopK(embs, queries, "embedding", "vec_id", k = 3,
+      bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall $recall") // 4-bit buckets, 8 tables
+  }
+}
