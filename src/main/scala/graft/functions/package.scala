@@ -28,4 +28,7 @@ package object functions {
   /** Sign-random-projection LSH signature of an `array<float>` column. */
   def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignature(expr(c), bits, seed))
+
+  /** 64-bit SimHash of an `array<string>` token column. */
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
 }

@@ -48,12 +48,14 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
                    threshold: Double, maxDf: Int = 100): DataFrame = {
-    val sh = shingles(df, textCol, idCol, k)
+    val sh = shingles(df, textCol, idCol, k).cache()
+    // kept feeds three consumers (sizes, both pair-join sides) — cache it so
+    // the shingle explode + df-cap join run once.
     val kept = {
       val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("shingle")
       sh.join(kept_hint(dfreq), "shingle")
-    }
+    }.cache()
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
     val b = kept.select(col(idCol).as("id_b"), col("shingle"))
@@ -94,8 +96,11 @@ object Dedup {
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
                  maxDf: Int = 100): DataFrame = {
     val sh = shingles(df, textCol, idCol, k).cache()
-    val sig = minhashSignatures(sh, idCol, bands * rowsPerBand)
-    // band key = hash of the band's minhash slice
+    // materialize signatures once: the banded union references sig `bands`
+    // times on each side of the self-join — uncached, the shingle shuffle
+    // and 32 min-aggs would run 2*bands times.
+    val sig = minhashSignatures(sh, idCol, bands * rowsPerBand).cache()
+    // band key = hash of the band's minhash slice; ids only (narrow rows)
     val banded = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       sig.select(col(idCol),
@@ -128,18 +133,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token stream: bit j of the signature is the
-    * sign of the sum over tokens of (+1/-1 per token-hash bit j).
+    * sign of the sum over tokens of (+1/-1 per token-hash bit j). Native
+    * codegen'd expression — one pass per row (graft.functions.SimHash64).
     */
-  def simhash(toks: Column): Column = {
-    val h = transform(toks, w => xxhash64(w))
-    // fold 64 bits: for each bit, count of set minus count of unset >= 0
-    val bitCols = (0 until 64).map { j =>
-      val votes = aggregate(h, lit(0L),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes >= 0, lit(1L).cast("long") * lit(1L << j)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(toks: Column): Column = graft.functions.simhash64(toks)
 
   /** SimHash near-dup pairs: candidates collide on any of 4 16-bit blocks
     * (catches all pairs within hamming distance 3), verified by exact
@@ -170,16 +167,22 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
     import graft.functions.{cosine_similarity, srp_signature}
+    // Candidate generation stays narrow: only (id, bucket) pairs flow
+    // through the self-join and the distinct — carrying the vectors through
+    // those shuffles would multiply shuffle bytes by the embedding width.
+    // Vectors are re-attached once per surviving candidate pair.
+    val vecs = df.select(col(idCol), col(vecCol)).cache()
     val sigs = (0 until tables).map { t =>
-      df.select(col(idCol), col(vecCol),
+      vecs.select(col(idCol),
         concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t)).as("bucket"))
     }.reduce(_.unionByName(_))
     val cand = sigs.alias("x").join(sigs.alias("y"), Seq("bucket"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col(s"x.$vecCol").as("vec_a"), col(s"y.$vecCol").as("vec_b"))
-      .dropDuplicates(Seq("id_a", "id_b"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
     cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
       .withColumn("cosine", cosine_similarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
