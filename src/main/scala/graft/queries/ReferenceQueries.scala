@@ -175,6 +175,57 @@ object ReferenceQueries {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  // S1 — in-memory literal scan (the reference's hard-coded row batches,
+  // scr/etl_basic.py:6-11) run through the same normalization surface.
+  def literalScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Seq(("  walter ", "26", "SAN LUCAS"), ("RAMONA", "52", "san lucas"),
+      ("luz", "30", " valle alto")).toDF("nombre", "edad", "ciudad")
+    rows.select(
+        py_capitalize(lower(trim(col("nombre")))).as("nombre"),
+        trim(col("edad")).try_cast("int").as("edad"),
+        py_title(lower(trim(col("ciudad")))).as("ciudad"))
+      .orderBy("nombre")
+  }
+
+  // F9 — character-class sanitize (run-id filename cleaning,
+  // reference scr/etl_batch.py:27).
+  def sanitize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[^\\p{Alnum}]", "_").as("safe_name"))
+      .orderBy("c_custkey")
+
+  // F5 — cast-validity surface: try_cast yields null on malformed input
+  // (the reject trigger of P6).
+  def tryCastValidity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        concat(col("o_orderkey").cast("string"),
+          when(col("o_orderstatus") === "O", lit("")).otherwise(lit("x"))).as("raw"))
+      .select(col("o_orderkey"), col("raw"),
+        col("raw").try_cast("int").as("parsed"),
+        col("raw").try_cast("int").isNull.as("is_reject"))
+      .orderBy("o_orderkey")
+
+  // Set operations (beyond the reference surface): UNION DISTINCT + EXCEPT.
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val fromSeg = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val fromOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    fromSeg.union(fromOrders).distinct().except(urgent).orderBy("k")
+  }
+
+  // Rollup (grouping-sets family, beyond the reference surface).
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // Sessionization: a session break is a >30 min gap per user.
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -275,6 +326,38 @@ object ReferenceQueries {
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
+    "s1_literal_scan" ->
+      """SELECT upper(substr(lower(trim(nombre)),1,1)) || substr(lower(trim(nombre)),2) AS nombre,
+                TRY_CAST(trim(edad) AS INTEGER) AS edad,
+                array_to_string(list_transform(string_split(lower(trim(ciudad)), ' '),
+                  w -> upper(substr(w,1,1)) || substr(w,2)), ' ') AS ciudad
+         FROM (VALUES ('  walter ', '26', 'SAN LUCAS'),
+                      ('RAMONA', '52', 'san lucas'),
+                      ('luz', '30', ' valle alto')) AS t(nombre, edad, ciudad)
+         ORDER BY nombre""",
+    "f9_sanitize" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[^[:alnum:]]', '_', 'g') AS safe_name
+         FROM customer ORDER BY c_custkey""",
+    "f5_try_cast" ->
+      """SELECT o_orderkey, raw, TRY_CAST(raw AS INTEGER) AS parsed,
+                TRY_CAST(raw AS INTEGER) IS NULL AS is_reject
+         FROM (SELECT o_orderkey,
+                      CAST(o_orderkey AS VARCHAR)
+                        || CASE WHEN o_orderstatus = 'O' THEN '' ELSE 'x' END AS raw
+               FROM orders)
+         ORDER BY o_orderkey""",
+    "set_ops" ->
+      """SELECT k FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         ) EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY k""",
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "ev_sessionize" ->
       """SELECT user_id,
                 count(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 END)
@@ -305,5 +388,10 @@ object ReferenceQueries {
     "w1_window_running" -> (windowRunning _),
     "ev_window_agg" -> (eventsWindowAgg _),
     "ev_json_extract" -> (eventsJsonExtract _),
-    "ev_sessionize" -> (eventsSessionize _))
+    "ev_sessionize" -> (eventsSessionize _),
+    "s1_literal_scan" -> (literalScan _),
+    "f9_sanitize" -> (sanitize _),
+    "f5_try_cast" -> (tryCastValidity _),
+    "set_ops" -> (setOps _),
+    "a5_rollup" -> (rollupAgg _))
 }
