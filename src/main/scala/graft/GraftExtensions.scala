@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions._
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * The reference's only declarative entry point is SQL text submitted to
+  * SQLite (SURVEY.md §3.3); graft exposes the same surface on Spark: every
+  * custom expression is callable from `spark.sql` either via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide) or
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(f: Expression => Expression): Seq[Expression] => Expression =
+    exprs => f(exprs.head)
+  private def two(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => f(exprs.head, exprs(1))
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "py_capitalize" -> one(PyCapitalize),
+    "py_title" -> one(PyTitle),
+    "cosine_similarity" -> two(CosineSimilarity),
+    "dot_product" -> two(DotProduct),
+    "vector_norm" -> one(VectorNorm),
+    "simhash64" -> one(SimHash64),
+    "srp_signature" -> (exprs => SrpSignature(exprs.head, 16, 42L)))
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -226,6 +226,21 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // SQL surface (§3.3): the engine accepts SQL text, including graft's
+  // registered native functions — full Catalyst parse/analyze/optimize.
+  def sqlReadback(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n_name,
+                count(*) AS total_customers,
+                py_capitalize(lower(min(c_name))) AS first_name_norm
+         FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY total_customers DESC, n_name""")
+  }
+
   // Sessionization: a session break is a >30 min gap per user.
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -353,6 +368,13 @@ object ReferenceQueries {
            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
          ) EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
          ORDER BY k""",
+    "sql_readback" ->
+      """SELECT n_name, count(*) AS total_customers,
+                upper(substr(lower(min(c_name)),1,1)) || substr(lower(min(c_name)),2)
+                  AS first_name_norm
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY total_customers DESC, n_name""",
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
@@ -393,5 +415,6 @@ object ReferenceQueries {
     "f9_sanitize" -> (sanitize _),
     "f5_try_cast" -> (tryCastValidity _),
     "set_ops" -> (setOps _),
-    "a5_rollup" -> (rollupAgg _))
+    "a5_rollup" -> (rollupAgg _),
+    "sql_readback" -> (sqlReadback _))
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.ReferenceQueries
+
+/** Scale-shape regression guards: these assert properties of the physical
+  * plan, not the output — a correct-but-unscalable plan (lost pushdown,
+  * dimension shuffle instead of broadcast, codegen fallback) fails here
+  * before it ever reaches a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p3: predicates and projection pushed to the parquet scan") {
+    val p = plan("p3_filter_predicate")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,25.0)"))
+    // pruned read schema: only the 4 projected columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"))
+  }
+
+  test("j2: dimensions broadcast, no shuffle join") {
+    val p = plan("j2_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j4: anti join planned as broadcast/shuffled hash, not nested loop") {
+    val p = plan("j4_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("f3_normalize_capitalize")(spark, sf)
+    assert(df.collect().nonEmpty) // finalize the AQE plan (and compile codegen)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print with the `*(n)` prefix; the projection holding
+    // pycapitalize must be inside one
+    assert(p.contains("*(1) Project"), p.take(500))
+  }
+
+  test("sql surface: graft functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT py_title('o''hara x') AS t, simhash64(array('a','b')) AS h").head()
+    assert(r.getString(0) == "O'Hara X")
+    assert(r.getLong(1) != 0L)
+  }
+
+  test("every oracled query name has a queries entry") {
+    val q = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- q
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("decimal-funneled aggregates are partition-count invariant") {
+    // same result with 1 partition and with 13 (double sums would differ in
+    // low bits; decimal sums must not)
+    val a = ReferenceQueries.joinAgg(spark, sf).collect().toSeq
+    val sp = spark.sessionState.conf
+    val before = sp.getConfString("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = ReferenceQueries.joinAgg(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
