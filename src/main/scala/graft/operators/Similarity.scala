@@ -79,13 +79,12 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
                 spark: SparkSession, nlist: Int): DataFrame = {
-    // deterministic pivots: every (N / nlist)-th vector by id rank
-    val w = Window.orderBy(col(idCol))
+    // deterministic pivots via id-stride sampling — no global window (a
+    // row_number over the corpus would funnel everything through one task)
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
     val pivots = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % stride === 0)
+      .filter(col(idCol) % stride === 0)
       .limit(nlist)
       .select(col(idCol).as("pivot_id"), col(vecCol).as("pivot_vec"))
     val assigned = corpus.crossJoin(broadcast(pivots))
