@@ -35,10 +35,16 @@ object Bench {
     val results = names.map { name =>
       val t = try {
         force(name) // warmup: codegen + JIT + footer cache
-        val t0 = System.nanoTime()
-        force(name)
-        (System.nanoTime() - t0) / 1e9
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          force(name)
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.min // damp GC/scheduling noise
       } catch { case _: Throwable => -1.0 }
+      // drop operator-internal scratch caches so they don't pressure the
+      // heap of later queries
+      spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

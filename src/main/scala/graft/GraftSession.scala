@@ -52,4 +52,16 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Spread a narrow scan across the cluster before per-row-expensive work.
+    * A small parquet file arrives as one partition; exploding/hashing it on
+    * one task serializes the whole operator (and at 32 threads everything
+    * else waits on it). No-op when the input is already parallel enough —
+    * at real scale inputs have thousands of partitions and this never
+    * shuffles.
+    */
+  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -28,13 +28,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct k-word shingles per document: (id, shingle). */
+  /** Distinct k-word shingles per document: (id, shingle). The input is
+    * fanned out first — the explode multiplies row width ~100x and must not
+    * run on a single scan partition.
+    */
   def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val sh = when(size(toks) < k, array()).otherwise(
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
   /** Exact n-gram Jaccard over an inverted shingle index.
@@ -49,6 +53,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
                    threshold: Double, maxDf: Int = 100): DataFrame = {
     val sh = shingles(df, textCol, idCol, k).cache()
+    sh.count() // materialize before concurrent consumers (see minhashLsh)
     // kept feeds three consumers (sizes, both pair-join sides) — cache it so
     // the shingle explode + df-cap join run once.
     val kept = {
@@ -56,6 +61,7 @@ object Dedup {
         .filter(col("df") <= maxDf).select("shingle")
       sh.join(kept_hint(dfreq), "shingle")
     }.cache()
+    kept.count()
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
     val b = kept.select(col(idCol).as("id_b"), col("shingle"))
@@ -96,10 +102,13 @@ object Dedup {
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
                  maxDf: Int = 100): DataFrame = {
     val sh = shingles(df, textCol, idCol, k).cache()
+    sh.count() // materialize NOW: AQE runs downstream stages concurrently,
+    // and racing consumers would each recompute the unbuilt cache
     // materialize signatures once: the banded union references sig `bands`
     // times on each side of the self-join — uncached, the shingle shuffle
     // and 32 min-aggs would run 2*bands times.
     val sig = minhashSignatures(sh, idCol, bands * rowsPerBand).cache()
+    sig.count()
     // band key = hash of the band's minhash slice; ids only (narrow rows)
     val banded = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -144,7 +153,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val sigs = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
     val blocked = (0 until 4).map { blk =>
       sigs.select(col(idCol), col("sig"),
         concat_ws(":", lit(blk),
@@ -171,7 +181,8 @@ object Dedup {
     // through the self-join and the distinct — carrying the vectors through
     // those shuffles would multiply shuffle bytes by the embedding width.
     // Vectors are re-attached once per surviving candidate pair.
-    val vecs = df.select(col(idCol), col(vecCol)).cache()
+    val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol))).cache()
+    vecs.count() // materialize before concurrent consumers
     val sigs = (0 until tables).map { t =>
       vecs.select(col(idCol),
         concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t)).as("bucket"))

@@ -74,7 +74,9 @@ object Multimodal {
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("doc_id", "payload", "media_type", "byte_len").rdd
+    // decode is the expensive stage — spread a narrow scan first
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type", "byte_len")).rdd
       .mapPartitions { rows =>
         rows.map { r =>
           val d = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))

@@ -32,7 +32,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = graft.Tables.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
@@ -54,7 +55,7 @@ object Similarity {
       }.reduce(_.unionByName(_))
 
     val c = bucketed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      graft.Tables.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))),
       "neighbor_id", "c_vec")
     val q = broadcast(bucketed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
