@@ -36,11 +36,23 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k via graft's TopKPerKey operator: map-side bounded
+    * heaps, then a shuffle of at most k rows per (query, map task) — the
+    * full candidate set is never sorted or shuffled (see
+    * graft.plans.TopKPerKey). The rank window afterwards runs on ≤ k rows
+    * per key, already co-partitioned by the operator's exchange.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    top
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -64,13 +76,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates(Seq("query_id", "neighbor_id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of
