@@ -81,15 +81,13 @@ object Dedup {
   // the full inverted index twice.
   private def kept_hint(dfreq: DataFrame): DataFrame = broadcast(dfreq)
 
-  /** MinHash signature column: for each of `numHashes` seeded xxhash64
-    * functions, the minimum hash over the document's shingles.
+  /** MinHash signature column: for each of `numHashes` xxHash64 seeds, the
+    * minimum hash over the document's shingles — one imperative aggregate
+    * pass (graft.functions.MinHashAgg), not `numHashes` min() columns.
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val hashCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
-    }
-    sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
-  }
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg.minhash_signature(col("shingle"), numHashes).as("sig"))
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -109,11 +107,10 @@ object Dedup {
     // and 32 min-aggs would run 2*bands times.
     val sig = minhashSignatures(sh, idCol, bands * rowsPerBand).cache()
     sig.count()
-    // band key = hash of the band's minhash slice; ids only (narrow rows)
+    // band key = hash of the band's signature slice; ids only (narrow rows)
     val banded = (0 until bands).map { b =>
-      val bandCols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       sig.select(col(idCol),
-        xxhash64(lit(b) +: bandCols: _*).as("band_key"))
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }.reduce(_.unionByName(_))
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band_key"))

@@ -175,6 +175,22 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Bucketed catalog table write: co-locates future joins/aggregations on
+    * `keys` — two tables bucketed the same way join without any exchange
+    * (asserted in WarehouseBucketSpec). This is the 100 TB answer to the
+    * reference's indexed SQLite tables: pay the clustering once at write
+    * time, skip the shuffle on every read.
+    */
+  def writeBucketed(table: String, df: DataFrame, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path(table))
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(s"graft_$table")
+
+  def readBucketed(table: String): DataFrame = spark.table(s"graft_$table")
+
   /** K5 — append one audit row per run (reference scr/etl_batch.py:156-163). */
   def appendAudit(table: String, runId: String, startedAt: String, sourceFile: String,
                   validCount: Long, rejectedCount: Long, insertedNew: Long,
