@@ -44,6 +44,21 @@ object PipelineQueries {
         threshold = 0.35, bits = 4, tables = 8)
       .orderBy("id_a", "id_b")
 
+  /** Exact near-dup pairs on a bounded subset — the oracled verifier for
+    * the LSH variant (same threshold; LSH output must be a subset).
+    */
+  def dedupEmbeddingExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.cosine_similarity
+    val sub = embs(s, dir).filter(col("vec_id") < 500)
+    val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- similarity search -------------------------------------------------
 
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -135,6 +150,20 @@ object PipelineQueries {
          HAVING CAST(count(*) AS DOUBLE)
                 / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
          ORDER BY id_a, id_b"""),
+    "dedup_embedding_exact" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+              scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, len(a.embedding)+1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                         AS c
+                FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
+         WHERE c >= 0.35 ORDER BY id_a, id_b""",
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
               scored AS (
@@ -219,6 +248,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "text_langid" -> (textLangid _),

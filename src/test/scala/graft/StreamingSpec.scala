@@ -9,6 +9,29 @@ import graft.warehouse.Warehouse
   */
 class StreamingSpec extends SparkSpec {
 
+  test("watermarked windowed aggregation over an unbounded stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.IncrementalStream.windowedEventCounts(events, "1 hour")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("win_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(1, 10), "click", 1.0), (ts(1, 20), "click", 2.0), (ts(1, 30), "view", 5.0))
+    q.processAllAvailable()
+    input.addData((ts(3, 0), "click", 1.0)) // watermark passes hour 1 -> emit
+    q.processAllAvailable()
+    input.addData((ts(5, 0), "click", 1.0)) // and hour 3
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    val hour1Click = out.find(r => r.getStruct(0).getTimestamp(0).toString.startsWith("2024-01-01 01") &&
+      r.getString(1) == "click")
+    assert(hour1Click.isDefined && hour1Click.get.getLong(2) == 2L)
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))
