@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.ValidatingTransform
+import graft.warehouse.Warehouse
+
+/** Property-based invariants (SURVEY.md §5.2):
+  *  - routing partition: valid + rejected = input, for ANY input
+  *  - audit identity: inserted + ignored = attempted
+  *  - idempotence: load ∘ load ≡ load
+  *  - exact Python string parity against a direct Scala model
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic draws from a Gen (no scalatest bridge in the offline
+    * dependency cache — sampling directly keeps the property style).
+    */
+  private def draws[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  import spark.implicits._
+
+  private val rawField: Gen[String] = Gen.oneOf(
+    Gen.alphaStr.map(s => s"  $s "), Gen.numStr, Gen.const("error"),
+    Gen.const(""), Gen.oneOf("MADRID", " san juan", "Querétaro", "x y z"))
+
+  private val rawRow: Gen[(String, String, String)] =
+    for { n <- rawField; e <- Gen.oneOf("26", "23", "52", "error", "", " 41 "); c <- rawField }
+      yield (n, e, c)
+
+  test("routing partitions every input; reasons come from the fixed set") {
+    draws(Gen.listOfN(30, rawRow), 5).filter(_.nonEmpty).foreach { rows =>
+      {
+        val df = rows.toDF("nombre", "edad", "ciudad")
+        val r = ValidatingTransform(df, 25)
+        val v = r.valid.count()
+        val j = r.rejected.count()
+        assert(v + j == rows.length)
+        val reasons = r.rejected.select("motivo").distinct().as[String].collect().toSet
+        assert(reasons.forall(m => m == "Valor None en campo requerido" ||
+          m == "Edad no convertible a int" || m == "Edad < 25"))
+      }
+    }
+  }
+
+  test("idempotent append: attempted = inserted + ignored; re-load inserts 0") {
+    draws(Gen.listOfN(20, Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.choose(25, 90))), 3)
+      .filter(_.nonEmpty).foreach {
+      rows =>
+        {
+          val wh = new Warehouse(spark, tempDir("pwh"))
+          val df = rows.map { case (n, e) => (n, e, 1L) }.toDF("nombre", "edad", "ciudad_id")
+          val s1 = wh.idempotentAppend("t", df, Seq("nombre", "edad", "ciudad_id"))
+          assert(s1.attempted == s1.inserted + s1.ignored)
+          assert(s1.inserted == rows.map(r => (r._1, r._2)).distinct.size)
+          val s2 = wh.idempotentAppend("t", df, Seq("nombre", "edad", "ciudad_id"))
+          assert(s2.inserted == 0 && s2.ignored == rows.length)
+          assert(wh.read("t").count() == s1.inserted)
+        }
+    }
+  }
+
+  test("py_capitalize/py_title match the Python model on arbitrary strings") {
+    // direct Scala transliteration of CPython's unicodeobject.c behavior
+    // for ASCII+Latin1 inputs (the fixture domain)
+    def pyCap(s: String): String =
+      if (s.isEmpty) s
+      else s.substring(0, 1).toUpperCase + s.substring(1).toLowerCase
+    def pyTitle(s: String): String = {
+      val sb = new StringBuilder; var prev = false
+      s.foreach { ch =>
+        val cased = ch.isLetter
+        sb.append(if (cased && !prev) ch.toUpper else if (cased) ch.toLower else ch)
+        prev = cased
+      }
+      sb.toString
+    }
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaChar, 2 -> Gen.oneOf(' ', '\'', '-', '1', 'é', 'Ñ'))).map(_.mkString)
+    draws(Gen.listOfN(40, strGen), 5).filter(_.nonEmpty).foreach { ss =>
+      {
+        import org.apache.spark.sql.functions.col
+        val rows = ss.toDF("x").select(
+          graft.functions.py_capitalize(col("x")),
+          graft.functions.py_title(col("x"))).as[(String, String)].collect()
+        rows.zip(ss).foreach { case ((gotCap, gotTitle), in) =>
+          assert(gotCap == pyCap(in), s"capitalize($in)")
+          assert(gotTitle == pyTitle(in), s"title($in)")
+        }
+      }
+    }
+  }
+}
