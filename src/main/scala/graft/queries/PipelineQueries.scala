@@ -74,6 +74,28 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN: coarse cells via deterministic pivots, queries probe
+    * their own cell only (rows-only check; recall asserted in specs).
+    */
+  def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val assigned = Similarity.ivfAssign(all, "embedding", "vec_id", s, nlist = 16).cache()
+    assigned.count()
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("cell_id"))
+    val scored = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("cell_id"))
+      .join(broadcast(queries), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.functions.cosine_similarity(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
@@ -251,6 +273,7 @@ object PipelineQueries {
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
+    "sim_topk_ivf" -> (simTopkIvf _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),

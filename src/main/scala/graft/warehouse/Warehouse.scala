@@ -175,6 +175,15 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Partitioned append: fact tables partitioned by a low-cardinality
+    * lineage/date column so per-run or per-day readback prunes at the file
+    * index (PartitionFilters in the scan — asserted in WarehouseBucketSpec).
+    * The reference's `WHERE run_id = ?` preview (SURVEY.md J3) becomes a
+    * partition-pruned scan instead of a full-table filter.
+    */
+  def appendPartitioned(table: String, df: DataFrame, partitionCol: String): Unit =
+    df.write.mode("append").partitionBy(partitionCol).parquet(path(table))
+
   /** Bucketed catalog table write: co-locates future joins/aggregations on
     * `keys` — two tables bucketed the same way join without any exchange
     * (asserted in WarehouseBucketSpec). This is the 100 TB answer to the

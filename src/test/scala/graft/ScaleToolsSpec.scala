@@ -22,6 +22,18 @@ class ScaleToolsSpec extends SparkSpec {
     assert(plain.count(_._1 == 1L) == 1001) // the hot key really is hot (multiples of 10, plus i=1)
   }
 
+  test("partitioned fact: run_id readback prunes partitions at the scan") {
+    val wh = new Warehouse(spark, tempDir("pwh"))
+    val rows = (1 to 1000).map(i => (i.toLong, s"run_${i % 5}")).toDF("v", "run_id")
+    wh.appendPartitioned("fact_p", rows, "run_id")
+    val q = wh.read("fact_p").filter(col("run_id") === "run_3")
+    assert(q.count() == 200)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(run_id"), scan)
+    // only one of five partition directories is read
+    assert(q.queryExecution.executedPlan.collectLeaves().toString.contains("run_id"))
+  }
+
   test("bucketed tables join without exchange") {
     val wh = new Warehouse(spark, tempDir("bwh"))
     val fact = (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
