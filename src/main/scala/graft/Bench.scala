@@ -43,8 +43,10 @@ object Bench {
         runs.min // damp GC/scheduling noise
       } catch { case _: Throwable => -1.0 }
       // drop operator-internal scratch caches so they don't pressure the
-      // heap of later queries
+      // heap of later queries, and absorb the collection cost here rather
+      // than inside the next query's measurement
       spark.catalog.clearCache()
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -17,11 +17,13 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.SimplifyPyText)
+  }
 }
 
 object GraftExtensions {
@@ -39,10 +41,14 @@ object GraftExtensions {
     "simhash64" -> one(SimHash64),
     "srp_signature" -> (exprs => SrpSignature(exprs.head, 16, 42L)))
 
-  /** Register on an existing session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (temp functions + optimizer rule). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SimplifyPyText))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimplifyPyText
+  }
 }

@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
   }
 
+  test("optimizer rule: redundant lower() eliminated under py_capitalize") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{col, lower, trim}
+    import spark.implicits._
+    val df = Seq("NOEMI", "mIxEd").toDF("x")
+      .select(graft.functions.py_capitalize(lower(trim(col("x")))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("lower("), optimized) // rewritten away
+    assert(df.as[String].collect().toSeq == Seq("Noemi", "Mixed")) // semantics kept
+  }
+
   test("every oracled query name has a queries entry") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- q
