@@ -72,4 +72,16 @@ object IncrementalStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
+  /** Streaming exact dedup: the unbounded form of the K2 dedup-on-write
+    * primitive. State is bounded by the watermark — a duplicate arriving
+    * within the watermark horizon is dropped; later re-deliveries are the
+    * idempotent-append anti-join's job (the two compose: in-flight dedup
+    * here, committed-table dedup at the sink).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String], tsCol: String,
+                           watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -32,6 +32,25 @@ class StreamingSpec extends SparkSpec {
     assert(hour1Click.isDefined && hour1Click.get.getLong(2) == 2L)
   }
 
+  test("streaming dedup within watermark drops in-flight duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = graft.streaming.IncrementalStream.dedupWithinWatermark(
+      input.toDF().toDF("ts", "k"), Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b")) // dup within batch
+    q.processAllAvailable()
+    input.addData((ts(4), "a")) // dup across batches, within watermark
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("k").as[String].collect().sorted.toSeq
+    q.stop()
+    assert(out == Seq("a", "b"))
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))
