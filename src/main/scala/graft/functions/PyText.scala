@@ -17,15 +17,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * the Python behavior exactly (SURVEY.md F3/F4, §7.3).
   */
 object PyText {
-  /** First char upper, all the rest lower — Python str.capitalize. */
+  /** First char titlecased, all the rest lower — Python str.capitalize
+    * (titlecase for the head char per Python 3.8+; identical to uppercase
+    * outside the ~30 Unicode digraph titlecase letters). Code-point
+    * iteration so astral-plane characters survive.
+    */
   def capitalize(s: UTF8String): UTF8String = {
     val str = s.toString
     if (str.isEmpty) s
     else {
       val sb = new java.lang.StringBuilder(str.length)
-      sb.append(Character.toUpperCase(str.charAt(0)))
-      var i = 1
-      while (i < str.length) { sb.append(Character.toLowerCase(str.charAt(i))); i += 1 }
+      val head = str.codePointAt(0)
+      sb.appendCodePoint(Character.toTitleCase(head))
+      var i = Character.charCount(head)
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        i += Character.charCount(cp)
+      }
       UTF8String.fromString(sb.toString)
     }
   }
@@ -37,13 +46,13 @@ object PyText {
     var prevCased = false
     var i = 0
     while (i < str.length) {
-      val c = str.charAt(i)
-      val cased = Character.isLetter(c)
-      if (cased && !prevCased) sb.append(Character.toUpperCase(c))
-      else if (cased) sb.append(Character.toLowerCase(c))
-      else sb.append(c)
+      val cp = str.codePointAt(i)
+      val cased = Character.isLetter(cp)
+      if (cased && !prevCased) sb.appendCodePoint(Character.toTitleCase(cp))
+      else if (cased) sb.appendCodePoint(Character.toLowerCase(cp))
+      else sb.appendCodePoint(cp)
       prevCased = cased
-      i += 1
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

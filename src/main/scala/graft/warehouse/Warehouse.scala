@@ -33,7 +33,11 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = {
     val p = Paths.get(path(table))
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    if (!Files.exists(p)) false
+    else {
+      val stream = Files.list(p)
+      try stream.findFirst().isPresent finally stream.close()
+    }
   }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
