@@ -268,6 +268,62 @@ object ReferenceQueries {
       .limit(10)
   }
 
+  // Full outer join (engine completeness beyond the reference's inner/anti).
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val custOrders = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val bigCust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    bigCust.join(custOrders, Seq("k"), "full_outer")
+      .filter(col("c_name").isNotNull || col("n_orders") >= 25)
+      .orderBy("k")
+  }
+
+  // Window variety: lag/lead/rank/dense_rank/ntile over per-customer orders.
+  def windowVariety(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"), col("o_orderkey")))
+          .cast("long").as("prio_rank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // Percentiles / median (linear interpolation in both engines).
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  // String-function breadth: concat_ws, lpad, replace, substring, length.
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        concat_ws("|", col("s_name"), col("s_nationkey")).as("tagged"),
+        lpad(col("s_suppkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("s_name"), "Supplier", "SUP").as("renamed"),
+        substring(col("s_name"), 1, 8).as("prefix"),
+        length(col("s_name")).cast("long").as("name_len"))
+      .orderBy("s_suppkey")
+
+  // Null-handling surface: coalesce / nullif / nvl2-style branching.
+  def nullHandling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_defaulted"),
+        when(col("c_acctbal") < 0, lit(null).cast("double")).otherwise(col("c_acctbal"))
+          .as("pos_bal"))
+      .orderBy("c_custkey")
+
   // SQL surface (§3.3): the engine accepts SQL text, including graft's
   // registered native functions — full Catalyst parse/analyze/optimize.
   def sqlReadback(s: SparkSession, dir: String): DataFrame = {
@@ -410,6 +466,45 @@ object ReferenceQueries {
            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
          ) EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
          ORDER BY k""",
+    "j5_outer_join" ->
+      """SELECT k, c_name, n_orders FROM (
+           SELECT COALESCE(b.k, o.k) AS k, c_name, n_orders
+           FROM (SELECT c_custkey AS k, c_name FROM customer WHERE c_acctbal > 9000) b
+           FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_orders
+                            FROM orders GROUP BY o_custkey) o
+             ON b.k = o.k)
+         WHERE c_name IS NOT NULL OR n_orders >= 25
+         ORDER BY k""",
+    "w2_window_variety" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 1) OVER w AS prev_key,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                rank() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
+                ntile(4) OVER w AS quartile
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "a6_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "f_string_funcs" ->
+      """SELECT s_suppkey,
+                concat_ws('|', s_name, s_nationkey) AS tagged,
+                lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+                regexp_replace(s_name, 'Supplier', 'SUP', 'g') AS renamed,
+                substr(s_name, 1, 8) AS prefix,
+                CAST(length(s_name) AS BIGINT) AS name_len
+         FROM supplier ORDER BY s_suppkey""",
+    "f_null_handling" ->
+      """SELECT c_custkey,
+                nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+                COALESCE(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+                CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+         FROM customer ORDER BY c_custkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
@@ -486,6 +581,11 @@ object ReferenceQueries {
     "f5_try_cast" -> (tryCastValidity _),
     "set_ops" -> (setOps _),
     "a5_rollup" -> (rollupAgg _),
+    "j5_outer_join" -> (outerJoin _),
+    "w2_window_variety" -> (windowVariety _),
+    "a6_percentiles" -> (percentiles _),
+    "f_string_funcs" -> (stringFuncs _),
+    "f_null_handling" -> (nullHandling _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "sql_readback" -> (sqlReadback _))
