@@ -107,11 +107,13 @@ object Dedup {
     // and 32 min-aggs would run 2*bands times.
     val sig = minhashSignatures(sh, idCol, bands * rowsPerBand).cache()
     sig.count()
-    // band key = hash of the band's signature slice; ids only (narrow rows)
-    val banded = (0 until bands).map { b =>
-      sig.select(col(idCol),
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_key"))
-    }.reduce(_.unionByName(_))
+    // band key = hash of the band's signature slice; one explode generates
+    // all bands in a single stage (a bands-way union would multiply the
+    // stage/task count and re-scan sig per branch)
+    val bandKeys = array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+    val banded = sig.select(col(idCol), explode(bandKeys).as("band_key"))
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band_key"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
@@ -152,11 +154,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val sigs = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val blocked = (0 until 4).map { blk =>
-      sigs.select(col(idCol), col("sig"),
-        concat_ws(":", lit(blk),
-          shiftright(col("sig"), blk * 16).bitwiseAND(0xFFFFL)).as("block_key"))
-    }.reduce(_.unionByName(_))
+    val blockKeys = array((0 until 4).map { blk =>
+      concat_ws(":", lit(blk), shiftright(col("sig"), blk * 16).bitwiseAND(0xFFFFL))
+    }: _*)
+    val blocked = sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key"))
     val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
@@ -180,10 +181,10 @@ object Dedup {
     // Vectors are re-attached once per surviving candidate pair.
     val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol))).cache()
     vecs.count() // materialize before concurrent consumers
-    val sigs = (0 until tables).map { t =>
-      vecs.select(col(idCol),
-        concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t)).as("bucket"))
-    }.reduce(_.unionByName(_))
+    val bucketKeys = array((0 until tables).map { t =>
+      concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t))
+    }: _*)
+    val sigs = vecs.select(col(idCol), explode(bucketKeys).as("bucket"))
     val cand = sigs.alias("x").join(sigs.alias("y"), Seq("bucket"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

@@ -60,11 +60,12 @@ object Similarity {
   /** Approximate top-k via SRP-LSH bucketing. */
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) =
-      (0 until tables).map { t =>
-        df.select(col(id), col(vec),
-          concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t)).as("bucket"))
-      }.reduce(_.unionByName(_))
+    def bucketed(df: DataFrame, id: String, vec: String) = {
+      val bucketKeys = array((0 until tables).map { t =>
+        concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t))
+      }: _*)
+      df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
+    }
 
     val c = bucketed(
       graft.Tables.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))),
