@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe: replicate the documents corpus N times (each doc
+  * gains N exact near-dup siblings) and run the fuzzy-dedup operators —
+  * checks that candidate generation stays bounded when duplicate clusters
+  * appear (the adversarial case for LSH bucketing).
+  *
+  * Usage: runMain graft.ScaleProbe [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = GraftSession.getOrCreate("graft-scale-probe")
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val n = docs.count()
+    val big = docs
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") + col("__rep") * n * 10).as("doc_id"), col("text"))
+      .cache()
+    println(s"corpus: ${big.count()} docs (${factor}x)")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows rows")
+    }
+    time("minhash_lsh")(graft.operators.Dedup.minhashLsh(
+      big, "text", "doc_id", k = 8, threshold = 0.3).count())
+    time("simhash")(graft.operators.Dedup.simhashPairs(
+      big, "text", "doc_id", maxHamming = 3).count())
+    time("exact")(graft.operators.Dedup.exact(big, "text", "doc_id").count())
+    spark.stop()
+  }
+}

@@ -35,11 +35,23 @@ case class MinHashAgg(child: Expression, numHashes: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      // accept either a pre-hashed 64-bit shingle key (scale path) or raw
+      // text (hashed once here); the `numHashes` families derive from one
+      // base hash via independent splitmix64 streams — no re-hashing of
+      // the payload per family
+      val base = v match {
+        case l: java.lang.Long => l.longValue()
+        case s: UTF8String =>
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        case other => other.hashCode().toLong
+      }
       var i = 0
       while (i < numHashes) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, i.toLong)
-        if (h < buf(i)) buf(i) = h
+        var z = base + 0x9e3779b97f4a7c15L * (i + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < buf(i)) buf(i) = z
         i += 1
       }
     }

@@ -28,15 +28,31 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct k-word shingles per document: (id, shingle). The input is
-    * fanned out first — the explode multiplies row width ~100x and must not
-    * run on a single scan partition.
+  /** Distinct k-word shingles per document as text: (id, shingle). The
+    * input is fanned out first — the explode multiplies row width ~100x and
+    * must not run on a single scan partition. Text shingles exist for
+    * oracle-checkable exact Jaccard; the scale path is [[shingleHashes]].
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val sh = when(size(toks) < k, array()).otherwise(
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Distinct k-word shingles as 64-bit keys: xxhash64 over the token
+    * slice directly — no shingle string is ever built, the inverted index
+    * carries 8-byte keys, and downstream joins/aggregations shuffle a
+    * fraction of the bytes. Collision probability at 64 bits is negligible
+    * against Jaccard thresholds. This is what the LSH operators use.
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sh = when(size(toks) < k, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64(slice(toks, i + 1, lit(k)))))
     graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
@@ -99,7 +115,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String, k: Int,
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
                  maxDf: Int = 100): DataFrame = {
-    val sh = shingles(df, textCol, idCol, k).cache()
+    val sh = shingleHashes(df, textCol, idCol, k).cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
     // materialize signatures once: the banded union references sig `bands`
@@ -123,8 +139,13 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String,
+  def verifyJaccard(cand0: DataFrame, sh: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
+    // the candidate set feeds the intersection join AND the outer
+    // left-join; uncached, the whole LSH candidate pipeline would run once
+    // per consumer
+    val cand = cand0.cache()
+    cand.count()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
