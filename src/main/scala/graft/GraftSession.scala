@@ -40,18 +40,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String) = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read nanos as long and convert to a microsecond timestamp
-    // (the data is microsecond-resolution, so the division is exact).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // integer `div`, not `/`: nanos (~1.7e18) exceed double's 2^53 exact
-      // range, so floating division would corrupt microseconds.
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  // Plan cache: building a parquet DataFrame lists the directory and reads
+  // footers; repeated per-query loads of the same immutable table would pay
+  // that again (hundreds of footer reads across a bench run). DataFrames
+  // are immutable lazy plans, so reuse within a session is safe.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String) =
+    planCache.getOrElseUpdate((spark, s"$sfDir/$name"), {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert to a microsecond
+      // timestamp (the data is microsecond-resolution — division exact).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events")
+        // integer `div`, not `/`: nanos (~1.7e18) exceed double's 2^53
+        // exact range, so floating division would corrupt microseconds.
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Spread a narrow scan across the cluster before per-row-expensive work.
     * A small parquet file arrives as one partition; exploding/hashing it on
