@@ -67,8 +67,12 @@ object Dedup {
     * cap is part of the operator's declared semantics (and of the oracle).
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
-                   threshold: Double, maxDf: Int = 100): DataFrame = {
-    val sh = shingles(df, textCol, idCol, k).cache()
+                   threshold: Double, maxDf: Int = 100,
+                   textShingles: Boolean = false): DataFrame = {
+    // default = hashed shingles (the scale path); textShingles=true keeps
+    // the shingle strings for SQL-oracle parity
+    val sh = (if (textShingles) shingles(df, textCol, idCol, k)
+              else shingleHashes(df, textCol, idCol, k)).cache()
     sh.count() // materialize before concurrent consumers (see minhashLsh)
     // kept feeds three consumers (sizes, both pair-join sides) — cache it so
     // the shingle explode + df-cap join run once.

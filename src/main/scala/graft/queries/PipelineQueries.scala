@@ -25,7 +25,7 @@ object PipelineQueries {
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", k = 8,
-        threshold = 0.30, maxDf = 100)
+        threshold = 0.30, maxDf = 100, textShingles = true) // string shingles: SQL-oracle parity
       .orderBy("id_a", "id_b")
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
