@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: single-node stand-in for cluster local SSDs
+      // (this VM's disk is slow and shared — it was the dominant run-to-run
+      // variance source)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else "/tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
