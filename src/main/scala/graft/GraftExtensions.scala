@@ -39,7 +39,17 @@ object GraftExtensions {
     "dot_product" -> two(DotProduct),
     "vector_norm" -> one(VectorNorm),
     "simhash64" -> one(SimHash64),
-    "srp_signature" -> (exprs => SrpSignature(exprs.head, 16, 42L)))
+    "srp_signature" -> (exprs => {
+      // srp_signature(vec[, bits[, seed]]) — honor SQL-supplied literals
+      def lit(i: Int): Long = exprs(i) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.longValue()
+        case other => throw new IllegalArgumentException(
+          s"srp_signature argument ${i + 1} must be a literal, got $other")
+      }
+      val bits = if (exprs.length > 1) lit(1).toInt else 16
+      val seed = if (exprs.length > 2) lit(2) else 42L
+      SrpSignature(exprs.head, bits, seed)
+    }))
 
   /** Register on an existing session (temp functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

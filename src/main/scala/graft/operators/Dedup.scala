@@ -20,6 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * All emit deterministic results: candidate generation may differ in
   * order, but verification recomputes exact similarities and outputs are
   * keyed (id_a < id_b) and sortable.
+  *
+  * Memory note: the fuzzy operators cache intermediates (shingle index,
+  * signatures, candidates) for the duration of the returned plan's
+  * execution; long-lived sessions running them repeatedly should
+  * `spark.catalog.clearCache()` between invocations (Bench does).
   */
 object Dedup {
 
@@ -35,7 +40,10 @@ object Dedup {
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val sh = when(size(toks) < k, array()).otherwise(
+    // documents shorter than k tokens contribute their whole token stream
+    // as one shingle — otherwise short duplicates would silently vanish
+    // from every fuzzy-dedup operator (explode drops empty arrays)
+    val sh = when(size(toks) < k, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
     graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
@@ -50,7 +58,8 @@ object Dedup {
     */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val sh = when(size(toks) < k, array().cast("array<bigint>")).otherwise(
+    // short docs: whole token stream as one shingle (see [[shingles]])
+    val sh = when(size(toks) < k, array(xxhash64(toks))).otherwise(
       transform(sequence(lit(0), size(toks) - k),
         i => xxhash64(slice(toks, i + 1, lit(k)))))
     graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
@@ -119,7 +128,14 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String, k: Int,
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
                  maxDf: Int = 100): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, k).cache()
+    // same df-cap as ngramJaccard: a boilerplate shingle shared by millions
+    // of docs would dominate every signature band and the verify join
+    val sh0 = shingleHashes(df, textCol, idCol, k)
+    val sh = {
+      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle")
+      sh0.join(kept_hint(dfreq), "shingle")
+    }.cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
     // materialize signatures once: the banded union references sig `bands`

@@ -88,12 +88,12 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
                 spark: SparkSession, nlist: Int): DataFrame = {
-    // deterministic pivots via id-stride sampling — no global window (a
-    // row_number over the corpus would funnel everything through one task)
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
+    // deterministic pivots: the nlist lowest id-hashes — a uniform sample
+    // under any id distribution (sparse/filtered ids included), computed as
+    // a TakeOrdered (no global window, no full sort materialization), with
+    // the id as tie-break so the choice is total-order deterministic
     val pivots = corpus.select(col(idCol), col(vecCol))
-      .filter(col(idCol) % stride === 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
       .select(col(idCol).as("pivot_id"), col(vecCol).as("pivot_vec"))
     val assigned = corpus.crossJoin(broadcast(pivots))

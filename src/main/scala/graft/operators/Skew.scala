@@ -20,6 +20,15 @@ object Skew {
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full-outer would emit each unmatched small-side row once per
+    // replica (`buckets` duplicates) — those join types are not salvageable
+    // under replication, so reject them up front
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/semi/anti joins, not $joinType " +
+        "(outer-preserved small-side rows would duplicate per salt bucket)")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val replicatedSmall = small.withColumn("__salt",

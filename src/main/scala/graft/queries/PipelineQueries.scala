@@ -146,7 +146,7 @@ object PipelineQueries {
          SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
        sh0 AS (
          SELECT doc_id,
-                unnest(CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+                unnest(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
                        ELSE list_transform(range(1, len(w) - 6),
                             i -> array_to_string(list_slice(w, i, i + 7), ' ')) END) AS shingle
          FROM toks),

@@ -71,7 +71,11 @@ object IncrementalStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal funnel like the batch form: double addition is not
+        // associative, decimal sums are partition-order independent
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("total_value"))
 
   /** Streaming exact dedup: the unbounded form of the K2 dedup-on-write
     * primitive. State is bounded by the watermark — a duplicate arriving

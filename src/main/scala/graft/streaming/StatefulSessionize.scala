@@ -20,7 +20,14 @@ object StatefulSessionize {
                                   n_events: Long, start_us: Long, end_us: Long)
   final case class UserState(sessionId: Long, count: Long, startUs: Long, lastUs: Long)
 
-  def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionSummary] = {
+  /** `emitOpen = true` (batch): the trailing still-open session is emitted
+    * too — correct when the whole group arrives in one invocation.
+    * `emitOpen = false` (streaming): only gap-closed sessions are emitted;
+    * the open session stays in state and continues across micro-batches
+    * (final flush on stream end is a round-2 event-time-timeout follow-up).
+    */
+  def sessions(events: Dataset[Ev], gapMinutes: Int,
+               emitOpen: Boolean = true): Dataset[SessionSummary] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[SessionSummary]
@@ -31,8 +38,8 @@ object StatefulSessionize {
       .flatMapGroupsWithState[UserState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
-          // batch invocation: the full (unordered) group arrives at once;
-          // order by event time, split on gaps, emit every closed session
+          // order the delivered batch by event time, split on gaps, emit
+          // every gap-closed session; the open session persists in state
           val sorted = evs.toSeq.sortBy(_.ts_us)
           val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
           var st = state.getOption.getOrElse(UserState(0L, 0L, -1L, Long.MinValue))
@@ -45,9 +52,11 @@ object StatefulSessionize {
               st = UserState(st.sessionId + 1, 1L, e.ts_us, e.ts_us)
             }
           }
-          if (st.count > 0L)
+          if (emitOpen && st.count > 0L) {
             out += SessionSummary(userId, st.sessionId, st.count, st.startUs, st.lastUs)
-          state.update(st.copy(count = 0L)) // sessions emitted; keep the id counter
+            st = st.copy(count = 0L) // emitted; keep the id counter only
+          }
+          state.update(st)
           out.iterator
       }(Encoders.product[UserState], outEnc)
   }

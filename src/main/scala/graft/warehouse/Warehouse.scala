@@ -143,7 +143,10 @@ class Warehouse(val spark: SparkSession, val root: String) {
     // orderCols deterministically.
     val sorted = df.repartitionByRange(col(orderCols.head) +: orderCols.tail.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val withPart = sorted.withColumn("__pid", spark_partition_id())
+    // materialize the partition layout before reading it twice: the counts
+    // job and the id-assignment job must see the SAME partitioning, and
+    // AQE may otherwise re-plan the range exchange between the two runs
+    val withPart = sorted.withColumn("__pid", spark_partition_id()).cache()
     val counts = withPart.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix: Map[Int, Long] = {
