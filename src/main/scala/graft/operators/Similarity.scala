@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{cosine_similarity, srp_signature}
 
@@ -81,27 +81,100 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF-style coarse quantization: assign every vector to its nearest of
-    * `nlist` pivot vectors (chosen deterministically from the corpus), so
-    * queries probe only their `nprobe` closest cells. The partitioned
-    * corpus can be written bucketed-by-cell so the probe is a pruned scan.
+  /** Deterministic IVF pivots: the `nlist` lowest id-hashes — a uniform
+    * sample under any id distribution (sparse/filtered ids included),
+    * computed as a TakeOrdered (no global window, no full sort
+    * materialization), with the id as tie-break so the choice is
+    * total-order deterministic. The hash is the md5-derived 24-bit scheme
+    * (see TextAnalysis.rollingFingerprint) so the same selection is
+    * expressible in ANSI SQL for the oracle. At real scale the trained
+    * pivot table is persisted once and reused across queries.
     */
-  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
-                spark: SparkSession, nlist: Int): DataFrame = {
-    // deterministic pivots: the nlist lowest id-hashes — a uniform sample
-    // under any id distribution (sparse/filtered ids included), computed as
-    // a TakeOrdered (no global window, no full sort materialization), with
-    // the id as tie-break so the choice is total-order deterministic
-    val pivots = corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+  def ivfPivots(corpus: DataFrame, vecCol: String, idCol: String, nlist: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long"),
+        col(idCol))
       .limit(nlist)
       .select(col(idCol).as("pivot_id"), col(vecCol).as("pivot_vec"))
-    val assigned = corpus.crossJoin(broadcast(pivots))
-      .withColumn("sim", cosine_similarity(col(vecCol), col("pivot_vec")))
-    val byVec = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("pivot_id"))
-    assigned
-      .withColumn("__r", row_number().over(byVec))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("pivot_id").as("cell_id"))
+
+  /** Pivots as a literal `array<struct<c, pv>>` column — the KMeans-style
+    * "broadcast the centers" move. The pivot table is bounded by
+    * construction (`nlist` rows), so collecting it to the driver and
+    * embedding it in the plan is a bounded one-time cost; assignment then
+    * needs NO join, NO aggregate and NO shuffle — a pure projection that
+    * scales to any corpus size. (The alternative — `max_by` over
+    * crossJoin(broadcast(pivots)) — avoids the window-shuffle too, but its
+    * struct aggregation buffer plans as SortAggregate: a map-side sort of
+    * N×nlist scored rows that this formulation never produces.)
+    */
+  private def pivotLiteral(pivots: DataFrame): Column = {
+    val rows = pivots.collect() // nlist rows — bounded by construction
+    array(rows.toIndexedSeq.map { r =>
+      struct(lit(r.getLong(0)).as("c"), typedLit(r.getSeq[Float](1)).as("pv"))
+    }: _*)
+  }
+
+  /** Per-row scored cells: array of (sim, negc, c), one struct per pivot.
+    * Field order makes the natural struct ordering (sim, then −cell), so
+    * max / sort-descending picks the highest similarity, ties broken
+    * toward the lowest cell id — total-order deterministic.
+    */
+  private def scoredCells(vec: Column, pivotLit: Column): Column =
+    transform(pivotLit, p => struct(
+      cosine_similarity(vec, p("pv")).as("sim"),
+      (-p("c")).as("negc"),
+      p("c").as("c")))
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `nlist` pivot vectors (chosen deterministically from the corpus), so
+    * queries probe only their `nprobe` closest cells. Map-only (see
+    * [[pivotLiteral]]): the plan is a single projection over the scan —
+    * the partitioned output can be written bucketed-by-cell so probes are
+    * pruned scans.
+    */
+  private def assignCells(df: DataFrame, pl: Column, vecCol: String,
+                          idCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      array_max(scoredCells(col(vecCol), pl))("c").as("cell_id"))
+
+  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                spark: SparkSession, nlist: Int): DataFrame =
+    assignCells(corpus, pivotLiteral(ivfPivots(corpus, vecCol, idCol, nlist)),
+      vecCol, idCol)
+
+  private def probeCells(queries: DataFrame, pl: Column, vecCol: String,
+                         idCol: String, nprobe: Int): DataFrame = {
+    val top = slice(reverse(array_sort(scoredCells(col(vecCol), pl))), 1, nprobe)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(transform(top, x => x("c"))).as("cell_id"))
+  }
+
+  /** The `nprobe` nearest cells per query, exploded — also map-only: the
+    * sort runs per row over the `nlist`-element scored array, never over
+    * rows.
+    */
+  def ivfProbeCells(queries: DataFrame, pivots: DataFrame, vecCol: String,
+                    idCol: String, nprobe: Int): DataFrame =
+    probeCells(queries, pivotLiteral(pivots), vecCol, idCol, nprobe)
+
+  /** End-to-end IVF ANN: corpus partitioned into `nlist` cells, each query
+    * scored only against the `nprobe` cells nearest to it. The probe join
+    * broadcasts the (queries × nprobe) side, so the corpus streams map-side
+    * and the only exchange is TopKPerKey's ≤ k rows per (query, task).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, nlist: Int, nprobe: Int = 1): DataFrame = {
+    val pl = pivotLiteral(ivfPivots(corpus, vecCol, idCol, nlist)) // one collect
+    val assigned = assignCells(corpus, pl, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell_id"))
+    val qCells = probeCells(queries, pl, vecCol, idCol, nprobe)
+    // no pair-dedup needed: each corpus vector lives in exactly one cell,
+    // and the probed cells of one query are distinct — a (query, neighbor)
+    // pair can match at most once
+    val scored = assigned.join(broadcast(qCells), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 }

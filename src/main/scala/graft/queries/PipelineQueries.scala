@@ -74,26 +74,15 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style ANN: coarse cells via deterministic pivots, queries probe
-    * their own cell only (rows-only check; recall asserted in specs).
+  /** IVF ANN: coarse cells via deterministic md5-hash pivots (map-side
+    * max_by assignment, no window), queries probe their 2 nearest cells.
+    * Fully oracle-checkable — the pivot hash is the portable md5 scheme.
     */
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
-    val assigned = Similarity.ivfAssign(all, "embedding", "vec_id", s, nlist = 16).cache()
-    assigned.count()
-    val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
-        col("cell_id"))
-    val scored = assigned
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("cell_id"))
-      .join(broadcast(queries), Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", graft.functions.cosine_similarity(col("q_vec"), col("c_vec")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 5)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "neighbor_id")
+    Similarity.ivfTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 2)
+      .orderBy("query_id", "rank")
   }
 
   // ---- text analysis -----------------------------------------------------
@@ -139,6 +128,15 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   // ---- oracles -----------------------------------------------------------
+
+  /** DuckDB cosine-similarity fragment between two list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len($a)+1),
+             i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len($b)+1),
+             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
 
   /** Shared SQL fragment: distinct 8-gram shingles per doc, df-capped. */
   private val shingleCte =
@@ -204,6 +202,38 @@ object PipelineQueries {
                                           ORDER BY cos_exact DESC, neighbor_id) AS rank
                 FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos_exact, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_topk_ivf" ->
+      s"""WITH pivots AS (
+            SELECT vec_id AS pivot_id, embedding AS pivot_vec FROM embeddings
+            ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                     vec_id
+            LIMIT 16),
+          assigned AS (
+            SELECT vec_id, embedding, pivot_id AS cell_id FROM (
+              SELECT e.vec_id, e.embedding, p.pivot_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+              FROM embeddings e CROSS JOIN pivots p)
+            WHERE rn = 1),
+          qprobe AS (
+            SELECT query_id, q_vec, cell_id FROM (
+              SELECT e.vec_id AS query_id, e.embedding AS q_vec, p.pivot_id AS cell_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+              FROM embeddings e CROSS JOIN pivots p WHERE e.vec_id < 10)
+            WHERE rn <= 2),
+          scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ${cosSql("q.q_vec", "a.embedding")} AS c
+            FROM qprobe q JOIN assigned a
+              ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored)
+         SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "text_langid" -> {
       val hitExprs = TextAnalysis.lexicons.map { case (lang, lex) =>

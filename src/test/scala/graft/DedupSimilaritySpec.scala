@@ -72,6 +72,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall over ${bf.size} true pairs")
   }
 
+  test("IVF top-k recall vs brute force for nprobe 1 and 2 on sf0.001") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2).map { nprobe =>
+      val ivf = Similarity.ivfTopK(embs, queries, "embedding", "vec_id",
+        k = 3, nlist = 8, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    // more probed cells may only widen the candidate set
+    assert(recalls(1) >= recalls(0), s"recalls $recalls")
+    assert(recalls(0) >= 0.2, s"nprobe=1 recall ${recalls(0)}")
+    assert(recalls(1) >= 0.4, s"nprobe=2 recall ${recalls(1)}")
+  }
+
+  test("IVF assignment agrees with per-row exact nearest pivot") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val assigned = Similarity.ivfAssign(embs, "embedding", "vec_id", spark, nlist = 8)
+    // reference: window-ranked nearest pivot over the cross join
+    val pivots = Similarity.ivfPivots(embs, "embedding", "vec_id", 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("pivot_id"))
+    val ref = embs.crossJoin(pivots)
+      .withColumn("sim", graft.functions.cosine_similarity(col("embedding"), col("pivot_vec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("pivot_id").as("cell_id"))
+    val got = assigned.select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val want = ref.as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("SRP top-k recall vs brute force on sf0.001") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embs.filter(col("vec_id") < 5)

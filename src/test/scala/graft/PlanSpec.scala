@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpec {
     assert(df.limit(1).collect().nonEmpty) // semantics intact, plan runs
   }
 
+  test("ivf assignment is map-only: no window, sort, aggregate or exchange") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val assigned = graft.operators.Similarity.ivfAssign(embs, "embedding", "vec_id", spark, 8)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("Sort"), p.take(800))
+    assert(!p.contains("Aggregate"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
   test("every oracled query name has a queries entry") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- q
