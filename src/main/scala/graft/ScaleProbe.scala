@@ -30,6 +30,21 @@ object ScaleProbe {
     time("simhash")(graft.operators.Dedup.simhashPairs(
       big, "text", "doc_id", maxHamming = 3).count())
     time("exact")(graft.operators.Dedup.exact(big, "text", "doc_id").count())
+    // embeddings replicated the same way: every vector gains factor-1 exact
+    // duplicates — the bucket-cap adversarial case for SRP LSH
+    val embs = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val m = embs.count()
+    val bigV = embs
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("vec_id") + col("__rep") * m * 10).as("vec_id"), col("embedding"))
+      .cache()
+    println(s"vectors: ${bigV.count()} (${factor}x)")
+    time("embedding_near_dup")(graft.operators.Dedup.embeddingNearDup(
+      bigV, "embedding", "vec_id", threshold = 0.35,
+      bits = 4, tables = 12, maxBucket = 200).count())
+    time("srp_topk")(graft.operators.Similarity.srpTopK(
+      bigV, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, bits = 8, tables = 4, maxBucket = 2000).count())
     spark.stop()
   }
 }

@@ -66,6 +66,24 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Drop rows whose `keyCol` value has population > `cap` — the skew
+    * guard shared by every LSH/inverted-index operator here. One hot key
+    * (a boilerplate shingle, an LSH bucket full of a duplicate cluster —
+    * the NORM in a 100 TB dedup corpus) otherwise turns the candidate
+    * self-join quadratic on a single shuffle key.
+    *
+    * The guard anti-joins against the HOT key set, which is small by
+    * construction (only keys exceeding the cap), so it broadcasts at any
+    * corpus size — broadcasting the kept side would ship nearly every
+    * distinct key. Cost: one count-aggregate over (key) plus a broadcast
+    * anti-join; the bucketed stream itself is never shuffled.
+    */
+  private[operators] def dropHotKeys(df: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val hot = df.groupBy(keyCol).agg(count(lit(1)).as("__pop"))
+      .filter(col("__pop") > cap).select(keyCol)
+    df.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over an inverted shingle index.
     *
     * Shingles with document frequency > `maxDf` are dropped before the
@@ -85,11 +103,7 @@ object Dedup {
     sh.count() // materialize before concurrent consumers (see minhashLsh)
     // kept feeds three consumers (sizes, both pair-join sides) — cache it so
     // the shingle explode + df-cap join run once.
-    val kept = {
-      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shingle")
-      sh.join(kept_hint(dfreq), "shingle")
-    }.cache()
+    val kept = dropHotKeys(sh, "shingle", maxDf).cache()
     kept.count()
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
@@ -105,10 +119,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
-
-  // The shingle-df filter side is small; broadcast it to avoid shuffling
-  // the full inverted index twice.
-  private def kept_hint(dfreq: DataFrame): DataFrame = broadcast(dfreq)
 
   /** MinHash signature column: for each of `numHashes` xxHash64 seeds, the
     * minimum hash over the document's shingles — one imperative aggregate
@@ -130,12 +140,7 @@ object Dedup {
                  maxDf: Int = 100): DataFrame = {
     // same df-cap as ngramJaccard: a boilerplate shingle shared by millions
     // of docs would dominate every signature band and the verify join
-    val sh0 = shingleHashes(df, textCol, idCol, k)
-    val sh = {
-      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shingle")
-      sh0.join(kept_hint(dfreq), "shingle")
-    }.cache()
+    val sh = dropHotKeys(shingleHashes(df, textCol, idCol, k), "shingle", maxDf).cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
     // materialize signatures once: the banded union references sig `bands`
@@ -187,18 +192,37 @@ object Dedup {
     */
   def simhash(toks: Column): Column = graft.functions.simhash64(toks)
 
-  /** SimHash near-dup pairs: candidates collide on any of 4 16-bit blocks
-    * (catches all pairs within hamming distance 3), verified by exact
-    * hamming distance <= `maxHamming`.
+  /** SimHash near-dup pairs. Candidate generation splits the 64-bit
+    * signature into `maxHamming + 1` blocks — by pigeonhole, any pair
+    * within the hamming bound agrees on at least one whole block, so block
+    * collision has FULL recall at the declared bound (r1 advice: 4 fixed
+    * blocks silently lost recall for maxHamming > 3). Candidates are then
+    * verified by exact hamming distance.
+    *
+    * `maxBucket` caps the population of one (block index, block value)
+    * bucket: a duplicate cluster shares every block, and an uncapped
+    * self-join over its bucket is quadratic in the cluster size on one
+    * shuffle key. Clusters larger than the cap are EXCLUDED from fuzzy
+    * candidates by declared semantics — run [[exact]] first; exact
+    * duplicates are its job, at one shuffle instead of a quadratic join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks <= 64, "maxHamming must be < 64")
     val sigs = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val blockKeys = array((0 until 4).map { blk =>
-      concat_ws(":", lit(blk), shiftright(col("sig"), blk * 16).bitwiseAND(0xFFFFL))
+    // block b covers bits [b*64/blocks, (b+1)*64/blocks) — widths differ by
+    // at most one bit when 64 % blocks != 0
+    val blockKeys = array((0 until blocks).map { blk =>
+      val lo = blk * 64 / blocks
+      val hi = (blk + 1) * 64 / blocks
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      concat_ws(":", lit(blk), shiftrightunsigned(col("sig"), lo).bitwiseAND(mask))
     }: _*)
-    val blocked = sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key"))
+    val blocked = dropHotKeys(
+      sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key")),
+      "block_key", maxBucket)
     val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
@@ -212,9 +236,17 @@ object Dedup {
 
   /** Embedding near-dup: SRP-LSH buckets (multi-probe via several seeds) +
     * exact cosine verify with graft's native expression.
+    *
+    * `maxBucket` caps per-bucket population (see [[simhashPairs]]): an
+    * embedding duplicate cluster lands in one bucket of every table and
+    * would otherwise explode the candidate self-join quadratically on a
+    * single shuffle key. Oversized buckets are dropped from candidate
+    * generation by declared semantics — exact-duplicate clusters belong to
+    * [[exact]] (or a vector-digest groupBy), not the fuzzy pass.
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
+                       threshold: Double, bits: Int = 12, tables: Int = 4,
+                       maxBucket: Int = 1000): DataFrame = {
     import graft.functions.{cosine_similarity, srp_signature}
     // Candidate generation stays narrow: only (id, bucket) pairs flow
     // through the self-join and the distinct — carrying the vectors through
@@ -225,7 +257,8 @@ object Dedup {
     val bucketKeys = array((0 until tables).map { t =>
       concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t))
     }: _*)
-    val sigs = vecs.select(col(idCol), explode(bucketKeys).as("bucket"))
+    val sigs = dropHotKeys(
+      vecs.select(col(idCol), explode(bucketKeys).as("bucket")), "bucket", maxBucket)
     val cand = sigs.alias("x").join(sigs.alias("y"), Seq("bucket"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

@@ -57,9 +57,19 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Approximate top-k via SRP-LSH bucketing. */
+  /** Approximate top-k via SRP-LSH bucketing.
+    *
+    * `maxBucket` caps the corpus-side population of one (table, signature)
+    * bucket: a duplicate-heavy corpus piles near-identical vectors into one
+    * bucket, and every query probing it would score the whole pile —
+    * quadratic work on a single shuffle key. Oversized buckets are dropped
+    * from candidate generation (declared semantics, same guard as
+    * Dedup.dropHotKeys); their members remain reachable through their
+    * other `tables − 1` signatures when those buckets are sane.
+    */
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+              idCol: String, k: Int, bits: Int = 8, tables: Int = 4,
+              maxBucket: Int = 10000): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val bucketKeys = array((0 until tables).map { t =>
         concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t))
@@ -67,9 +77,9 @@ object Similarity {
       df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
     }
 
-    val c = bucketed(
+    val c = graft.operators.Dedup.dropHotKeys(bucketed(
       graft.Tables.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))),
-      "neighbor_id", "c_vec")
+      "neighbor_id", "c_vec"), "bucket", maxBucket)
     val q = broadcast(bucketed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec"))

@@ -40,8 +40,10 @@ object PipelineQueries {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     // Threshold tuned to the synthetic corpus (max pairwise cosine ~0.46;
     // real near-dup corpora would use ~0.9 with more bits per table).
+    // (4 bits, 12 tables, bucket cap 200) measured at sf0.1: recall 0.86
+    // of the exact all-pairs set, ~3x faster than the uncapped r1 config.
     Dedup.embeddingNearDup(embs(s, dir), "embedding", "vec_id",
-        threshold = 0.35, bits = 4, tables = 8)
+        threshold = 0.35, bits = 4, tables = 12, maxBucket = 200)
       .orderBy("id_a", "id_b")
 
   /** Exact near-dup pairs on a bounded subset — the oracled verifier for
