@@ -38,7 +38,7 @@ object GraftExtensions {
     "cosine_similarity" -> two(CosineSimilarity),
     "dot_product" -> two(DotProduct),
     "vector_norm" -> one(VectorNorm),
-    "simhash64" -> one(SimHash64),
+    "simhash64" -> one(SimHash64(_)),
     "srp_signature" -> (exprs => {
       // srp_signature(vec[, bits[, seed]]) — honor SQL-supplied literals
       def lit(i: Int): Long = exprs(i) match {

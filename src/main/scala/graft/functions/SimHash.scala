@@ -31,13 +31,31 @@ object SimHashOps {
     h ^ (h >>> 31)
   }
 
-  def simhash(tokens: ArrayData): Long = {
+  // MessageDigest is stateful; one instance per task thread, reset per call
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** PORTABLE token hash: first 8 bytes of md5, big-endian — bit j of the
+    * long (LSB-indexed) is bit (3 − m%4) of hex digit m/4 of the md5 hex
+    * string at m = 63 − j, so the same 64 bits are reachable from ANSI
+    * SQL's md5() for the DuckDB oracle.
+    */
+  def hashTokenMd5(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  private def simhashWith(tokens: ArrayData, hash: UTF8String => Long): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashToken(tokens.getUTF8String(i))
+        val h = hash(tokens.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -54,14 +72,21 @@ object SimHashOps {
     }
     sig
   }
+
+  def simhash(tokens: ArrayData): Long = simhashWith(tokens, hashToken)
+
+  /** [[simhash]] over the portable md5 token hash (oracle-reproducible). */
+  def simhashMd5(tokens: ArrayData): Long = simhashWith(tokens, hashTokenMd5)
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
+  private val method = if (portable) "simhashMd5" else "simhash"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
-    SimHashOps.simhash(v.asInstanceOf[ArrayData])
+    if (portable) SimHashOps.simhashMd5(v.asInstanceOf[ArrayData])
+    else SimHashOps.simhash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashOps.simhash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashOps.$method($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }

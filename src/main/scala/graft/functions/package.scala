@@ -29,6 +29,10 @@ package object functions {
   def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignature(expr(c), bits, seed))
 
-  /** 64-bit SimHash of an `array<string>` token column. */
-  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  /** 64-bit SimHash of an `array<string>` token column. `portable = true`
+    * hashes tokens with md5 (oracle-reproducible in ANSI SQL) instead of
+    * the faster splitmix64 scheme.
+    */
+  def simhash64(c: Column, portable: Boolean = false): Column =
+    col(SimHash64(expr(c), portable))
 }

@@ -66,6 +66,37 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  private val P = 1000000007L // portable-hash modulus (fits every product in a long)
+
+  /** Portable 24-bit md5 token hash — same scheme as
+    * TextAnalysis.rollingFingerprint, reproducible in ANSI SQL.
+    */
+  private def tokHash(w: Column): Column =
+    conv(substring(md5(w), 1, 6), 16, 10).cast("long")
+
+  /** Rolling polynomial fold mod [[P]] over an array<long> column. */
+  private def polyFold(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => (acc * 31 + x) % P)
+
+  /** Distinct k-word shingles as PORTABLE hashes: a rolling polynomial mod
+    * 1e9+7 over md5-derived 24-bit token hashes. Same shape as
+    * [[shingleHashes]], but every step is expressible in ANSI SQL so
+    * operators built on it carry full DuckDB oracles. Costs one md5 per
+    * token (hashed once, folded per shingle) — the xxhash64 variant stays
+    * the pure-scale default.
+    */
+  def shingleHashesPortable(df: DataFrame, textCol: String, idCol: String,
+                            k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val th = transform(toks, w => tokHash(w))
+    // short docs: whole token stream as one shingle (see [[shingles]])
+    val sh = when(size(toks) < k, array(polyFold(th))).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => polyFold(slice(th, i + 1, lit(k)))))
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
   /** Drop rows whose `keyCol` value has population > `cap` — the skew
     * guard shared by every LSH/inverted-index operator here. One hot key
     * (a boilerplate shingle, an LSH bucket full of a duplicate cluster —
@@ -134,27 +165,57 @@ object Dedup {
     * candidates (one shuffle per band, unioned), then candidates are
     * verified against the exact shingle sets. Probability a pair with
     * Jaccard j becomes a candidate: 1 - (1 - j^rows)^bands.
+    *
+    * `portable = true` swaps both hash layers for SQL-expressible ones
+    * (md5-poly shingles, affine-mod-p minhash families, plain-text band
+    * keys) so the whole operator carries a DuckDB oracle; the default
+    * xxhash64/splitmix64 path is the faster pure-scale variant. Both share
+    * the df-cap, banding structure and exact verification.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String, k: Int,
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
-                 maxDf: Int = 100): DataFrame = {
+                 maxDf: Int = 100, portable: Boolean = false): DataFrame = {
     // same df-cap as ngramJaccard: a boilerplate shingle shared by millions
     // of docs would dominate every signature band and the verify join
-    val sh = dropHotKeys(shingleHashes(df, textCol, idCol, k), "shingle", maxDf).cache()
+    val sh0 = if (portable) shingleHashesPortable(df, textCol, idCol, k)
+              else shingleHashes(df, textCol, idCol, k)
+    val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
-    // materialize signatures once: the banded union references sig `bands`
-    // times on each side of the self-join — uncached, the shingle shuffle
-    // and 32 min-aggs would run 2*bands times.
-    val sig = minhashSignatures(sh, idCol, bands * rowsPerBand).cache()
-    sig.count()
-    // band key = hash of the band's signature slice; one explode generates
-    // all bands in a single stage (a bands-way union would multiply the
-    // stage/task count and re-scan sig per branch)
-    val bandKeys = array((0 until bands).map { b =>
-      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-    }: _*)
-    val banded = sig.select(col(idCol), explode(bandKeys).as("band_key"))
+    val numHashes = bands * rowsPerBand
+    val banded = if (portable) {
+      // affine families h_i(s) = (a_i*s + b_i) mod p over the shingle hash:
+      // numHashes min-aggregates in ONE partial+final HashAggregate pass;
+      // every coefficient is < p so products stay inside a long (and inside
+      // ANSI SQL BIGINT arithmetic for the oracle)
+      val mins = (0 until numHashes).map { i =>
+        val a = (2654435761L * (i + 1)) % P
+        val b = (40503L * (i.toLong * i + 1)) % P
+        min((col("shingle") * a + b) % P).as(s"m$i")
+      }
+      // cached for the same reason as the default path: both self-join
+      // sides reference the signature aggregate
+      val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*).cache()
+      sig.count()
+      val bandKeys = array((0 until bands).map { b =>
+        concat_ws(":", lit(b) +:
+          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      }: _*)
+      sig.select(col(idCol), explode(bandKeys).as("band_key"))
+    } else {
+      // materialize signatures once: the banded explode references sig
+      // `bands` times on each side of the self-join — uncached, the shingle
+      // shuffle and the min-agg would run 2*bands times.
+      val sig = minhashSignatures(sh, idCol, numHashes).cache()
+      sig.count()
+      // band key = hash of the band's signature slice; one explode generates
+      // all bands in a single stage (a bands-way union would multiply the
+      // stage/task count and re-scan sig per branch)
+      val bandKeys = array((0 until bands).map { b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)
+      sig.select(col(idCol), explode(bandKeys).as("band_key"))
+    }
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band_key"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
@@ -189,8 +250,10 @@ object Dedup {
   /** 64-bit SimHash over the token stream: bit j of the signature is the
     * sign of the sum over tokens of (+1/-1 per token-hash bit j). Native
     * codegen'd expression — one pass per row (graft.functions.SimHash64).
+    * `portable = true` uses the md5 token hash (oracle-reproducible).
     */
-  def simhash(toks: Column): Column = graft.functions.simhash64(toks)
+  def simhash(toks: Column, portable: Boolean = false): Column =
+    graft.functions.simhash64(toks, portable)
 
   /** SimHash near-dup pairs. Candidate generation splits the 64-bit
     * signature into `maxHamming + 1` blocks — by pigeonhole, any pair
@@ -207,11 +270,12 @@ object Dedup {
     * duplicates are its job, at one shuffle instead of a quadratic join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   portable: Boolean = false): DataFrame = {
     val blocks = maxHamming + 1
     require(blocks <= 64, "maxHamming must be < 64")
     val sigs = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
+      .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol)), portable).as("sig"))
     // block b covers bits [b*64/blocks, (b+1)*64/blocks) — widths differ by
     // at most one bit when 64 % blocks != 0
     val blockKeys = array((0 until blocks).map { blk =>

@@ -30,11 +30,13 @@ object PipelineQueries {
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), "text", "doc_id", k = 8,
-        threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100)
+        threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
+        portable = true) // md5-poly hashes: full DuckDB oracle
       .orderBy("id_a", "id_b")
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6,
+        maxBucket = 1000, portable = true) // md5 token hash: full DuckDB oracle
       .orderBy("id_a", "id_b")
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -172,6 +174,91 @@ object PipelineQueries {
          HAVING CAST(count(*) AS DOUBLE)
                 / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
          ORDER BY id_a, id_b"""),
+    // portable minhash LSH: md5-poly shingles, affine-mod-p families — the
+    // exact pipeline Dedup.minhashLsh(portable = true) runs, in ANSI SQL
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         th AS (
+           SELECT doc_id, len(w) AS n,
+                  list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
+           FROM toks),
+         sh0 AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN n < 8
+                         THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                               (a, b) -> (a * 31 + b) % 1000000007)]
+                         ELSE list_transform(range(1, n - 6),
+                              i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                                   (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
+           FROM th),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         kept AS (
+           SELECT doc_id, shingle FROM sh
+           WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         sigs AS (
+           SELECT doc_id, i,
+                  min((shingle * ((2654435761 * (i + 1)) % 1000000007)
+                       + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
+           FROM kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
+         sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id,
+                  b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
+           FROM sigl CROSS JOIN range(8) AS rb(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS n_inter
+           FROM cand c JOIN kept a ON a.doc_id = c.id_a
+                       JOIN kept b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b)
+         SELECT i.id_a, i.id_b,
+                round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.id_a
+         JOIN sizes sb ON sb.doc_id = i.id_b
+         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30
+         ORDER BY id_a, id_b""",
+    // portable simhash: md5 token bits -> per-bit votes -> 64-char signature
+    // string; blocks = maxHamming+1 = 7, bucket cap 1000, exact hamming verify
+    "dedup_simhash" -> {
+      val blockArms = (0 until 7).map { b =>
+        val lo = b * 64 / 7
+        val hi = (b + 1) * 64 / 7
+        s"SELECT doc_id, sig, '$b:' || substr(sig, ${64 - hi + 1}, ${hi - lo}) AS block_key FROM sigs"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         th AS (
+           SELECT doc_id, unnest(list_transform(w, t -> substr(md5(t), 1, 16))) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, m,
+                  ((CAST(('0x' || substr(h, m // 4 + 1, 1)) AS INTEGER) >> (3 - m % 4)) & 1) AS bit
+           FROM th CROSS JOIN range(64) AS r(m)),
+         votes AS (SELECT doc_id, m, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, m),
+         sigs AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY m) AS sig
+           FROM votes GROUP BY doc_id),
+         blocked AS (
+           $blockArms),
+         keptb AS (SELECT block_key FROM blocked GROUP BY block_key HAVING count(*) <= 1000),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sig_a, y.sig AS sig_b
+           FROM blocked x JOIN blocked y ON x.block_key = y.block_key AND x.doc_id < y.doc_id
+           WHERE x.block_key IN (SELECT block_key FROM keptb)),
+         ham AS (
+           SELECT id_a, id_b,
+                  CAST(list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                            THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+           FROM cand)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b"""
+    },
     "dedup_embedding_exact" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
               scored AS (
