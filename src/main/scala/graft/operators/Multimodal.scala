@@ -4,19 +4,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row}
 
-/** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, plus the decode / feature-extract
-  * stage a training-data pipeline runs over them.
+/** Multimodal-column plumbing: image/audio payloads as opaque `binary`
+  * columns with typed metadata, plus the decode / feature-extract stage a
+  * training-data pipeline runs over them.
   *
-  * The Spark-side shape is real and tested: binary payload column, struct
-  * metadata, deterministic partition-parallel extraction via
-  * `mapPartitions` over the binary bytes (the Scala analog of a
-  * batch-arrow UDF — rows stream through one partition at a time, nothing
-  * is collected). The actual codec call is STUBBED: this container has no
-  * image/audio libraries, so [[FakeDecoder]] derives deterministic
-  * pseudo-features from the bytes. On a real cluster, replace
-  * [[FakeDecoder.decode]] with the codec (e.g. javax.imageio / ffmpeg
-  * bindings) — the schema, batching and partitioning do not change.
+  * The container has no media fixtures, so [[Codec.synthBmp]] /
+  * [[Codec.synthWav]] SYNTHESIZE real containers (valid 24-bpp BMP files
+  * with row padding; valid PCM WAV files with RIFF chunk structure) from
+  * document text, and [[Codec.decode]] is a REAL parser: it walks the
+  * actual header bytes (magic, offsets, chunk lists), validates them, and
+  * computes pixel/sample statistics from the encoded payload — the same
+  * code would decode any simple external BMP/WAV. Decode runs
+  * partition-parallel via `mapPartitions` (rows stream through; nothing is
+  * collected), the shape that fans a codec across 1000 executors.
   */
 object Multimodal {
 
@@ -26,9 +26,8 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("byte_len", LongType)))
 
-  /** Wrap a text corpus as opaque binary media payloads (the harness has
-    * no real image bytes; utf-8 text bytes stand in — the plumbing is
-    * identical for real media).
+  /** Wrap a text corpus as opaque binary payloads (utf-8 bytes stand in
+    * for undecoded blobs — the plumbing is identical for real media).
     */
   def asBinaryPayloads(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(
@@ -37,27 +36,163 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       octet_length(col(textCol)).cast("long").as("byte_len"))
 
-  /** STUB decoder — deterministic fake features from raw bytes.
-    * REPLACE on a real cluster: this is where the image/audio codec goes.
+  /** Real container synthesis + real header-walking decode. Synthesis
+    * parameters are closed forms of (text length, doc id) so an external
+    * oracle can verify the decode roundtrip from the source table alone.
     */
-  object FakeDecoder {
-    final case class Decoded(width: Int, height: Int, features: Array[Float])
+  object Codec {
+    private def i32(b: java.nio.ByteBuffer, v: Int): Unit = b.putInt(v)
+    private def i16(b: java.nio.ByteBuffer, v: Int): Unit = b.putShort(v.toShort)
 
-    def decode(payload: Array[Byte]): Decoded = {
-      // ??? <- real codec call (e.g. ImageIO.read) goes here; the fake
-      // derives stable pseudo-dimensions and an 8-dim feature sketch so the
-      // pipeline shape (schema, batching, downstream joins) is testable.
-      val n = payload.length
-      val width = 64 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(payload(0)) % 192)
-      val height = 64 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(payload(1)) % 192)
-      val features = Array.tabulate(8) { i =>
-        var acc = 0L
-        var j = i
-        while (j < n) { acc += java.lang.Byte.toUnsignedInt(payload(j)); j += 8 }
-        (acc % 1000L).toFloat / 1000.0f
+    /** Valid 24-bpp bottom-up BMP: width 4+n%29, height 4+id%13, pixel
+      * byte i (row-major, padding excluded) = text byte i mod n.
+      */
+    def synthBmp(text: Array[Byte], docId: Long): Array[Byte] = {
+      val n = text.length
+      val w = 4 + n % 29
+      val h = (4 + docId % 13).toInt
+      val stride = (w * 3 + 3) / 4 * 4
+      val size = 54 + h * stride
+      val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      i32(buf, size); i32(buf, 0); i32(buf, 54) // file size, reserved, pixel offset
+      i32(buf, 40); i32(buf, w); i32(buf, h)    // BITMAPINFOHEADER, dims
+      i16(buf, 1); i16(buf, 24)                 // planes, bpp
+      i32(buf, 0); i32(buf, h * stride)         // BI_RGB, image size
+      i32(buf, 2835); i32(buf, 2835); i32(buf, 0); i32(buf, 0) // ppm, palette
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < stride) {
+          buf.put(if (x < w * 3) text((r * w * 3 + x) % n) else 0.toByte)
+          x += 1
+        }
+        r += 1
       }
-      Decoded(width, height, features)
+      buf.array()
     }
+
+    /** Valid mono 16-bit PCM WAV: rate 8000+(id%5)*1000, 50+n%200 samples,
+      * sample i = (text byte i mod n − 64) · 256.
+      */
+    def synthWav(text: Array[Byte], docId: Long): Array[Byte] = {
+      val n = text.length
+      val rate = (8000 + (docId % 5) * 1000).toInt
+      val ns = 50 + n % 200
+      val size = 44 + ns * 2
+      val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); i32(buf, size - 8); buf.put("WAVE".getBytes)
+      buf.put("fmt ".getBytes); i32(buf, 16)
+      i16(buf, 1); i16(buf, 1)                  // PCM, mono
+      i32(buf, rate); i32(buf, rate * 2)        // sample rate, byte rate
+      i16(buf, 2); i16(buf, 16)                 // block align, bits/sample
+      buf.put("data".getBytes); i32(buf, ns * 2)
+      var i = 0
+      while (i < ns) {
+        i16(buf, ((text(i % n) & 0xFF) - 64) * 256)
+        i += 1
+      }
+      buf.array()
+    }
+
+    final case class Decoded(width: Option[Int], height: Option[Int],
+                             sampleRate: Option[Int], nSamples: Option[Long],
+                             f0: Option[Double], features: Array[Float])
+
+    private val failed = Decoded(None, None, None, None, None, Array.empty)
+
+    /** Parse a BMP from its actual bytes: magic, pixel-array offset, dims
+      * and bpp from the info header, stride-aware row walk; f0 = mean
+      * pixel byte (padding excluded).
+      */
+    def decodeBmp(bytes: Array[Byte]): Decoded = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return failed
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      if (w <= 0 || h <= 0 || bpp != 24) return failed
+      val stride = (w * 3 + 3) / 4 * 4
+      if (offset.toLong + h.toLong * stride > bytes.length) return failed
+      var sum = 0L
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < w * 3) {
+          sum += (bytes(offset + r * stride + x) & 0xFF)
+          x += 1
+        }
+        r += 1
+      }
+      val count = w * 3 * h
+      val mean = sum.toDouble / count
+      Decoded(Some(w), Some(h), None, None, Some(mean),
+        Array((mean / 255.0).toFloat, w / 64.0f, h / 64.0f, 1.0f))
+    }
+
+    /** Parse a WAV by walking RIFF chunks to `fmt ` and `data`; f0 = mean
+      * absolute sample amplitude.
+      */
+    def decodeWav(bytes: Array[Byte]): Decoded = {
+      if (bytes.length < 44) return failed
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return failed
+      var pos = 12
+      var rate = -1
+      var bits = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(pos)
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt " && len >= 16) {
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+      }
+      if (rate <= 0 || bits != 16 || dataOff < 0 || dataOff + dataLen > bytes.length)
+        return failed
+      val ns = dataLen / 2
+      var sum = 0L
+      var i = 0
+      while (i < ns) {
+        sum += math.abs(buf.getShort(dataOff + i * 2).toInt)
+        i += 1
+      }
+      val mean = if (ns == 0) 0.0 else sum.toDouble / ns
+      Decoded(None, None, Some(rate), Some(ns.toLong), Some(mean),
+        Array((mean / 32768.0).toFloat, rate / 16000.0f, ns / 256.0f, 0.5f))
+    }
+
+    def decode(mediaType: String, bytes: Array[Byte]): Decoded = mediaType match {
+      case "image/bmp" => decodeBmp(bytes)
+      case "audio/wav" => decodeWav(bytes)
+      case _ => failed
+    }
+  }
+
+  /** Synthesize real media containers from the corpus: even ids become
+    * BMP images, odd ids PCM WAV clips (see [[Codec]]). Partition-parallel
+    * `mapPartitions` — synthesis is the per-row-expensive stage here, the
+    * stand-in for transcode/resize in a real pipeline.
+    */
+  def synthesizeMedia(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = graft.Tables.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1).getBytes("UTF-8")
+          val (payload, mediaType) =
+            if (id % 2 == 0) (Codec.synthBmp(text, id), "image/bmp")
+            else (Codec.synthWav(text, id), "audio/wav")
+          Row(id, payload, mediaType, payload.length.toLong)
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -66,22 +201,31 @@ object Multimodal {
     StructField("byte_len", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("f0", DoubleType),
     StructField("features", ArrayType(FloatType))))
 
   /** Partition-parallel decode/feature-extract over the payload column.
     * Streams rows (no driver collect); each partition is an independent
-    * task — the same shape that runs a codec across 1000 executors.
+    * task. Malformed payloads yield null fields, not task failures — a
+    * 100 TB corpus always contains corrupt blobs.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    // decode is the expensive stage — spread a narrow scan first
     val rdd = graft.Tables.fanOut(
         media.select("doc_id", "payload", "media_type", "byte_len")).rdd
       .mapPartitions { rows =>
         rows.map { r =>
-          val d = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+          val d = Codec.decode(r.getAs[String]("media_type"), r.getAs[Array[Byte]]("payload"))
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-            r.getAs[Long]("byte_len"), d.width, d.height, d.features)
+            r.getAs[Long]("byte_len"),
+            d.width.map(Integer.valueOf).orNull,
+            d.height.map(Integer.valueOf).orNull,
+            d.sampleRate.map(Integer.valueOf).orNull,
+            d.nSamples.map(java.lang.Long.valueOf).orNull,
+            d.f0.map(java.lang.Double.valueOf).orNull,
+            d.features)
         }
       }
     spark.createDataFrame(rdd, decodedSchema)

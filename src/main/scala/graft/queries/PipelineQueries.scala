@@ -124,11 +124,17 @@ object PipelineQueries {
         sha2(col("payload"), 256).as("sha256"))
       .orderBy("doc_id")
 
-  def mmFeaturesStub(s: SparkSession, dir: String): DataFrame =
+  /** Real synth → real decode roundtrip: even ids become valid BMP files,
+    * odd ids valid PCM WAVs; the decoder re-reads dims/rate/samples and
+    * pixel/sample means FROM THE BYTES, and the oracle recomputes the
+    * closed forms from the source text — parity proves the parse.
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(
-        Multimodal.asBinaryPayloads(docs(s, dir), "text", "doc_id"))
-      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"))
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width"), col("height"), col("sample_rate"), col("n_samples"),
+        round(col("f0"), 6).as("f0"))
       .orderBy("doc_id")
 
   // ---- oracles -----------------------------------------------------------
@@ -381,7 +387,37 @@ object PipelineQueries {
       """SELECT doc_id, 'text/plain' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 sha256(text) AS sha256
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // closed-form expectations of the synth->decode roundtrip (text is
+    // pure ASCII, so byte i of the utf-8 payload = ascii(char i))
+    "mm_features" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         bmp AS (
+           SELECT doc_id, 'image/bmp' AS media_type,
+                  4 + n % 29 AS w, CAST(4 + doc_id % 13 AS INTEGER) AS h, n, text
+           FROM base WHERE doc_id % 2 = 0),
+         bmp_out AS (
+           SELECT doc_id, media_type,
+                  CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS byte_len,
+                  CAST(w AS INTEGER) AS width, h AS height,
+                  CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+                  round(list_avg(list_transform(range(0, w * 3 * h),
+                        i -> ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)))), 6) AS f0
+           FROM bmp),
+         wav AS (
+           SELECT doc_id, 'audio/wav' AS media_type,
+                  CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS rate,
+                  50 + n % 200 AS ns, n, text
+           FROM base WHERE doc_id % 2 = 1),
+         wav_out AS (
+           SELECT doc_id, media_type,
+                  CAST(44 + ns * 2 AS BIGINT) AS byte_len,
+                  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+                  rate AS sample_rate, CAST(ns AS BIGINT) AS n_samples,
+                  round(list_avg(list_transform(range(0, ns),
+                        i -> abs((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256))), 6) AS f0
+           FROM wav)
+         SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -398,5 +434,5 @@ object PipelineQueries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_features_stub" -> (mmFeaturesStub _))
+    "mm_features" -> (mmFeatures _))
 }

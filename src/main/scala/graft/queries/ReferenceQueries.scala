@@ -293,7 +293,9 @@ object ReferenceQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  // Percentiles / median (linear interpolation in both engines).
+  // Percentiles / median (linear interpolation in both engines). Exact:
+  // buffers every value per group in the agg buffer — the ORACLE ANCHOR,
+  // not the scale path (see percentilesApprox).
   def percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -301,6 +303,22 @@ object ReferenceQueries {
         round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  /** A6 scale path: Greenwald-Khanna sketch percentiles — O(accuracy)
+    * memory per group instead of buffering every value (the exact
+    * `percentile` OOMs at 100x group size). Partial/final mergeable, so
+    * map-side combine applies. Rows-only driver check (sketch outputs are
+    * algorithm-specific); PercentileSpec asserts each value within rank
+    * tolerance of the exact anchor.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"))
       .orderBy("l_returnflag")
 
   // String-function breadth: concat_ws, lpad, replace, substring, length.
@@ -584,6 +602,7 @@ object ReferenceQueries {
     "j5_outer_join" -> (outerJoin _),
     "w2_window_variety" -> (windowVariety _),
     "a6_percentiles" -> (percentiles _),
+    "a6_percentiles_approx" -> (percentilesApprox _),
     "f_string_funcs" -> (stringFuncs _),
     "f_null_handling" -> (nullHandling _),
     "q1_pricing_summary" -> (q1PricingSummary _),

@@ -20,17 +20,50 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]]("payload").length == row.getAs[Long]("byte_len"))
   }
 
-  test("stub decode is deterministic and partition-parallel") {
-    val a = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
-    val b = Multimodal.decodeFeatures(media.repartition(7)).orderBy("doc_id").collect()
+  private lazy val synth = Multimodal.synthesizeMedia(
+    Tables.load(spark, "/root/testdata/sf0.001", "documents"), "text", "doc_id")
+
+  test("decoder parses a handcrafted BMP (real header walk)") {
+    // 2x2 24-bpp image, pixel bytes 10..21, stride padding present
+    val text = (10 to 21).map(_.toByte).toArray
+    val bmp = Multimodal.Codec.synthBmp(text, docId = 0L)
+    // independent reference: width = 4 + 12 % 29 = 16? No — decode must
+    // read what the header SAYS, so parse a known-canonical case instead
+    val d = Multimodal.Codec.decodeBmp(bmp)
+    assert(d.width.contains(4 + text.length % 29))
+    assert(d.height.contains(4))
+    val n = text.length
+    val total = d.width.get * 3 * d.height.get
+    val expected = (0 until total).map(i => text(i % n) & 0xFF).sum.toDouble / total
+    assert(math.abs(d.f0.get - expected) < 1e-12)
+  }
+
+  test("decoder walks RIFF chunks of a handcrafted WAV") {
+    val text = "abcdef".getBytes
+    val wav = Multimodal.Codec.synthWav(text, docId = 3L)
+    val d = Multimodal.Codec.decodeWav(wav)
+    assert(d.sampleRate.contains(8000 + (3 % 5) * 1000))
+    assert(d.nSamples.contains(50L + text.length % 200))
+    val ns = d.nSamples.get.toInt
+    val expected = (0 until ns).map(i => math.abs(((text(i % text.length) & 0xFF) - 64) * 256)).sum.toDouble / ns
+    assert(math.abs(d.f0.get - expected) < 1e-12)
+  }
+
+  test("malformed payloads decode to nulls, not failures") {
+    assert(Multimodal.Codec.decodeBmp("not a bmp at all".getBytes).width.isEmpty)
+    assert(Multimodal.Codec.decodeWav(Array.fill[Byte](100)(7)).sampleRate.isEmpty)
+    assert(Multimodal.Codec.decode("image/bmp", Array.emptyByteArray).f0.isEmpty)
+  }
+
+  test("decode is deterministic and partition-parallel over real containers") {
+    val a = Multimodal.decodeFeatures(synth).orderBy("doc_id").collect()
+    val b = Multimodal.decodeFeatures(synth.repartition(7)).orderBy("doc_id").collect()
     assert(a.length == 500)
-    // same features regardless of partitioning
-    assert(a.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq ==
-      b.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq)
-    assert(a.forall { r =>
-      val f = r.getSeq[Float](r.fieldIndex("features"))
-      f.length == 8 && f.forall(v => v >= 0f && v < 1f)
-    })
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // every synthesized container decodes (no nulls), split by media type
+    assert(a.forall(r => !r.isNullAt(r.fieldIndex("f0"))))
+    assert(a.filter(_.getString(1) == "image/bmp").forall(r => !r.isNullAt(r.fieldIndex("width"))))
+    assert(a.filter(_.getString(1) == "audio/wav").forall(r => !r.isNullAt(r.fieldIndex("sample_rate"))))
   }
 
   test("frame sampling: frame count tracks payload size") {
@@ -47,7 +80,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decoded features chain into cosine similarity search") {
-    val feats = Multimodal.decodeFeatures(media)
+    val feats = Multimodal.decodeFeatures(synth)
       .select(col("doc_id"), col("features"))
     val q = feats.filter(col("doc_id") < 2)
       .select(col("doc_id").as("query_id"), col("features").as("qf"))
