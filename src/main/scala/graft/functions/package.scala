@@ -29,6 +29,9 @@ package object functions {
   def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignature(expr(c), bits, seed))
 
+  /** Distinct portable (md5-poly) k-token shingle hashes of a text column. */
+  def portable_shingles(c: Column, k: Int): Column = col(PortableShingles(expr(c), k))
+
   /** 64-bit SimHash of an `array<string>` token column. `portable = true`
     * hashes tokens with md5 (oracle-reproducible in ANSI SQL) instead of
     * the faster splitmix64 scheme.

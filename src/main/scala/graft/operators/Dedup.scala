@@ -68,34 +68,19 @@ object Dedup {
 
   private val P = 1000000007L // portable-hash modulus (fits every product in a long)
 
-  /** Portable 24-bit md5 token hash — same scheme as
-    * TextAnalysis.rollingFingerprint, reproducible in ANSI SQL.
-    */
-  private def tokHash(w: Column): Column =
-    conv(substring(md5(w), 1, 6), 16, 10).cast("long")
-
-  /** Rolling polynomial fold mod [[P]] over an array<long> column. */
-  private def polyFold(arr: Column): Column =
-    aggregate(arr, lit(0L), (acc, x) => (acc * 31 + x) % P)
-
   /** Distinct k-word shingles as PORTABLE hashes: a rolling polynomial mod
     * 1e9+7 over md5-derived 24-bit token hashes. Same shape as
     * [[shingleHashes]], but every step is expressible in ANSI SQL so
-    * operators built on it carry full DuckDB oracles. Costs one md5 per
-    * token (hashed once, folded per shingle) — the xxhash64 variant stays
-    * the pure-scale default.
+    * operators built on it carry full DuckDB oracles. One native codegen
+    * pass (graft.functions.PortableShingles) — raw-byte md5 + primitive
+    * folds, no hex strings or lambda allocation; the xxhash64 variant
+    * stays the pure-scale default (no md5 at all).
     */
   def shingleHashesPortable(df: DataFrame, textCol: String, idCol: String,
-                            k: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val th = transform(toks, w => tokHash(w))
-    // short docs: whole token stream as one shingle (see [[shingles]])
-    val sh = when(size(toks) < k, array(polyFold(th))).otherwise(
-      transform(sequence(lit(0), size(toks) - k),
-        i => polyFold(slice(th, i + 1, lit(k)))))
+                            k: Int): DataFrame =
     graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
-  }
+      .select(col(idCol),
+        explode(graft.functions.portable_shingles(col(textCol), k)).as("shingle"))
 
   /** Drop rows whose `keyCol` value has population > `cap` — the skew
     * guard shared by every LSH/inverted-index operator here. One hot key

@@ -46,8 +46,12 @@ class Warehouse(val spark: SparkSession, val root: String) {
     if (exists(table)) Some(read(table)) else None
 
   def overwrite(table: String, df: DataFrame): Unit = {
-    // Write to a temp dir then swap, so a reader never sees a half table and
-    // the source of a rebuild can be the table itself.
+    // Write to a temp dir then swap: a reader sees either the old or the
+    // new table — never a half-written one — but there IS a brief window
+    // between the two moves where the path is absent, and a crash inside
+    // it leaves the data stranded in __old (recoverable by hand). A plain
+    // filesystem cannot do better; production deployments should sit this
+    // behind a table format with an atomic commit protocol.
     val tmp = path(table) + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
     val dst = Paths.get(path(table))
@@ -55,9 +59,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val old = Paths.get(path(table) + "__old")
       deleteRecursively(old)
       Files.move(dst, old)
-      Files.move(Paths.get(tmp), dst)
+      Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(old)
-    } else Files.move(Paths.get(tmp), dst)
+    } else Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -145,8 +149,12 @@ class Warehouse(val spark: SparkSession, val root: String) {
       .sortWithinPartitions(orderCols.map(col): _*)
     // materialize the partition layout before reading it twice: the counts
     // job and the id-assignment job must see the SAME partitioning, and
-    // AQE may otherwise re-plan the range exchange between the two runs
-    val withPart = sorted.withColumn("__pid", spark_partition_id()).cache()
+    // AQE may otherwise re-plan the range exchange between the two runs.
+    // localCheckpoint (not cache): the blocks are freed by the
+    // ContextCleaner once the returned DataFrame is unreferenced — a
+    // .cache() here would pin executor storage until clearCache()
+    val withPart = sorted.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = withPart.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix: Map[Int, Long] = {

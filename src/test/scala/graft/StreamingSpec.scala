@@ -51,6 +51,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("a", "b"))
   }
 
+  test("streaming sessions: open session flushed by event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.StatefulSessionize.sessionsStream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // user 1's session spans two micro-batches (gap 30 min not exceeded)
+    input.addData((1L, ts(10, 0)), (1L, ts(10, 5)))
+    q.processAllAvailable()
+    input.addData((1L, ts(10, 20)))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open, nothing emitted
+
+    // user 2 advances the watermark past user 1's last event + gap;
+    // user 1 gets NO new events — only the timeout can close the session
+    input.addData((2L, ts(12, 0)))
+    q.processAllAvailable()
+    val out = spark.table("sess_out")
+      .as[graft.streaming.StatefulSessionize.SessionSummary].collect()
+    q.stop()
+    val u1 = out.filter(_.user_id == 1L)
+    assert(u1.length == 1, s"expected one flushed session, got ${out.toSeq}")
+    assert(u1.head.n_events == 3L)
+    assert(u1.head.start_us == ts(10, 0).getTime * 1000L)
+    assert(u1.head.end_us == ts(10, 20).getTime * 1000L)
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))

@@ -56,6 +56,20 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("partial overflow flush: tiny key budget, many keys, same results") {
+    // 200 keys but a 3-key partial budget: the map-side stage must flush
+    // repeatedly; the final stage re-reduces the >k-per-key shuffle rows
+    val df = (1 to 4000).map(i => (i % 200, (i * 2654435761L % 97).toDouble))
+      .toDF("k", "v").repartition(5)
+    val got = TopK.perKey(df, Seq(col("k")), Seq(col("v").desc, col("k")), k = 3,
+        maxKeysInMemory = 3)
+      .select("k", "v").as[(Int, Double)].collect().toSeq.sorted
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("k"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "v").as[(Int, Double)].collect().toSeq.sorted
+    assert(got == want)
+  }
+
   test("ties and fewer-than-k groups handled") {
     val df = Seq((1, 5.0), (1, 5.0), (2, 1.0)).toDF("k", "v")
     val r = TopK.perKey(df, Seq(col("k")), Seq(col("v").asc), k = 3)
