@@ -28,8 +28,15 @@ object ValidatingTransform {
     * model). Output: normalized valid rows (nombre capitalized, ciudad
     * title-cased, edad int) and rejected rows carrying input columns +
     * `motivo` (reference scr/etl_batch.py:72-79 dynamic reject schema).
+    *
+    * The reference carries two reason vocabularies: the relational
+    * scripts distinguish null / cast failures ("Valor None en campo
+    * requerido", "Edad no convertible a int" — scr/etl_relational.py:47-80)
+    * while the batch script folds every transform exception into one
+    * "Normalización o tipo inválido" (scr/etl_batch.py:58-62).
+    * `batchReasons = true` selects the latter; routing is identical.
     */
-  def apply(raw: DataFrame, minAge: Int = 25): Result = {
+  def apply(raw: DataFrame, minAge: Int = 25, batchReasons: Boolean = false): Result = {
     val inputCols = raw.columns.toSeq
     val missing = RequiredColumns -- inputCols.map(_.toLowerCase).toSet
 
@@ -52,11 +59,15 @@ object ValidatingTransform {
 
     // Precedence via a single when-chain: first match wins, like the
     // reference's early-continue loop.
+    val anyNull = col("nombre").isNull || col("edad").isNull || col("ciudad").isNull
     val motivo =
-      when(col("nombre").isNull || col("edad").isNull || col("ciudad").isNull,
-        lit("Valor None en campo requerido"))
-        .when(edadInt.isNull, lit("Edad no convertible a int"))
-        .when(edadInt < minAge, concat(lit("Edad < "), lit(minAge.toString)))
+      if (batchReasons)
+        when(anyNull || edadInt.isNull, lit("Normalización o tipo inválido"))
+          .when(edadInt < minAge, concat(lit("Edad < "), lit(minAge.toString)))
+      else
+        when(anyNull, lit("Valor None en campo requerido"))
+          .when(edadInt.isNull, lit("Edad no convertible a int"))
+          .when(edadInt < minAge, concat(lit("Edad < "), lit(minAge.toString)))
 
     val routed = raw.withColumn("motivo", motivo)
     val valid = routed

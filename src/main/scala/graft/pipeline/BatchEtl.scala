@@ -44,14 +44,19 @@ class BatchEtl(spark: SparkSession, warehouse: Warehouse, minAge: Int = 25) {
     val processedAt = RunId.isoNow(now)
 
     val raw = extractCsv(path)
-    val routed = ValidatingTransform(raw, minAge)
+    // batch-style reject reasons (scr/etl_batch.py:58-62) — this pipeline
+    // models the batch script, whose reject files the goldens pin
+    val routed = ValidatingTransform(raw, minAge, batchReasons = true)
     val valid = routed.valid.cache()
     val validCount = valid.count()
     val rejectedCount = routed.rejected.count()
 
     rejectDir.foreach { dir =>
       if (rejectedCount > 0)
-        routed.rejected.coalesce(1).write.mode("overwrite")
+        // reference column order: sorted union of row keys
+        // (scr/etl_batch.py:75 — sorted(set().union(*keys)))
+        routed.rejected.select(routed.rejected.columns.sorted.map(col): _*)
+          .coalesce(1).write.mode("overwrite")
           .option("header", "true")
           // keep raw values verbatim — the reference writes rejects as-read
           .option("ignoreLeadingWhiteSpace", "false")
