@@ -64,6 +64,51 @@ object VectorOps {
     }
     sig
   }
+
+  // hyperplane weights of the PORTABLE scheme, computed once per
+  // (seed, bits, dim) — they do not depend on the row
+  private val portableWeights =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def weightsFor(seed: Long, bits: Int, dim: Int): Array[Double] =
+    portableWeights.computeIfAbsent((seed, bits, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = new Array[Double](bits * dim)
+      var b = 0
+      while (b < bits) {
+        var i = 0
+        while (i < dim) {
+          md.reset()
+          val d = md.digest(s"w:$seed:$b:$i".getBytes("US-ASCII"))
+          val h24 = ((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)
+          w(b * dim + i) = (h24 - 8388608L).toDouble / 8388608.0 // [-1, 1)
+          i += 1
+        }
+        b += 1
+      }
+      w
+    })
+
+  /** PORTABLE [[srpSignature]]: weight(b, i) = (int24(md5("w:seed:b:i"))
+    * − 2^23) / 2^23 — reproducible from ANSI SQL's md5(), so SRP-bucketed
+    * operators can carry full oracles. Sign decisions are only
+    * order-sensitive within one double ulp of zero (vanishing measure);
+    * weights are cached per (seed, bits, dim).
+    */
+  def srpSignaturePortable(a: ArrayData, bits: Int, seed: Long): Long = {
+    val n = a.numElements()
+    val w = weightsFor(seed, bits, n)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += w(b * n + i) * a.getFloat(i).toDouble; i += 1 }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -100,13 +145,16 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
 }
 
-case class SrpSignature(child: Expression, bits: Int, seed: Long)
+case class SrpSignature(child: Expression, bits: Int, seed: Long,
+                        portable: Boolean = false)
     extends UnaryExpression {
+  private val method = if (portable) "srpSignaturePortable" else "srpSignature"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any): Any =
-    VectorOps.srpSignature(a.asInstanceOf[ArrayData], bits, seed)
+    if (portable) VectorOps.srpSignaturePortable(a.asInstanceOf[ArrayData], bits, seed)
+    else VectorOps.srpSignature(a.asInstanceOf[ArrayData], bits, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.srpSignature($a, $bits, ${seed}L)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.$method($a, $bits, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): SrpSignature = copy(child = c)
 }

@@ -25,9 +25,13 @@ package object functions {
   /** L2 norm of an `array<float>` column. */
   def vector_norm(c: Column): Column = col(VectorNorm(expr(c)))
 
-  /** Sign-random-projection LSH signature of an `array<float>` column. */
-  def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L): Column =
-    col(SrpSignature(expr(c), bits, seed))
+  /** Sign-random-projection LSH signature of an `array<float>` column.
+    * `portable = true` derives hyperplane weights from md5
+    * (oracle-reproducible) instead of the splitmix64 mix.
+    */
+  def srp_signature(c: Column, bits: Int = 16, seed: Long = 42L,
+                    portable: Boolean = false): Column =
+    col(SrpSignature(expr(c), bits, seed, portable))
 
   /** Distinct portable (md5-poly) k-token shingle hashes of a text column. */
   def portable_shingles(c: Column, k: Int): Column = col(PortableShingles(expr(c), k))

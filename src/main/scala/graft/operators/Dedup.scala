@@ -111,10 +111,13 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
                    threshold: Double, maxDf: Int = 100,
-                   textShingles: Boolean = false): DataFrame = {
-    // default = hashed shingles (the scale path); textShingles=true keeps
-    // the shingle strings for SQL-oracle parity
+                   textShingles: Boolean = false,
+                   portable: Boolean = false): DataFrame = {
+    // default = xxhash64 shingles (the pure-scale path); portable=true uses
+    // the md5-poly hashes (SQL-oracle-reproducible, one native pass);
+    // textShingles=true keeps the shingle strings themselves
     val sh = (if (textShingles) shingles(df, textCol, idCol, k)
+              else if (portable) shingleHashesPortable(df, textCol, idCol, k)
               else shingleHashes(df, textCol, idCol, k)).cache()
     sh.count() // materialize before concurrent consumers (see minhashLsh)
     // kept feeds three consumers (sizes, both pair-join sides) — cache it so
@@ -295,7 +298,7 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bits: Int = 12, tables: Int = 4,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
     import graft.functions.{cosine_similarity, srp_signature}
     // Candidate generation stays narrow: only (id, bucket) pairs flow
     // through the self-join and the distinct — carrying the vectors through
@@ -304,7 +307,7 @@ object Dedup {
     val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol))).cache()
     vecs.count() // materialize before concurrent consumers
     val bucketKeys = array((0 until tables).map { t =>
-      concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t))
+      concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t, portable))
     }: _*)
     val sigs = dropHotKeys(
       vecs.select(col(idCol), explode(bucketKeys).as("bucket")), "bucket", maxBucket)

@@ -69,10 +69,10 @@ object Similarity {
     */
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, bits: Int = 8, tables: Int = 4,
-              maxBucket: Int = 10000): DataFrame = {
+              maxBucket: Int = 10000, portable: Boolean = false): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val bucketKeys = array((0 until tables).map { t =>
-        concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t))
+        concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t, portable))
       }: _*)
       df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
     }

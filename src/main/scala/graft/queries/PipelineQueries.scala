@@ -25,7 +25,7 @@ object PipelineQueries {
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", k = 8,
-        threshold = 0.30, maxDf = 100, textShingles = true) // string shingles: SQL-oracle parity
+        threshold = 0.30, maxDf = 100, portable = true) // md5-poly hashes: SQL-oracle parity
       .orderBy("id_a", "id_b")
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -45,7 +45,8 @@ object PipelineQueries {
     // (4 bits, 12 tables, bucket cap 200) measured at sf0.1: recall 0.86
     // of the exact all-pairs set, ~3x faster than the uncapped r1 config.
     Dedup.embeddingNearDup(embs(s, dir), "embedding", "vec_id",
-        threshold = 0.35, bits = 4, tables = 12, maxBucket = 200)
+        threshold = 0.35, bits = 4, tables = 12, maxBucket = 200,
+        portable = true) // md5 hyperplanes: full DuckDB oracle
       .orderBy("id_a", "id_b")
 
   /** Exact near-dup pairs on a bounded subset — the oracled verifier for
@@ -74,7 +75,8 @@ object PipelineQueries {
   def simTopkSrp(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
     Similarity.srpTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, bits = 8, tables = 4)
+        k = 5, bits = 8, tables = 4, maxBucket = 10000,
+        portable = true) // md5 hyperplanes: full DuckDB oracle
       .orderBy("query_id", "rank")
   }
 
@@ -148,16 +150,46 @@ object PipelineQueries {
          * sqrt(list_sum(list_transform(range(1, len($b)+1),
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
 
-  /** Shared SQL fragment: distinct 8-gram shingles per doc, df-capped. */
+  /** Portable-SRP signature CTEs: hyperplane weights from md5 (exactly
+    * VectorOps.srpSignaturePortable), per-(vector, table) bucket strings.
+    * Dim fixed at 64 (every SF's embeddings table; the Spark side adapts
+    * per row, the oracle pins the fixture's width).
+    */
+  private def srpSigsCte(tables: Int, bits: Int, seedBase: Int): String =
+    s"""w AS (
+          SELECT t.range AS t, b.range AS b, i.range AS i,
+                 (CAST(('0x' || substr(md5('w:' || ($seedBase + t.range) || ':' || b.range
+                        || ':' || i.range), 1, 6)) AS BIGINT) - 8388608) / 8388608.0 AS wv
+          FROM range($tables) t, range($bits) b, range(64) i),
+        sums AS (
+          SELECT e.vec_id, w.t, w.b,
+                 sum(w.wv * CAST(e.embedding[w.i + 1] AS DOUBLE)) AS s
+          FROM embeddings e, w
+          GROUP BY e.vec_id, w.t, w.b),
+        sigs AS (
+          SELECT vec_id,
+                 t || ':' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+          FROM sums GROUP BY vec_id, t)"""
+
+  /** Shared SQL fragment: distinct portable (md5-poly) 8-gram shingle
+    * hashes per doc, df-capped — mirrors Dedup.shingleHashesPortable.
+    */
   private val shingleCte =
     """WITH toks AS (
          SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       th AS (
+         SELECT doc_id, len(w) AS n,
+                list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
+         FROM toks),
        sh0 AS (
          SELECT doc_id,
-                unnest(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-                       ELSE list_transform(range(1, len(w) - 6),
-                            i -> array_to_string(list_slice(w, i, i + 7), ' ')) END) AS shingle
-         FROM toks),
+                unnest(CASE WHEN n < 8
+                       THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                             (a, b) -> (a * 31 + b) % 1000000007)]
+                       ELSE list_transform(range(1, n - 6),
+                            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                                 (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
+         FROM th),
        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
        kept AS (
          SELECT doc_id, shingle FROM sh
@@ -180,6 +212,43 @@ object PipelineQueries {
          HAVING CAST(count(*) AS DOUBLE)
                 / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
          ORDER BY id_a, id_b"""),
+    // portable SRP-LSH near-dup: md5 hyperplanes, bucket cap 200, exact
+    // cosine verify — mirrors Dedup.embeddingNearDup(portable = true)
+    "dedup_embedding" ->
+      s"""WITH ${srpSigsCte(tables = 12, bits = 4, seedBase = 42)},
+          hot AS (SELECT bucket FROM sigs GROUP BY bucket HAVING count(*) > 200),
+          cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE x.bucket NOT IN (SELECT bucket FROM hot)),
+          scored AS (
+            SELECT c.id_a, c.id_b, ${cosSql("a.embedding", "b.embedding")} AS cs
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cs, 6) AS cosine
+         FROM scored WHERE cs >= 0.35 ORDER BY id_a, id_b""",
+    // portable SRP ANN top-k: corpus-side bucket cap, rank window
+    "sim_topk_srp" ->
+      s"""WITH ${srpSigsCte(tables = 4, bits = 8, seedBase = 7)},
+          hot AS (SELECT bucket FROM sigs GROUP BY bucket HAVING count(*) > 10000),
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+              AND c.bucket NOT IN (SELECT bucket FROM hot)),
+          scored AS (
+            SELECT cd.query_id, cd.neighbor_id, ${cosSql("a.embedding", "b.embedding")} AS cs
+            FROM cand cd
+            JOIN embeddings a ON a.vec_id = cd.query_id
+            JOIN embeddings b ON b.vec_id = cd.neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cs,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, neighbor_id) AS rank
+            FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cs, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // portable minhash LSH: md5-poly shingles, affine-mod-p families — the
     // exact pipeline Dedup.minhashLsh(portable = true) runs, in ANSI SQL
     "dedup_minhash_lsh" ->
