@@ -118,6 +118,34 @@ object PipelineQueries {
         TextAnalysis.rollingFingerprint(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  // ---- corpus assembly ---------------------------------------------------
+
+  def corpusSampleHash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.sampleByHash(docs(s, dir), "doc_id", rate = 0.25, salt = "r2")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  def corpusMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.mixtureSelect(docs(s, dir), "doc_id", "lang",
+        weights = Map("en" -> 1.0, "es" -> 0.5, "fr" -> 0.25, "de" -> 0.1),
+        defaultWeight = 0.0, salt = "mix")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.CorpusOps.packSequential(d, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), budget = 2048, blocks = 8)
+      .select(col("doc_id"), col("block"), col("n_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  def corpusLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.lengthBuckets(docs(s, dir), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), bucketWidth = 64, maxBucket = 7)
+      .orderBy("bucket")
+
   // ---- multimodal plumbing ----------------------------------------------
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -452,6 +480,42 @@ object PipelineQueries {
                       w -> CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
          FROM documents ORDER BY doc_id""",
+    "corpus_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5('s:r2:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               / 16777216.0 < 0.25
+         ORDER BY doc_id""",
+    "corpus_mixture" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5('s:mix:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               / 16777216.0
+               < CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+                           WHEN 'fr' THEN 0.25 WHEN 'de' THEN 0.1 ELSE 0.0 END
+         ORDER BY doc_id""",
+    "corpus_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8
+                    AS block
+           FROM documents),
+         s AS (
+           SELECT doc_id, block, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
+                    AS stream_start
+           FROM t)
+         SELECT doc_id, block, n_tokens,
+                stream_start // 2048 AS bin_id,
+                stream_start % 2048 AS bin_offset
+         FROM s ORDER BY doc_id""",
+    "corpus_length_buckets" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT least(n_tokens // 64, 7) AS bucket,
+                count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         FROM t GROUP BY 1 ORDER BY bucket""",
     "mm_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -502,6 +566,10 @@ object PipelineQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "corpus_sample_hash" -> (corpusSampleHash _),
+    "corpus_mixture" -> (corpusMixture _),
+    "corpus_pack" -> (corpusPack _),
+    "corpus_length_buckets" -> (corpusLengthBuckets _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_features" -> (mmFeatures _))
 }

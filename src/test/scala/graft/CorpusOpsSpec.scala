@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, TextAnalysis}
+
+/** Corpus-assembly operators: hash-deterministic selection (stable under
+  * re-partitioning — the property df.sample lacks), mixture weighting,
+  * packing invariants.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+  test("hash sampling: identical selection under any partitioning, sane rate") {
+    val a = CorpusOps.sampleByHash(docs, "doc_id", 0.25, "r2")
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.sampleByHash(docs.repartition(13), "doc_id", 0.25, "r2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val frac = a.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.25) < 0.08, s"sample fraction $frac")
+  }
+
+  test("mixture weights: zero-weight sources excluded, rates tracked per key") {
+    val kept = CorpusOps.mixtureSelect(docs, "doc_id", "lang",
+        Map("en" -> 1.0, "es" -> 0.5), defaultWeight = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == all("en")) // weight 1.0 keeps everything
+    assert(!kept.contains("de") && !kept.contains("zh") && !kept.contains("fr"))
+    val esRate = kept("es").toDouble / all("es")
+    assert(math.abs(esRate - 0.5) < 0.2, s"es rate $esRate")
+  }
+
+  test("sequential packing: partition of the corpus, prefix-sum offsets, bins honor budget") {
+    val budget = 2048
+    val packed = CorpusOps.packSequential(docs, "doc_id",
+      size(TextAnalysis.tokens(col("text"))), budget, blocks = 8)
+      .select("doc_id", "block", "n_tokens", "stream_start", "bin_id", "bin_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+
+    assert(packed.length == docs.count()) // every doc exactly once
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      // stream_start is the prefix sum of earlier token counts in id order
+      var acc = 0L
+      ordered.foreach { case (_, _, tok, start, bin, off) =>
+        assert(start == acc)
+        assert(bin == start / budget)
+        assert(off == start % budget && off < budget)
+        acc += tok
+      }
+    }
+  }
+
+  test("length buckets: masses add up") {
+    val total = docs.count()
+    val tokens = docs.select(size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    val buckets = CorpusOps.lengthBuckets(docs, "doc_id",
+      size(TextAnalysis.tokens(col("text")))).as[(Long, Long, Long)].collect()
+    assert(buckets.map(_._2).sum == total)
+    assert(buckets.map(_._3).sum == tokens)
+  }
+}
