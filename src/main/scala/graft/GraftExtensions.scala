@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.SimplifyPyText)
+    // whole-operator extension: TopKPerKey plans through the same strategy
+    // TopK.perKey registers at call time, so cluster-wide configs get it
+    // without any code call
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -39,6 +43,15 @@ object GraftExtensions {
     "dot_product" -> two(DotProduct),
     "vector_norm" -> one(VectorNorm),
     "simhash64" -> one(SimHash64(_)),
+    "portable_shingles" -> (exprs => {
+      // portable_shingles(text, k) — k must be a literal
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+        case other => throw new IllegalArgumentException(
+          s"portable_shingles k must be a literal, got $other")
+      }
+      PortableShingles(exprs.head, k)
+    }),
     "srp_signature" -> (exprs => {
       // srp_signature(vec[, bits[, seed]]) — honor SQL-supplied literals
       def lit(i: Int): Long = exprs(i) match {
