@@ -45,6 +45,9 @@ object GraftExtensions {
     "simhash64" -> one(SimHash64(_)),
     "portable_shingles" -> (exprs => {
       // portable_shingles(text, k) — k must be a literal
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"portable_shingles expects 2 arguments (text, k), got ${exprs.length}")
       val k = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
         case other => throw new IllegalArgumentException(

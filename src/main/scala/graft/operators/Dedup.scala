@@ -272,9 +272,13 @@ object Dedup {
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       concat_ws(":", lit(blk), shiftrightunsigned(col("sig"), lo).bitwiseAND(mask))
     }: _*)
+    // cached + materialized like minhashLsh's banded side: both aliases of
+    // the self-join (and the hot-key aggregate) would otherwise re-run the
+    // per-row simhash over the whole corpus
     val blocked = dropHotKeys(
       sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key")),
-      "block_key", maxBucket)
+      "block_key", maxBucket).cache()
+    blocked.count()
     val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),

@@ -44,10 +44,17 @@ object Multimodal {
     private def i32(b: java.nio.ByteBuffer, v: Int): Unit = b.putInt(v)
     private def i16(b: java.nio.ByteBuffer, v: Int): Unit = b.putShort(v.toShort)
 
+    // empty payload sources still synthesize a valid container (the
+    // fixtures have none, so the closed-form oracle is unaffected; a real
+    // corpus must not kill the stage on a blank row)
+    private def nonEmpty(text: Array[Byte]): Array[Byte] =
+      if (text.isEmpty) Array[Byte](0) else text
+
     /** Valid 24-bpp bottom-up BMP: width 4+n%29, height 4+id%13, pixel
       * byte i (row-major, padding excluded) = text byte i mod n.
       */
-    def synthBmp(text: Array[Byte], docId: Long): Array[Byte] = {
+    def synthBmp(text0: Array[Byte], docId: Long): Array[Byte] = {
+      val text = nonEmpty(text0)
       val n = text.length
       val w = 4 + n % 29
       val h = (4 + docId % 13).toInt
@@ -75,7 +82,8 @@ object Multimodal {
     /** Valid mono 16-bit PCM WAV: rate 8000+(id%5)*1000, 50+n%200 samples,
       * sample i = (text byte i mod n − 64) · 256.
       */
-    def synthWav(text: Array[Byte], docId: Long): Array[Byte] = {
+    def synthWav(text0: Array[Byte], docId: Long): Array[Byte] = {
+      val text = nonEmpty(text0)
       val n = text.length
       val rate = (8000 + (docId % 5) * 1000).toInt
       val ns = 50 + n % 200
@@ -112,9 +120,14 @@ object Multimodal {
       val w = buf.getInt(18)
       val h = buf.getInt(22)
       val bpp = buf.getShort(28).toInt
-      if (w <= 0 || h <= 0 || bpp != 24) return failed
-      val stride = (w * 3 + 3) / 4 * 4
-      if (offset.toLong + h.toLong * stride > bytes.length) return failed
+      // dimension sanity bounds also rule out int overflow in the stride
+      // and pixel-count arithmetic below (a crafted huge width would
+      // otherwise wrap negative and slip past the byte-range check)
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || bpp != 24) return failed
+      if (offset < 0) return failed
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      if (offset.toLong + h.toLong * strideL > bytes.length) return failed
+      val stride = strideL.toInt // bounded by bytes.length after the check
       var sum = 0L
       var r = 0
       while (r < h) {
@@ -125,7 +138,7 @@ object Multimodal {
         }
         r += 1
       }
-      val count = w * 3 * h
+      val count = w.toLong * 3 * h
       val mean = sum.toDouble / count
       Decoded(Some(w), Some(h), None, None, Some(mean),
         Array((mean / 255.0).toFloat, w / 64.0f, h / 64.0f, 1.0f))
@@ -147,13 +160,17 @@ object Multimodal {
       while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
         val id = tag(pos)
         val len = buf.getInt(pos + 4)
+        // a corrupt negative/huge chunk length must not loop forever,
+        // walk backwards, or overflow the cursor — bail to `failed`
+        if (len < 0 || len > bytes.length - pos - 8) return failed
         if (id == "fmt " && len >= 16) {
           rate = buf.getInt(pos + 12)
           bits = buf.getShort(pos + 22).toInt
         } else if (id == "data") { dataOff = pos + 8; dataLen = len }
         pos += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
       }
-      if (rate <= 0 || bits != 16 || dataOff < 0 || dataOff + dataLen > bytes.length)
+      if (rate <= 0 || bits != 16 || dataOff < 0 ||
+          dataOff.toLong + dataLen.toLong > bytes.length)
         return failed
       val ns = dataLen / 2
       var sum = 0L
@@ -185,7 +202,9 @@ object Multimodal {
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val text = r.getString(1).getBytes("UTF-8")
+          // null-safe: a blank row synthesizes a minimal container rather
+          // than NPE-ing the task (see Codec.nonEmpty)
+          val text = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
           val (payload, mediaType) =
             if (id % 2 == 0) (Codec.synthBmp(text, id), "image/bmp")
             else (Codec.synthWav(text, id), "audio/wav")

@@ -278,28 +278,11 @@ object PipelineQueries {
          SELECT query_id, rank, neighbor_id, round(cs, 6) AS cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // portable minhash LSH: md5-poly shingles, affine-mod-p families — the
-    // exact pipeline Dedup.minhashLsh(portable = true) runs, in ANSI SQL
+    // exact pipeline Dedup.minhashLsh(portable = true) runs, in ANSI SQL.
+    // Reuses the shared shingle CTEs (one definition of the portable
+    // formula; ngram and minhash must never drift apart).
     "dedup_minhash_lsh" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-         th AS (
-           SELECT doc_id, len(w) AS n,
-                  list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
-           FROM toks),
-         sh0 AS (
-           SELECT doc_id,
-                  unnest(CASE WHEN n < 8
-                         THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-                               (a, b) -> (a * 31 + b) % 1000000007)]
-                         ELSE list_transform(range(1, n - 6),
-                              i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
-                                   (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
-           FROM th),
-         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-         kept AS (
-           SELECT doc_id, shingle FROM sh
-           WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+      (shingleCte + """,
          sigs AS (
            SELECT doc_id, i,
                   min((shingle * ((2654435761 * (i + 1)) % 1000000007)
@@ -324,7 +307,7 @@ object PipelineQueries {
          JOIN sizes sa ON sa.doc_id = i.id_a
          JOIN sizes sb ON sb.doc_id = i.id_b
          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
     // portable simhash: md5 token bits -> per-bit votes -> 64-char signature
     // string; blocks = maxHamming+1 = 7, bucket cap 1000, exact hamming verify
     "dedup_simhash" -> {

@@ -113,7 +113,12 @@ object StatefulSessionize {
             else Iterator.empty
           } else {
             val sorted = evs.toSeq
-              .map(e => Ev(e.user_id, e.ts.toInstant.toEpochMilli * 1000L))
+              .map { e =>
+                // full microsecond precision — epochMilli would truncate
+                // and drift from the batch path on µs-resolution events
+                val inst = e.ts.toInstant
+                Ev(e.user_id, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+              }
               .sortBy(_.ts_us)
             val st0 = state.getOption.getOrElse(UserState(0L, 0L, -1L, Long.MinValue))
             val (closed, st) = foldEvents(userId, sorted, st0, gapUs)

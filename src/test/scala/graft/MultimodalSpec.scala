@@ -53,6 +53,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Codec.decodeBmp("not a bmp at all".getBytes).width.isEmpty)
     assert(Multimodal.Codec.decodeWav(Array.fill[Byte](100)(7)).sampleRate.isEmpty)
     assert(Multimodal.Codec.decode("image/bmp", Array.emptyByteArray).f0.isEmpty)
+    // adversarial containers: negative/huge RIFF chunk lengths and
+    // overflow-sized BMP dims must fail cleanly, not hang or crash
+    val evilWav = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(-8) // cursor would never advance
+      b.array()
+    }
+    assert(Multimodal.Codec.decodeWav(evilWav).sampleRate.isEmpty)
+    val evilBmp = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      b.putInt(40).putInt(0x2AAAAAAB).putInt(1) // width overflows int*3
+      b.putShort(1).putShort(24)
+      b.array()
+    }
+    assert(Multimodal.Codec.decodeBmp(evilBmp).width.isEmpty)
+    // blank sources synthesize (minimal but valid) rather than crash
+    assert(Multimodal.Codec.decodeBmp(
+      Multimodal.Codec.synthBmp(Array.emptyByteArray, 0L)).width.nonEmpty)
+    assert(Multimodal.Codec.decodeWav(
+      Multimodal.Codec.synthWav(Array.emptyByteArray, 1L)).sampleRate.nonEmpty)
+  }
+
+  test("fixture guard: document text is pure ASCII (the mm_features oracle's closed forms equate chars with bytes)") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = Tables.load(spark, s"/root/testdata/$sf", "documents")
+      val nonAscii = docs.filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0,
+        s"$sf has $nonAscii non-ASCII docs — mm_features oracle closed forms no longer hold")
+    }
   }
 
   test("decode is deterministic and partition-parallel over real containers") {
