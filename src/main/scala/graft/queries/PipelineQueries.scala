@@ -146,6 +146,25 @@ object PipelineQueries {
         size(TextAnalysis.tokens(col("text"))), bucketWidth = 64, maxBucket = 7)
       .orderBy("bucket")
 
+  /** Flagship composition — the whole curation pipeline as ONE declarative
+    * plan Catalyst optimizes end-to-end: quality-score filter → exact
+    * dedup (keep the lowest id per content hash) → deterministic hash
+    * sample → sequence packing. Every stage is an operator from this
+    * module; the oracle replays the identical chain in SQL.
+    */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = TextAnalysis.quality(d, "text", "doc_id")
+      .filter(col("quality_score") >= 0.5).select("doc_id")
+    val keepIds = Dedup.exact(d, "text", "doc_id").select(col("keep_id").as("doc_id"))
+    val curated = d.join(quality, "doc_id").join(keepIds, "doc_id")
+    val sampled = graft.operators.CorpusOps.sampleByHash(curated, "doc_id", 0.5, "pipe")
+    graft.operators.CorpusOps.packSequential(sampled, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), budget = 1024, blocks = 4)
+      .select("doc_id", "block", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal plumbing ----------------------------------------------
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -159,6 +178,18 @@ object PipelineQueries {
     * pixel/sample means FROM THE BYTES, and the oracle recomputes the
     * closed forms from the source text — parity proves the parse.
     */
+  /** Frame sampling over binary payloads (every stride-th 32-byte chunk);
+    * frames decode back to text slices, so the oracle recomputes them
+    * with plain substr over the source column.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asBinaryPayloads(docs(s, dir), "text", "doc_id"),
+        frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        decode(col("frame_bytes"), "UTF-8").as("frame_text"))
+      .orderBy("doc_id", "frame_idx")
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(
         Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"))
@@ -491,6 +522,47 @@ object PipelineQueries {
                 stream_start // 2048 AS bin_id,
                 stream_start % 2048 AS bin_offset
          FROM s ORDER BY doc_id""",
+    "corpus_pipeline" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id, text,
+                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, n_tokens FROM f
+           WHERE round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                 + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0)
+                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.5),
+         k AS (
+           SELECT doc_id, n_tokens FROM q
+           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+         smp AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4
+                    AS block
+           FROM k
+           WHERE CAST(('0x' || substr(md5('s:pipe:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                 / 16777216.0 < 0.5),
+         st AS (
+           SELECT doc_id, block, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens AS ss
+           FROM smp)
+         SELECT doc_id, block, n_tokens, ss // 1024 AS bin_id, ss % 1024 AS bin_offset
+         FROM st ORDER BY doc_id"""
+    },
+    "mm_frames" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS bl
+           FROM documents),
+         n AS (SELECT doc_id, text, greatest(1, bl // 128) AS nf FROM b),
+         fr AS (SELECT doc_id, text, unnest(range(0, nf)) AS frame_idx FROM n)
+         SELECT doc_id, frame_idx,
+                substr(text, CAST(frame_idx * 128 + 1 AS INTEGER), 32) AS frame_text
+         FROM fr ORDER BY doc_id, frame_idx""",
     "corpus_length_buckets" ->
       """WITH t AS (
            SELECT doc_id,
@@ -553,6 +625,8 @@ object PipelineQueries {
     "corpus_mixture" -> (corpusMixture _),
     "corpus_pack" -> (corpusPack _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),
+    "corpus_pipeline" -> (corpusPipeline _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))
 }
