@@ -167,6 +167,27 @@ object Similarity {
                     idCol: String, nprobe: Int): DataFrame =
     probeCells(queries, pivotLiteral(pivots), vecCol, idCol, nprobe)
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    * round(x_i/scale). The standard 4× storage/bandwidth compression for
+    * an embedding store at corpus scale — map-only, exactly invertible to
+    * within scale/2 per dimension, and the arithmetic is plain enough for
+    * a SQL oracle. Zero vectors quantize to zeros (scale 0 guard).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x))).cast("double") / 127.0
+    df.select(col(idCol), col(vecCol), scale.as("scale"))
+      .withColumn("qvec", transform(col(vecCol), x =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("scale"), 0).cast("int"))))
+      .select(col(idCol), col("scale"), col("qvec"))
+  }
+
+  /** Reconstruct approximate float vectors from [[quantizeInt8]] output. */
+  def dequantizeInt8(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col("qvec"), q => (q.cast("double") * col("scale")).cast("float"))
+        .as("embedding"))
+
   /** End-to-end IVF ANN: corpus partitioned into `nlist` cells, each query
     * scored only against the `nprobe` cells nearest to it. The probe join
     * broadcasts the (queries × nprobe) side, so the corpus streams map-side

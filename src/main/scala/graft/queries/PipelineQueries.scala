@@ -91,6 +91,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8 quantization, flattened to (vec, dim, qval) rows so the oracle
+    * compares scalars (bounded to 100 vectors — the check is the
+    * arithmetic, not the volume).
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embs(s, dir).filter(col("vec_id") < 100), "embedding", "vec_id")
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        posexplode(col("qvec")).as(Seq("dim", "qval")))
+      .select("vec_id", "dim", "scale", "qval")
+      .orderBy("vec_id", "dim")
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
@@ -522,6 +533,18 @@ object PipelineQueries {
                 stream_start // 2048 AS bin_id,
                 stream_start % 2048 AS bin_offset
          FROM s ORDER BY doc_id""",
+    "emb_quantize" ->
+      """WITH q AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                    AS scale
+           FROM embeddings WHERE vec_id < 100)
+         SELECT vec_id, i.range AS dim, round(scale, 9) AS scale,
+                CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(round(CAST(embedding[CAST(i.range + 1 AS INTEGER)] AS DOUBLE)
+                               / scale, 0) AS INTEGER) END AS qval
+         FROM q, range(64) i
+         ORDER BY vec_id, dim""",
     "corpus_pipeline" -> {
       val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
       s"""WITH f AS (
@@ -614,6 +637,7 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
+    "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),

@@ -105,6 +105,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("int8 quantization roundtrip preserves cosine geometry") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val deq = Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(embs, "embedding", "vec_id"), "vec_id")
+    val sims = embs.select(col("vec_id"), col("embedding").as("orig"))
+      .join(deq.select(col("vec_id"), col("embedding").as("back")), "vec_id")
+      .select(graft.functions.cosine_similarity(col("orig"), col("back")))
+      .as[Double].collect()
+    assert(sims.nonEmpty && sims.forall(_ > 0.9995), s"min ${sims.min}")
+  }
+
   test("SRP top-k recall vs brute force on sf0.001") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embs.filter(col("vec_id") < 5)
