@@ -27,6 +27,12 @@ object ScaleProbe {
     }
     time("minhash_lsh")(graft.operators.Dedup.minhashLsh(
       big, "text", "doc_id", k = 8, threshold = 0.3).count())
+    // linear-output form: keep-list instead of the quadratic pair list
+    time("minhash_cluster_reps") {
+      val pairs = graft.operators.Dedup.minhashLsh(
+        big, "text", "doc_id", k = 8, threshold = 0.3)
+      graft.operators.Dedup.clusterReps(big, pairs, "doc_id").count()
+    }
     time("simhash")(graft.operators.Dedup.simhashPairs(
       big, "text", "doc_id", maxHamming = 3).count())
     time("exact")(graft.operators.Dedup.exact(big, "text", "doc_id").count())

@@ -290,6 +290,44 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Canonical representative per document from a near-dup PAIR set:
+    * connected components by iterative min-label propagation (each round,
+    * every node takes the minimum label among itself and its neighbors;
+    * rounds needed = graph diameter, and near-dup clusters are dense, so
+    * convergence is fast). Returns (id, rep_id) for EVERY document — docs
+    * in no pair represent themselves.
+    *
+    * This is the scale-correct OUTPUT for dedup: a pair list is quadratic
+    * in duplicate-cluster size (ScaleProbe's 16x corpus emits 665k pairs
+    * from 80k docs), the keep-list is linear. Each round is one
+    * shuffle-join + aggregate; the driver loop only reads a convergence
+    * count, never the data.
+    */
+  def clusterReps(df: DataFrame, pairs: DataFrame, idCol: String,
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .cache()
+    edges.count()
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy("a").agg(min("comp").as("nmin"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        .localCheckpoint(true) // materialize: read twice (count + next round)
+      changed = updated.filter(col("comp2") < col("comp")).count()
+      labels = updated.select(col("id"), col("comp2").as("comp"))
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("comp").as("rep_id"))
+  }
+
   /** Embedding near-dup: SRP-LSH buckets (multi-probe via several seeds) +
     * exact cosine verify with graft's native expression.
     *

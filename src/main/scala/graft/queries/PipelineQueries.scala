@@ -39,6 +39,18 @@ object PipelineQueries {
         maxBucket = 1000, portable = true) // md5 token hash: full DuckDB oracle
       .orderBy("id_a", "id_b")
 
+  /** Linear-output dedup: every doc mapped to its near-dup-cluster
+    * representative (connected components over the portable minhash
+    * pairs). The scale-correct keep-list — pair lists grow quadratically
+    * with duplicate-cluster size, this stays one row per doc.
+    */
+  def dedupClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLsh(d, "text", "doc_id", k = 8,
+      threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100, portable = true)
+    Dedup.clusterReps(d, pairs, "doc_id").orderBy("doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     // Threshold tuned to the synthetic corpus (max pairwise cosine ~0.46;
     // real near-dup corpora would use ~0.9 with more bits per table).
@@ -266,6 +278,37 @@ object PipelineQueries {
          WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)"""
 
+  /** Banded-minhash candidate + verified-pair CTEs, appended to
+    * [[shingleCte]] (ends in a `pairs` CTE both minhash oracles share).
+    */
+  private val minhashPairCtes =
+    """,
+         sigs AS (
+           SELECT doc_id, i,
+                  min((shingle * ((2654435761 * (i + 1)) % 1000000007)
+                       + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
+           FROM kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
+         sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id,
+                  b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
+           FROM sigl CROSS JOIN range(8) AS rb(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS n_inter
+           FROM cand c JOIN kept a ON a.doc_id = c.id_a
+                       JOIN kept b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b),
+         pairs AS (
+           SELECT i.id_a, i.id_b,
+                  round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.id_a
+           JOIN sizes sb ON sb.doc_id = i.id_b
+           WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30)"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -322,34 +365,23 @@ object PipelineQueries {
     // portable minhash LSH: md5-poly shingles, affine-mod-p families — the
     // exact pipeline Dedup.minhashLsh(portable = true) runs, in ANSI SQL.
     // Reuses the shared shingle CTEs (one definition of the portable
-    // formula; ngram and minhash must never drift apart).
+    // formula; ngram, minhash and cluster-reps must never drift apart).
     "dedup_minhash_lsh" ->
-      (shingleCte + """,
-         sigs AS (
-           SELECT doc_id, i,
-                  min((shingle * ((2654435761 * (i + 1)) % 1000000007)
-                       + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
-           FROM kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
-         sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id,
-                  b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
-           FROM sigl CROSS JOIN range(8) AS rb(b)),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         inter AS (
-           SELECT c.id_a, c.id_b, count(*) AS n_inter
-           FROM cand c JOIN kept a ON a.doc_id = c.id_a
-                       JOIN kept b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-           GROUP BY c.id_a, c.id_b)
-         SELECT i.id_a, i.id_b,
-                round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-         FROM inter i
-         JOIN sizes sa ON sa.doc_id = i.id_a
-         JOIN sizes sb ON sb.doc_id = i.id_b
-         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30
-         ORDER BY id_a, id_b"""),
+      (shingleCte + minhashPairCtes + """
+         SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
+    // connected components over the SAME pair set: recursive transitive
+    // closure, rep = min id of the component (docs in no pair keep self)
+    "dedup_cluster_reps" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashPairCtes + """,
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+         tc AS (
+           SELECT a, b FROM edges
+           UNION SELECT tc.a, e.b FROM tc JOIN edges e ON tc.b = e.a)
+         SELECT d.doc_id, least(d.doc_id, coalesce(min(t.b), d.doc_id)) AS rep_id
+         FROM documents d LEFT JOIN tc t ON t.a = d.doc_id
+         GROUP BY d.doc_id ORDER BY doc_id"""),
     // portable simhash: md5 token bits -> per-bit votes -> 64-char signature
     // string; blocks = maxHamming+1 = 7, bucket cap 1000, exact hamming verify
     "dedup_simhash" -> {
@@ -634,6 +666,7 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_cluster_reps" -> (dedupClusterReps _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),

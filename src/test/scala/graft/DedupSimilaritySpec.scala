@@ -105,6 +105,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cluster reps: chains collapse to the component min; isolated docs self-represent") {
+    val corpus = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 5-node CHAIN (diameter 4 — forces multi-round propagation), one
+    // plain pair, and isolated docs
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 8L))
+      .toDF("id_a", "id_b")
+    val reps = Dedup.clusterReps(corpus, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+  }
+
   test("int8 quantization roundtrip preserves cosine geometry") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val deq = Similarity.dequantizeInt8(
