@@ -310,20 +310,34 @@ object Dedup {
       .cache()
     edges.count()
     var labels = df.select(col(idCol).as("id"))
-      .withColumn("comp", col("id")).localCheckpoint(true)
+      .withColumn("comp", col("id")).cache()
+    labels.count()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy("a").agg(min("comp").as("nmin"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+      val viaNbr = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-        .localCheckpoint(true) // materialize: read twice (count + next round)
-      changed = updated.filter(col("comp2") < col("comp")).count()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
+      // pointer-jumping (path doubling): also adopt the label OF the
+      // current label, so convergence needs O(log diameter) rounds — a
+      // long transitive chain converges inside the budget, not just the
+      // dense clusters the neighbor step alone would handle
+      val lblComp = viaNbr.select(col("id").as("c1"), col("c1").as("lbl_comp"))
+      val updated = viaNbr.join(lblComp, Seq("c1"), "left")
+        .select(col("id"), col("comp"),
+          least(col("c1"), coalesce(col("lbl_comp"), col("c1"))).as("comp2"))
+        .cache()
+      changed = updated.filter(col("comp2") < col("comp")).count() // materializes
+      val prev = labels
       labels = updated.select(col("id"), col("comp2").as("comp"))
+      prev.unpersist() // bound storage to ~2x the labels footprint
       round += 1
     }
+    require(changed == 0,
+      s"clusterReps did not converge within $maxRounds doubling rounds " +
+        "(astronomical component diameter) — raise maxRounds")
     edges.unpersist()
     labels.select(col("id").as(idCol), col("comp").as("rep_id"))
   }

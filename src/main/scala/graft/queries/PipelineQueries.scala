@@ -179,8 +179,13 @@ object PipelineQueries {
     val d = docs(s, dir)
     val quality = TextAnalysis.quality(d, "text", "doc_id")
       .filter(col("quality_score") >= 0.5).select("doc_id")
-    val keepIds = Dedup.exact(d, "text", "doc_id").select(col("keep_id").as("doc_id"))
-    val curated = d.join(quality, "doc_id").join(keepIds, "doc_id")
+    // dedup runs on the quality-filtered set (stage order matters: keep
+    // ids chosen from the full corpus could be quality-rejected rows,
+    // silently dropping content whose quality-passing copies survive)
+    val qualityDocs = d.join(quality, "doc_id")
+    val keepIds = Dedup.exact(qualityDocs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val curated = qualityDocs.join(keepIds, "doc_id")
     val sampled = graft.operators.CorpusOps.sampleByHash(curated, "doc_id", 0.5, "pipe")
     graft.operators.CorpusOps.packSequential(sampled, "doc_id",
         size(TextAnalysis.tokens(col("text"))), budget = 1024, blocks = 4)
@@ -201,6 +206,14 @@ object PipelineQueries {
     * pixel/sample means FROM THE BYTES, and the oracle recomputes the
     * closed forms from the source text — parity proves the parse.
     */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"))
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width"), col("height"), col("sample_rate"), col("n_samples"),
+        round(col("f0"), 6).as("f0"))
+      .orderBy("doc_id")
+
   /** Frame sampling over binary payloads (every stride-th 32-byte chunk);
     * frames decode back to text slices, so the oracle recomputes them
     * with plain substr over the source column.
@@ -212,14 +225,6 @@ object PipelineQueries {
       .select(col("doc_id"), col("frame_idx"),
         decode(col("frame_bytes"), "UTF-8").as("frame_text"))
       .orderBy("doc_id", "frame_idx")
-
-  def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(
-        Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"))
-      .select(col("doc_id"), col("media_type"), col("byte_len"),
-        col("width"), col("height"), col("sample_rate"), col("n_samples"),
-        round(col("f0"), 6).as("f0"))
-      .orderBy("doc_id")
 
   // ---- oracles -----------------------------------------------------------
 
@@ -592,8 +597,11 @@ object PipelineQueries {
                  + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0)
                  + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.5),
          k AS (
-           SELECT doc_id, n_tokens FROM q
-           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+           SELECT q.doc_id, q.n_tokens FROM q
+           WHERE q.doc_id IN (
+             SELECT min(f2.doc_id) FROM f f2
+             WHERE f2.doc_id IN (SELECT doc_id FROM q)
+             GROUP BY md5(f2.text))),
          smp AS (
            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                   CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4

@@ -125,7 +125,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .join(deq.select(col("vec_id"), col("embedding").as("back")), "vec_id")
       .select(graft.functions.cosine_similarity(col("orig"), col("back")))
       .as[Double].collect()
-    assert(sims.nonEmpty && sims.forall(_ > 0.9995), s"min ${sims.min}")
+    assert(sims.nonEmpty)
+    assert(sims.forall(_ > 0.9995), s"min ${sims.min}")
   }
 
   test("SRP top-k recall vs brute force on sf0.001") {
