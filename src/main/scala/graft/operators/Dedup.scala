@@ -305,13 +305,32 @@ object Dedup {
     */
   def clusterReps(df: DataFrame, pairs: DataFrame, idCol: String,
                   maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // pairs is referenced by BOTH union branches: cache it for the one
+    // materialization, then release once edges is materialized (the pair
+    // set may be a whole LSH pipeline — recomputing it twice is the cost
+    // of everything else here combined)
+    val p = pairs.cache()
+    p.count() // materialize BEFORE the union: its two concurrent stages
+    // would otherwise race the unbuilt cache and each recompute the pipeline
+    val edges = p.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(p.select(col("id_b").as("a"), col("id_a").as("b")))
       .cache()
     edges.count()
-    var labels = df.select(col(idCol).as("id"))
-      .withColumn("comp", col("id")).cache()
-    labels.count()
+    p.unpersist()
+    // only docs that appear in a pair participate in propagation — the
+    // (typically much larger) isolated remainder is attached as
+    // self-representing at the end, instead of dead weight in every round
+    //
+    // Each round references the previous round's labels THREE times (the
+    // neighbor join, the left side, and the pointer-jump lookup), so the
+    // logical plan grows ~3^round without intervention and Catalyst
+    // analysis time — not execution — becomes the bottleneck (measured:
+    // a 500k-line plan by round 2). Eager localCheckpoint truncates the
+    // lineage to a materialized RDD each round, the same move GraphFrames'
+    // connected-components makes; a cluster deployment that must survive
+    // executor loss would use reliable checkpoint(dir) instead.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -320,26 +339,26 @@ object Dedup {
       val viaNbr = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
-      // pointer-jumping (path doubling): also adopt the label OF the
-      // current label, so convergence needs O(log diameter) rounds — a
-      // long transitive chain converges inside the budget, not just the
-      // dense clusters the neighbor step alone would handle
-      val lblComp = viaNbr.select(col("id").as("c1"), col("c1").as("lbl_comp"))
+      // pointer-jumping: also adopt the label of the current label (read
+      // from the materialized previous round) — doubles the propagated
+      // distance every other round, giving O(log diameter) convergence on
+      // long chains while dense clusters still finish in 2-3 rounds
+      val lblComp = labels.select(col("id").as("c1"), col("comp").as("lbl_comp"))
       val updated = viaNbr.join(lblComp, Seq("c1"), "left")
         .select(col("id"), col("comp"),
           least(col("c1"), coalesce(col("lbl_comp"), col("c1"))).as("comp2"))
-        .cache()
-      changed = updated.filter(col("comp2") < col("comp")).count() // materializes
-      val prev = labels
+        .localCheckpoint(true) // materialize + cut lineage (old blocks GC'd)
+      changed = updated.filter(col("comp2") < col("comp")).count()
       labels = updated.select(col("id"), col("comp2").as("comp"))
-      prev.unpersist() // bound storage to ~2x the labels footprint
       round += 1
     }
     require(changed == 0,
       s"clusterReps did not converge within $maxRounds doubling rounds " +
         "(astronomical component diameter) — raise maxRounds")
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("comp").as("rep_id"))
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep_id"))
   }
 
   /** Embedding near-dup: SRP-LSH buckets (multi-probe via several seeds) +
