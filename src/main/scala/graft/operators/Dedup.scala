@@ -305,18 +305,16 @@ object Dedup {
     */
   def clusterReps(df: DataFrame, pairs: DataFrame, idCol: String,
                   maxRounds: Int = 20): DataFrame = {
-    // pairs is referenced by BOTH union branches: cache it for the one
-    // materialization, then release once edges is materialized (the pair
-    // set may be a whole LSH pipeline — recomputing it twice is the cost
-    // of everything else here combined)
-    val p = pairs.cache()
-    p.count() // materialize BEFORE the union: its two concurrent stages
-    // would otherwise race the unbuilt cache and each recompute the pipeline
-    val edges = p.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(p.select(col("id_b").as("a"), col("id_a").as("b")))
+    // both edge directions from ONE pass over pairs (explode, not a
+    // 2-branch union): the pair set may be a whole LSH pipeline, and a
+    // union would evaluate it twice — or force an extra cache+materialize
+    // round-trip to avoid that
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("a"), col("id_b").as("b")),
+        struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     edges.count()
-    p.unpersist()
     // only docs that appear in a pair participate in propagation — the
     // (typically much larger) isolated remainder is attached as
     // self-representing at the end, instead of dead weight in every round
@@ -329,8 +327,10 @@ object Dedup {
     // lineage to a materialized RDD each round, the same move GraphFrames'
     // connected-components makes; a cluster deployment that must survive
     // executor loss would use reliable checkpoint(dir) instead.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // init stays lazy: its plan is a constant-size projection over the
+    // cached edges, and round 0's checkpoint truncates it anyway
+    var labels = edges.select(col("a").as("id"))
+      .distinct().withColumn("comp", col("id"))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
