@@ -70,6 +70,62 @@ object TextAnalysis {
           + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
   }
 
+  /** Within-document repetition metrics (the Gopher-rule family): total
+    * bigram count, the share held by the single most frequent bigram, and
+    * the share held by bigrams occurring more than once. High values mark
+    * boilerplate/spam for quality filtering.
+    *
+    * Shape: explode bigrams → count per (doc, bigram) → roll up per doc.
+    * Both aggregations are partial (map-side combine) and keyed by doc id,
+    * so no single hot key exists at any corpus size. Documents with fewer
+    * than two tokens have no bigrams and are excluded (explode of empty).
+    */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(bigrams).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(col(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(col("dup_c").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
+  }
+
+  /** PII patterns kept RE2-compatible (no backrefs/lookarounds) so the
+    * same regexes run in the SQL oracle. Phone requires a leading `+` —
+    * the conservative-precision choice for corpus scrubbing.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII scrub: replace emails / IPv4s / `+`-prefixed phone numbers with
+    * typed placeholders and report per-kind match counts. Map-only (one
+    * codegen'd regexp pass per kind — no shuffle, no UDF); counts are
+    * taken on the ORIGINAL text, replacements applied email → ip → phone.
+    */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.select(
+      col(idCol),
+      n(emailRe).as("n_emails"),
+      n(ipv4Re).as("n_ips"),
+      n(phoneRe).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        phoneRe, "<PHONE>").as("clean_text"))
+  }
+
   /** Canonical content fingerprint: md5 of the normalized token stream. */
   def canonicalFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

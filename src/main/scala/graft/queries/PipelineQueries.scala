@@ -141,6 +141,44 @@ object PipelineQueries {
         TextAnalysis.rollingFingerprint(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** PII scrub with DETERMINISTICALLY SEEDED pii — the corpus is synthetic
+    * clean text, so every third doc gains an email + phone + ip derived
+    * from its id; the oracle replays the same seeding, so the redaction
+    * regexes are exercised on real matches, not vacuously on zero hits.
+    */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 555-010-"),
+          (col("doc_id") % 90 + 10).cast("string"),
+          lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".3."), (col("doc_id") % 250).cast("string")))
+        .otherwise(col("text")))
+    TextAnalysis.redactPii(seeded, "text", "doc_id")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: every tenth doc plays the eval set, the
+    * rest the corpus; contaminated = sharing any portable 8-gram shingle.
+    * The near-dup clusters the dedup operators find are exactly what this
+    * should flag when a cluster straddles the split.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Decontam.overlap(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", k = 8, minShared = 1, portable = true)
+      .orderBy("doc_id")
+  }
+
   // ---- corpus assembly ---------------------------------------------------
 
   def corpusSampleHash(s: SparkSession, dir: String): DataFrame =
@@ -542,6 +580,62 @@ object PipelineQueries {
                       w -> CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
          FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+           bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+                  FROM toks WHERE len(w) >= 2),
+           cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+                round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or +1 555-010-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                            || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                  '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         FROM seeded ORDER BY doc_id""",
+    "decontaminate" -> {
+      // distinct portable 8-gram shingles of a source CTE — the same
+      // formula as shingleCte, parameterized over the corpus/bench split
+      def sh8(src: String): String =
+        s"""SELECT doc_id, shingle FROM (
+              SELECT doc_id,
+                     unnest(CASE WHEN n < 8
+                            THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                                  (a, b) -> (a * 31 + b) % 1000000007)]
+                            ELSE list_transform(range(1, n - 6),
+                                 i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                                      (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
+              FROM (SELECT doc_id, len(w) AS n,
+                           list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
+                    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src) t1) t2) t3
+            GROUP BY doc_id, shingle"""
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+            bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            cs AS (${sh8("corp")}),
+            bs AS (${sh8("bench")})
+          SELECT cs.doc_id AS doc_id,
+                 count(DISTINCT cs.shingle) AS n_shared_shingles,
+                 count(DISTINCT bs.doc_id) AS n_bench_docs
+          FROM cs JOIN bs ON bs.shingle = cs.shingle
+          GROUP BY cs.doc_id
+          ORDER BY doc_id"""
+    },
     "corpus_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5('s:r2:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -686,6 +780,9 @@ object PipelineQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
+    "text_pii_redact" -> (textPiiRedact _),
+    "decontaminate" -> (decontaminate _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_pack" -> (corpusPack _),

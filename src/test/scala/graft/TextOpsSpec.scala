@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Decontam, TextAnalysis}
+
+/** Repetition metrics, PII redaction, and benchmark decontamination on
+  * hand-computed fixtures (the corpus-level checks live in the oracle).
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: hand-computed bigram fractions; <2-token docs excluded") {
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: [a b]x3 [b a]x2 -> top 3/5, dup 5/5
+      (2L, "x y z w"),     // 3 distinct bigrams, no repeats
+      (3L, "solo")         // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq((1L, 5L, 0.6, 1.0), (2L, 3L, 0.333333, 0.0)))
+  }
+
+  test("redactPii: counts on original text, typed placeholders in output") {
+    val df = Seq(
+      (1L, "mail bob@x.io or +1 555-123-4567 via 192.168.0.1 ok"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 1L, 1L, 1L, "mail <EMAIL> or <PHONE> via <IP> ok")))
+    assert(r(1) == ((2L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("decontaminate: shared 8-gram flags the doc; disjoint corpus clean") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog entirely"),
+      (11L, "completely different words nothing shared here at all okay")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (90L, "quick brown fox jumps over the lazy dog") // = one corpus 8-gram
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val r = Decontam.overlap(corpus, bench, "text", "doc_id",
+          k = 8, portable = portable)
+        .as[(Long, Long, Long)].collect()
+      assert(r.toSeq == Seq((10L, 1L, 1L)), s"portable=$portable")
+    }
+    val clean = Decontam.overlap(corpus.filter($"doc_id" === 11L), bench,
+      "text", "doc_id", k = 8)
+    assert(clean.isEmpty)
+  }
+}
