@@ -75,6 +75,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(800))
   }
 
+  test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
+  test("pii redaction is map-only: no exchange, single codegen'd pass") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.TextAnalysis.redactPii(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(800))
+  }
+
+  test("repetition: partial+final hash aggregates, no window") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.TextAnalysis.repetition(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("every oracled query name has a queries entry") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- q
