@@ -327,10 +327,12 @@ object Dedup {
     // lineage to a materialized RDD each round, the same move GraphFrames'
     // connected-components makes; a cluster deployment that must survive
     // executor loss would use reliable checkpoint(dir) instead.
-    // init stays lazy: its plan is a constant-size projection over the
-    // cached edges, and round 0's checkpoint truncates it anyway
-    var labels = edges.select(col("a").as("id"))
-      .distinct().withColumn("comp", col("id"))
+    // init IS the first neighbor step: comp_0(id) = min(id, neighbors) in
+    // one aggregation — this subsumes the distinct a plain id-list init
+    // needs, and starts the loop one propagation round ahead
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+      .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
+      .localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
