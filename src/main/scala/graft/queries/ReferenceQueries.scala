@@ -168,6 +168,39 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** As-of join: each click enriched with the user's most recent prior
+    * view (event-time lookup). Oracled against DuckDB's native ASOF LEFT
+    * JOIN — an independent implementation of the same semantics.
+    */
+  def eventsAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("value"), prefix = "view_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k rows per group through the custom TopKPerKey physical operator
+    * (partial/final bounded heaps — shuffles ≤k rows per key instead of
+    * window-sorting every row; see plans/TopKPerKey).
+    */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        keys = Seq(col("l_returnflag")),
+        orderBy = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        k = 3)
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"))
+
   // JSON extraction from the events.props payload column.
   def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -457,6 +490,21 @@ object ReferenceQueries {
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
+    "ev_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                epoch_us(r.ts) AS view_ts_us, r.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
+    "o2_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+         FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+               FROM lineitem) z
+         WHERE rn <= 3
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey""",
     "s1_literal_scan" ->
       """SELECT upper(substr(lower(trim(nombre)),1,1)) || substr(lower(trim(nombre)),2) AS nombre,
                 TRY_CAST(trim(edad) AS INTEGER) AS edad,
@@ -593,6 +641,8 @@ object ReferenceQueries {
     "w1_window_running" -> (windowRunning _),
     "ev_window_agg" -> (eventsWindowAgg _),
     "ev_json_extract" -> (eventsJsonExtract _),
+    "ev_asof_join" -> (eventsAsOf _),
+    "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),
     "f9_sanitize" -> (sanitize _),

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("o2 top-k per group drives TopKPerKeyExec, not a window sort") {
+    val p = plan("o2_topk_per_group")
+    assert(p.contains("TopKPerKey"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("every oracled query name has a queries entry") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- q
