@@ -51,15 +51,16 @@ object TextAnalysis {
 
   /** Quality features + a composite score in [0,1]:
     * token count, unique-token ratio, mean token length, stopword ratio.
+    *
+    * Pass-through: input columns are kept, features appended — stateless
+    * map stages chain without joins (and run unchanged on streams).
     */
   def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    df.select(
-        col(idCol),
-        length(col(textCol)).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_unique"),
-        lexiconHits(toks, stopwordsEn).as("n_stopwords"))
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stopwords", lexiconHits(toks, stopwordsEn))
       .withColumn("unique_ratio", col("n_unique").cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("mean_token_len",
@@ -110,20 +111,20 @@ object TextAnalysis {
     * typed placeholders and report per-kind match counts. Map-only (one
     * codegen'd regexp pass per kind — no shuffle, no UDF); counts are
     * taken on the ORIGINAL text, replacements applied email → ip → phone.
+    * Pass-through: input columns kept, counts + `clean_text` appended.
     */
   def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
-    df.select(
-      col(idCol),
-      n(emailRe).as("n_emails"),
-      n(ipv4Re).as("n_ips"),
-      n(phoneRe).as("n_phones"),
-      regexp_replace(
+    df.withColumn("n_emails", n(emailRe))
+      .withColumn("n_ips", n(ipv4Re))
+      .withColumn("n_phones", n(phoneRe))
+      .withColumn("clean_text",
         regexp_replace(
-          regexp_replace(t, emailRe, "<EMAIL>"),
-          ipv4Re, "<IP>"),
-        phoneRe, "<PHONE>").as("clean_text"))
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
   }
 
   /** Canonical content fingerprint: md5 of the normalized token stream. */

@@ -125,6 +125,8 @@ object PipelineQueries {
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+      .select("doc_id", "n_chars", "n_tokens", "n_unique", "n_stopwords",
+        "unique_ratio", "stopword_ratio", "mean_token_len", "quality_score")
       .orderBy("doc_id")
 
   def textTokens(s: SparkSession, dir: String): DataFrame =

@@ -117,6 +117,20 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("cluster reps: 1000-node chain converges in O(log diameter) rounds") {
+    // worst-case topology for label propagation: one path graph. The
+    // neighbor step alone needs ~diameter rounds; pointer jumping must
+    // finish inside the default 20-round budget (2^20 >> 1000), and the
+    // whole component must collapse to node 0.
+    val n = 1000
+    val corpus = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterReps(corpus, pairs, "doc_id")
+      .as[(Long, Long)].collect()
+    assert(reps.length == n)
+    assert(reps.forall(_._2 == 0L))
+  }
+
   test("int8 quantization roundtrip preserves cosine geometry") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val deq = Similarity.dequantizeInt8(

@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
     assert(u1.head.end_us == ts(10, 20).getTime * 1000L)
   }
 
+  test("curation operators run unchanged on a stream (map-only: langid, quality, redaction)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the text operators are stateless pass-through transforms, so the
+    // same code path serves batch and streaming — chained map stages,
+    // no joins, no adaptation layer
+    val (pred, _) = graft.operators.TextAnalysis.langId(col("text"))
+    val curated = graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.quality(docs, "text", "doc_id"),
+        "text", "doc_id")
+      .withColumn("lang_pred", pred)
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("curated_out").start()
+    input.addData(
+      (1L, "the cat and the dog sat on the mat contact bob@x.io now"),
+      (2L, "el perro y el gato en la casa"))
+    q.processAllAvailable()
+    val out = spark.table("curated_out")
+      .select("doc_id", "n_emails", "clean_text", "lang_pred")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0)._2 == 1L && out(0)._3.contains("<EMAIL>") && out(0)._4 == "en")
+    assert(out(1)._2 == 0L && out(1)._4 == "es")
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))

@@ -25,6 +25,7 @@ class TextOpsSpec extends SparkSpec {
       (2L, "nothing sensitive here")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.redactPii(df, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")
       .as[(Long, Long, Long, Long, String)].collect()
     assert(r(0) == ((1L, 1L, 1L, 1L, "mail <EMAIL> or <PHONE> via <IP> ok")))
     assert(r(1) == ((2L, 0L, 0L, 0L, "nothing sensitive here")))
