@@ -62,6 +62,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOf matches the brute-force range-join model on random event sets") {
+    import org.apache.spark.sql.functions.col
+    val ev: Gen[(String, Int, Double)] = for {
+      k <- Gen.oneOf("u1", "u2", "u3")
+      t <- Gen.choose(0, 50)     // small domain forces ts collisions ACROSS
+      v <- Gen.choose(1, 9)      // sides (left==right ts must match)
+    } yield (k, t, v.toDouble)
+    draws(Gen.zip(Gen.listOfN(25, ev), Gen.listOfN(25, ev)), 4).foreach {
+      case (lrows, rrows) =>
+        // right (k, ts) pairs deduped: asOf's match among equal-ts rights
+        // is tieBreak-ordered, while the brute-force model has no order —
+        // dedup makes the expectation well-defined without weakening the
+        // cross-side equal-ts case under test
+        val rdd = rrows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        val left = lrows.zipWithIndex
+          .map { case ((k, t, _), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000L)) }
+        val right = rdd.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v) }
+        val got = graft.operators.AsOfJoin.asOf(
+            left.toDF("id", "k", "t"), right.toDF("k", "t", "v"),
+            Seq("k"), "t", "t", Seq("v"))
+          .select(col("id"), col("asof_v")).as[(Long, Option[Double])]
+          .collect().toMap
+        val want = left.map { case (id, k, t) =>
+          val m = rdd.filter(r => r._1 == k && r._2 * 1000L <= t.getTime)
+          id -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+        }.toMap
+        assert(got == want)
+    }
+  }
+
   test("py_capitalize/py_title match the Python model on arbitrary strings") {
     // direct Scala transliteration of CPython's unicodeobject.c behavior
     // for ASCII+Latin1 inputs (the fixture domain)
