@@ -20,15 +20,21 @@ object Decontam {
     * with any benchmark doc. Returns (idCol, n_shared_shingles,
     * n_bench_docs) — the contaminated-doc report; anti-join the corpus
     * against it to scrub.
+    *
+    * Set `broadcastBench = false` when the eval side's shingle set won't
+    * fit in executor memory (e.g. decontaminating one corpus against
+    * another): the join becomes a plain hash-shuffle on the shingle key —
+    * both sides shuffle once, still no range/cartesian behavior.
     */
   def overlap(corpus: DataFrame, bench: DataFrame, textCol: String,
               idCol: String, k: Int = 8, minShared: Long = 1,
-              portable: Boolean = false): DataFrame = {
+              portable: Boolean = false,
+              broadcastBench: Boolean = true): DataFrame = {
     def sh(d: DataFrame) =
       if (portable) Dedup.shingleHashesPortable(d, textCol, idCol, k)
       else Dedup.shingleHashes(d, textCol, idCol, k)
     val b = sh(bench).select(col(idCol).as("bench_id"), col("shingle"))
-    sh(corpus).join(broadcast(b), Seq("shingle"))
+    sh(corpus).join(if (broadcastBench) broadcast(b) else b, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

@@ -48,5 +48,9 @@ class TextOpsSpec extends SparkSpec {
     val clean = Decontam.overlap(corpus.filter($"doc_id" === 11L), bench,
       "text", "doc_id", k = 8)
     assert(clean.isEmpty)
+    // shuffle-join fallback (corpus-sized bench) agrees with broadcast
+    val shuffled = Decontam.overlap(corpus, bench, "text", "doc_id",
+      k = 8, broadcastBench = false).as[(Long, Long, Long)].collect()
+    assert(shuffled.toSeq == Seq((10L, 1L, 1L)))
   }
 }
