@@ -22,8 +22,13 @@ object AsOfJoin {
   /** Left rows + `prefix`-named columns (`prefix+rightTs`,
     * `prefix+valueCols…`) from the latest right row at-or-before the left
     * timestamp; nulls when no such row. Right rows equal on
-    * (key, ts) are ordered by `tieBreak` (names from the RIGHT frame) —
+    * (key, ts) are ordered by `tieBreak` (any RIGHT-frame column names) —
     * pass it whenever right timestamps can collide within a key.
+    *
+    * Join-equality null semantics: right rows with a null key or null
+    * timestamp can never match and are dropped up front; left rows with a
+    * null key or timestamp come back with null as-of columns (the window
+    * would otherwise group null keys together and "match" them).
     *
     * The payload travels as one struct, so legitimately-null right values
     * survive (a per-column last(ignoreNulls) would skip past them).
@@ -33,14 +38,20 @@ object AsOfJoin {
            prefix: String = "asof_", tieBreak: Seq[String] = Nil): DataFrame = {
     val pTs = prefix + rightTs
     val pVals = valueCols.map(prefix + _)
-    val r = right.select(
-      keys.map(col) ++ ((rightTs -> pTs) +: valueCols.map(c => c -> (prefix + c)))
+    // carry tieBreak columns beyond valueCols through the union so the
+    // ordering can see them; they stay out of the output payload
+    val extraTie = tieBreak.filterNot(c => c == rightTs || valueCols.contains(c))
+    val matchable = (keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _)
+    val r = right.filter(matchable).select(
+      keys.map(col) ++ ((rightTs -> pTs) +: (valueCols ++ extraTie).map(c => c -> (prefix + c)))
         .map { case (src, dst) => col(src).as(dst) }: _*)
       .withColumn("__ts", col(pTs)).withColumn("__side", lit(0))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left at equal ts: a right row AT the left
-    // timestamp is eligible (standard `<=` as-of semantics)
+    // timestamp is eligible (standard `<=` as-of semantics). Null left
+    // timestamps sort first (asc nulls-first), before every right row —
+    // so they match nothing, as join semantics require.
     val ord: Seq[Column] = (col("__ts").asc +: col("__side").asc +:
       tieBreak.map(c => col(prefix + c).asc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)

@@ -308,11 +308,15 @@ object Dedup {
     // both edge directions from ONE pass over pairs (explode, not a
     // 2-branch union): the pair set may be a whole LSH pipeline, and a
     // union would evaluate it twice — or force an extra cache+materialize
-    // round-trip to avoid that
+    // round-trip to avoid that. Endpoints outside df are filtered (semi
+    // join on b; a-only rows drop at the final attach): when a caller
+    // passes pairs computed BEFORE a filter on df, a removed doc must not
+    // become (or relay) a phantom representative.
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("a"), col("id_b").as("b")),
         struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .join(df.select(col(idCol).as("b")), Seq("b"), "left_semi")
       .cache()
     edges.count()
     // only docs that appear in a pair participate in propagation — the
@@ -349,15 +353,19 @@ object Dedup {
       val updated = viaNbr.join(lblComp, Seq("c1"), "left")
         .select(col("id"), col("comp"),
           least(col("c1"), coalesce(col("lbl_comp"), col("c1"))).as("comp2"))
-        .localCheckpoint(true) // materialize + cut lineage (old blocks GC'd)
+        // materialize + cut lineage; superseded rounds' blocks are
+        // reclaimed by the ContextCleaner once unreferenced (labels rows
+        // are two longs per pair-member doc, so a few in-flight copies are
+        // noise next to the corpus — the same tradeoff GraphFrames makes)
+        .localCheckpoint(true)
       changed = updated.filter(col("comp2") < col("comp")).count()
       labels = updated.select(col("id"), col("comp2").as("comp"))
       round += 1
     }
+    edges.unpersist() // before the convergence check: no leak on throw
     require(changed == 0,
       s"clusterReps did not converge within $maxRounds doubling rounds " +
         "(astronomical component diameter) — raise maxRounds")
-    edges.unpersist()
     df.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep_id"))

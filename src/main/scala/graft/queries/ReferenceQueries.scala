@@ -176,8 +176,12 @@ object ReferenceQueries {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
+    // views deduped per (user, µs-truncated ts) keeping max(value): two
+    // views inside one microsecond would otherwise be an engine-arbitrary
+    // pick on both sides (zero such collisions in current fixtures — this
+    // makes the query fixture-independent, same aggregation in the oracle)
     val views = ev.filter(col("event_type") === "view")
-      .select("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
     graft.operators.AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
         Seq("value"), prefix = "view_")
       .select(col("event_id"), col("user_id"),
@@ -199,7 +203,8 @@ object ReferenceQueries {
         orderBy = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
           col("l_linenumber").asc),
         k = 3)
-      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"))
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
 
   // JSON extraction from the events.props payload column.
   def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -494,7 +499,8 @@ object ReferenceQueries {
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
                 epoch_us(r.ts) AS view_ts_us, r.value AS view_value
          FROM (SELECT * FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                         FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY l.event_id""",
     "o2_topk_per_group" ->
@@ -504,7 +510,7 @@ object ReferenceQueries {
                         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
                FROM lineitem) z
          WHERE rn <= 3
-         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey""",
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""",
     "s1_literal_scan" ->
       """SELECT upper(substr(lower(trim(nombre)),1,1)) || substr(lower(trim(nombre)),2) AS nombre,
                 TRY_CAST(trim(edad) AS INTEGER) AS edad,

@@ -43,6 +43,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.isNullAt(1))                // ...and kept its null value
   }
 
+  test("join-equality null semantics: null-ts/key right rows never match; null-key left rows get nulls") {
+    val left = Seq(
+      (1L, Some("u"), Some(ts(300))),
+      (2L, None: Option[String], Some(ts(300))), // null key -> no match
+      (3L, Some("u"), None: Option[java.sql.Timestamp]) // null ts -> no match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some("u"), None: Option[java.sql.Timestamp], 9.0), // null ts: unmatchable
+      (None: Option[String], Some(ts(100)), 8.0),         // null key: unmatchable
+      (Some("u"), Some(ts(100)), 1.0)
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
+  test("tieBreak accepts right-frame columns outside valueCols") {
+    val left = Seq((1L, "u", ts(500))).toDF("id", "k", "t")
+    val right = Seq(("u", ts(400), 1.0, 10L), ("u", ts(400), 2.0, 5L))
+      .toDF("k", "t", "v", "seq")
+    val r = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+        tieBreak = Seq("seq"))
+      .select($"asof_v").as[Double].collect()
+    assert(r.toSeq == Seq(1.0)) // last under ascending seq (10 > 5)
+  }
+
   test("tieBreak orders equal-timestamp right rows deterministically") {
     val left = Seq((1L, "u", ts(500))).toDF("id", "k", "t")
     val right = Seq(("u", ts(400), 1.0), ("u", ts(400), 2.0)).toDF("k", "t", "v")

@@ -117,6 +117,20 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("cluster reps: pair endpoints outside df never become (or relay) representatives") {
+    // pairs computed before a filter on df: doc 3 was removed. Its id must
+    // not surface as a rep, and 5-6 must not connect through it.
+    val corpus = Seq((5L, "x"), (6L, "y"), (7L, "z")).toDF("doc_id", "text")
+    val phantomRep = Seq((3L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterReps(corpus, phantomRep, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
+    val phantomRelay = Seq((5L, 3L), (3L, 6L)).toDF("id_a", "id_b")
+    val got2 = Dedup.clusterReps(corpus, phantomRelay, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+  }
+
   test("cluster reps: 1000-node chain converges in O(log diameter) rounds") {
     // worst-case topology for label propagation: one path graph. The
     // neighbor step alone needs ~diameter rounds; pointer jumping must
