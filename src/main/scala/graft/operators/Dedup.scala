@@ -170,8 +170,23 @@ object Dedup {
     val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
+    val banded = bandKeysFor(sh, idCol, bands, rowsPerBand, portable)
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), Seq("band_key"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Banded LSH keys (idCol, band_key) from a df-capped shingle stream —
+    * the shared banding core of [[minhashLsh]] and the incremental path.
+    * `sh` must already be materialized (cached or persisted).
+    */
+  private[operators] def bandKeysFor(sh: DataFrame, idCol: String, bands: Int,
+                                     rowsPerBand: Int, portable: Boolean): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val banded = if (portable) {
+    if (portable) {
       // affine families h_i(s) = (a_i*s + b_i) mod p over the shingle hash:
       // numHashes min-aggregates in ONE partial+final HashAggregate pass;
       // every coefficient is < p so products stay inside a long (and inside
@@ -181,8 +196,8 @@ object Dedup {
         val b = (40503L * (i.toLong * i + 1)) % P
         min((col("shingle") * a + b) % P).as(s"m$i")
       }
-      // cached for the same reason as the default path: both self-join
-      // sides reference the signature aggregate
+      // cached: candidate joins reference the signature aggregate from
+      // both sides
       val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*).cache()
       sig.count()
       val bandKeys = array((0 until bands).map { b =>
@@ -204,12 +219,69 @@ object Dedup {
       }: _*)
       sig.select(col(idCol), explode(bandKeys).as("band_key"))
     }
-    val cand = banded.alias("x")
-      .join(banded.alias("y"), Seq("band_key"))
+  }
+
+  /** Build-once dedup state for a corpus: (banded LSH keys, df-capped
+    * shingle hashes) — both flat (id, key) tables a warehouse persists so
+    * later batches dedup against the corpus WITHOUT reprocessing it (see
+    * [[minhashLshIncremental]]). State size is linear in the corpus; the
+    * shingle table is the price of exact-Jaccard verification against
+    * historical docs.
+    */
+  def minhashState(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
+                   bands: Int = 8, rowsPerBand: Int = 4, maxDf: Int = 100,
+                   portable: Boolean = false): (DataFrame, DataFrame) = {
+    val sh0 = if (portable) shingleHashesPortable(df, textCol, idCol, k)
+              else shingleHashes(df, textCol, idCol, k)
+    val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
+    sh.count()
+    (bandKeysFor(sh, idCol, bands, rowsPerBand, portable), sh)
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs of a NEW batch against an
+    * already-deduped corpus (via its [[minhashState]]) plus within the
+    * batch itself — the continuous-ingestion shape at 100 TB, where
+    * re-deduping the whole corpus per batch is a non-starter.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a always a batch doc; id_b is a
+    * corpus doc or a batch doc with id_a < id_b. Corpus shingles are
+    * PRUNED to candidate-matched docs before verification (a semi join —
+    * point lookups against the state table, not a scan of history).
+    *
+    * Shingle df-caps are applied per side (the corpus cap was fixed at
+    * state-build time; the batch caps within itself) — the declared
+    * semantics of capped-shingle Jaccard carry over side-locally.
+    */
+  def minhashLshIncremental(batch: DataFrame, corpusBands: DataFrame,
+                            corpusShingles: DataFrame, textCol: String,
+                            idCol: String, k: Int, threshold: Double,
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            maxDf: Int = 100,
+                            portable: Boolean = false): DataFrame = {
+    val bSh0 = if (portable) shingleHashesPortable(batch, textCol, idCol, k)
+               else shingleHashes(batch, textCol, idCol, k)
+    val bSh = dropHotKeys(bSh0, "shingle", maxDf).cache()
+    bSh.count()
+    val bBands = bandKeysFor(bSh, idCol, bands, rowsPerBand, portable).cache()
+    bBands.count()
+    val vsCorpus = bBands.alias("x")
+      .join(corpusBands.withColumnRenamed(idCol, "id_b").alias("y"), Seq("band_key"))
+      .select(col(s"x.$idCol").as("id_a"), col("id_b"))
+      .distinct()
+    val inBatch = bBands.alias("x").join(bBands.alias("y"), Seq("band_key"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
+    val cand = vsCorpus.union(inBatch).cache()
+    cand.count()
+    // only corpus docs that actually matched a band need their shingles
+    // back for verification — ids are disjoint across sides, so one union
+    // feeds verifyJaccard for both pair kinds. unionByName, NOT union:
+    // dropHotKeys' USING join reorders columns to (shingle, id), and a
+    // positional union would silently swap the corpus rows' columns.
+    val matchedOld = corpusShingles
+      .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    verifyJaccard(cand, bSh.unionByName(matchedOld), idCol, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

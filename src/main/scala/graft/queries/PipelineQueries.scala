@@ -51,6 +51,23 @@ object PipelineQueries {
     Dedup.clusterReps(d, pairs, "doc_id").orderBy("doc_id")
   }
 
+  /** Incremental dedup: docs with id % 5 == 0 arrive as the new batch and
+    * dedup against the rest (the "already-ingested corpus") through its
+    * precomputed minhash state — no corpus reprocessing. Pairs are
+    * (batch, corpus) or (batch, batch); the oracle replays both sides'
+    * capped-shingle pipelines in SQL.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (cBands, cSh) = Dedup.minhashState(d.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", k = 8, bands = 8, rowsPerBand = 4, maxDf = 100,
+      portable = true)
+    Dedup.minhashLshIncremental(d.filter(col("doc_id") % 5 === 0), cBands, cSh,
+        "text", "doc_id", k = 8, threshold = 0.30, bands = 8, rowsPerBand = 4,
+        maxDf = 100, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     // Threshold tuned to the synthetic corpus (max pairwise cosine ~0.46;
     // real near-dup corpora would use ~0.9 with more bits per table).
@@ -611,6 +628,59 @@ object PipelineQueries {
                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
                   '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
          FROM seeded ORDER BY doc_id""",
+    "dedup_incremental" -> {
+      // one capped-shingle + minhash + banding chain per side (the corpus
+      // cap is fixed at state-build time; the batch caps within itself —
+      // mirrors Dedup.minhashState / minhashLshIncremental exactly)
+      def side(p: String, cond: String): String =
+        s"""${p}_src AS (SELECT doc_id, text FROM documents WHERE $cond),
+           ${p}_toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM ${p}_src),
+           ${p}_th AS (SELECT doc_id, len(w) AS n,
+                              list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
+                       FROM ${p}_toks),
+           ${p}_sh0 AS (SELECT doc_id,
+                               unnest(CASE WHEN n < 8
+                                      THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                                            (a, b) -> (a * 31 + b) % 1000000007)]
+                                      ELSE list_transform(range(1, n - 6),
+                                           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                                                (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
+                        FROM ${p}_th),
+           ${p}_shd AS (SELECT DISTINCT doc_id, shingle FROM ${p}_sh0),
+           ${p}_kept AS (SELECT doc_id, shingle FROM ${p}_shd
+                         WHERE shingle IN (SELECT shingle FROM ${p}_shd GROUP BY shingle HAVING count(*) <= 100)),
+           ${p}_sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}_kept GROUP BY doc_id),
+           ${p}_sigs AS (SELECT doc_id, i,
+                                min((shingle * ((2654435761 * (i + 1)) % 1000000007)
+                                     + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
+                         FROM ${p}_kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
+           ${p}_sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM ${p}_sigs GROUP BY doc_id),
+           ${p}_bands AS (SELECT doc_id,
+                                 b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
+                          FROM ${p}_sigl CROSS JOIN range(8) AS rb(b))"""
+      s"""WITH ${side("cp", "doc_id % 5 <> 0")},
+           ${side("bt", "doc_id % 5 = 0")},
+           cand AS (
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bt_bands x JOIN cp_bands y ON x.band_key = y.band_key
+             UNION
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bt_bands x JOIN bt_bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+           allkept AS (SELECT * FROM bt_kept UNION ALL SELECT * FROM cp_kept),
+           allsizes AS (SELECT * FROM bt_sizes UNION ALL SELECT * FROM cp_sizes),
+           inter AS (
+             SELECT c.id_a, c.id_b, count(*) AS n_inter
+             FROM cand c JOIN allkept a ON a.doc_id = c.id_a
+                         JOIN allkept b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+             GROUP BY c.id_a, c.id_b)
+         SELECT i.id_a, i.id_b,
+                round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+         FROM inter i
+         JOIN allsizes sa ON sa.doc_id = i.id_a
+         JOIN allsizes sb ON sb.doc_id = i.id_b
+         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30
+         ORDER BY id_a, id_b"""
+    },
     "decontaminate" -> {
       // distinct portable 8-gram shingles of a source CTE — the same
       // formula as shingleCte, parameterized over the corpus/bench split
@@ -771,6 +841,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_cluster_reps" -> (dedupClusterReps _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),

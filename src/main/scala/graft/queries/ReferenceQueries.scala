@@ -286,6 +286,39 @@ object ReferenceQueries {
 
   // TPC-H Q3-style shipping priority: 3-way join + global top-10 revenue
   // (planned as TakeOrderedAndProject — no full sort).
+  /** TPC-H Q5-style local-supplier revenue: the 6-table join shape. The
+    * region→nation→supplier chain broadcasts (dims), lineitem⋈orders⋈
+    * customer shuffle on their keys with partial aggregation — the plan
+    * that holds at 100 TB (fact tables never broadcast, dims never
+    * shuffle).
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val nat = t(s, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(38, 4)).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -605,6 +638,19 @@ object ReferenceQueries {
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey
          LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+                  AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "sql_readback" ->
       """SELECT n_name, count(*) AS total_customers,
                 upper(substr(lower(min(c_name)),1,1)) || substr(lower(min(c_name)),2)
@@ -663,5 +709,6 @@ object ReferenceQueries {
     "f_null_handling" -> (nullHandling _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "sql_readback" -> (sqlReadback _))
 }

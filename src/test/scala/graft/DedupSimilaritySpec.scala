@@ -117,6 +117,28 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("incremental minhash == full-corpus pairs restricted to batch-involving pairs") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val batch = d.filter($"doc_id" % 3 === 0)
+    // maxDf large: per-side caps == global cap (nothing dropped), so the
+    // full-corpus run is the exact reference for the incremental one
+    val full = Dedup.minhashLsh(d, "text", "doc_id", k = 8, threshold = 0.3,
+        maxDf = 100000, portable = true)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val (cBands, cSh) = Dedup.minhashState(corpus, "text", "doc_id",
+      k = 8, maxDf = 100000, portable = true)
+    val inc = Dedup.minhashLshIncremental(batch, cBands, cSh, "text", "doc_id",
+        k = 8, threshold = 0.3, maxDf = 100000, portable = true)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(inc == full)
+    assert(inc.nonEmpty) // the fixture has batch-straddling near-dups
+  }
+
   test("cluster reps: pair endpoints outside df never become (or relay) representatives") {
     // pairs computed before a filter on df: doc 3 was removed. Its id must
     // not surface as a rep, and 5-6 must not connect through it.
