@@ -281,7 +281,11 @@ object Dedup {
     // positional union would silently swap the corpus rows' columns.
     val matchedOld = corpusShingles
       .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    verifyJaccard(cand, bSh.unionByName(matchedOld), idCol, threshold)
+    // cached: verification reads this from three consumers (sizes + both
+    // join sides), and the semi join shouldn't re-run per consumer
+    val shAll = bSh.unionByName(matchedOld).cache()
+    shAll.count()
+    verifyJaccard(cand, shAll, idCol, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

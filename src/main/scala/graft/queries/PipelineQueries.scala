@@ -198,6 +198,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary head: top-5 tokens per language — token counting feeding
+    * the custom TopKPerKey operator (shuffles ≤k rows per language instead
+    * of window-sorting the whole vocabulary).
+    */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        docs(s, dir)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n")),
+        keys = Seq(col("lang")),
+        orderBy = Seq(col("n").desc, col("token").asc),
+        k = 5)
+      .orderBy(col("lang"), col("n").desc, col("token"))
+
   // ---- corpus assembly ---------------------------------------------------
 
   def corpusSampleHash(s: SparkSession, dir: String): DataFrame =
@@ -708,6 +722,15 @@ object PipelineQueries {
           GROUP BY cs.doc_id
           ORDER BY doc_id"""
     },
+    "corpus_vocab" ->
+      """SELECT lang, token, n FROM (
+           SELECT lang, token, count(*) AS n,
+                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+           FROM (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+                 FROM documents) t
+           GROUP BY lang, token) z
+         WHERE rn <= 5
+         ORDER BY lang, n DESC, token""",
     "corpus_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5('s:r2:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -856,6 +879,7 @@ object PipelineQueries {
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),
     "decontaminate" -> (decontaminate _),
+    "corpus_vocab" -> (corpusVocab _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_pack" -> (corpusPack _),
