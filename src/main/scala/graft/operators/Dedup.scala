@@ -306,7 +306,11 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        // union size can reach 0 only under caller misuse (one id with
+        // shingle rows on BOTH sides of a pair) — null out and filter
+        // rather than dividing by zero under ANSI
+        when(col("n_a") + col("n_b") > col("n_inter"),
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

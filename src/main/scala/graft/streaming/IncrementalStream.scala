@@ -88,4 +88,72 @@ object IncrementalStream {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming FUZZY dedup ingestion: every micro-batch is near-dup
+    * checked against the corpus committed so far through its persisted
+    * minhash state (`Dedup.minhashState` tables under `stateDir`), then
+    * the accepted docs and THEIR state are appended — per-batch cost
+    * tracks the batch, never the history.
+    *
+    * Policy: a batch doc near-dup of a committed doc is dropped; within a
+    * batch, each near-dup cluster keeps its min-id representative
+    * (`Dedup.clusterReps`). Shingle df-caps apply per sub-batch — the
+    * side-local cap semantics of the incremental operator.
+    */
+  def fuzzyDedupIngest(stream: DataFrame, stateDir: String,
+                       checkpointDir: String, textCol: String = "text",
+                       idCol: String = "doc_id", k: Int = 8,
+                       threshold: Double = 0.3): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val sp = batch0.sparkSession
+        val hasState = new java.io.File(s"$stateDir/bands/_SUCCESS").exists()
+        // exact re-delivery guard first (the K2 idempotent-append move):
+        // an id already committed is the SAME doc arriving again — without
+        // this it would near-dup itself in the state
+        val batch0Ids = batch0.select(col(idCol), col(textCol))
+        val batch = (if (hasState)
+            batch0Ids.join(sp.read.parquet(s"$stateDir/docs").select(col(idCol)),
+              Seq(idCol), "left_anti")
+          else batch0Ids).cache()
+        try {
+          if (!batch.isEmpty) {
+            val pairs =
+              if (hasState)
+                graft.operators.Dedup.minhashLshIncremental(batch,
+                  sp.read.parquet(s"$stateDir/bands"),
+                  sp.read.parquet(s"$stateDir/shingles"),
+                  textCol, idCol, k, threshold)
+              else
+                graft.operators.Dedup.minhashLsh(batch, textCol, idCol, k, threshold)
+            val p = pairs.cache()
+            p.count()
+            val batchIdsB = batch.select(col(idCol).as("id_b"))
+            // id_b outside the batch = a committed corpus doc -> drop id_a
+            val corpusHit = p.join(batchIdsB, Seq("id_b"), "left_anti")
+              .select(col("id_a").as(idCol))
+            val internal = p.join(batchIdsB, Seq("id_b"), "left_semi")
+            val internalDrop = graft.operators.Dedup.clusterReps(batch, internal, idCol)
+              .filter(col("rep_id") =!= col(idCol)).select(col(idCol))
+            val accepted = batch
+              .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti")
+              .cache()
+            accepted.count()
+            p.unpersist()
+            val (bands, shingles) = graft.operators.Dedup.minhashState(
+              accepted, textCol, idCol, k)
+            bands.write.mode("append").parquet(s"$stateDir/bands")
+            // normalize to (id, shingle): dropHotKeys' USING join emits
+            // (shingle, id), and the state table is a public contract
+            shingles.select(col(idCol), col("shingle"))
+              .write.mode("append").parquet(s"$stateDir/shingles")
+            accepted.write.mode("append").parquet(s"$stateDir/docs")
+            accepted.unpersist()
+            ()
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 }

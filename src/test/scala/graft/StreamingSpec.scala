@@ -113,6 +113,43 @@ class StreamingSpec extends SparkSpec {
     assert(out(1)._2 == 0L && out(1)._4 == "es")
   }
 
+  test("streaming fuzzy dedup: near-dups of committed corpus and in-batch clusters dropped") {
+    import spark.implicits._
+    val in = tempDir("fz_in")
+    val state = tempDir("fz_state")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    def writeJson(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def drain(ck: String): Unit =
+      IncrementalStream.fuzzyDedupIngest(
+        spark.readStream.schema(schema).json(in), state, tempDir(ck))
+        .awaitTermination()
+
+    writeJson("b1.json", Seq(1L -> base, 2L -> other))
+    drain("fz_ck1")
+    assert(spark.read.parquet(s"$state/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+
+    // 10 near-dups committed doc 1; 11 is fresh; 12 near-dups 11 in-batch
+    writeJson("b2.json", Seq(10L -> (base + " nu"),
+      11L -> "red orange yellow green blue indigo violet cyan magenta black white gray",
+      12L -> "red orange yellow green blue indigo violet cyan magenta black white gray pink"))
+    drain("fz_ck2")
+    assert(spark.read.parquet(s"$state/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // the accepted doc's state joined the corpus: a later copy of 11 drops
+    writeJson("b3.json", Seq(20L ->
+      "red orange yellow green blue indigo violet cyan magenta black white gray maroon"))
+    drain("fz_ck3")
+    assert(spark.read.parquet(s"$state/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))
