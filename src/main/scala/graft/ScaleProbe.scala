@@ -60,7 +60,6 @@ object ScaleProbe {
       graft.operators.Dedup.minhashLshIncremental(batch, st._1, st._2,
         "text", "doc_id", k = 8, threshold = 0.3).count())
     spark.catalog.clearCache()
-    big.cache().count()
     // embeddings replicated the same way: every vector gains factor-1 exact
     // duplicates — the bucket-cap adversarial case for SRP LSH
     val embs = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")

@@ -258,12 +258,23 @@ object Dedup {
                             bands: Int = 8, rowsPerBand: Int = 4,
                             maxDf: Int = 100,
                             portable: Boolean = false): DataFrame = {
-    val bSh0 = if (portable) shingleHashesPortable(batch, textCol, idCol, k)
-               else shingleHashes(batch, textCol, idCol, k)
-    val bSh = dropHotKeys(bSh0, "shingle", maxDf).cache()
-    bSh.count()
-    val bBands = bandKeysFor(bSh, idCol, bands, rowsPerBand, portable).cache()
-    bBands.count()
+    val (bBands, bSh) = minhashState(batch, textCol, idCol, k, bands,
+      rowsPerBand, maxDf, portable)
+    minhashLshIncrementalFromState(bBands, bSh, corpusBands, corpusShingles,
+      idCol, threshold)
+  }
+
+  /** [[minhashLshIncremental]] with the batch's state precomputed (e.g. by
+    * the caller who will also persist it — avoids shingling the batch
+    * twice). `batchShingles`/`batchBands` must be materialized.
+    */
+  def minhashLshIncrementalFromState(batchBands: DataFrame,
+                                     batchShingles: DataFrame,
+                                     corpusBands: DataFrame,
+                                     corpusShingles: DataFrame, idCol: String,
+                                     threshold: Double): DataFrame = {
+    val bSh = batchShingles
+    val bBands = batchBands
     val vsCorpus = bBands.alias("x")
       .join(corpusBands.withColumnRenamed(idCol, "id_b").alias("y"), Seq("band_key"))
       .select(col(s"x.$idCol").as("id_a"), col("id_b"))

@@ -329,17 +329,28 @@ object PipelineQueries {
                  t || ':' || string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
           FROM sums GROUP BY vec_id, t)"""
 
-  /** Shared SQL fragment: distinct portable (md5-poly) 8-gram shingle
-    * hashes per doc, df-capped — mirrors Dedup.shingleHashesPortable.
+  /** THE portable (md5-poly) 8-gram shingle formula as a CTE chain over
+    * `src`, names prefixed `p`: defines `${p}kept` (per-doc-distinct
+    * shingles, df-capped when `cap` is set) and `${p}sizes`. Mirrors
+    * `Dedup.shingleHashesPortable` (+ `dropHotKeys`). ONE definition —
+    * every shingling oracle (ngram, minhash, cluster-reps, decontaminate,
+    * incremental) derives from here so the formula cannot fork.
     */
-  private val shingleCte =
-    """WITH toks AS (
-         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-       th AS (
+  private def shingleChainCtes(p: String, src: String, cap: Option[Int]): String = {
+    val kept = cap match {
+      case Some(c) =>
+        s"""${p}kept AS (
+             SELECT doc_id, shingle FROM ${p}shd
+             WHERE shingle IN (SELECT shingle FROM ${p}shd GROUP BY shingle HAVING count(*) <= $c))"""
+      case None => s"${p}kept AS (SELECT doc_id, shingle FROM ${p}shd)"
+    }
+    s"""${p}toks AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src),
+       ${p}th AS (
          SELECT doc_id, len(w) AS n,
                 list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
-         FROM toks),
-       sh0 AS (
+         FROM ${p}toks),
+       ${p}sh0 AS (
          SELECT doc_id,
                 unnest(CASE WHEN n < 8
                        THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
@@ -347,28 +358,38 @@ object PipelineQueries {
                        ELSE list_transform(range(1, n - 6),
                             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
                                  (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
-         FROM th),
-       sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-       kept AS (
-         SELECT doc_id, shingle FROM sh
-         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
-       sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)"""
+         FROM ${p}th),
+       ${p}shd AS (SELECT DISTINCT doc_id, shingle FROM ${p}sh0),
+       $kept,
+       ${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}kept GROUP BY doc_id)"""
+  }
+
+  /** THE portable minhash banding formula (affine families mod 1e9+7,
+    * plain-text band keys) over `${p}kept`: defines `${p}bands`. Mirrors
+    * `Dedup.bandKeysFor(portable = true)`; same no-fork rule.
+    */
+  private def minhashBandCtes(p: String): String =
+    s"""${p}sigs AS (
+         SELECT doc_id, i,
+                min((shingle * ((2654435761 * (i + 1)) % 1000000007)
+                     + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
+         FROM ${p}kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
+       ${p}sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM ${p}sigs GROUP BY doc_id),
+       ${p}bands AS (
+         SELECT doc_id,
+                b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
+         FROM ${p}sigl CROSS JOIN range(8) AS rb(b))"""
+
+  /** Full-corpus instantiation (bare names, cap 100) used by the ngram /
+    * minhash / cluster-reps oracles.
+    */
+  private val shingleCte = "WITH " + shingleChainCtes("", "documents", Some(100))
 
   /** Banded-minhash candidate + verified-pair CTEs, appended to
     * [[shingleCte]] (ends in a `pairs` CTE both minhash oracles share).
     */
   private val minhashPairCtes =
-    """,
-         sigs AS (
-           SELECT doc_id, i,
-                  min((shingle * ((2654435761 * (i + 1)) % 1000000007)
-                       + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
-           FROM kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
-         sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id,
-                  b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
-           FROM sigl CROSS JOIN range(8) AS rb(b)),
+    ",\n" + minhashBandCtes("") + """,
          cand AS (
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
            FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
@@ -646,34 +667,12 @@ object PipelineQueries {
       // one capped-shingle + minhash + banding chain per side (the corpus
       // cap is fixed at state-build time; the batch caps within itself —
       // mirrors Dedup.minhashState / minhashLshIncremental exactly)
-      def side(p: String, cond: String): String =
-        s"""${p}_src AS (SELECT doc_id, text FROM documents WHERE $cond),
-           ${p}_toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM ${p}_src),
-           ${p}_th AS (SELECT doc_id, len(w) AS n,
-                              list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
-                       FROM ${p}_toks),
-           ${p}_sh0 AS (SELECT doc_id,
-                               unnest(CASE WHEN n < 8
-                                      THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-                                            (a, b) -> (a * 31 + b) % 1000000007)]
-                                      ELSE list_transform(range(1, n - 6),
-                                           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
-                                                (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
-                        FROM ${p}_th),
-           ${p}_shd AS (SELECT DISTINCT doc_id, shingle FROM ${p}_sh0),
-           ${p}_kept AS (SELECT doc_id, shingle FROM ${p}_shd
-                         WHERE shingle IN (SELECT shingle FROM ${p}_shd GROUP BY shingle HAVING count(*) <= 100)),
-           ${p}_sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}_kept GROUP BY doc_id),
-           ${p}_sigs AS (SELECT doc_id, i,
-                                min((shingle * ((2654435761 * (i + 1)) % 1000000007)
-                                     + (40503 * (i * i + 1)) % 1000000007) % 1000000007) AS m
-                         FROM ${p}_kept CROSS JOIN range(32) AS r(i) GROUP BY doc_id, i),
-           ${p}_sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM ${p}_sigs GROUP BY doc_id),
-           ${p}_bands AS (SELECT doc_id,
-                                 b || ':' || array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ':') AS band_key
-                          FROM ${p}_sigl CROSS JOIN range(8) AS rb(b))"""
-      s"""WITH ${side("cp", "doc_id % 5 <> 0")},
-           ${side("bt", "doc_id % 5 = 0")},
+      s"""WITH cp_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+           bt_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           ${shingleChainCtes("cp_", "cp_src", Some(100))},
+           ${shingleChainCtes("bt_", "bt_src", Some(100))},
+           ${minhashBandCtes("cp_")},
+           ${minhashBandCtes("bt_")},
            cand AS (
              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
              FROM bt_bands x JOIN cp_bands y ON x.band_key = y.band_key
@@ -696,30 +695,17 @@ object PipelineQueries {
          ORDER BY id_a, id_b"""
     },
     "decontaminate" -> {
-      // distinct portable 8-gram shingles of a source CTE — the same
-      // formula as shingleCte, parameterized over the corpus/bench split
-      def sh8(src: String): String =
-        s"""SELECT doc_id, shingle FROM (
-              SELECT doc_id,
-                     unnest(CASE WHEN n < 8
-                            THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-                                  (a, b) -> (a * 31 + b) % 1000000007)]
-                            ELSE list_transform(range(1, n - 6),
-                                 i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
-                                      (a, b) -> (a * 31 + b) % 1000000007)) END) AS shingle
-              FROM (SELECT doc_id, len(w) AS n,
-                           list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
-                    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src) t1) t2) t3
-            GROUP BY doc_id, shingle"""
+      // per-side portable shingles from the ONE shared formula (no df-cap
+      // — Decontam.overlap applies none)
       s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
             bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-            cs AS (${sh8("corp")}),
-            bs AS (${sh8("bench")})
-          SELECT cs.doc_id AS doc_id,
-                 count(DISTINCT cs.shingle) AS n_shared_shingles,
-                 count(DISTINCT bs.doc_id) AS n_bench_docs
-          FROM cs JOIN bs ON bs.shingle = cs.shingle
-          GROUP BY cs.doc_id
+            ${shingleChainCtes("cs_", "corp", None)},
+            ${shingleChainCtes("bs_", "bench", None)}
+          SELECT cs_kept.doc_id AS doc_id,
+                 count(DISTINCT cs_kept.shingle) AS n_shared_shingles,
+                 count(DISTINCT bs_kept.doc_id) AS n_bench_docs
+          FROM cs_kept JOIN bs_kept ON bs_kept.shingle = cs_kept.shingle
+          GROUP BY cs_kept.doc_id
           ORDER BY doc_id"""
     },
     "corpus_vocab" ->

@@ -92,13 +92,26 @@ object IncrementalStream {
   /** Streaming FUZZY dedup ingestion: every micro-batch is near-dup
     * checked against the corpus committed so far through its persisted
     * minhash state (`Dedup.minhashState` tables under `stateDir`), then
-    * the accepted docs and THEIR state are appended — per-batch cost
+    * the accepted docs and THEIR state are committed — per-batch cost
     * tracks the batch, never the history.
     *
-    * Policy: a batch doc near-dup of a committed doc is dropped; within a
-    * batch, each near-dup cluster keeps its min-id representative
-    * (`Dedup.clusterReps`). Shingle df-caps apply per sub-batch — the
-    * side-local cap semantics of the incremental operator.
+    * Policy: an id already committed is dropped outright (exact
+    * re-delivery, the K2 idempotent-append move); a batch doc near-dup of
+    * a committed doc is dropped; within a batch, each near-dup cluster
+    * keeps its min-id representative (`Dedup.clusterReps`). The batch's
+    * shingles are computed ONCE — they drive the matching and, filtered
+    * to the accepted ids, are what gets persisted, so the stored state's
+    * df-cap basis is exactly the one that was matched against. Shingle
+    * caps apply per sub-batch (side-local semantics of the operator).
+    *
+    * Durability: parquet appends are not transactional, so each batch
+    * writes its three tables under an ingest=<key> subdirectory and then
+    * creates a single marker in `stateDir/_commits/` — readers only see
+    * marked partitions. A crash mid-write leaves an unmarked orphan that
+    * is invisible and gets overwritten when the batch re-delivers (the
+    * key is deterministic per checkpoint batch + content). All state I/O
+    * goes through the Hadoop filesystem of `stateDir` — object stores
+    * work, not just local paths.
     */
   def fuzzyDedupIngest(stream: DataFrame, stateDir: String,
                        checkpointDir: String, textCol: String = "text",
@@ -107,27 +120,42 @@ object IncrementalStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        val hasState = new java.io.File(s"$stateDir/bands/_SUCCESS").exists()
-        // exact re-delivery guard first (the K2 idempotent-append move):
-        // an id already committed is the SAME doc arriving again — without
-        // this it would near-dup itself in the state
-        val batch0Ids = batch0.select(col(idCol), col(textCol))
-        val batch = (if (hasState)
-            batch0Ids.join(sp.read.parquet(s"$stateDir/docs").select(col(idCol)),
-              Seq(idCol), "left_anti")
-          else batch0Ids).cache()
+        val hadoopConf = sp.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(hadoopConf)
+        val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+        val committed: Seq[String] =
+          if (fs.exists(commitsDir))
+            fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+              .filterNot(n => n.startsWith(".") || n.startsWith("_")) // fs sidecars (.crc)
+          else Nil
+        def partDirs(table: String): Seq[String] =
+          committed.map(key => s"$stateDir/$table/ingest=$key")
         try {
+          val batch = (if (committed.nonEmpty)
+              batch0.select(col(idCol), col(textCol))
+                .join(sp.read.parquet(partDirs("docs"): _*).select(col(idCol)),
+                  Seq(idCol), "left_anti")
+            else batch0.select(col(idCol), col(textCol))).cache()
           if (!batch.isEmpty) {
+            // one shingle+band pass serves matching AND the persisted state
+            val (bBands, bSh) = graft.operators.Dedup.minhashState(
+              batch, textCol, idCol, k)
             val pairs =
-              if (hasState)
-                graft.operators.Dedup.minhashLshIncremental(batch,
-                  sp.read.parquet(s"$stateDir/bands"),
-                  sp.read.parquet(s"$stateDir/shingles"),
-                  textCol, idCol, k, threshold)
+              if (committed.nonEmpty)
+                graft.operators.Dedup.minhashLshIncrementalFromState(
+                  bBands, bSh,
+                  sp.read.parquet(partDirs("bands"): _*),
+                  sp.read.parquet(partDirs("shingles"): _*),
+                  idCol, threshold)
               else
-                graft.operators.Dedup.minhashLsh(batch, textCol, idCol, k, threshold)
+                graft.operators.Dedup.verifyJaccard(
+                  bBands.alias("x").join(bBands.alias("y"), Seq("band_key"))
+                    .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+                    .filter(col("id_a") < col("id_b")).distinct(),
+                  bSh, idCol, threshold)
             val p = pairs.cache()
             p.count()
             val batchIdsB = batch.select(col(idCol).as("id_b"))
@@ -140,20 +168,35 @@ object IncrementalStream {
             val accepted = batch
               .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti")
               .cache()
-            accepted.count()
-            p.unpersist()
-            val (bands, shingles) = graft.operators.Dedup.minhashState(
-              accepted, textCol, idCol, k)
-            bands.write.mode("append").parquet(s"$stateDir/bands")
-            // normalize to (id, shingle): dropHotKeys' USING join emits
-            // (shingle, id), and the state table is a public contract
-            shingles.select(col(idCol), col("shingle"))
-              .write.mode("append").parquet(s"$stateDir/shingles")
-            accepted.write.mode("append").parquet(s"$stateDir/docs")
-            accepted.unpersist()
-            ()
+            if (!accepted.isEmpty) {
+              // commit key: stable under same-checkpoint re-delivery (same
+              // batchId + content -> overwrite in place), collision-free
+              // across fresh-checkpoint re-reads (content hash differs)
+              val contentHash = accepted.select(col(idCol))
+                .agg(md5(concat_ws(",", sort_array(collect_list(col(idCol).cast("string"))))))
+                .head().getString(0).take(12)
+              val key = s"${batchId}_$contentHash"
+              val acceptedIds = accepted.select(col(idCol))
+              def acceptedOnly(df: DataFrame) =
+                df.join(acceptedIds, Seq(idCol), "left_semi")
+              acceptedOnly(bBands).write.mode("overwrite")
+                .parquet(s"$stateDir/bands/ingest=$key")
+              // normalize to (id, shingle): dropHotKeys' USING join emits
+              // (shingle, id), and the state table is a public contract
+              acceptedOnly(bSh).select(col(idCol), col("shingle"))
+                .write.mode("overwrite").parquet(s"$stateDir/shingles/ingest=$key")
+              accepted.write.mode("overwrite").parquet(s"$stateDir/docs/ingest=$key")
+              fs.mkdirs(commitsDir)
+              fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+            }
           }
-        } finally { batch.unpersist(); () }
+        } finally {
+          // the dedup operators pin internal caches (shingles, signatures,
+          // candidates) per invocation; a long-lived stream must release
+          // them per batch or storage memory grows without bound
+          sp.catalog.clearCache()
+        }
+        ()
       }
       .start()
 }

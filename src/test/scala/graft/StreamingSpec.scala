@@ -146,8 +146,26 @@ class StreamingSpec extends SparkSpec {
     writeJson("b3.json", Seq(20L ->
       "red orange yellow green blue indigo violet cyan magenta black white gray maroon"))
     drain("fz_ck3")
-    assert(spark.read.parquet(s"$state/docs").select("doc_id")
-      .as[Long].collect().toSet == Set(1L, 2L, 11L))
+    def committedDocs: Set[Long] = {
+      val keys = new java.io.File(s"$state/_commits").listFiles.map(_.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      keys.flatMap(k => spark.read.parquet(s"$state/docs/ingest=$k")
+        .select("doc_id").as[Long].collect()).toSet
+    }
+    assert(committedDocs == Set(1L, 2L, 11L))
+
+    // crash simulation: an UNMARKED state partition (no _commits entry)
+    // must be invisible — a doc near-dup'ing only the orphan is accepted
+    val orphanText = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    Seq((90L, orphanText)).toDF("doc_id", "text")
+      .write.parquet(s"$state/docs/ingest=99_orphan")
+    val (oBands, oSh) = graft.operators.Dedup.minhashState(
+      Seq((90L, orphanText)).toDF("doc_id", "text"), "text", "doc_id")
+    oBands.write.parquet(s"$state/bands/ingest=99_orphan")
+    oSh.select($"doc_id", $"shingle").write.parquet(s"$state/shingles/ingest=99_orphan")
+    writeJson("b4.json", Seq(30L -> (orphanText + " extra")))
+    drain("fz_ck4")
+    assert(committedDocs == Set(1L, 2L, 11L, 30L)) // orphan never matched
   }
 
   test("file-stream incremental load is idempotent across re-delivery") {
