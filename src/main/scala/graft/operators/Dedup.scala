@@ -139,6 +139,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact SUBSTRING dedup at token-window granularity — the practical
+    * distributed variant of suffix-array substring deduplication (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): documents are split into consecutive
+    * non-overlapping `windowTokens`-token windows; a window whose text
+    * already occurred earlier in the corpus (ordered by (id, position))
+    * is removed, and each document's surviving windows are re-joined.
+    * Catches the boilerplate/licence-header duplication INSIDE otherwise
+    * unique documents that whole-document dedup cannot touch.
+    *
+    * Returns (idCol, n_windows, n_kept, clean_text), one row per input
+    * document (clean_text = "" when every window was a repeat).
+    *
+    * Scale shape: two shuffles — a partial-aggregatable groupBy(window)
+    * taking the global min occurrence, then a hash join of windows
+    * against that (unique-keyed) table; a hot window (the 100 TB norm:
+    * one licence header over millions of docs) costs one combiner cell
+    * map-side, never a quadratic join. The per-doc reconstruction
+    * collect_list is bounded by the document's own window count. Windows
+    * join on their text at test scale; at corpus scale swap the join key
+    * for a 128-bit digest of the window to keep shuffle rows narrow.
+    */
+  def windowDedup(df: DataFrame, textCol: String, idCol: String,
+                  windowTokens: Int = 16): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nWin = ceil(size(toks).cast("double") / windowTokens).cast("int")
+    val winArr = transform(sequence(lit(0), greatest(nWin, lit(1)) - 1),
+      i => concat_ws(" ", slice(toks, i * windowTokens + 1, lit(windowTokens))))
+    val wins = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(winArr).as(Seq("widx", "wtext")))
+    // first global occurrence of each distinct window text, ordered by
+    // (doc id, window position) — struct min compares lexicographically
+    val keeper = wins.groupBy("wtext")
+      .agg(min(struct(col(idCol), col("widx"))).as("keeper"))
+    wins.join(keeper, Seq("wtext"))
+      .withColumn("kept", struct(col(idCol), col("widx")) === col("keeper"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("widx"), col("wtext"))))),
+          s => s.getField("wtext"))).as("clean_text"))
+  }
+
   /** MinHash signature column: for each of `numHashes` xxHash64 seeds, the
     * minimum hash over the document's shingles — one imperative aggregate
     * pass (graft.functions.MinHashAgg), not `numHashes` min() columns.

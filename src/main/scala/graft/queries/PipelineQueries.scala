@@ -28,6 +28,10 @@ object PipelineQueries {
         threshold = 0.30, maxDf = 100, portable = true) // md5-poly hashes: SQL-oracle parity
       .orderBy("id_a", "id_b")
 
+  def dedupWindows(s: SparkSession, dir: String): DataFrame =
+    Dedup.windowDedup(docs(s, dir), "text", "doc_id", windowTokens = 16)
+      .orderBy("doc_id")
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), "text", "doc_id", k = 8,
         threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
@@ -407,6 +411,25 @@ object PipelineQueries {
            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30)"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_windows" ->
+      // token-window exact substring dedup — windows keyed by raw text,
+      // first occurrence ordered by (doc_id, widx); combined BIGINT key
+      // doc_id*2^20+widx mirrors the Scala struct-min (widx < 2^20 holds
+      // for any test doc; the operator itself has no such bound)
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         wl AS (SELECT doc_id,
+                       list_transform(range(CAST(ceil(len(w) / 16.0) AS BIGINT)),
+                         i -> {'widx': i, 'wtext': array_to_string(list_slice(w, i*16+1, i*16+16), ' ')}) AS wt
+                FROM toks),
+         wins0 AS (SELECT doc_id, unnest(wt) AS u FROM wl),
+         wins AS (SELECT doc_id, u.widx AS widx, u.wtext AS wtext FROM wins0),
+         keeper AS (SELECT wtext, min(doc_id*1048576+widx) AS kk FROM wins GROUP BY wtext)
+       SELECT w.doc_id AS doc_id,
+              count(*) AS n_windows,
+              CAST(sum(CASE WHEN w.doc_id*1048576+w.widx = f.kk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              COALESCE(array_to_string(list(w.wtext ORDER BY w.widx) FILTER (WHERE w.doc_id*1048576+w.widx = f.kk), ' '), '') AS clean_text
+       FROM wins w JOIN keeper f ON w.wtext = f.wtext
+       GROUP BY w.doc_id ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
@@ -848,6 +871,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_windows" -> (dedupWindows _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_cluster_reps" -> (dedupClusterReps _),
     "dedup_incremental" -> (dedupIncremental _),

@@ -33,6 +33,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("window dedup removes repeated token windows, keeps first occurrence") {
+    // W=4: doc 10 repeats its own first window; doc 11 opens with doc 10's
+    // window (cross-doc repeat) then continues unique; doc 12 is a full
+    // exact copy of doc 11 (all windows drop); doc 13 is short (one window)
+    val d = Seq(
+      (10L, "a b c d a b c d e f g h"),
+      (11L, "a b c d p q r s t u v w"),
+      (12L, "a b c d p q r s t u v w"),
+      (13L, "x y z")).toDF("doc_id", "text")
+    val r = Dedup.windowDedup(d, "text", "doc_id", windowTokens = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0) == ((10L, 3L, 2L, "a b c d e f g h")))       // self-repeat dropped
+    assert(r(1) == ((11L, 3L, 2L, "p q r s t u v w")))       // cross-doc repeat dropped
+    assert(r(2) == ((12L, 3L, 0L, "")))                      // exact copy fully dropped
+    assert(r(3) == ((13L, 1L, 1L, "x y z")))                 // short doc intact
+  }
+
   test("minhash LSH candidates cover what exact jaccard confirms") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", k = 3, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
