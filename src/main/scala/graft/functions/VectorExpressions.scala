@@ -37,6 +37,30 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** [[cosine]] with a `array<double>` right side — centroids produced by
+    * [[graft.operators.Clustering]] are double-valued (means), while the
+    * corpus vectors stay `array<float>`. Same sequential left-to-right
+    * double accumulation, so results are partition-independent and match
+    * the SQL oracle's list arithmetic bit-for-bit.
+    */
+  def cosineFD(a: ArrayData, c: ArrayData): Double = {
+    val n = math.min(a.numElements(), c.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      dot += x * c.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    var nc = 0.0
+    var j = 0
+    val m = c.numElements()
+    while (j < m) { val y = c.getDouble(j); nc += y * y; j += 1 }
+    if (na == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nc))
+  }
+
   /** Sign-random-projection (SimHash-for-vectors) signature: bit i of the
     * result is the sign of the dot product with a deterministic pseudo-random
     * hyperplane derived from (seed, i, dim). Used for LSH bucketing in ANN
@@ -120,6 +144,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Cosine between a float-array column and a double-array (centroid)
+  * column — see [[VectorOps.cosineFD]].
+  */
+case class CosineSimilarityFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosineFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityFD =
     copy(left = l, right = r)
 }
 

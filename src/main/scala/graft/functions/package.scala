@@ -19,6 +19,12 @@ package object functions {
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
 
+  /** Cosine similarity of an `array<float>` column against an
+    * `array<double>` centroid column (see [[graft.operators.Clustering]]).
+    */
+  def cosine_similarity_fd(a: Column, centroid: Column): Column =
+    col(CosineSimilarityFD(expr(a), expr(centroid)))
+
   /** Dot product of two `array<float>` columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 

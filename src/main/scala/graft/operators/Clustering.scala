@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.cosine_similarity_fd
+
+/** Distributed k-means (Lloyd's algorithm) over embedding columns, plus the
+  * SemDeDup-style semantic deduplication built on it.
+  *
+  * Scale shape — each Lloyd iteration is two map-side-friendly jobs:
+  *
+  *  1. ASSIGN: centroids are k×dim doubles — bounded by construction — so
+  *     they are embedded as a literal array in the plan (the "broadcast the
+  *     centers" move, same as [[Similarity.ivfTopK]]'s pivots). Assignment
+  *     is a pure projection over the scan: no join, no shuffle.
+  *  2. UPDATE: per-(cell, dim) sums via `posexplode` + hash aggregate. The
+  *     explode widens rows ×dim map-side, but partial aggregation collapses
+  *     each task's output to ≤ k×dim rows before the exchange, so shuffle
+  *     volume is O(tasks × k × dim) regardless of corpus size. The k×dim
+  *     result (≤ a few thousand values) is collected to the driver for the
+  *     next iteration's literal — the only driver touch, bounded by k·dim.
+  *
+  * Determinism & oracle parity — centroid arithmetic runs on a 2^-20
+  * integer grid: each float coordinate contributes `floor(x · 2^20)` to a
+  * BIGINT sum. A float times a power of two is EXACT in IEEE arithmetic and
+  * `floor` is exact, so the per-cell sums are integers computed identically
+  * under any partitioning — and identically by the DuckDB oracle. The
+  * centroid coordinate is then the single double division
+  * `sum / (n · 2^20)`. Plain double sums would be partition-order-dependent;
+  * decimal casts of arbitrary floats tie-break differently across engines
+  * (HALF_UP vs HALF_EVEN); the integer grid has neither problem. The grid
+  * costs ~1e-6 absolute precision per coordinate — irrelevant at k-means
+  * granularity — and is declared part of the operator's contract.
+  *
+  * Seeding is the deterministic md5-order scheme shared with
+  * [[Similarity.ivfPivots]]: cells 0..k-1 are the first k vectors in
+  * `(int24(md5(id)), id)` order — portable to ANSI SQL, stable across runs.
+  */
+object Clustering {
+
+  /** Centroid grid: 2^20. Float × 2^20 is exact; floor of it is exact. */
+  val Grid = 1048576L
+
+  /** Deterministic seed centroids: the first k vectors in md5-hash order
+    * (exactly [[Similarity.ivfPivots]]'s scheme), as driver-side doubles.
+    * Bounded collect: k rows.
+    */
+  def seedCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long"),
+        col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** Centroids as a literal `array<struct<c:int, cv:array<double>>>`. */
+  private def centroidLiteral(cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("c"), typedLit(cv.toSeq).as("cv"))
+    }: _*)
+
+  /** Highest-cosine cell per row, ties toward the lowest cell id — the
+    * struct field order (sim, −c, c) makes `array_max` a deterministic
+    * total-order argmax, identical to the oracle's
+    * `row_number() ORDER BY cos DESC, c ASC`.
+    */
+  private def nearestCell(vec: Column, cl: Column): Column =
+    array_max(transform(cl, p => struct(
+      cosine_similarity_fd(vec, p("cv")).as("sim"),
+      (-p("c")).as("negc"),
+      p("c").as("c"))))("c")
+
+  /** Map-only assignment of every vector to its nearest centroid. */
+  def assign(df: DataFrame, vecCol: String, idCol: String,
+             cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), centroidLiteral(cents)).as("cell_id"))
+
+  /** One Lloyd iteration: assign, then per-cell elementwise mean on the
+    * integer grid. Cells that lose every member keep their previous
+    * centroid (standard empty-cell rule, mirrored by the oracle).
+    */
+  def lloydStep(df: DataFrame, vecCol: String, idCol: String,
+                cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = cents.length
+    val updated = assign(df, vecCol, idCol, cents)
+      .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * Grid).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect() // ≤ k×dim rows — bounded by construction
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        val dim = cents(cell).length
+        val cv = new Array[Double](dim)
+        rows.foreach { r =>
+          cv(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * Grid)
+        }
+        cell -> cv
+      }
+    Array.tabulate(k)(c => updated.getOrElse(c, cents(c)))
+  }
+
+  /** k-means: deterministic seeds + `iters` Lloyd iterations. Returns the
+    * final centroids; chain with [[assign]] for the final partition of the
+    * corpus. Each iteration is its own bounded Spark job (see the scale
+    * notes above); `iters` is small by k-means practice (the driver loop
+    * is over iterations, never over data).
+    */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+             iters: Int): Array[Array[Double]] = {
+    var cents = seedCentroids(df, vecCol, idCol, k)
+    var i = 0
+    while (i < iters) { cents = lloydStep(df, vecCol, idCol, cents); i += 1 }
+    cents
+  }
+
+  /** Trained-centroid k-means as a flat DataFrame — (cell_id, dim, cval,
+    * n_members): the centroid coordinates after `iters` iterations plus
+    * each cell's final population. Flat scalars so the result is directly
+    * oracle-comparable.
+    */
+  def kmeansFlat(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                 iters: Int): DataFrame = {
+    val cents = kmeans(df, vecCol, idCol, k, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = cents.zipWithIndex.flatMap { case (cv, c) =>
+      cv.zipWithIndex.map { case (v, d) => (c, d, v) }
+    }.toSeq.toDF("cell_id", "dim", "cval")
+    val members = assign(df, vecCol, idCol, cents)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+    flat.join(broadcast(members), Seq("cell_id"), "left")
+      .select(col("cell_id"), col("dim"), round(col("cval"), 9).as("cval"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * k-means cells, then within each cell drop every vector that has a
+    * LOWER-id cell-mate with cosine ≥ `threshold` ("dominated by smaller
+    * id" — a deterministic, order-free variant of SemDeDup's greedy
+    * ε-ball sweep; the survivor set is identical for transitive duplicate
+    * clusters and declared as the operator's semantics otherwise).
+    *
+    * The pairwise check never leaves a cell, so the join key is the cell
+    * id; `maxCluster` caps the population a cell may contribute to the
+    * self-join (the [[Dedup.dropHotKeys]] skew guard — one degenerate
+    * mega-cluster must not go quadratic). Vectors in capped cells are
+    * conservatively KEPT — dedup may under-delete, never over-delete.
+    * Emits one row per vector: (id, cell_id, kept).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    iters: Int, threshold: Double,
+                    maxCluster: Int = 100000): DataFrame = {
+    val cents = kmeans(df, vecCol, idCol, k, iters)
+    val assigned = assign(df, vecCol, idCol, cents).cache()
+    assigned.count() // materialize once before the self-join's two consumers
+    val inJoin = Dedup.dropHotKeys(assigned, "cell_id", maxCluster)
+    val a = inJoin.select(col("cell_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = inJoin.select(col("cell_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dominated = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.cosine_similarity(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell_id"))
+      .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"), col("__dom").isNull.as("kept"))
+  }
+}

@@ -124,6 +124,27 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** k-means over the embeddings (k=8, 2 Lloyd iterations, deterministic
+    * md5-order seeds, 2^-20 integer-grid centroid arithmetic) — flattened
+    * to (cell_id, dim, cval, n_members) scalars. Fully oracle-checkable:
+    * the grid makes every centroid coordinate an integer sum ÷ one double
+    * division, identical across engines and partitionings.
+    */
+  def simKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kmeansFlat(embs(s, dir), "embedding", "vec_id",
+        k = 8, iters = 2)
+      .orderBy("cell_id", "dim")
+
+  /** SemDeDup-style semantic dedup: k-means cells (same training as
+    * [[simKmeans]]), then within each cell drop vectors dominated by a
+    * smaller-id cell-mate at cosine ≥ 0.35. One row per vector with its
+    * cell and keep/drop verdict.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.semanticDedup(embs(s, dir), "embedding", "vec_id",
+        k = 8, iters = 2, threshold = 0.35)
+      .orderBy("vec_id")
+
   /** Int8 quantization, flattened to (vec, dim, qval) rows so the oracle
     * compares scalars (bounded to 100 vectors — the check is the
     * arithmetic, not the volume).
@@ -311,6 +332,61 @@ object PipelineQueries {
              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len($b)+1),
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+
+  /** Assignment CTE of one Lloyd round: nearest centroid of `prev` (which
+    * must expose (c, cv)), cosine ties toward the lowest cell id — exactly
+    * [[graft.operators.Clustering.assign]].
+    */
+  private def kmAssignSql(i: Int, prev: String): String =
+    s"""assign$i AS (
+          SELECT vec_id, embedding, c AS cell_id FROM (
+            SELECT e.vec_id, e.embedding, s.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("e.embedding", "s.cv")} DESC, s.c) AS rn
+            FROM embeddings e CROSS JOIN $prev s)
+          WHERE rn = 1)"""
+
+  /** Centroid-update CTEs of one Lloyd round: per-(cell, dim) BIGINT sums
+    * of floor(x·2^20) and one double division — exactly
+    * [[graft.operators.Clustering.lloydStep]]'s integer-grid mean. Cells
+    * with no members keep `prev`'s centroid.
+    */
+  private def kmUpdateSql(i: Int, prev: String): String =
+    s"""ex$i AS (
+          SELECT cell_id,
+                 unnest(list_transform(range(1, len(embedding)+1),
+                   ii -> {'d': ii - 1, 'x': embedding[CAST(ii AS INTEGER)]})) AS u
+          FROM assign$i),
+        upd$i AS (
+          SELECT cell_id, u.d AS dim,
+                 SUM(CAST(floor(CAST(u.x AS DOUBLE) * 1048576) AS BIGINT)) AS sq,
+                 COUNT(*) AS n
+          FROM ex$i GROUP BY cell_id, u.d),
+        cent$i AS (
+          SELECT s.c,
+                 CASE WHEN s.c IN (SELECT cell_id FROM upd$i)
+                      THEN (SELECT list(CAST(u2.sq AS DOUBLE) / (CAST(u2.n AS DOUBLE) * 1048576)
+                                        ORDER BY u2.dim)
+                            FROM upd$i u2 WHERE u2.cell_id = s.c)
+                      ELSE s.cv END AS cv
+          FROM $prev s)"""
+
+  /** Seed + 2 Lloyd rounds + final assignment (`assign3` against `cent2`)
+    * — the SQL replay of Clustering.kmeans(k=8, iters=2) ∘ assign.
+    */
+  private val kmeansCtes: String = Seq(
+    """seeds AS (
+         SELECT CAST(row_number() OVER (
+                  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                           vec_id) AS INT) - 1 AS c,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings
+         QUALIFY row_number() OVER (
+                  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                           vec_id) <= 8)""",
+    kmAssignSql(1, "seeds"), kmUpdateSql(1, "seeds"),
+    kmAssignSql(2, "cent1"), kmUpdateSql(2, "cent1"),
+    kmAssignSql(3, "cent2")).mkString(",\n")
 
   /** Portable-SRP signature CTEs: hyperplane weights from md5 (exactly
     * VectorOps.srpSignaturePortable), per-(vector, table) bucket strings.
@@ -768,6 +844,29 @@ object PipelineQueries {
                 stream_start // 2048 AS bin_id,
                 stream_start % 2048 AS bin_offset
          FROM s ORDER BY doc_id""",
+    "sim_kmeans" ->
+      s"""WITH $kmeansCtes,
+          members AS (
+            SELECT cell_id, COUNT(*) AS n_members FROM assign3 GROUP BY cell_id),
+          flat AS (
+            SELECT c.c AS cell_id,
+                   unnest(list_transform(range(1, len(c.cv)+1),
+                     ii -> {'d': ii - 1, 'v': c.cv[CAST(ii AS INTEGER)]})) AS u
+            FROM cent2 c)
+         SELECT f.cell_id, u.d AS dim, round(u.v, 9) AS cval,
+                COALESCE(m.n_members, 0) AS n_members
+         FROM flat f LEFT JOIN members m ON m.cell_id = f.cell_id
+         ORDER BY f.cell_id, dim""",
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+          dom AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign3 a JOIN assign3 b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+         SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+         FROM assign3 a LEFT JOIN dom d ON d.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
     "emb_quantize" ->
       """WITH q AS (
            SELECT vec_id, embedding,
@@ -882,6 +981,8 @@ object PipelineQueries {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_kmeans" -> (simKmeans _),
+    "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
