@@ -67,6 +67,54 @@ object CorpusOps {
       .withColumn("bin_offset", col("stream_start") % budget)
   }
 
+  /** Deterministic stratified sampling: the `n` lowest-hash rows per
+    * stratum (per language, per source domain — the per-group quota that
+    * balances corpus composition). Selection order is the portable md5
+    * hash with `idCol` as tiebreak, so the sample is reproducible under
+    * any partitioning and by the SQL oracle.
+    *
+    * Runs through the TopKPerKey physical operator: bounded per-key heaps,
+    * ≤ n rows per stratum per task reach the shuffle. The window
+    * formulation (`row_number() over (partition by key order by hash)`)
+    * would shuffle and sort the FULL corpus to discard all but n rows per
+    * stratum — at 100 TB the difference is the job.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, keyCol: String, n: Int,
+                       salt: String = "strat"): DataFrame =
+    graft.plans.TopK.perKey(
+        df.withColumn("__h", hashUniform(col(idCol), salt)),
+        Seq(col(keyCol)), Seq(col("__h").asc, col(idCol).asc), n)
+      .drop("__h")
+
+  /** Deterministic global training-order shuffle: every row gets a unique
+    * position 1..N in (portable md5 hash, id) order — the random-but-
+    * reproducible permutation a training run reads the corpus in. No
+    * single-partition window: range-repartition on the hash, local ranks,
+    * partition-count prefix offsets (the zipWithIndex pattern shared with
+    * Warehouse.assignSurrogateIds).
+    */
+  def globalShuffle(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame = {
+    val orderCols = Seq(col("__h"), col(idCol))
+    val sorted = df.withColumn("__h", hashUniform(col(idCol), salt))
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // pin the partition layout before reading it twice (counts job + rank
+    // job must agree; AQE may otherwise re-plan the range exchange);
+    // localCheckpoint blocks are freed by the ContextCleaner, not pinned
+    val withPart = sorted.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = withPart.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
+      case (start, (pid, _)) => pid -> start
+    }.toMap
+    val prefixUdf = udf((pid: Int) => prefix(pid))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    withPart
+      .withColumn("shuffle_pos", row_number().over(w).cast("long") + prefixUdf(col("__pid")))
+      .drop("__pid", "__h")
+  }
+
   /** Token-length histogram: docs and token mass per power-of-two-ish
     * length bucket — the composition summary a data curator reads before
     * choosing packing budgets and length filters.

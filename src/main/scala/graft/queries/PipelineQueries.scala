@@ -244,6 +244,23 @@ object PipelineQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Stratified sample: the 100 lowest-hash docs per language, selected
+    * through the TopKPerKey physical operator (bounded heaps — the full
+    * corpus is never window-sorted).
+    */
+  def corpusSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.sampleStratified(docs(s, dir), "doc_id", "lang", n = 100)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+
+  /** Deterministic global training-order permutation: (doc_id,
+    * shuffle_pos) with positions 1..N in portable-md5-hash order.
+    */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.globalShuffle(docs(s, dir), "doc_id")
+      .select("doc_id", "shuffle_pos")
+      .orderBy("doc_id")
+
   def corpusMixture(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusOps.mixtureSelect(docs(s, dir), "doc_id", "lang",
         weights = Map("en" -> 1.0, "es" -> 0.5, "fr" -> 0.25, "de" -> 0.1),
@@ -816,6 +833,25 @@ object PipelineQueries {
            GROUP BY lang, token) z
          WHERE rn <= 5
          ORDER BY lang, n DESC, token""",
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST(('0x' || substr(md5('s:strat:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                               AS BIGINT) / 16777216.0,
+                             doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 100
+         ORDER BY lang, doc_id""",
+    "corpus_shuffle" ->
+      """SELECT doc_id, shuffle_pos FROM (
+           SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY CAST(('0x' || substr(md5('s:shuffle:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                               AS BIGINT) / 16777216.0,
+                             doc_id) AS shuffle_pos
+           FROM documents)
+         ORDER BY doc_id""",
     "corpus_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5('s:r2:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -992,6 +1028,8 @@ object PipelineQueries {
     "decontaminate" -> (decontaminate _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_sample_hash" -> (corpusSampleHash _),
+    "corpus_sample_stratified" -> (corpusSampleStratified _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_pack" -> (corpusPack _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),

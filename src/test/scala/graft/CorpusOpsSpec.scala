@@ -55,6 +55,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: exactly min(n, stratum size) per stratum, partition-invariant") {
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = CorpusOps.sampleStratified(docs, "doc_id", "lang", n = 30)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == perLang.keySet)
+    got.foreach { case (lang, n) => assert(n == math.min(30L, perLang(lang))) }
+
+    val a = CorpusOps.sampleStratified(docs, "doc_id", "lang", n = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.sampleStratified(docs.repartition(17), "doc_id", "lang", n = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("stratified sample plans through TopKPerKey, not a window sort") {
+    val plan = CorpusOps.sampleStratified(docs, "doc_id", "lang", n = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("global shuffle: a permutation of 1..N, partition-invariant") {
+    val n = docs.count()
+    val a = CorpusOps.globalShuffle(docs, "doc_id")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.map(_._2).sorted.toSeq == (1L to n).toSeq) // gap-free permutation
+    val b = CorpusOps.globalShuffle(docs.repartition(23), "doc_id")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // and it actually permutes: positions don't follow id order
+    val byId = a.sortBy(_._1).map(_._2)
+    assert(byId.toSeq != byId.sorted.toSeq)
+  }
+
   test("length buckets: masses add up") {
     val total = docs.count()
     val tokens = docs.select(size(TextAnalysis.tokens(col("text"))).cast("long"))
