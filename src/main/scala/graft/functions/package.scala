@@ -39,6 +39,16 @@ package object functions {
                     portable: Boolean = false): Column =
     col(SrpSignature(expr(c), bits, seed, portable))
 
+  /** Membership probe of a LONG column against a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (Spark's own codegen'd
+    * BloomFilterMightContain — the expression behind runtime row-level
+    * filtering). `bloomBytes` is typically a literal built once from the
+    * small side; the probe is map-only.
+    */
+  def might_contain_long(bloomBytes: Column, value: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expr(bloomBytes), expr(value)))
+
   /** Distinct portable (md5-poly) k-token shingle hashes of a text column. */
   def portable_shingles(c: Column, k: Int): Column = col(PortableShingles(expr(c), k))
 

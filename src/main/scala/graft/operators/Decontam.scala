@@ -40,4 +40,44 @@ object Decontam {
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .filter(col("n_shared_shingles") >= minShared)
   }
+
+  /** [[overlap]] with a bloom-filter prefilter on the corpus side — the
+    * shuffle-join scale path. With `broadcastBench = false` (two corpora,
+    * eval side too big to broadcast) the plain join shuffles EVERY corpus
+    * shingle; here the bench side's distinct shingle hashes are folded
+    * into one bloom filter (driver-side, bounded: bits ≈ 10×|bench
+    * shingles| at fpp 1%), and a map-only, codegen'd `might_contain`
+    * eliminates the ~non-matching shingle stream before any exchange.
+    * Shuffle volume drops from |corpus shingles| to |true matches| +
+    * fpp×|corpus shingles|.
+    *
+    * The bloom is a prefilter, never the verdict: survivors still pass
+    * through the exact join, so false positives cannot reach the output —
+    * results are IDENTICAL to [[overlap]] (same oracle), only the plan
+    * differs.
+    */
+  def overlapBloom(corpus: DataFrame, bench: DataFrame, textCol: String,
+                   idCol: String, k: Int = 8, minShared: Long = 1,
+                   portable: Boolean = false, fpp: Double = 0.01,
+                   broadcastBench: Boolean = true): DataFrame = {
+    def sh(d: DataFrame) =
+      if (portable) Dedup.shingleHashesPortable(d, textCol, idCol, k)
+      else Dedup.shingleHashes(d, textCol, idCol, k)
+    val b = sh(bench).select(col(idCol).as("bench_id"), col("shingle")).cache()
+    val distinctSh = b.select("shingle").distinct()
+    val nDistinct = math.max(distinctSh.count(), 1L)
+    val bloom = distinctSh.stat.bloomFilter("shingle", nDistinct, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pre = sh(corpus).filter(
+      graft.functions.might_contain_long(lit(bytes), col("shingle")))
+    pre.join(if (broadcastBench) broadcast(b) else b, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
 }

@@ -223,6 +223,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] through the bloom-prefilter shuffle-join path
+    * (`broadcastBench = false` — the "eval side too big to broadcast"
+    * regime): identical output, corpus shingles bloom-filtered map-side
+    * before the exchange.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Decontam.overlapBloom(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", k = 8, minShared = 1, portable = true,
+        broadcastBench = false)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: top-5 tokens per language — token counting feeding
     * the custom TopKPerKey operator (shuffles ≤k rows per language instead
     * of window-sorting the whole vocabulary).
@@ -349,6 +363,21 @@ object PipelineQueries {
              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len($b)+1),
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+
+  /** Shared oracle of `decontaminate` and `decontaminate_bloom` (same
+    * exact semantics, different plan).
+    */
+  private lazy val decontaminateSql: String =
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          ${shingleChainCtes("cs_", "corp", None)},
+          ${shingleChainCtes("bs_", "bench", None)}
+        SELECT cs_kept.doc_id AS doc_id,
+               count(DISTINCT cs_kept.shingle) AS n_shared_shingles,
+               count(DISTINCT bs_kept.doc_id) AS n_bench_docs
+        FROM cs_kept JOIN bs_kept ON bs_kept.shingle = cs_kept.shingle
+        GROUP BY cs_kept.doc_id
+        ORDER BY doc_id"""
 
   /** Assignment CTE of one Lloyd round: nearest centroid of `prev` (which
     * must expose (c, cv)), cosine ties toward the lowest cell id — exactly
@@ -810,20 +839,12 @@ object PipelineQueries {
          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30
          ORDER BY id_a, id_b"""
     },
-    "decontaminate" -> {
-      // per-side portable shingles from the ONE shared formula (no df-cap
-      // — Decontam.overlap applies none)
-      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-            bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-            ${shingleChainCtes("cs_", "corp", None)},
-            ${shingleChainCtes("bs_", "bench", None)}
-          SELECT cs_kept.doc_id AS doc_id,
-                 count(DISTINCT cs_kept.shingle) AS n_shared_shingles,
-                 count(DISTINCT bs_kept.doc_id) AS n_bench_docs
-          FROM cs_kept JOIN bs_kept ON bs_kept.shingle = cs_kept.shingle
-          GROUP BY cs_kept.doc_id
-          ORDER BY doc_id"""
-    },
+    // per-side portable shingles from the ONE shared formula (no df-cap —
+    // Decontam.overlap applies none). The bloom variant shares the oracle
+    // verbatim: its bloom is a prefilter ahead of the same exact join, so
+    // false positives can't reach the output.
+    "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql,
     "corpus_vocab" ->
       """SELECT lang, token, n FROM (
            SELECT lang, token, count(*) AS n,
@@ -1026,6 +1047,7 @@ object PipelineQueries {
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),

@@ -53,4 +53,25 @@ class TextOpsSpec extends SparkSpec {
       k = 8, broadcastBench = false).as[(Long, Long, Long)].collect()
     assert(shuffled.toSeq == Seq((10L, 1L, 1L)))
   }
+
+  test("bloom-prefiltered decontamination: identical output, map-side probe in plan") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" % 10 =!= 0)
+    val bench = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" % 10 === 0)
+    val plain = Decontam.overlap(corpus, bench, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    for (bcast <- Seq(true, false)) {
+      val df = Decontam.overlapBloom(corpus, bench, "text", "doc_id",
+        k = 8, broadcastBench = bcast)
+      assert(df.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq == plain,
+        s"broadcastBench=$bcast")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"bloom probe missing: $p")
+    }
+    // fpp=0 corner: a bloom of ~zero distinct items must not crash
+    val tiny = Decontam.overlapBloom(corpus.limit(3), bench.limit(1),
+      "text", "doc_id", k = 8)
+    tiny.collect() // just runs
+  }
 }
