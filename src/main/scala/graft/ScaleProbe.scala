@@ -75,6 +75,38 @@ object ScaleProbe {
     time("srp_topk")(graft.operators.Similarity.srpTopK(
       bigV, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, bits = 8, tables = 4, maxBucket = 2000).count())
+    spark.catalog.clearCache()
+    bigV.cache().count()
+    // k-means + semantic dedup on the replicated vectors: every cluster is
+    // a stack of exact duplicates — the degenerate-mega-cluster case the
+    // maxCluster cap exists for. Run once capped (pairs bounded) and once
+    // with the cap high enough to admit the full duplicate stacks.
+    time("kmeans_8x2")({
+      graft.operators.Clustering.kmeans(bigV, "embedding", "vec_id",
+        k = 8, iters = 2).length.toLong
+    })
+    time("semantic_dedup_capped")(graft.operators.Clustering.semanticDedup(
+      bigV, "embedding", "vec_id", k = 8, iters = 1, threshold = 0.35,
+      maxCluster = 500).count())
+    time("semantic_dedup_full")(graft.operators.Clustering.semanticDedup(
+      bigV, "embedding", "vec_id", k = 8, iters = 1, threshold = 0.35,
+      maxCluster = 100000).count())
+    spark.catalog.clearCache()
+    // bloom decontamination in the shuffle-join regime: the corpus side is
+    // factor× replicated, the bench side is 1/8 of it — the bloom must cut
+    // the corpus shingle stream before the exchange
+    val corpus2 = big.filter(col("doc_id") % 8 =!= 0)
+    val bench2 = big.filter(col("doc_id") % 8 === 0)
+    time("decontam_plain_shuffle")(graft.operators.Decontam.overlap(
+      corpus2, bench2, "text", "doc_id", k = 8, broadcastBench = false).count())
+    time("decontam_bloom_shuffle")(graft.operators.Decontam.overlapBloom(
+      corpus2, bench2, "text", "doc_id", k = 8, broadcastBench = false).count())
+    spark.catalog.clearCache()
+    time("stratified_sample")(graft.operators.CorpusOps.sampleStratified(
+      big.withColumn("lang", (col("doc_id") % 4).cast("string")),
+      "doc_id", "lang", n = 1000).count())
+    time("global_shuffle")(graft.operators.CorpusOps.globalShuffle(
+      big, "doc_id").count())
     spark.stop()
   }
 }
