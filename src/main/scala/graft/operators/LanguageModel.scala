@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame}
+
+/** N-gram language-model quality scoring — the classic LM-based quality
+  * filter of LLM data pipelines (CCNet, Wenzek et al. 2020 trains a
+  * KenLM on a reference corpus and keeps documents by perplexity; this
+  * is the same construction at bigram order, with add-one smoothing, as
+  * pure relational algebra).
+  *
+  * Train = two partial+final hash aggregates over the bigram explode of
+  * the REFERENCE corpus (bigram counts + prefix counts + vocab size).
+  * Score = join the candidate documents' bigrams against the trained
+  * counts (shuffle hash join on the bigram key; the prefix-count join
+  * rides the same exchange) and aggregate per-document log-probability.
+  * Both sides are linear scans; nothing is collected to the driver, and
+  * the counts tables are corpus-vocabulary-sized — persistable and
+  * reusable across scoring runs, exactly how a warehouse would ship a
+  * trained filter to 1000 executors.
+  *
+  * Determinism: each bigram's log-probability is a deterministic double;
+  * the per-document SUM is funneled through decimal so results are
+  * bit-identical under any partitioning.
+  */
+object LanguageModel {
+
+  /** Consecutive token bigrams per document: (id, w1, w2). Documents with
+    * fewer than two tokens contribute no rows. Empty tokens are kept
+    * exactly as [[TextAnalysis.tokens]] emits them so train and score
+    * tokenize identically (and the SQL oracle can reproduce both).
+    */
+  def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+                        element_at(toks, i + 2).as("w2"))))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train bigram counts on `corpus`: returns (bigram counts (w1, w2, c2),
+    * prefix counts (w1, c1), vocab size V = distinct tokens in the
+    * corpus). All three are plain DataFrames a warehouse can persist.
+    */
+  def trainBigram(corpus: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bg = bigrams(corpus, textCol, idCol)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // vocab over the full token stream (not just bigram prefixes), so
+    // single-token documents still contribute to V
+    val vocab = graft.Tables.fanOut(corpus.select(col(textCol)))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    (c2, c1, vocab)
+  }
+
+  /** Score `docs` against trained counts with add-one (Laplace) smoothing:
+    * p(w2|w1) = (c2 + 1) / (c1 + V), with c2 = 0 for unseen bigrams and
+    * c1 = 0 for unseen prefixes. Returns one row per document that has at
+    * least one bigram: (id, n_bigrams, avg_nll = −Σ ln p / n, perplexity
+    * = exp(avg_nll)). avg_nll rounds to 6 decimals; perplexity to 4 —
+    * exp() amplifies last-ulp libm differences by the perplexity's own
+    * magnitude (thousands), so the coarser grid keeps the rounding
+    * engine-independent.
+    */
+  def scoreBigram(docs: DataFrame, textCol: String, idCol: String,
+                  c2: DataFrame, c1: DataFrame, vocab: DataFrame): DataFrame = {
+    // V: uncorrelated scalar subquery — evaluated once, injected as a
+    // literal (bounded 1-row collect, cf. Similarity.pivotLiteral)
+    val v = vocab.head().getLong(0)
+    val bg = bigrams(docs, textCol, idCol)
+    bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("lp",
+        log((coalesce(col("c2"), lit(0L)) + 1.0) /
+            (coalesce(col("c1"), lit(0L)) + lit(v))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1))).as("nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("nll"), 6).as("avg_nll"),
+        round(exp(col("nll")), 4).as("perplexity"))
+  }
+}

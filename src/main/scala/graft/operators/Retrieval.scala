@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** BM25 ranked retrieval over a document corpus — the keyword-search half
+  * of a training-data pipeline (mining a corpus for topic-relevant
+  * documents, building retrieval eval sets, sourcing seed documents).
+  *
+  * Scale shape (reference surface has no retrieval; this is a pipeline
+  * extension, cf. Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond"):
+  *
+  *  - The inverted index is two partial+final hash aggregates over the
+  *    token explode — (doc, token) term frequencies and per-token document
+  *    frequencies. Both combine map-side; no row carries text after the
+  *    explode.
+  *  - Query terms are a broadcast semi-join: the index is PRUNED to the
+  *    query vocabulary before anything is scored, so a 100 TB index
+  *    contributes only its matching postings lists to the shuffle.
+  *  - Corpus-level scalars (N, avgdl) are an uncorrelated scalar
+  *    subquery: one bounded 1-row evaluation, injected into the scoring
+  *    expression as literals.
+  *  - Per-(query, doc) score summation is funneled through decimal, so
+  *    the result is bit-identical under any partitioning (float addition
+  *    is not associative; decimal addition is).
+  *  - Top-k per query runs through graft's TopKPerKey operator: bounded
+  *    map-side heaps, ≤ k rows per (query, task) shuffled — the candidate
+  *    set is never globally sorted.
+  */
+object Retrieval {
+
+  /** (doc, token, tf) postings + per-doc token counts, from whitespace
+    * tokens (lower/trim — the engine's standard oracle-portable
+    * tokenization). Empty tokens (consecutive spaces) are dropped.
+    */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: for each (query_id, term) row in `queryTerms`, documents
+    * are scored with the Robertson idf `ln((N - df + 0.5)/(df + 0.5) + 1)`
+    * and tf saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    * Duplicate query terms are collapsed (set semantics). Returns
+    * (query_id, rank, doc id, score), ≤ k rows per query, score rounded
+    * to 6 decimals.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // postings feed three consumers (doc lengths, document frequencies,
+    // the scored join) — cache so the corpus explode+aggregate runs once
+    val post = postings(docs, textCol, idCol).cache()
+    post.count() // materialize before AQE's concurrent consumers
+    val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // df over the postings table: one row per (doc, token) by construction
+    val docFreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus scalars (N, avgdl): evaluated once and injected as literals —
+    // how an engine executes an uncorrelated scalar subquery (cf.
+    // Similarity.pivotLiteral: a bounded 1-row collect, never a per-row
+    // join; the sum of longs is exact, so the value is deterministic)
+    val statsRow = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
+    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val terms = queryTerms.select(col("query_id"), col("term")).distinct()
+    // prune the index to the query vocabulary FIRST: at corpus scale this
+    // keeps every downstream join proportional to the matched postings,
+    // not the index. The terms side is query-sized — always broadcast.
+    val matched = post.join(broadcast(terms), post("token") === col("term"))
+    val prunedDf = docFreq.join(
+      broadcast(terms.select(col("term").as("token")).distinct()),
+      Seq("token"), "left_semi")
+    val scored = matched
+      .join(docLen, idCol)
+      .join(broadcast(prunedDf), "token")
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      // decimal funnel: per-term contributions are deterministic doubles;
+      // their SUM must not depend on shuffle arrival order
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib").cast(DecimalType(38, 12))).cast("double").as("score"))
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col(idCol).asc), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col(idCol),
+        round(col("score"), 6).as("score"))
+  }
+}

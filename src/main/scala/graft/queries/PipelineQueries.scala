@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -1022,9 +1022,113 @@ object PipelineQueries {
                   round(list_avg(list_transform(range(0, ns),
                         i -> abs((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256))), 6) AS f0
            FROM wav)
-         SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""")
+         SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""",
+    // BM25: same tokenization, Robertson idf, k1=1.2 b=0.75, decimal-
+    // funneled score sum, (score DESC, doc_id) rank — mirrors
+    // operators/Retrieval.scala term for term
+    "retrieval_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+             (0, 'hash'), (0, 'join'), (0, 'merge'),
+             (1, 'stream'), (1, 'window'), (1, 'batch'),
+             (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'sort')),
+         toks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+           FROM documents),
+         post AS (
+           SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         stats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl),
+         dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+         scored AS (
+           SELECT q.query_id, p.doc_id,
+                  sum(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                      AS DECIMAL(38, 12))) AS sd
+           FROM post p JOIN q ON p.token = q.term
+           JOIN dl d ON d.doc_id = p.doc_id
+           JOIN dfreq f ON f.token = p.token
+           CROSS JOIN stats s
+           GROUP BY q.query_id, p.doc_id),
+         ranked AS (
+           SELECT query_id, doc_id, CAST(sd AS DOUBLE) AS score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY CAST(sd AS DOUBLE) DESC, doc_id) AS rank
+           FROM scored)
+       SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+              round(score, 6) AS score
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // bigram LM with add-one smoothing: train on doc_id % 4 <> 0, score
+    // the held-out quarter — mirrors operators/LanguageModel.scala
+    "lm_perplexity" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         ttoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM train),
+         tb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM ttoks, unnest(range(1, len(w))) AS t(i)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+         v AS (
+           SELECT count(DISTINCT token) AS v FROM (
+             SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+             FROM train)),
+         stoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM sd),
+         sb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM stoks, unnest(range(1, len(w))) AS t(i)),
+         lp AS (
+           SELECT sb.doc_id,
+                  ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)) AS lp
+           FROM sb LEFT JOIN c2 ON sb.w1 = c2.w1 AND sb.w2 = c2.w2
+                   LEFT JOIN c1 ON sb.w1 = c1.w1
+                   CROSS JOIN v),
+         agg AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  -CAST(sum(CAST(lp AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS nll
+           FROM lp GROUP BY doc_id)
+       SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll,
+              round(exp(nll), 4) AS perplexity
+       FROM agg ORDER BY doc_id""")
+
+  // ---- retrieval & LM quality scoring ------------------------------------
+
+  /** The literal query set for [[retrievalBm25]] — (query_id, term) rows,
+    * mirrored verbatim in the oracle's VALUES list.
+    */
+  private val bm25QueryTerms: Seq[(Long, String)] = Seq(
+    0L -> "hash", 0L -> "join", 0L -> "merge",
+    1L -> "stream", 1L -> "window", 1L -> "batch",
+    2L -> "vector", 2L -> "scan", 2L -> "filter", 2L -> "sort")
+
+  def retrievalBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = bm25QueryTerms.toDF("query_id", "term")
+    Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", terms, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Train a bigram LM on 3/4 of the corpus, score the held-out quarter —
+    * the CCNet-style perplexity quality filter as two aggregates + one
+    * join (see operators/LanguageModel.scala).
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (c2, c1, v) = LanguageModel.trainBigram(
+      d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    LanguageModel.scoreBigram(d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", c2, c1, v)
+      .orderBy("doc_id")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_bm25" -> (retrievalBm25 _),
+    "lm_perplexity" -> (lmPerplexity _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_windows" -> (dedupWindows _),

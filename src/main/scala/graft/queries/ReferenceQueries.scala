@@ -392,6 +392,43 @@ object ReferenceQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** A7 — second-moment statistics (variance / stddev / covariance /
+    * correlation) via one-pass decimal power sums: Σx, Σx², Σy, Σy², Σxy
+    * are exact decimal aggregates (partial+final, map-side combinable),
+    * and the moments are closed-form arithmetic over those five scalars.
+    * Spark's built-in `stddev`/`corr` use a merge-formula whose float
+    * result depends on partition merge order; the power-sum funnel is
+    * bit-identical under any partitioning AND engine-portable (every
+    * derived op is IEEE-exact: ÷, ×, −, sqrt), which is what lets this
+    * carry a hash-matched oracle. Products of 2-decimal inputs stay well
+    * inside a double's 53-bit mantissa, so the decimal casts are
+    * deterministic.
+    */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def dsum6(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum6(x).as("sx"), dsum6(x * x).as("sxx"),
+        dsum6(y).as("sy"), dsum6(y * y).as("syy"),
+        dsum6(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
+          .as("var_qty"),
+        round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6)
+          .as("sd_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("covar_qty_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+               (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   // String-function breadth: concat_ws, lpad, replace, substring, length.
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
@@ -596,6 +633,27 @@ object ReferenceQueries {
                 round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
                 round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // identical decimal power sums + IEEE-exact derived arithmetic as the
+    // Spark side — hash-matchable second moments
+    "a7_moments" ->
+      """WITH agg AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                round(sx / n, 6) AS mean_qty,
+                round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+                round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_price,
+                round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+                round((sxy - sx * sy / n) /
+                      sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+                  AS corr_qty_price
+         FROM agg ORDER BY l_returnflag""",
     "f_string_funcs" ->
       """SELECT s_suppkey,
                 concat_ws('|', s_name, s_nationkey) AS tagged,
@@ -705,6 +763,7 @@ object ReferenceQueries {
     "w2_window_variety" -> (windowVariety _),
     "a6_percentiles" -> (percentiles _),
     "a6_percentiles_approx" -> (percentilesApprox _),
+    "a7_moments" -> (moments _),
     "f_string_funcs" -> (stringFuncs _),
     "f_null_handling" -> (nullHandling _),
     "q1_pricing_summary" -> (q1PricingSummary _),

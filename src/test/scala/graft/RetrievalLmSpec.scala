@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LanguageModel, Retrieval}
+import graft.queries.ReferenceQueries
+
+/** BM25 retrieval, bigram-LM perplexity scoring, and the power-sum
+  * moments query: hand-computed expectations on tiny corpora, plus
+  * agreement with Spark's built-in statistics at sf0.001.
+  */
+class RetrievalLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed scores, tf saturation orders the ranking") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple banana"),
+      (3L, "durian fig grape")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id", q, k = 10)
+      .orderBy("rank").collect()
+    // N=3, avgdl=3, df(apple)=2 -> idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    // dl/avgdl = 1 -> denom = tf + 1.2; tf=2 scores 4.4/3.2, tf=1 scores 2.2/2.2
+    val idf = math.log(1.6)
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // d2 (tf 2) above d1
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // contiguous ranks
+    assert(out(0).getDouble(3) == math.rint(idf * (2 * 2.2 / 3.2) * 1e6) / 1e6)
+    assert(out(1).getDouble(3) == math.rint(idf * 1.0 * 1e6) / 1e6)
+  }
+
+  test("bm25: multi-term scores sum per doc; unmatched docs absent") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "kiwi kiwi")).toDF("doc_id", "text")
+    val q = Seq((7L, "apple"), (7L, "banana"), (7L, "apple")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id", q, k = 10)
+      .orderBy("rank").collect()
+    // duplicate query term collapses (set semantics); doc 3 matches nothing
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(3) > out(1).getDouble(3)) // two matched terms beat one
+  }
+
+  test("bigram LM: add-one smoothing, hand-computed perplexity") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val (c2, c1, v) = LanguageModel.trainBigram(train, "text", "doc_id")
+    assert(v.head().getLong(0) == 2)
+    // c2(a,b)=2 c2(b,a)=1; c1(a)=2 c1(b)=1; V=2
+    // "a b c": p(b|a)=(2+1)/(2+2)=3/4, p(c|b)=(0+1)/(1+2)=1/3
+    //   product 1/4 over 2 bigrams -> perplexity exactly 2
+    // "c d": both unseen prefixes -> p=(0+1)/(0+2)=1/2 twice -> perplexity 2
+    val score = Seq((10L, "a b c"), (11L, "c d")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreBigram(score, "text", "doc_id", c2, c1, v)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2 && out(1).getLong(1) == 1)
+    assert(out(0).getDouble(3) == 2.0) // perplexity round(exp(nll),4)
+    assert(out(1).getDouble(3) == 2.0)
+    // single-token and empty docs produce no bigrams -> no row
+    val empty = LanguageModel.scoreBigram(
+      Seq((12L, "solo"), (13L, "")).toDF("doc_id", "text"), "text", "doc_id", c2, c1, v)
+    assert(empty.count() == 0)
+  }
+
+  test("moments query matches Spark built-in stddev/covar/corr at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val ours = ReferenceQueries.moments(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        avg("l_quantity").as("mean_qty"),
+        var_samp("l_quantity").as("var_qty"),
+        stddev_samp("l_extendedprice").as("sd_price"),
+        covar_samp("l_quantity", "l_extendedprice").as("covar"),
+        corr("l_quantity", "l_extendedprice").as("corr"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ours.keySet == builtin.keySet && ours.nonEmpty)
+    for (flag <- ours.keySet) {
+      val (o, b) = (ours(flag), builtin(flag))
+      assert(o.getLong(1) == b.getLong(1))
+      for ((oi, bi) <- Seq(2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 6)) {
+        val (ov, bv) = (o.getDouble(oi), b.getDouble(bi))
+        assert(math.abs(ov - bv) <= 1e-6 * math.max(1.0, math.abs(bv)),
+          s"group $flag col $oi: power-sum $ov vs built-in $bv")
+      }
+    }
+  }
+}
