@@ -429,6 +429,38 @@ object ReferenceQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-less interval join through the bucketized band-join operator:
+    * clicks within the 60 s after each error, zero-counts included. No
+    * user_id equi-key on purpose — this is the join class Spark would
+    * otherwise plan as a nested loop (see operators/RangeJoin.scala; the
+    * oracle states the same query as a plain theta join, which DuckDB can
+    * afford at test scale).
+    */
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("ts")
+    graft.operators.RangeJoin.countInBand(errors, clicks, "event_id",
+        col("ts"), col("ts"), loUs = 0L, hiUs = 60L * 1000000L)
+      .withColumnRenamed("n_in_band", "n_clicks_60s")
+      .orderBy("event_id")
+  }
+
+  /** A8 — pivot (cross-tab): quantity by return flag × line status. The
+    * pivot values are enumerated, so the plan is a single partial+final
+    * aggregate with one conditional decimal sum per cell — no extra
+    * shuffle over the plain groupBy, and decimal funneling keeps cells
+    * deterministic (the oracle states it as CASE-filtered sums).
+    */
+  def pivotTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   // String-function breadth: concat_ws, lpad, replace, substring, length.
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
@@ -654,6 +686,22 @@ object ReferenceQueries {
                       sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
                   AS corr_qty_price
          FROM agg ORDER BY l_returnflag""",
+    // the theta-join statement of the bucketized band join
+    "ev_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events
+                    WHERE event_type = 'error'),
+              c AS (SELECT epoch_us(ts) AS t FROM events
+                    WHERE event_type = 'click')
+         SELECT e.event_id, count(c.t) AS n_clicks_60s
+         FROM e LEFT JOIN c ON c.t >= e.t AND c.t <= e.t + 60000000
+         GROUP BY e.event_id ORDER BY e.event_id""",
+    "a8_pivot" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_f,
+                CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "f_string_funcs" ->
       """SELECT s_suppkey,
                 concat_ws('|', s_name, s_nationkey) AS tagged,
@@ -764,6 +812,8 @@ object ReferenceQueries {
     "a6_percentiles" -> (percentiles _),
     "a6_percentiles_approx" -> (percentilesApprox _),
     "a7_moments" -> (moments _),
+    "a8_pivot" -> (pivotTable _),
+    "ev_range_join" -> (eventsRangeJoin _),
     "f_string_funcs" -> (stringFuncs _),
     "f_null_handling" -> (nullHandling _),
     "q1_pricing_summary" -> (q1PricingSummary _),
