@@ -115,6 +115,23 @@ object CorpusOps {
       .drop("__pid", "__h")
   }
 
+  /** Per-domain cap: keep at most `n` rows per domain/source, preferring
+    * the highest `scoreCol` (ties broken by lowest id) — the standard
+    * web-curation guard against any single domain dominating the corpus.
+    *
+    * Same TopKPerKey shape as [[sampleStratified]]: bounded per-key heaps,
+    * ≤ n rows per domain per task reach the shuffle. A `row_number()`
+    * window would shuffle and sort the FULL corpus to keep n rows per
+    * domain; with millions of domains and billions of pages the heap
+    * formulation is the one that survives.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                scoreCol: Column, n: Int): DataFrame =
+    graft.plans.TopK.perKey(
+        df.withColumn("__score", scoreCol),
+        Seq(col(domainCol)), Seq(col("__score").desc, col(idCol).asc), n)
+      .drop("__score")
+
   /** Token-length histogram: docs and token mass per power-of-two-ish
     * length bucket — the composition summary a data curator reads before
     * choosing packing budgets and length filters.

@@ -267,6 +267,17 @@ object PipelineQueries {
       .select("doc_id", "lang")
       .orderBy("lang", "doc_id")
 
+  /** Per-source cap: the 10 highest-quality docs per source, through the
+    * TopKPerKey bounded-heap operator — the web-curation guard against a
+    * single domain dominating the corpus.
+    */
+  def corpusDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.domainCap(
+        TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+          .select("doc_id", "source", "quality_score"),
+        "doc_id", "source", col("quality_score"), n = 10)
+      .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
+
   /** Deterministic global training-order permutation: (doc_id,
     * shuffle_pos) with positions 1..N in portable-md5-hash order.
     */
@@ -854,6 +865,28 @@ object PipelineQueries {
            GROUP BY lang, token) z
          WHERE rn <= 5
          ORDER BY lang, n DESC, token""",
+    "corpus_domain_cap" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id, source,
+                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stopwords
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+                  round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                      + 0.3 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4, 1.0)
+                      + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+           FROM f)
+         SELECT doc_id, source, quality_score FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY quality_score DESC, doc_id) AS rn
+           FROM q) z
+         WHERE rn <= 10
+         ORDER BY source, quality_score DESC, doc_id"""
+    },
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
@@ -1155,6 +1188,7 @@ object PipelineQueries {
     "corpus_vocab" -> (corpusVocab _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
+    "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_pack" -> (corpusPack _),

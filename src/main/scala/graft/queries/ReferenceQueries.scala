@@ -319,6 +319,21 @@ object ReferenceQueries {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q6-style forecast revenue: the pure scan-filter-agg shape. All
+    * three predicates reach the parquet scan (PushedFilters — row groups
+    * outside the shipdate year never leave storage); the revenue product
+    * is 2dp×2dp → exact at Decimal(38,4), so the single-row sum is
+    * partition-order independent.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(38, 4)))
+        .cast("double").as("revenue"))
+
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -757,6 +772,14 @@ object ReferenceQueries {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
     "sql_readback" ->
       """SELECT n_name, count(*) AS total_customers,
                 upper(substr(lower(min(c_name)),1,1)) || substr(lower(min(c_name)),2)
@@ -819,5 +842,6 @@ object ReferenceQueries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "sql_readback" -> (sqlReadback _))
 }

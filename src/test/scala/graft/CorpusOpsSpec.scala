@@ -76,6 +76,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("domain cap: at most n per source, the highest-quality ones, via TopKPerKey") {
+    val scored = TextAnalysis.quality(docs, "text", "doc_id")
+      .select("doc_id", "source", "quality_score")
+    val capped = CorpusOps.domainCap(scored, "doc_id", "source",
+      col("quality_score"), n = 10)
+    val perSource = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 <= 10))
+    // kept = the top-10 by (score desc, id asc) within each source
+    val want = scored.as[(Long, String, Double)].collect().toSeq
+      .groupBy(_._2).values.flatMap(_.sortBy(r => (-r._3, r._1)).take(10))
+      .map(_._1).toSet
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+  }
+
   test("global shuffle: a permutation of 1..N, partition-invariant") {
     val n = docs.count()
     val a = CorpusOps.globalShuffle(docs, "doc_id")
