@@ -210,11 +210,15 @@ object Dedup {
                  maxDf: Int = 100, portable: Boolean = false): DataFrame = {
     // same df-cap as ngramJaccard: a boilerplate shingle shared by millions
     // of docs would dominate every signature band and the verify join
-    val sh0 = if (portable) shingleHashesPortable(df, textCol, idCol, k)
-              else shingleHashes(df, textCol, idCol, k)
+    val sh0 = (if (portable) shingleHashesPortable(df, textCol, idCol, k)
+               else shingleHashes(df, textCol, idCol, k)).cache()
+    sh0.count() // the df-cap anti-join reads the raw stream from BOTH sides
+    // (hot-key agg + kept stream) — cached, the tokenize/hash explode runs
+    // once instead of twice
     val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
     sh.count() // materialize NOW: AQE runs downstream stages concurrently,
     // and racing consumers would each recompute the unbuilt cache
+    sh0.unpersist() // everything downstream reads the capped stream only
     val banded = bandKeysFor(sh, idCol, bands, rowsPerBand, portable)
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band_key"))
@@ -276,8 +280,22 @@ object Dedup {
   def minhashState(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
                    bands: Int = 8, rowsPerBand: Int = 4, maxDf: Int = 100,
                    portable: Boolean = false): (DataFrame, DataFrame) = {
-    val sh0 = if (portable) shingleHashesPortable(df, textCol, idCol, k)
-              else shingleHashes(df, textCol, idCol, k)
+    val sh0 = (if (portable) shingleHashesPortable(df, textCol, idCol, k)
+               else shingleHashes(df, textCol, idCol, k)).cache()
+    sh0.count() // one explode pass; the cap anti-join reads it twice
+    val state = minhashStateFromHashes(sh0, idCol, bands, rowsPerBand, maxDf, portable)
+    sh0.unpersist()
+    state
+  }
+
+  /** [[minhashState]] from an already-materialized raw shingle-hash stream
+    * (id, shingle) — lets a caller shingle several corpus slices in ONE
+    * pass and derive per-slice states by filtering the shared stream (the
+    * df-cap stays slice-local, as the incremental contract requires).
+    */
+  def minhashStateFromHashes(sh0: DataFrame, idCol: String, bands: Int = 8,
+                             rowsPerBand: Int = 4, maxDf: Int = 100,
+                             portable: Boolean = false): (DataFrame, DataFrame) = {
     val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
     sh.count()
     (bandKeysFor(sh, idCol, bands, rowsPerBand, portable), sh)

@@ -62,13 +62,19 @@ object PipelineQueries {
     * capped-shingle pipelines in SQL.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val (cBands, cSh) = Dedup.minhashState(d.filter(col("doc_id") % 5 =!= 0),
-      "text", "doc_id", k = 8, bands = 8, rowsPerBand = 4, maxDf = 100,
-      portable = true)
-    Dedup.minhashLshIncremental(d.filter(col("doc_id") % 5 === 0), cBands, cSh,
-        "text", "doc_id", k = 8, threshold = 0.30, bands = 8, rowsPerBand = 4,
-        maxDf = 100, portable = true)
+    // one tokenize/md5 explode pass over the whole table; both sides'
+    // states filter the shared cached stream (caps stay side-local —
+    // dropHotKeys counts within each filtered slice)
+    val allSh = Dedup.shingleHashesPortable(docs(s, dir), "text", "doc_id", 8).cache()
+    allSh.count()
+    val (cBands, cSh) = Dedup.minhashStateFromHashes(
+      allSh.filter(col("doc_id") % 5 =!= 0), "doc_id",
+      bands = 8, rowsPerBand = 4, maxDf = 100, portable = true)
+    val (bBands, bSh) = Dedup.minhashStateFromHashes(
+      allSh.filter(col("doc_id") % 5 === 0), "doc_id",
+      bands = 8, rowsPerBand = 4, maxDf = 100, portable = true)
+    Dedup.minhashLshIncrementalFromState(bBands, bSh, cBands, cSh,
+        "doc_id", threshold = 0.30)
       .orderBy("id_a", "id_b")
   }
 
