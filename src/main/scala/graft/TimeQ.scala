@@ -12,6 +12,9 @@ object TimeQ {
     force()
     val times = (1 to 2).map { _ =>
       spark.catalog.clearCache()
+      // flush unreferenced cache/checkpoint blocks NOW: the ContextCleaner
+      // otherwise removes them asynchronously inside the next measurement
+      System.gc(); Thread.sleep(2000)
       val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
     }
     println(f"$name: min ${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")

@@ -115,6 +115,35 @@ object CorpusOps {
       .drop("__pid", "__h")
   }
 
+  /** Temperature-scaled mixture sampling: per-key acceptance rates derived
+    * from the corpus itself so the kept distribution follows p_k ∝ n_k^α
+    * (α < 1 upsamples rare keys relative to their share — the standard
+    * multilingual/any-source rebalancing scheme). `targetFraction` fixes
+    * the expected kept share of the whole corpus; per-key rates are capped
+    * at 1 (a key cannot contribute more rows than it has).
+    *
+    * Two passes: a count aggregate builds the (tiny) per-key rate table,
+    * which broadcast-joins back onto the corpus for the same deterministic
+    * hash decision as [[sampleByHash]] — map-only after the one count agg,
+    * reproducible under any partitioning. Rates are rounded to 6dp so the
+    * SQL oracle computes the identical boundary.
+    */
+  def mixtureTemperature(df: DataFrame, idCol: String, keyCol: String,
+                         alpha: Double, targetFraction: Double,
+                         salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    val total = sum(col("__n")).over() // over the handful of keys, post-agg
+    val mass = sum(pow(col("__n"), alpha)).over()
+    val rates = counts
+      .withColumn("__rate",
+        round(least(lit(1.0),
+          lit(targetFraction) * total * pow(col("__n"), alpha) / (mass * col("__n"))), 6))
+      .select(col(keyCol), col("__rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Per-domain cap: keep at most `n` rows per domain/source, preferring
     * the highest `scoreCol` (ties broken by lowest id) — the standard
     * web-curation guard against any single domain dominating the corpus.

@@ -456,9 +456,15 @@ object Dedup {
     * from 80k docs), the keep-list is linear. Each round is one
     * shuffle-join + aggregate; the driver loop only reads a convergence
     * count, never the data.
+    *
+    * Edge sets at or under `driverEdgeCap` (measured, not guessed — the
+    * edge count is materialized anyway) take a driver-side union-find fast
+    * path instead: one collect of the bounded edge list replaces ~5 jobs
+    * per propagation round. Long ids only on that path; both paths emit
+    * identical min-label representatives (spec-checked).
     */
   def clusterReps(df: DataFrame, pairs: DataFrame, idCol: String,
-                  maxRounds: Int = 20): DataFrame = {
+                  maxRounds: Int = 20, driverEdgeCap: Long = 1L << 20): DataFrame = {
     // both edge directions from ONE pass over pairs (explode, not a
     // 2-branch union): the pair set may be a whole LSH pipeline, and a
     // union would evaluate it twice — or force an extra cache+materialize
@@ -472,7 +478,15 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .join(df.select(col(idCol).as("b")), Seq("b"), "left_semi")
       .cache()
-    edges.count()
+    val nEdges = edges.count()
+    // Small-graph fast path: pair sets under the cap union-find on the
+    // driver in one pass — the same bounded small-side move as a broadcast
+    // join (the count above makes the bound a measured fact, not a guess).
+    // A dedup pair list is already capped by the LSH bucket guards, so in
+    // practice only corpus-scale jobs take the iterative path below; both
+    // paths produce the identical min-label representatives.
+    if (nEdges <= driverEdgeCap)
+      return clusterRepsLocal(df, edges, idCol)
     // only docs that appear in a pair participate in propagation — the
     // (typically much larger) isolated remainder is attached as
     // self-representing at the end, instead of dead weight in every round
@@ -522,6 +536,45 @@ object Dedup {
         "(astronomical component diameter) — raise maxRounds")
     df.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep_id"))
+  }
+
+  /** Driver-side union-find for [[clusterReps]]' small-graph fast path:
+    * exact min-label components of a bounded, already-materialized edge
+    * set. The label map broadcasts back; docs in no pair self-represent.
+    */
+  private def clusterRepsLocal(df: DataFrame, edges: DataFrame,
+                               idCol: String): DataFrame = {
+    // Restrict to edges whose SOURCE endpoint is also in df: the iterative
+    // path keeps phantom-source edges but their labels never reach real
+    // nodes (phantom labels flow nowhere), so components over real-real
+    // edges are the semantics both paths share. Select by name — the semi
+    // join's USING column leads the output.
+    val es = edges.join(df.select(col(idCol).as("a")), Seq("a"), "left_semi")
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min: the smaller root stays the label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val labels = parent.keys.map(id => (id, find(id))).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val repDf = labels.toDF(idCol, "comp")
+    df.select(col(idCol))
+      .join(broadcast(repDf), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep_id"))
   }
 

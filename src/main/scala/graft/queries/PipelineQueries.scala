@@ -299,6 +299,16 @@ object PipelineQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Temperature-scaled (α = 0.5) mixture: rare languages upsampled
+    * relative to their corpus share, 30% of the corpus kept in
+    * expectation.
+    */
+  def corpusMixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.mixtureTemperature(docs(s, dir), "doc_id", "lang",
+        alpha = 0.5, targetFraction = 0.3, salt = "temp")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   def corpusPack(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     graft.operators.CorpusOps.packSequential(d, "doc_id",
@@ -912,6 +922,17 @@ object PipelineQueries {
                              doc_id) AS shuffle_pos
            FROM documents)
          ORDER BY doc_id""",
+    "corpus_mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           r AS (SELECT lang,
+                        round(least(1.0,
+                          0.3 * (SELECT sum(n) FROM c) * pow(n, 0.5)
+                            / ((SELECT sum(pow(n, 0.5)) FROM c) * n)), 6) AS rate
+                 FROM c)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5('s:temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) / 16777216.0 < r.rate
+         ORDER BY d.doc_id""",
     "corpus_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5('s:r2:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -1197,6 +1218,7 @@ object PipelineQueries {
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_mixture" -> (corpusMixture _),
+    "corpus_mixture_temperature" -> (corpusMixtureTemperature _),
     "corpus_pack" -> (corpusPack _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),
     "corpus_pipeline" -> (corpusPipeline _),

@@ -216,6 +216,28 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def readBucketed(table: String): DataFrame = spark.table(s"graft_$table")
 
   /** K5 — append one audit row per run (reference scr/etl_batch.py:156-163). */
+  /** Small-file compaction: rewrite `table` into ⌈rows / targetRowsPerFile⌉
+    * files. Continuous idempotent appends leave one small parquet file per
+    * micro-batch; at warehouse scale the file count (not data size) comes to
+    * dominate planning and scan startup, so periodic compaction is part of
+    * table maintenance. Contents are preserved exactly; goes through
+    * [[overwrite]]'s temp-then-swap so a concurrent reader never sees a
+    * half-compacted table. Returns (filesBefore, filesAfter).
+    */
+  def compact(table: String, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+    def parquetFiles: Int = {
+      val stream = Files.list(Paths.get(path(table)))
+      try stream.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally stream.close()
+    }
+    val before = parquetFiles
+    val df = read(table)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    if (nFiles < before) overwrite(table, df.repartition(nFiles))
+    (before, if (nFiles < before) parquetFiles else before)
+  }
+
   def appendAudit(table: String, runId: String, startedAt: String, sourceFile: String,
                   validCount: Long, rejectedCount: Long, insertedNew: Long,
                   ignoredDuplicates: Long): Unit = {

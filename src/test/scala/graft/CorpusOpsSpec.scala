@@ -76,6 +76,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("temperature mixture: rare keys upsampled, partition-invariant, rate-capped") {
+    val kept = CorpusOps.mixtureTemperature(docs, "doc_id", "lang",
+        alpha = 0.5, targetFraction = 0.3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // per-key keep rates: rarer languages keep a HIGHER fraction
+    val rates = all.map { case (k, n) => k -> kept.getOrElse(k, 0L).toDouble / n }
+    val sorted = all.toSeq.sortBy(_._2) // by corpus count asc
+    assert(rates(sorted.head._1) > rates(sorted.last._1),
+      s"rarest should out-keep the most common: $rates vs counts $all")
+    // overall mass near the target fraction
+    val frac = kept.values.sum.toDouble / all.values.sum
+    assert(math.abs(frac - 0.3) < 0.1, s"kept fraction $frac")
+    // deterministic under repartitioning
+    val a = CorpusOps.mixtureTemperature(docs, "doc_id", "lang", 0.5, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.mixtureTemperature(docs.repartition(11), "doc_id", "lang", 0.5, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("domain cap: at most n per source, the highest-quality ones, via TopKPerKey") {
     val scored = TextAnalysis.quality(docs, "text", "doc_id")
       .select("doc_id", "source", "quality_score")

@@ -130,10 +130,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // plain pair, and isolated docs
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 8L))
       .toDF("id_a", "id_b")
-    val reps = Dedup.clusterReps(corpus, pairs, "doc_id")
-      .as[(Long, Long)].collect().toMap
-    assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
-      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+    // both execution paths: driver union-find (default at this size) and
+    // the distributed propagation loop (cap 0 forces it)
+    Seq(1L << 20, 0L).foreach { cap =>
+      val reps = Dedup.clusterReps(corpus, pairs, "doc_id", driverEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+        5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L), s"cap=$cap")
+    }
   }
 
   test("incremental minhash == full-corpus pairs restricted to batch-involving pairs") {
@@ -163,13 +167,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // not surface as a rep, and 5-6 must not connect through it.
     val corpus = Seq((5L, "x"), (6L, "y"), (7L, "z")).toDF("doc_id", "text")
     val phantomRep = Seq((3L, 5L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.clusterReps(corpus, phantomRep, "doc_id")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
     val phantomRelay = Seq((5L, 3L), (3L, 6L)).toDF("id_a", "id_b")
-    val got2 = Dedup.clusterReps(corpus, phantomRelay, "doc_id")
-      .as[(Long, Long)].collect().toMap
-    assert(got2 == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+    Seq(1L << 20, 0L).foreach { cap => // union-find path AND distributed path
+      val got = Dedup.clusterReps(corpus, phantomRep, "doc_id", driverEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L), s"cap=$cap")
+      val got2 = Dedup.clusterReps(corpus, phantomRelay, "doc_id", driverEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got2 == Map(5L -> 5L, 6L -> 6L, 7L -> 7L), s"cap=$cap")
+    }
   }
 
   test("cluster reps: 1000-node chain converges in O(log diameter) rounds") {
@@ -180,7 +186,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = 1000
     val corpus = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val reps = Dedup.clusterReps(corpus, pairs, "doc_id")
+    // cap 0: force the distributed propagation loop (the property under test)
+    val reps = Dedup.clusterReps(corpus, pairs, "doc_id", driverEdgeCap = 0L)
       .as[(Long, Long)].collect()
     assert(reps.length == n)
     assert(reps.forall(_._2 == 0L))

@@ -75,6 +75,24 @@ class EtlSpec extends SparkSpec {
     assert(s3.attempted == 2 && s3.inserted == 1)
   }
 
+  test("table compaction: file count drops, contents exact") {
+    val wh = new Warehouse(spark, tempDir("wh"))
+    // ten micro-batch appends → ten (or more) small files
+    (1 to 10).foreach { i =>
+      wh.idempotentAppend("fact",
+        Seq((s"P$i", 20 + i, i.toLong, s"run$i")).toDF("nombre", "edad", "ciudad_id", "run_id"),
+        Seq("nombre", "edad", "ciudad_id"))
+    }
+    val beforeRows = wh.read("fact").collect().map(_.toString).sorted.toSeq
+    val (before, after) = wh.compact("fact", targetRowsPerFile = 1000000L)
+    assert(before >= 10 && after == 1, s"files $before -> $after")
+    val afterRows = wh.read("fact").collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // already-compact table: no rewrite
+    val (b2, a2) = wh.compact("fact")
+    assert(b2 == 1 && a2 == 1)
+  }
+
   test("J1 dimension: surrogate ids stable across loads") {
     val wh = new Warehouse(spark, tempDir("wh"))
     val d1 = wh.ensureDimension("dim", Seq("b", "a").toDF("nombre"), "nombre", "id")
