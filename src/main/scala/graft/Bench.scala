@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query steady-state seconds.
   *
-  * Protocol: one warmup run absorbs one-time costs a long-lived engine
-  * does not pay per query (JIT + whole-stage codegen compilation, parquet
-  * footer caching, broadcast warmup); then two measured runs, min
-  * reported. `spark.catalog.clearCache()` runs before EACH measured run,
-  * so operator-internal `.cache()` intermediates (shingle indexes, LSH
+  * Protocol: one warmup PASS over all queries absorbs one-time costs a
+  * long-lived engine does not pay per query (JIT + whole-stage codegen
+  * compilation, parquet footer caching, broadcast warmup); then three
+  * measured PASSES over all queries, min per query reported — passes
+  * rather than back-to-back repeats so multi-minute host-contention
+  * windows can't pollute every sample of one query.
+  * `spark.catalog.clearCache()` runs before EACH measured run, so
+  * operator-internal `.cache()` intermediates (shingle indexes, LSH
   * signatures, candidate sets) are rebuilt INSIDE the measurement — a
   * measured run is the full cost of the query from cold storage, not a
   * read-through of the warmup's materialized caches (r1 advice). Results
@@ -42,26 +45,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val t = try {
-        force(name) // warmup: codegen + JIT + footer cache
-        val runs = (1 to 2).map { _ =>
-          // drop operator-internal caches so each measured run pays its
-          // own materialization, not the previous run's
+    // Pass-interleaved protocol: one warmup pass over every query, then 2
+    // measured passes over every query, min per query. Host-contention
+    // windows on this shared VM last minutes — back-to-back runs of one
+    // query land in the SAME window and its min is still polluted, while
+    // interleaved passes measure each query at two well-separated times.
+    // clearCache() before every measured run keeps each run paying its
+    // own operator-internal materializations (r1 advice); the GC absorbs
+    // freed cache blocks outside the next measurement.
+    names.foreach { name => // warmup: codegen + JIT + footer cache
+      try force(name) catch { case _: Throwable => () }
+      spark.catalog.clearCache(); System.gc()
+    }
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
+        val t = try {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           force(name)
           (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        spark.catalog.clearCache(); System.gc()
+        best(name) = (best.get(name), t) match {
+          case (Some(p), n) if n >= 0 => math.min(p, n)
+          case (Some(p), _) => p
+          case (None, n) => n
         }
-        runs.min // damp GC/scheduling noise
-      } catch { case _: Throwable => -1.0 }
-      // drop operator-internal scratch caches so they don't pressure the
-      // heap of later queries, and absorb the collection cost here rather
-      // than inside the next query's measurement
-      spark.catalog.clearCache()
-      System.gc()
-      name -> t
+      }
     }
+    val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -334,6 +334,31 @@ object ReferenceQueries {
       .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(38, 4)))
         .cast("double").as("revenue"))
 
+  /** TPC-H Q18-style large-volume customers: the high-cardinality
+    * aggregation shape — lineitem rolls up per ORDER (≈ one group per 4
+    * rows; partial+final HashAggregate carries it). The >threshold
+    * survivor set is tiny at ANY scale (it's the point of the filter), so
+    * it is explicitly broadcast into both joins — without the hint,
+    * Catalyst's post-aggregate size estimate makes it broadcast the
+    * ORDERS fact table instead, a plan that dies at 100 TB. The global
+    * top-100 plans as TakeOrderedAndProject (no full sort).
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    broadcast(t(s, dir, "orders")
+        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey")))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("odate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -772,6 +797,18 @@ object ReferenceQueries {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice, sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey) b
+           ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE sum_qty > 300
+         ORDER BY o_totalprice DESC, odate, o_orderkey
+         LIMIT 100""",
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE)
                   AS revenue
@@ -843,5 +880,6 @@ object ReferenceQueries {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "sql_readback" -> (sqlReadback _))
 }
