@@ -107,6 +107,21 @@ object ScaleProbe {
       "doc_id", "lang", n = 1000).count())
     time("global_shuffle")(graft.operators.CorpusOps.globalShuffle(
       big, "doc_id").count())
+    // domain cap under heavy skew: one mega-domain holds half the corpus,
+    // the rest spread thin — the bounded-heap TopKPerKey must keep ≤ n
+    // per domain without window-sorting the replicated corpus
+    time("domain_cap_skewed")(graft.operators.CorpusOps.domainCap(
+      big.withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("mega"))
+          .otherwise(concat(lit("s"), col("doc_id") % 997))),
+      "doc_id", "source", col("doc_id").cast("double"), n = 10).count())
+    // temperature mixture on the same skew: the count agg sees one huge
+    // and many tiny keys; rates broadcast back, selection stays map-only
+    time("mixture_temperature_skewed")(graft.operators.CorpusOps.mixtureTemperature(
+      big.withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("mega"))
+          .otherwise(concat(lit("s"), col("doc_id") % 997))),
+      "doc_id", "source", alpha = 0.3, targetFraction = 0.2).count())
     spark.stop()
   }
 }
