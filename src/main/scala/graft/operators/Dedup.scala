@@ -233,7 +233,11 @@ object Dedup {
     * `sh` must already be materialized (cached or persisted).
     */
   private[operators] def bandKeysFor(sh: DataFrame, idCol: String, bands: Int,
-                                     rowsPerBand: Int, portable: Boolean): DataFrame = {
+                                     rowsPerBand: Int, portable: Boolean,
+                                     cacheSig: Boolean = true): DataFrame = {
+    // `cacheSig = false` when the caller consumes the banded keys exactly
+    // once (e.g. the corpus side of the incremental join): skipping the
+    // eager cache+count drops one driver barrier and one materialization
     val numHashes = bands * rowsPerBand
     if (portable) {
       // affine families h_i(s) = (a_i*s + b_i) mod p over the shingle hash:
@@ -247,8 +251,8 @@ object Dedup {
       }
       // cached: candidate joins reference the signature aggregate from
       // both sides
-      val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*).cache()
-      sig.count()
+      val sig0 = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      val sig = if (cacheSig) { val c = sig0.cache(); c.count(); c } else sig0
       val bandKeys = array((0 until bands).map { b =>
         concat_ws(":", lit(b) +:
           (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
@@ -295,10 +299,11 @@ object Dedup {
     */
   def minhashStateFromHashes(sh0: DataFrame, idCol: String, bands: Int = 8,
                              rowsPerBand: Int = 4, maxDf: Int = 100,
-                             portable: Boolean = false): (DataFrame, DataFrame) = {
+                             portable: Boolean = false,
+                             cacheBandSig: Boolean = true): (DataFrame, DataFrame) = {
     val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
     sh.count()
-    (bandKeysFor(sh, idCol, bands, rowsPerBand, portable), sh)
+    (bandKeysFor(sh, idCol, bands, rowsPerBand, portable, cacheBandSig), sh)
   }
 
   /** Incremental MinHash-LSH: near-dup pairs of a NEW batch against an

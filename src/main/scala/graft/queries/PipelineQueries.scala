@@ -69,7 +69,8 @@ object PipelineQueries {
     allSh.count()
     val (cBands, cSh) = Dedup.minhashStateFromHashes(
       allSh.filter(col("doc_id") % 5 =!= 0), "doc_id",
-      bands = 8, rowsPerBand = 4, maxDf = 100, portable = true)
+      bands = 8, rowsPerBand = 4, maxDf = 100, portable = true,
+      cacheBandSig = false) // corpus bands feed exactly one join below
     val (bBands, bSh) = Dedup.minhashStateFromHashes(
       allSh.filter(col("doc_id") % 5 === 0), "doc_id",
       bands = 8, rowsPerBand = 4, maxDf = 100, portable = true)
