@@ -432,6 +432,21 @@ object ReferenceQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** A9 scale path: HyperLogLog++ distinct counts — fixed sketch memory
+    * per group instead of a distinct-shuffle over every value, mergeable
+    * partial/final (map-side combine). Rows-only driver check (sketch
+    * estimates are algorithm-specific); PercentileSpec pins each estimate
+    * within 2% of the exact count. The exact `a4_distinct` family remains
+    * the oracle anchor.
+    */
+  def distinctApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("nd_part"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_order"))
+      .orderBy("l_returnflag")
+
   /** A7 — second-moment statistics (variance / stddev / covariance /
     * correlation) via one-pass decimal power sums: Σx, Σx², Σy, Σy², Σxy
     * are exact decimal aggregates (partial+final, map-side combinable),
@@ -871,6 +886,7 @@ object ReferenceQueries {
     "w2_window_variety" -> (windowVariety _),
     "a6_percentiles" -> (percentiles _),
     "a6_percentiles_approx" -> (percentilesApprox _),
+    "a9_distinct_approx" -> (distinctApprox _),
     "a7_moments" -> (moments _),
     "a8_pivot" -> (pivotTable _),
     "ev_range_join" -> (eventsRangeJoin _),

@@ -2,12 +2,31 @@ package graft
 
 import graft.queries.ReferenceQueries
 
-/** The approx-percentile scale path must track the exact anchor: with
-  * accuracy 10000 and sf0.01 group sizes (~20k rows), the GK sketch's
-  * rank error is ≤ n/10000 — a tiny relative value error on these
-  * distributions. Assert 1% relative agreement per group and percentile.
+/** The sketch scale paths must track their exact anchors: with accuracy
+  * 10000 and sf0.01 group sizes (~20k rows), the GK sketch's rank error
+  * is ≤ n/10000 — a tiny relative value error on these distributions.
+  * Assert 1% relative agreement per group and percentile; HLL++ distinct
+  * estimates at rsd 0.01 must sit within 2%.
   */
 class PercentileSpec extends SparkSpec {
+
+  test("approx distinct counts within 2% of exact per group at sf0.01") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val approx = ReferenceQueries.distinctApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_orderkey")).as("nd_order"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for (flag <- exact.keySet) {
+      val (ep, eo) = exact(flag); val (ap, ao) = approx(flag)
+      assert(math.abs(ap - ep) <= 0.02 * ep, s"$flag parts: $ap vs $ep")
+      assert(math.abs(ao - eo) <= 0.02 * eo, s"$flag orders: $ao vs $eo")
+    }
+  }
 
   test("approx percentiles within 1% of exact per group at sf0.01") {
     val sf = "/root/testdata/sf0.01"
