@@ -194,8 +194,33 @@ object Similarity {
     * and the only exchange is TopKPerKey's ≤ k rows per (query, task).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nlist: Int, nprobe: Int = 1): DataFrame = {
-    val pl = pivotLiteral(ivfPivots(corpus, vecCol, idCol, nlist)) // one collect
+              idCol: String, k: Int, nlist: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKWithPivots(corpus, queries,
+      pivotLiteral(ivfPivots(corpus, vecCol, idCol, nlist)), // one collect
+      vecCol, idCol, k, nprobe)
+
+  /** IVF with k-means-TRAINED cells: Lloyd centroids replace the
+    * hash-sampled pivots — tighter cells, better recall at the same
+    * nprobe. The centers are a bounded driver artifact exactly like
+    * [[ivfPivots]]' literal; at real scale they are trained once on a
+    * sample, persisted, and reused across every query batch. Synthetic
+    * cell ids 0..nlist-1; centroids cast to float for the cosine routing
+    * (cell assignment needs no double precision).
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int, nlist: Int, iters: Int,
+                     nprobe: Int = 1): DataFrame = {
+    val cents = Clustering.kmeans(corpus, vecCol, idCol, nlist, iters)
+    val pl = array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(lit(c.toLong).as("c"),
+        typedLit(cv.map(_.toFloat).toSeq).as("pv"))
+    }.toIndexedSeq: _*)
+    ivfTopKWithPivots(corpus, queries, pl, vecCol, idCol, k, nprobe)
+  }
+
+  private def ivfTopKWithPivots(corpus: DataFrame, queries: DataFrame,
+                                pl: Column, vecCol: String, idCol: String,
+                                k: Int, nprobe: Int): DataFrame = {
     val assigned = assignCells(corpus, pl, vecCol, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell_id"))
     val qCells = probeCells(queries, pl, vecCol, idCol, nprobe)

@@ -131,6 +131,18 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with k-means-trained cells (8 centers, 5 Lloyd iterations):
+    * Lloyd centroids replace the hash pivots — the production ANN shape
+    * (train once, persist, probe). Rows-only driver check; recall vs
+    * brute force is spec-pinned in DedupSimilaritySpec.
+    */
+  def simTopkIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Similarity.ivfTopKTrained(all, all.filter(col("vec_id") < 10), "embedding",
+        "vec_id", k = 5, nlist = 8, iters = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** k-means over the embeddings (k=8, 2 Lloyd iterations, deterministic
     * md5-order seeds, 2^-20 integer-grid centroid arithmetic) — flattened
     * to (cell_id, dim, cval, n_members) scalars. Fully oracle-checkable:
@@ -1203,6 +1215,7 @@ object PipelineQueries {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_kmeans" -> (simKmeans _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
