@@ -264,6 +264,13 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // Cube: all 2^d grouping sets in one pass (Expand + single aggregate).
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // TPC-H Q1-style pricing summary: the headline heavy aggregation.
   // Derived measures are exact: 2dp x 2dp products have <= 4dp (6dp with
   // tax), so the decimal casts lose nothing and sums are order-independent.
@@ -844,6 +851,11 @@ object ReferenceQueries {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a5_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "ev_sessionize" ->
       """SELECT user_id,
                 count(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 END)
@@ -882,6 +894,7 @@ object ReferenceQueries {
     "f5_try_cast" -> (tryCastValidity _),
     "set_ops" -> (setOps _),
     "a5_rollup" -> (rollupAgg _),
+    "a5_cube" -> (cubeAgg _),
     "j5_outer_join" -> (outerJoin _),
     "w2_window_variety" -> (windowVariety _),
     "a6_percentiles" -> (percentiles _),
