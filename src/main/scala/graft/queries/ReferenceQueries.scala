@@ -366,6 +366,51 @@ object ReferenceQueries {
       .limit(100)
   }
 
+  /** TPC-H Q4-style order-priority check: the EXISTS → LEFT SEMI join
+    * shape. The probe side is projected to ONE column before the join and
+    * never deduplicated — a hash semi-join stops at the first build match,
+    * so no `distinct` (an extra shuffle+agg) is ever needed. Fact⋈fact on
+    * l_orderkey shuffles both sides on the join key; the orderdate filter
+    * is pushed to the orders scan. Cf. reference filter+join routing
+    * (`scr/etl_batch.py:60-75`) lifted to the relational EXISTS form.
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val probe = t(s, dir, "lineitem")
+      .filter(col("l_discount") >= 0.06)
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(probe, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: the correlated aggregate
+    * subquery shape (`l_quantity < 0.2 * avg(l_quantity) per part`),
+    * decorrelated as aggregate-then-join — the only plan that scales
+    * (per-row subquery execution would rescan lineitem per part). The
+    * brand filter broadcasts into the fact scan first so both the avg and
+    * the final sum touch only that brand's lineitems; the per-part avg is
+    * itself tiny (≤ parts of one brand) and broadcasts back. Avg is
+    * decimal-funneled so the 0.2·avg threshold is bit-identical under any
+    * partitioning.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("p_partkey").as("ak"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQ), col("p_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -839,6 +884,27 @@ object ReferenceQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount >= 0.06)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#23'),
+            av AS (SELECT l_partkey AS ak,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                            / count(*) AS avg_qty
+                   FROM li GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
+                  AS avg_yearly
+         FROM li JOIN av ON l_partkey = ak
+         WHERE l_quantity < 0.2 * avg_qty""",
     "sql_readback" ->
       """SELECT n_name, count(*) AS total_customers,
                 upper(substr(lower(min(c_name)),1,1)) || substr(lower(min(c_name)),2)
@@ -909,6 +975,8 @@ object ReferenceQueries {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "sql_readback" -> (sqlReadback _))
 }

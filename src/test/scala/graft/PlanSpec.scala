@@ -104,6 +104,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  // AQE's executedPlan string prints Final + Initial plans back to back;
+  // shape counts must look at the final section only.
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    assert(df.collect() != null) // finalize AQE
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q4: EXISTS plans as a hash semi-join, no distinct on the probe side") {
+    val p = finalPlan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the probe side must not pay a dedup aggregate before the semi-join:
+    // exactly the two HashAggregates of the final partial+final group-by
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") == 2, p)
+  }
+
+  test("q17: decorrelated subquery — all joins broadcast, fact never broadcast") {
+    val p = finalPlan("q17_small_quantity")
+    // 3 = brand-filter join under the avg build + the same join on the
+    // probe branch + the avg broadcast back onto the probe. The fact scan
+    // runs twice (standard for decorrelated Q17); neither copy broadcasts.
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 3, p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("every oracled query name has a queries entry") {
     val q = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- q
