@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -269,6 +269,22 @@ object PipelineQueries {
         orderBy = Seq(col("n").desc, col("token").asc),
         k = 5)
       .orderBy(col("lang"), col("n").desc, col("token"))
+
+  /** Vocabulary head through the count-min-sketch scale path: the token
+    * stream is never shuffled (fixed-memory sketch per language + per-
+    * partition Misra-Gries candidates). At this vocabulary size the CMS
+    * estimates are collision-free, so the query carries the SAME oracle as
+    * the exact `corpus_vocab` — the sketch provably reproduced the exact
+    * counts; the eps·N error bound is what changes at scale, pinned in
+    * SketchesSpec.
+    */
+  def corpusVocabCms(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+        docs(s, dir)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "lang", "token", k = 5)
+      .select(col("lang"), col("token"), col("n_est"))
+      .orderBy(col("lang"), col("n_est").desc, col("token"))
 
   // ---- corpus assembly ---------------------------------------------------
 
@@ -885,6 +901,15 @@ object PipelineQueries {
     // false positives can't reach the output.
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
+    "corpus_vocab_cms" ->
+      """SELECT lang, token, n AS n_est FROM (
+           SELECT lang, token, count(*) AS n,
+                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+           FROM (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+                 FROM documents) t
+           GROUP BY lang, token) z
+         WHERE rn <= 5
+         ORDER BY lang, n DESC, token""",
     "corpus_vocab" ->
       """SELECT lang, token, n FROM (
            SELECT lang, token, count(*) AS n,
@@ -1227,6 +1252,7 @@ object PipelineQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "corpus_vocab" -> (corpusVocab _),
+    "corpus_vocab_cms" -> (corpusVocabCms _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_domain_cap" -> (corpusDomainCap _),
