@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -285,6 +285,23 @@ object PipelineQueries {
         "lang", "token", k = 5)
       .select(col("lang"), col("token"), col("n_est"))
       .orderBy(col("lang"), col("n_est").desc, col("token"))
+
+  /** BPE merge training: 24 merges learned from the corpus. Rows-only for
+    * the driver (iterative training isn't SQL-expressible); BpeSpec pins
+    * the merge sequence word-for-word against a local in-memory reference
+    * implementation.
+    */
+  def corpusBpe(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainTable(docs(s, dir), "text", numMerges = 24).orderBy("rank")
+
+  /** BPE encoding: per-doc subword statistics under 16 learned merges —
+    * train once, broadcast the merge list, one map-only encode pass.
+    */
+  def corpusBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Bpe.encode(d, "text", "doc_id", Bpe.train(d, "text", numMerges = 16))
+      .orderBy("doc_id")
+  }
 
   // ---- corpus assembly ---------------------------------------------------
 
@@ -1253,6 +1270,8 @@ object PipelineQueries {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_vocab_cms" -> (corpusVocabCms _),
+    "corpus_bpe" -> (corpusBpe _),
+    "corpus_bpe_encode" -> (corpusBpeEncode _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_domain_cap" -> (corpusDomainCap _),

@@ -1,0 +1,82 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** The distributed BPE trainer pinned word-for-word against a local
+  * in-memory reference implementation (the formulation every tokenizer
+  * library uses): same weighted pair counts, same (weight desc, pair asc)
+  * tie-break, same left-to-right non-overlapping merge scan.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference BPE on a driver-local word-frequency map. */
+  private def localBpe(wordCounts: Map[String, Long], numMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString) :+ Bpe.EndOfWord, c)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until numMerges) {
+      val pairs = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), pw) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((a, b, pw))
+        vocab = vocab.groupMapReduce { case (syms, _) => Bpe.mergePair(syms, a, b) }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private def wordCounts: Map[String, Long] =
+    Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("distributed merge sequence equals the local reference, 24 merges") {
+    val dist = Bpe.train(Tables.load(spark, sf, "documents"), "text", 24)
+      .map(m => (m.left, m.right, m.pairCount))
+    val local = localBpe(wordCounts, 24)
+    assert(dist == local, s"\ndist : $dist\nlocal: $local")
+  }
+
+  test("encode: subword count equals chars+words minus merge applications per doc") {
+    val d = Tables.load(spark, sf, "documents").limit(50)
+    val merges = Bpe.train(d, "text", 8)
+    val enc = Bpe.encode(d, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // local re-encode of one doc must agree exactly
+    val rows = d.select("doc_id", "text").collect()
+    rows.take(5).foreach { r =>
+      val words = r.getString(1).trim.toLowerCase.split(" ").filter(_.nonEmpty)
+      var nSub = 0L
+      words.foreach { w =>
+        var syms: Seq[String] = w.map(_.toString) :+ Bpe.EndOfWord
+        merges.foreach(m => syms = Bpe.mergePair(syms, m.left, m.right))
+        nSub += syms.length
+      }
+      assert(enc(r.getLong(0)) == ((words.length.toLong, nSub)), s"doc ${r.getLong(0)}")
+    }
+    // every subword count is bounded by the unmerged length (chars + EOW)
+    enc.values.foreach { case (nw, ns) => assert(ns >= nw) }
+  }
+
+  test("merges are deterministic under repartitioning") {
+    val d = Tables.load(spark, sf, "documents")
+    val a = Bpe.train(d.repartition(2), "text", 6)
+    val b = Bpe.train(d.repartition(11), "text", 6)
+    assert(a == b)
+  }
+}
