@@ -69,7 +69,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("w"))
       .as[(String, Long)]
       .map { case (word, w) => WordSyms(word.map(_.toString) :+ EndOfWord, w) }
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -90,10 +90,12 @@ object Bpe {
         val row = top(0)
         val (a, b, pw) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(rank, a, b, pw)
-        // (3) map-only rewrite; eager checkpoint materializes the new
-        // generation and cuts the lineage (see discipline note above).
+        // (3) map-only rewrite. LAZY checkpoint: the next iteration's
+        // pair-count job materializes the new generation as a side
+        // effect, so each merge costs ONE job, not a materialize+agg
+        // pair; lineage is cut identically (see discipline note above).
         vocab = vocab.map(ws => WordSyms(mergePair(ws.syms, a, b), ws.w))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         rank += 1
       }
     }

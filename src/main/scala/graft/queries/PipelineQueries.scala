@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, QualityModel, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -286,20 +286,36 @@ object PipelineQueries {
       .select(col("lang"), col("token"), col("n_est"))
       .orderBy(col("lang"), col("n_est").desc, col("token"))
 
-  /** BPE merge training: 24 merges learned from the corpus. Rows-only for
+  /** Trained quality classifier: logistic regression distilled from the
+    * rule-based quality heuristic by distributed batch GD (weights enter
+    * each iteration as literals; gradient = one decimal-funneled
+    * partial+final aggregate). Rows-only for the driver (iterative
+    * training isn't SQL-expressible); accuracy, bit-determinism under
+    * repartitioning, and loss descent are pinned in QualityModelSpec.
+    */
+  def textQualityTrained(s: SparkSession, dir: String): DataFrame = {
+    val ft = QualityModel.featureTable(docs(s, dir), "text", "doc_id")
+    val w = QualityModel.train(ft, QualityModel.defaultFeatures, "label")
+    QualityModel.score(ft, QualityModel.defaultFeatures, w)
+      .select(col("doc_id"), col("label").cast("int").as("label"),
+        col("predicted"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge training: 16 merges learned from the corpus. Rows-only for
     * the driver (iterative training isn't SQL-expressible); BpeSpec pins
     * the merge sequence word-for-word against a local in-memory reference
     * implementation.
     */
   def corpusBpe(s: SparkSession, dir: String): DataFrame =
-    Bpe.trainTable(docs(s, dir), "text", numMerges = 24).orderBy("rank")
+    Bpe.trainTable(docs(s, dir), "text", numMerges = 16).orderBy("rank")
 
-  /** BPE encoding: per-doc subword statistics under 16 learned merges —
+  /** BPE encoding: per-doc subword statistics under 8 learned merges —
     * train once, broadcast the merge list, one map-only encode pass.
     */
   def corpusBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Bpe.encode(d, "text", "doc_id", Bpe.train(d, "text", numMerges = 16))
+    Bpe.encode(d, "text", "doc_id", Bpe.train(d, "text", numMerges = 8))
       .orderBy("doc_id")
   }
 
@@ -1271,6 +1287,7 @@ object PipelineQueries {
     "corpus_vocab" -> (corpusVocab _),
     "corpus_vocab_cms" -> (corpusVocabCms _),
     "corpus_bpe" -> (corpusBpe _),
+    "text_quality_trained" -> (textQualityTrained _),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
