@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native vector math over `array<float>` embedding columns.
   *
@@ -59,6 +59,50 @@ object VectorOps {
     val m = c.numElements()
     while (j < m) { val y = c.getDouble(j); nc += y * y; j += 1 }
     if (na == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nc))
+  }
+
+  /** Product-quantization encode: per subspace, the L2-argmin code against
+    * that subspace's codebook (ties toward the lowest code). Tight loops —
+    * this is [[graft.operators.Pq]]'s per-row hot path; the codebook rides
+    * into generated code as a reference object.
+    */
+  def pqEncode(a: ArrayData, cents: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cents.length
+    val dsub = cents(0)(0).length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = cents(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val cv = book(j)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = a.getFloat(s * dsub + t).toDouble - cv(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** ADC lookup-sum: `Σ_s lut(s·ksub + codes(s))` — m array reads per
+    * scored pair, no float vector math (see [[graft.operators.Pq.topK]]).
+    */
+  def adcScore(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var sc = 0.0
+    var s = 0
+    while (s < m) { sc += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    sc
   }
 
   /** Sign-random-projection (SimHash-for-vectors) signature: bit i of the
@@ -182,6 +226,37 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a)")
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
+}
+
+/** PQ encode — see [[VectorOps.pqEncode]]. The trained codebooks are a
+  * bounded plan constant; codegen embeds them as a reference object, so
+  * the per-row argmin loops run inside whole-stage codegen with no
+  * interpreted lambda overhead.
+  */
+case class PqEncode(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.pqEncode(a.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.pqEncode($a, $cbRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** ADC lookup-sum score — see [[VectorOps.adcScore]]. */
+case class AdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorOps.adcScore(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.VectorOps.adcScore($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
 }
 
 case class SrpSignature(child: Expression, bits: Int, seed: Long,

@@ -28,6 +28,14 @@ package object functions {
   /** Dot product of two `array<float>` columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 
+  /** PQ codes of a vector under trained codebooks (codegen argmin loops). */
+  def pq_encode(a: Column, cents: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(a), cents))
+
+  /** ADC lookup-sum score over PQ codes and a query lookup table. */
+  def adc_score(codes: Column, lut: Column, ksub: Int): Column =
+    col(AdcScore(expr(codes), expr(lut), ksub))
+
   /** L2 norm of an `array<float>` column. */
   def vector_norm(c: Column): Column = col(VectorNorm(expr(c)))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, QualityModel, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, Pq, QualityModel, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -140,6 +140,19 @@ object PipelineQueries {
     val all = embs(s, dir)
     Similarity.ivfTopKTrained(all, all.filter(col("vec_id") < 10), "embedding",
         "vec_id", k = 5, nlist = 8, iters = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Product-quantization ANN: 8 subspaces × 16 codes trained by fused
+    * L2 Lloyd iterations, corpus encoded to 8 small codes per vector,
+    * queries score by ADC table lookups (m lookups per pair, no float
+    * math). Rows-only driver check (iterative training); recall vs brute
+    * force and bit-determinism under repartitioning are pinned in PqSpec.
+    */
+  def simTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Pq.pqTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, m = 16, ksub = 32, iters = 3, shortlist = 25)
       .orderBy("query_id", "rank")
   }
 
@@ -287,9 +300,10 @@ object PipelineQueries {
       .orderBy(col("lang"), col("n_est").desc, col("token"))
 
   /** Trained quality classifier: logistic regression distilled from the
-    * rule-based quality heuristic by distributed batch GD (weights enter
-    * each iteration as literals; gradient = one decimal-funneled
-    * partial+final aggregate). Rows-only for the driver (iterative
+    * rule-based quality heuristic by distributed IRLS (weights enter
+    * each iteration as literals; gradient + Hessian = one decimal-funneled
+    * partial+final aggregate, Newton solve on the driver — ~5 corpus
+    * jobs total). Rows-only for the driver (iterative
     * training isn't SQL-expressible); accuracy, bit-determinism under
     * repartitioning, and loss descent are pinned in QualityModelSpec.
     */
@@ -1274,6 +1288,7 @@ object PipelineQueries {
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
+    "sim_topk_pq" -> (simTopkPq _),
     "sim_kmeans" -> (simKmeans _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
