@@ -61,6 +61,32 @@ object VectorOps {
     if (na == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nc))
   }
 
+  /** Int8 symmetric quantization in one pass: scale = max|x|/127, codes =
+    * round-half-up(x/scale). Rounding goes through BigDecimal HALF_UP —
+    * bit-identical to Spark's `round(col, 0)` (and DuckDB's `round`), so
+    * the result carries a hash-matched oracle. One native call replaces
+    * three interpreted lambda transforms whose trees Catalyst duplicates
+    * into filters and generate pre-conditions (measurable planning cost).
+    */
+  def quantizeInt8(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var mx = 0.0f
+    var i = 0
+    while (i < n) { val v = math.abs(a.getFloat(i)); if (v > mx) mx = v; i += 1 }
+    val scale = mx.toDouble / 127.0
+    val q = new Array[Int](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = java.math.BigDecimal.valueOf(a.getFloat(i).toDouble / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
   /** Product-quantization encode: per subspace, the L2-argmin code against
     * that subspace's codebook (ties toward the lowest code). Tight loops —
     * this is [[graft.operators.Pq]]'s per-row hot path; the codebook rides
@@ -226,6 +252,20 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a)")
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
+}
+
+/** One-pass int8 quantization — see [[VectorOps.quantizeInt8]]. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("qvec",
+      ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.quantizeInt8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.quantizeInt8($a)")
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
 }
 
 /** PQ encode — see [[VectorOps.pqEncode]]. The trained codebooks are a

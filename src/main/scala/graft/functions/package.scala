@@ -28,6 +28,9 @@ package object functions {
   /** Dot product of two `array<float>` columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 
+  /** One-pass int8 quantization: struct<scale:double, qvec:array<int>>. */
+  def quantize_int8(a: Column): Column = col(QuantizeInt8(expr(a)))
+
   /** PQ codes of a vector under trained codebooks (codegen argmin loops). */
   def pq_encode(a: Column, cents: Array[Array[Array[Double]]]): Column =
     col(PqEncode(expr(a), cents))

@@ -174,12 +174,11 @@ object Similarity {
     * a SQL oracle. Zero vectors quantize to zeros (scale 0 guard).
     */
   def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val scale = array_max(transform(col(vecCol), x => abs(x))).cast("double") / 127.0
-    df.select(col(idCol), col(vecCol), scale.as("scale"))
-      .withColumn("qvec", transform(col(vecCol), x =>
-        when(col("scale") === 0.0, lit(0))
-          .otherwise(round(x.cast("double") / col("scale"), 0).cast("int"))))
-      .select(col(idCol), col("scale"), col("qvec"))
+    // single native call (codegen, BigDecimal HALF_UP — oracle-exact);
+    // the struct is split in a second projection, which CollapseProject
+    // leaves alone (non-cheap expression referenced twice)
+    val q = df.select(col(idCol), graft.functions.quantize_int8(col(vecCol)).as("q"))
+    q.select(col(idCol), col("q.scale").as("scale"), col("q.qvec").as("qvec"))
   }
 
   /** Reconstruct approximate float vectors from [[quantizeInt8]] output. */
