@@ -77,6 +77,38 @@ object IncrementalStream {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
           .cast("double").as("total_value"))
 
+  /** Watermarked stream-stream interval join — event attribution: each
+    * `effectType` event matches the `causeType` events of the same user
+    * in the `horizon` window before it (click-to-impression, purchase-
+    * to-view — the canonical streaming correlation).
+    *
+    * Scale shape: both sides carry watermarks and the join condition
+    * bounds `effect_ts − cause_ts` to [0, horizon], so Spark derives a
+    * state-eviction bound for BOTH state stores — state is
+    * O(rate × (watermark + horizon)) regardless of stream age. Without
+    * the two-sided time bound a stream-stream inner join must keep one
+    * side forever; this operator exists precisely to encode the bounded
+    * form. The join itself is a keyed shuffle on `user_id`, the same
+    * partitioning the sessionizer uses.
+    */
+  def attributionJoin(events: DataFrame, causeType: String, effectType: String,
+                      horizon: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val cause = events.filter(col("event_type") === causeType)
+      .select(col("user_id"), col("event_id").as("cause_id"), col("ts").as("cause_ts"))
+      .withWatermark("cause_ts", watermark)
+    val effect = events.filter(col("event_type") === effectType)
+      .select(col("user_id").as("effect_user"), col("event_id").as("effect_id"),
+        col("ts").as("effect_ts"))
+      .withWatermark("effect_ts", watermark)
+    cause.join(effect,
+      col("user_id") === col("effect_user") &&
+        col("effect_ts") >= col("cause_ts") &&
+        col("effect_ts") <= col("cause_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("cause_id"), col("cause_ts"),
+        col("effect_id"), col("effect_ts"))
+  }
+
   /** Streaming exact dedup: the unbounded form of the K2 dedup-on-write
     * primitive. State is bounded by the watermark — a duplicate arriving
     * within the watermark horizon is dropped; later re-deliveries are the

@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("a", "b"))
   }
 
+  test("stream-stream attribution join matches within horizon only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val joined = graft.streaming.IncrementalStream.attributionJoin(
+      events, causeType = "view", effectType = "click",
+      horizon = "30 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData(
+      (ts(1, 0), 100L, 1L, "view"),
+      (ts(1, 10), 101L, 1L, "click"), // within 30 min of view 100 -> match
+      (ts(1, 50), 102L, 1L, "click"), // 50 min after view 100 -> no match
+      (ts(1, 5), 200L, 2L, "view"),
+      (ts(1, 10), 201L, 3L, "click")) // different user -> no match
+    q.processAllAvailable()
+    input.addData((ts(4, 0), 999L, 9L, "view")) // advance watermark -> flush
+    q.processAllAvailable()
+    val out = spark.table("attr_out")
+      .select("cause_id", "effect_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((100L, 101L)), s"got $out")
+  }
+
   test("streaming sessions: open session flushed by event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
