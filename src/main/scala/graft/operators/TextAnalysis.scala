@@ -127,6 +127,39 @@ object TextAnalysis {
           phoneRe, "<PHONE>"))
   }
 
+  /** C4/CCNet-style boilerplate removal: drop every LINE that appears in
+    * ≥ `minDf` distinct documents of the same `groupCol` (site headers,
+    * footers, cookie banners — content repeated across a domain is
+    * template, not text), then reassemble each document in original line
+    * order.
+    *
+    * Scale shape: one explode to (doc, line_no, line); line document
+    * frequency is a two-level aggregate (distinct (group, line, doc)
+    * partial-dedups map-side before the exchange — the hot boilerplate
+    * lines are exactly the ones whose duplicates collapse early); the
+    * boilerplate set (df ≥ minDf) is by construction tiny and joins back
+    * BROADCAST; reassembly is one shuffle by doc id with an in-row
+    * array_sort — no window. Documents whose every line is boilerplate
+    * survive as empty text (pass-through row count).
+    */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             groupCol: String, minDf: Int): DataFrame = {
+    val lines = df.select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val hot = lines.select(col(groupCol), col("line"), col(idCol))
+      .distinct()
+      .groupBy(col(groupCol), col("line"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col(groupCol), col("line"), lit(true).as("__boiler"))
+    lines.join(broadcast(hot), Seq(groupCol, "line"), "left")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(when(col("__boiler").isNull,
+          struct(col("line_no"), col("line"))))),
+        x => x("line"))).as("clean_text"))
+  }
+
   /** Canonical content fingerprint: md5 of the normalized token stream. */
   def canonicalFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

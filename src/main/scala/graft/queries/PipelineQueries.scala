@@ -242,6 +242,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-line removal over a deterministically seeded corpus: a
+    * per-source header and a global footer line are injected (the
+    * corpus has no natural multi-line docs), then any line appearing in
+    * ≥ 10 distinct docs of the same source is dropped and docs are
+    * reassembled in line order — the C4/CCNet template-stripping step.
+    * Real lines have df ≤ 2 here, so exactly the seeded lines vanish.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("subscribe to "), col("source")),
+        col("text"),
+        lit("all rights reserved")).as("text"))
+    TextAnalysis.removeBoilerplateLines(seeded, "text", "doc_id", "source", minDf = 10)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: every tenth doc plays the eval set, the
     * rest the corpus; contaminated = sharing any portable 8-gram shingle.
     * The near-dup clusters the dedup operators find are exactly what this
@@ -911,6 +928,33 @@ object PipelineQueries {
                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
                   '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
          FROM seeded ORDER BY doc_id""",
+    "text_boilerplate" ->
+      """WITH seeded AS (
+           SELECT doc_id, source,
+                  'subscribe to ' || source || chr(10) || text || chr(10)
+                    || 'all rights reserved' AS text
+           FROM documents),
+         linesu AS (
+           SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(l) + 1),
+                    i -> {'line_no': i - 1, 'line': l[CAST(i AS INTEGER)]})) AS u
+           FROM (SELECT doc_id, source,
+                        string_split(text, chr(10)) AS l FROM seeded)),
+         lines AS (
+           SELECT doc_id, source, u.line_no AS line_no, u.line AS line
+           FROM linesu),
+         hot AS (
+           SELECT source, line FROM (
+             SELECT source, line, count(DISTINCT doc_id) AS df
+             FROM lines GROUP BY 1, 2)
+           WHERE df >= 10)
+         SELECT l.doc_id,
+                coalesce(string_agg(l.line, chr(10) ORDER BY l.line_no)
+                           FILTER (WHERE h.line IS NULL), '') AS clean_text
+         FROM lines l
+         LEFT JOIN hot h ON l.source = h.source AND l.line = h.line
+         GROUP BY l.doc_id
+         ORDER BY l.doc_id""",
     "dedup_incremental" -> {
       // one capped-shingle + minhash + banding chain per side (the corpus
       // cap is fixed at state-build time; the batch caps within itself —
@@ -1297,6 +1341,7 @@ object PipelineQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),
+    "text_boilerplate" -> (textBoilerplate _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "corpus_vocab" -> (corpusVocab _),

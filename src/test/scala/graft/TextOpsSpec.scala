@@ -19,6 +19,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 5L, 0.6, 1.0), (2L, 3L, 0.333333, 0.0)))
   }
 
+  test("removeBoilerplateLines: df-hot lines dropped per group, order kept, empty docs survive") {
+    // header repeated in all 3 docs of source s1 (df 3 >= minDf 3);
+    // body lines unique; doc 4 in s2 keeps its copy of the same header
+    // (df 1 there); doc 5 is ALL boilerplate -> survives as empty text
+    val df = Seq(
+      (1L, "s1", "hdr\nalpha\nbeta"),
+      (2L, "s1", "hdr\ngamma"),
+      (3L, "s1", "hdr\ndelta\nhdr"),
+      (4L, "s2", "hdr\nepsilon"),
+      (5L, "s1", "hdr")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.removeBoilerplateLines(df, "text", "doc_id", "source", minDf = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(r == Seq((1L, "alpha\nbeta"), (2L, "gamma"), (3L, "delta"),
+      (4L, "hdr\nepsilon"), (5L, "")))
+  }
+
   test("redactPii: counts on original text, typed placeholders in output") {
     val df = Seq(
       (1L, "mail bob@x.io or +1 555-123-4567 via 192.168.0.1 ok"),
