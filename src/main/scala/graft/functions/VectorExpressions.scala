@@ -120,6 +120,21 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** Morton (Z-order) interleave of two `bits`-wide non-negative ints:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. The code
+    * is the sort key for multi-column data clustering ([[graft.operators.ZOrder]]).
+    */
+  def interleaveBits(a: Long, b: Long, bits: Int): Long = {
+    var code = 0L
+    var i = 0
+    while (i < bits) {
+      code |= ((a >>> i) & 1L) << (2 * i)
+      code |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    code
+  }
+
   /** ADC lookup-sum: `Σ_s lut(s·ksub + codes(s))` — m array reads per
     * scored pair, no float vector math (see [[graft.operators.Pq.topK]]).
     */
@@ -284,6 +299,19 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Double]]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.pqEncode($a, $cbRef)")
   }
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Morton bit-interleave — see [[VectorOps.interleaveBits]]. */
+case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.interleaveBits(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.interleaveBits($a, $b, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits =
+    copy(left = l, right = r)
 }
 
 /** ADC lookup-sum score — see [[VectorOps.adcScore]]. */

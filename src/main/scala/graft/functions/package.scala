@@ -28,6 +28,10 @@ package object functions {
   /** Dot product of two `array<float>` columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 
+  /** Morton (Z-order) interleave of two `bits`-wide longs. */
+  def interleave_bits(a: Column, b: Column, bits: Int): Column =
+    col(InterleaveBits(expr(a), expr(b), bits))
+
   /** One-pass int8 quantization: struct<scale:double, qvec:array<int>>. */
   def quantize_int8(a: Column): Column = col(QuantizeInt8(expr(a)))
 

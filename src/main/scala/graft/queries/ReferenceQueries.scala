@@ -366,6 +366,21 @@ object ReferenceQueries {
       .limit(100)
   }
 
+  /** Z-order (Morton) clustering code over (l_partkey, l_suppkey) — the
+    * multi-column data-skipping sort key (operators.ZOrder lays tables
+    * out by it; ZOrderSpec shows the pruning). The oracled form uses
+    * modular 16-bit coordinates so the SQL carries no data-dependent
+    * shift constants; the interleave itself — the nontrivial arithmetic —
+    * is pinned bit-for-bit. Map-only codegen projection.
+    */
+  def zorderCode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.functions.interleave_bits(
+          pmod(col("l_partkey"), lit(65536)).cast("long"),
+          pmod(col("l_suppkey"), lit(65536)).cast("long"), 16).as("zcode"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
   /** TPC-H Q4-style order-priority check: the EXISTS → LEFT SEMI join
     * shape. The probe side is projected to ONE column before the join and
     * never deduplicated — a hash semi-join stops at the first build match,
@@ -876,6 +891,14 @@ object ReferenceQueries {
          WHERE sum_qty > 300
          ORDER BY o_totalprice DESC, odate, o_orderkey
          LIMIT 100""",
+    "zorder_code" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                CAST(list_sum(list_transform(range(0, 16),
+                  i -> (((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                     + (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+                  AS BIGINT) AS zcode
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE)
                   AS revenue
@@ -978,5 +1001,6 @@ object ReferenceQueries {
     "q4_priority_exists" -> (q4PriorityExists _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "zorder_code" -> (zorderCode _),
     "sql_readback" -> (sqlReadback _))
 }
