@@ -65,6 +65,16 @@ object GraftExtensions {
       val bits = if (exprs.length > 1) lit(1).toInt else 16
       val seed = if (exprs.length > 2) lit(2) else 42L
       SrpSignature(exprs.head, bits, seed)
+    }),
+    "quantize_int8" -> one(QuantizeInt8),
+    "interleave_bits" -> (exprs => {
+      // interleave_bits(a, b, bits) — bits must be a literal
+      val bits = exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+        case other => throw new IllegalArgumentException(
+          s"interleave_bits bits must be a literal, got $other")
+      }
+      InterleaveBits(exprs.head, exprs(1), bits)
     }))
 
   /** Register on an existing session (temp functions + optimizer rule). */

@@ -17,8 +17,12 @@ class PlanAuditSpec extends SparkSpec {
     *   path, and documents its bound.
     * - sim_topk_bruteforce: corpus scanned once against a BROADCAST
     *   handful of queries — linear in the corpus, the correct baseline.
+    * - sim_topk_pq: the ADC pass streams the (m-byte) encoded corpus once
+    *   against the broadcast per-query lookup tables — linear in the
+    *   corpus by design, and the refine join is candidates-only.
     */
-  private val intendedNestedLoop = Set("dedup_embedding_exact", "sim_topk_bruteforce")
+  private val intendedNestedLoop =
+    Set("dedup_embedding_exact", "sim_topk_bruteforce", "sim_topk_pq")
 
   test("no registered query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
