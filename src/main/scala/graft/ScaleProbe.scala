@@ -122,6 +122,24 @@ object ScaleProbe {
         when(col("doc_id") % 2 === 0, lit("mega"))
           .otherwise(concat(lit("s"), col("doc_id") % 997))),
       "doc_id", "source", alpha = 0.3, targetFraction = 0.2).count())
+    spark.catalog.clearCache()
+    // PQ ANN on the duplicate-stacked vectors: training sees every
+    // centroid swamped by identical points (codebooks still converge),
+    // encoding is map-only over factor×N vectors, and ADC+refine must
+    // stay linear — the shortlist join is candidates-only by shape.
+    bigV.cache().count()
+    time("pq_train_encode_topk")(graft.operators.Pq.pqTopK(
+      bigV, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, m = 8, ksub = 16, iters = 2, shortlist = 50).count())
+    spark.catalog.clearCache()
+    // boilerplate removal where EVERY line is template-hot: the replicated
+    // corpus makes each doc's text line df = factor, so with minDf <=
+    // factor the hot set is the whole distinct-line table — the broadcast
+    // side is bounded by DISTINCT lines, not corpus size, and reassembly
+    // must still be one shuffle.
+    time("boilerplate_all_hot")(graft.operators.TextAnalysis.removeBoilerplateLines(
+      big.withColumn("source", lit("one")), "text", "doc_id", "source",
+      minDf = factor).count())
     spark.stop()
   }
 }
