@@ -366,6 +366,72 @@ object ReferenceQueries {
       .limit(100)
   }
 
+  /** TPC-H Q10-style returned-item reporting: which customers returned
+    * the most revenue in a quarter. The classic fact⋈fact⋈dim top-N: the
+    * returnflag and orderdate filters reach both fact scans BEFORE the
+    * joins (PushedFilters), nation broadcasts, the two facts shuffle on
+    * the join key once, and the global top-20 plans as
+    * TakeOrderedAndProject — no full sort of the aggregate output.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(38, 4))
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promotion-revenue ratio: one conditional aggregate
+    * over the filtered fact with the part dimension BROADCAST — the
+    * month filter prunes the lineitem scan, and both sums come out of a
+    * single partial+final HashAggregate pass (no second scan for the
+    * denominator).
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(38, 4))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(38, 4))))
+          .cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19-style discounted revenue: a DISJUNCTIVE join predicate
+    * (brand/size/quantity triples OR-ed together). The join key stays the
+    * plain equi-join on partkey — the OR block is a post-join filter, so
+    * the plan remains a broadcast hash join (an OR-of-ANDs folded into
+    * the join condition would force nested-loop); quantity bounds that
+    * appear in every branch are pushed to the lineitem scan.
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(38, 4))
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30)) // hull of every branch — scan-pushed
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(branches)
+      .agg(sum(rev).cast("double").as("revenue"))
+  }
+
   /** Z-order (Morton) clustering code over (l_partkey, l_suppkey) — the
     * multi-column data-skipping sort key (operators.ZOrder lays tables
     * out by it; ZOrderSpec shows the pruning). The oracled form uses
@@ -891,6 +957,40 @@ object ReferenceQueries {
          WHERE sum_qty > 300
          ORDER BY o_totalprice DESC, odate, o_orderkey
          LIMIT 100""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+                CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+                              ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) /
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""",
+    "q19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity BETWEEN 20 AND 30)""",
     "zorder_code" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 CAST(list_sum(list_transform(range(0, 16),
@@ -1002,5 +1102,8 @@ object ReferenceQueries {
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "zorder_code" -> (zorderCode _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "sql_readback" -> (sqlReadback _))
 }
