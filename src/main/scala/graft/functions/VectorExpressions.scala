@@ -218,6 +218,58 @@ object VectorOps {
     }
     sig
   }
+  /** Multi-probe SRP: the signature plus `flips` single-bit variants, one
+    * per hyperplane, flipped in order of |margin| (the dot product's
+    * distance from the sign boundary) — the bits most likely to differ
+    * for a true near neighbor. Query-side only: probing 1+flips buckets
+    * per table raises recall without growing the corpus index (the
+    * standard multi-probe LSH trade). Ties on |margin| break toward the
+    * lower bit — fully deterministic.
+    */
+  def srpProbes(a: ArrayData, bits: Int, seed: Long, flips: Int,
+                portable: Boolean): ArrayData = {
+    val n = a.numElements()
+    val margins = new Array[Double](bits)
+    if (portable) {
+      val w = weightsFor(seed, bits, n)
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += w(b * n + i) * a.getFloat(i).toDouble; i += 1 }
+        margins(b) = s
+        b += 1
+      }
+    } else {
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          var z = seed + (b.toLong << 32) + i.toLong
+          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+          z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+          z = z ^ (z >>> 33)
+          val w = (z >> 11).toDouble / (1L << 52).toDouble
+          s += w * a.getFloat(i).toDouble
+          i += 1
+        }
+        margins(b) = s
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (margins(b) >= 0) sig |= (1L << b); b += 1 }
+    val order = Array.range(0, bits)
+      .sortBy(i => (math.abs(margins(i)), i))
+    val k = math.min(flips, bits)
+    val out = new Array[Long](k + 1)
+    out(0) = sig
+    var j = 0
+    while (j < k) { out(j + 1) = sig ^ (1L << order(j)); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -325,6 +377,20 @@ case class AdcScore(left: Expression, right: Expression, ksub: Int)
     defineCodeGen(ctx, ev, (c, l) => s"graft.functions.VectorOps.adcScore($c, $l, $ksub)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
     copy(left = l, right = r)
+}
+
+/** Multi-probe SRP signature list — see [[VectorOps.srpProbes]]. */
+case class SrpProbes(child: Expression, bits: Int, seed: Long, flips: Int,
+                     portable: Boolean = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.srpProbes(a.asInstanceOf[ArrayData], bits, seed, flips, portable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.srpProbes($a, $bits, ${seed}L, $flips, $portable)")
+  override protected def withNewChildInternal(c: Expression): SrpProbes = copy(child = c)
 }
 
 case class SrpSignature(child: Expression, bits: Int, seed: Long,

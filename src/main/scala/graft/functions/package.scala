@@ -54,6 +54,11 @@ package object functions {
                     portable: Boolean = false): Column =
     col(SrpSignature(expr(c), bits, seed, portable))
 
+  /** Multi-probe SRP: signature + `flips` lowest-|margin| bit variants. */
+  def srp_probes(c: Column, bits: Int, seed: Long, flips: Int,
+                 portable: Boolean = false): Column =
+    col(SrpProbes(expr(c), bits, seed, flips, portable))
+
   /** Membership probe of a LONG column against a serialized
     * `org.apache.spark.util.sketch.BloomFilter` (Spark's own codegen'd
     * BloomFilterMightContain — the expression behind runtime row-level

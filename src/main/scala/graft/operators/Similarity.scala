@@ -69,18 +69,30 @@ object Similarity {
     */
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, bits: Int = 8, tables: Int = 4,
-              maxBucket: Int = 10000, portable: Boolean = false): DataFrame = {
+              maxBucket: Int = 10000, portable: Boolean = false,
+              probes: Int = 0): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val bucketKeys = array((0 until tables).map { t =>
         concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t, portable))
       }: _*)
       df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
     }
+    // multi-probe: QUERY side also visits the `probes` lowest-|margin|
+    // single-bit signature variants per table — recall rises without
+    // touching the corpus index (query side is bounded by construction,
+    // so (1+probes)× its bucket rows is still broadcast-sized)
+    def bucketedProbed(df: DataFrame, id: String, vec: String) = {
+      val bucketKeys = flatten(array((0 until tables).map { t =>
+        transform(graft.functions.srp_probes(col(vec), bits, seed = 7L + t, probes, portable),
+          sv => concat_ws(":", lit(t), sv))
+      }: _*))
+      df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
+    }
 
     val c = graft.operators.Dedup.dropHotKeys(bucketed(
       graft.Tables.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))),
       "neighbor_id", "c_vec"), "bucket", maxBucket)
-    val q = broadcast(bucketed(
+    val q = broadcast(bucketedProbed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec"))
     val scored = c.join(q, Seq("bucket"))

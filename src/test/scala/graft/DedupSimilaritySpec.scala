@@ -91,6 +91,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall over ${bf.size} true pairs")
   }
 
+  test("multi-probe SRP widens the candidate set: recall(probes=3) >= recall(0)") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(0, 3).map { p =>
+      val srp = Similarity.srpTopK(embs, queries, "embedding", "vec_id",
+        k = 5, bits = 8, tables = 4, probes = p)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (bf intersect srp).size.toDouble / bf.size
+    }
+    assert(recalls(1) >= recalls(0), s"recalls $recalls")
+    assert(recalls(1) > 0.3, s"probed recall ${recalls(1)}")
+  }
+
   test("IVF top-k recall vs brute force for nprobe 1 and 2 on sf0.001") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embs.filter(col("vec_id") < 5)
