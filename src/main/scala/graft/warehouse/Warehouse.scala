@@ -199,6 +199,26 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def appendPartitioned(table: String, df: DataFrame, partitionCol: String): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(path(table))
 
+  /** Dynamic partition overwrite — the BACKFILL primitive: replace ONLY
+    * the partitions present in `df`, leaving every other partition's
+    * files untouched (re-running one day of a partitioned pipeline must
+    * not clobber the rest of the table). Spark's static overwrite mode
+    * would truncate the whole table first; the dynamic mode scopes the
+    * overwrite to the partitions the incoming data actually carries — at
+    * 100 TB that is the difference between rewriting a day and rewriting
+    * years. Session conf is restored afterwards.
+    */
+  def overwritePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path(table))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed catalog table write: co-locates future joins/aggregations on
     * `keys` — two tables bucketed the same way join without any exchange
     * (asserted in WarehouseBucketSpec). This is the 100 TB answer to the

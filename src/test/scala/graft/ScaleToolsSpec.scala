@@ -34,6 +34,21 @@ class ScaleToolsSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.collectLeaves().toString.contains("run_id"))
   }
 
+  test("dynamic partition overwrite: backfilled partition replaced, others untouched") {
+    val wh = new Warehouse(spark, tempDir("dpo"))
+    val init = Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3")).toDF("v", "day")
+    wh.overwritePartitions("fact_d", init, "day")
+    // backfill day d2 only — d1/d3 files must survive, d2 fully replaced
+    val backfill = Seq((30L, "d2"), (31L, "d2")).toDF("v", "day")
+    wh.overwritePartitions("fact_d", backfill, "day")
+    val out = wh.read("fact_d").select("v", "day")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "d1"), (2L, "d1"), (4L, "d3"), (30L, "d2"), (31L, "d2")))
+    // conf restored
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
   test("bucketed tables join without exchange") {
     val wh = new Warehouse(spark, tempDir("bwh"))
     val fact = (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
