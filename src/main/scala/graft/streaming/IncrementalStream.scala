@@ -77,6 +77,40 @@ object IncrementalStream {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
           .cast("double").as("total_value"))
 
+  /** Streaming per-source admission quota — the unbounded form of
+    * `CorpusOps.domainCap`: at most `quota` documents per source are
+    * admitted over the stream's lifetime. State is ONE counter per
+    * source (constant size — nothing about admitted docs is retained),
+    * so state grows with the number of sources, never with the stream.
+    * Within a micro-batch, admission order is lowest-id-first — the
+    * deterministic tie-break every graft operator uses.
+    */
+  final case class Doc(source: String, doc_id: Long)
+
+  def quotaAdmit(docs: DataFrame, quota: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val docEnc = Encoders.product[Doc]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val strEnc = Encoders.STRING
+    docs.select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[Doc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Doc](
+        streaming.OutputMode.Append, streaming.GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Doc], state: streaming.GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = quota - used
+          if (room <= 0L) Iterator.empty
+          else {
+            val admitted = batch.toSeq.sortBy(_.doc_id).take(room.toInt)
+            state.update(used + admitted.length)
+            admitted.iterator
+          }
+      }
+      .toDF("source", "doc_id")
+  }
+
   /** Watermarked stream-stream interval join — event attribution: each
     * `effectType` event matches the `causeType` events of the same user
     * in the `horizon` window before it (click-to-impression, purchase-

@@ -51,6 +51,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("a", "b"))
   }
 
+  test("streaming quota admission: per-source cap holds across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val admitted = graft.streaming.IncrementalStream.quotaAdmit(
+      input.toDF().toDF("source", "doc_id"), quota = 3)
+    val q = admitted.writeStream.outputMode("append").format("memory")
+      .queryName("quota_out").start()
+    input.addData(("a", 10L), ("a", 11L), ("b", 20L))
+    q.processAllAvailable() // a: 2 admitted, b: 1
+    input.addData(("a", 13L), ("a", 12L), ("a", 14L), ("b", 21L))
+    q.processAllAvailable() // a has room for 1 -> lowest id 12; b admits 21
+    val out = spark.table("quota_out").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(out == Set(("a", 10L), ("a", 11L), ("a", 12L), ("b", 20L), ("b", 21L)),
+      s"got $out")
+  }
+
   test("stream-stream attribution join matches within horizon only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
