@@ -94,13 +94,24 @@ object CorpusOps {
     * Warehouse.assignSurrogateIds).
     */
   def globalShuffle(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame = {
-    val orderCols = Seq(col("__h"), col(idCol))
-    val sorted = df.withColumn("__h", hashUniform(col(idCol), salt))
-      .repartitionByRange(orderCols: _*)
+    val (ranked, _) = rankByRange(
+      df.withColumn("__h", hashUniform(col(idCol), salt)),
+      Seq(col("__h"), col(idCol)), "shuffle_pos")
+    ranked.drop("__h")
+  }
+
+  /** Gap-free 1-based global rank by `orderCols` WITHOUT a global window:
+    * range partition + local sort, per-partition counts (a bounded
+    * collect) turn into prefix offsets, and the rank is a per-partition
+    * window plus the offset. Returns (ranked df, total row count). The
+    * partition layout is pinned (localCheckpoint) before the counts job
+    * and the rank job both read it — AQE may otherwise re-plan the range
+    * exchange between the two.
+    */
+  private def rankByRange(df: DataFrame, orderCols: Seq[Column],
+                          rankCol: String): (DataFrame, Long) = {
+    val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    // pin the partition layout before reading it twice (counts job + rank
-    // job must agree; AQE may otherwise re-plan the range exchange);
-    // localCheckpoint blocks are freed by the ContextCleaner, not pinned
     val withPart = sorted.withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = withPart.groupBy("__pid").count().collect()
@@ -110,9 +121,26 @@ object CorpusOps {
     }.toMap
     val prefixUdf = udf((pid: Int) => prefix(pid))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    withPart
-      .withColumn("shuffle_pos", row_number().over(w).cast("long") + prefixUdf(col("__pid")))
-      .drop("__pid", "__h")
+    (withPart
+      .withColumn(rankCol, row_number().over(w).cast("long") + prefixUdf(col("__pid")))
+      .drop("__pid"),
+      counts.map(_._2).sum)
+  }
+
+  /** Distributed EXACT equi-depth bucketing: every bucket holds ⌊n/b⌋ or
+    * ⌈n/b⌉ rows by construction (`bucket = ⌊(rank−1)·b / n⌋` over the
+    * gap-free [[rankByRange]] rank) — the histogram boundaries a query
+    * optimizer or a curriculum scheduler wants, computed with one range
+    * shuffle and NO single-partition window, and exact where a
+    * sketch-based quantile is approximate. Ties order by (value, id), so
+    * the assignment is total-order deterministic and SQL-portable.
+    */
+  def equiDepthBuckets(df: DataFrame, idCol: String, valueCol: String,
+                       buckets: Int): DataFrame = {
+    val (ranked, n) = rankByRange(df, Seq(col(valueCol), col(idCol)), "__rank")
+    ranked.withColumn("bucket",
+        floor((col("__rank") - 1).cast("double") * buckets / n.toDouble).cast("long"))
+      .drop("__rank")
   }
 
   /** Temperature-scaled mixture sampling: per-key acceptance rates derived

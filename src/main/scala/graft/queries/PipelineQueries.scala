@@ -416,6 +416,18 @@ object PipelineQueries {
         size(TextAnalysis.tokens(col("text"))), bucketWidth = 64, maxBucket = 7)
       .orderBy("bucket")
 
+  /** Exact equi-depth length histogram: every bucket holds n/8 docs by
+    * construction (gap-free distributed rank — one range shuffle, no
+    * single-partition window, no quantile sketch error). Deterministic
+    * ties by (value, id); oracled against row_number arithmetic.
+    */
+  def corpusLengthEquidepth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.equiDepthBuckets(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", buckets = 8)
+      .select("doc_id", "n_chars", "bucket")
+      .orderBy("doc_id")
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1177,6 +1189,15 @@ object PipelineQueries {
          SELECT least(n_tokens // 64, 7) AS bucket,
                 count(*) AS n_docs, sum(n_tokens) AS total_tokens
          FROM t GROUP BY 1 ORDER BY bucket""",
+    "corpus_length_equidepth" ->
+      """WITH r AS (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM documents)
+         SELECT doc_id, n_chars,
+                CAST(floor(CAST(rn - 1 AS DOUBLE) * 8 / n) AS BIGINT) AS bucket
+         FROM r ORDER BY doc_id""",
     "mm_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -1357,6 +1378,7 @@ object PipelineQueries {
     "corpus_mixture_temperature" -> (corpusMixtureTemperature _),
     "corpus_pack" -> (corpusPack _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),
+    "corpus_length_equidepth" -> (corpusLengthEquidepth _),
     "corpus_pipeline" -> (corpusPipeline _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
