@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.queries.ReferenceQueries
 
 /** Scale-shape regression guards: these assert properties of the physical
@@ -147,5 +148,33 @@ class PlanSpec extends SparkSpec {
       val b = ReferenceQueries.joinAgg(spark, sf).collect().toSeq
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("q19: disjunctive predicate keeps the broadcast hash join") {
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the branch-hull quantity bound reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p.take(1200))
+  }
+
+  test("zorder code projection is map-only before the output sort") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val p = graft.operators.ZOrder
+      .withZCode(li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("pq encode is map-only codegen: no exchange, no UDF") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val cb = graft.operators.Pq.train(embs, "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 1)
+    val p = graft.operators.Pq.encode(embs, "embedding", "vec_id", cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(800))
   }
 }
