@@ -179,6 +179,59 @@ object Pq {
         round(col("score"), 6).as("score"))
   }
 
+  /** IVFADC — the full production ANN composition: IVF coarse cells
+    * bound WHICH rows are scored, PQ codes bound what scoring COSTS.
+    * The corpus is assigned to `nlist` cells (map-only, literal pivots)
+    * and encoded once; a query probes its `nprobe` nearest cells and
+    * ADC-scores only the codes in those cells — and because cell_id is
+    * an EQUI-join key, the probe is a broadcast hash join (the flat-ADC
+    * path must stream every code row past every query). At real scale
+    * the encoded table is written bucketed by cell_id and a probe reads
+    * ~nprobe/nlist of it. Optional exact-cosine refine of the shortlist.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                 idCol: String, k: Int, nlist: Int, nprobe: Int = 2,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                 shortlist: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pivots = Similarity.ivfPivots(corpus, vecCol, idCol, nlist)
+    val assigned = Similarity.ivfAssign(corpus, vecCol, idCol, spark, nlist)
+    val cb = train(corpus, vecCol, idCol, m, ksub, iters)
+    val encoded = assigned.select(col(idCol).as("neighbor_id"), col("cell_id"),
+      pq_encode(col(vecCol), cb.cents).as("codes"))
+    // per-query ADC lookup tables (driver-side, bounded by construction)
+    val luts = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val lut = new Array[Double](cb.m * cb.ksub)
+      for (s <- 0 until cb.m; j <- 0 until cb.ksub) {
+        var d = 0.0
+        var t = 0
+        while (t < cb.dsub) { d += q(s * cb.dsub + t) * cb.cents(s)(j)(t); t += 1 }
+        lut(s * cb.ksub + j) = d
+      }
+      (r.getLong(0), lut.toSeq)
+    }.toSeq.toDF("query_id", "lut")
+    val probes = Similarity.ivfProbeCells(queries, pivots, vecCol, idCol, nprobe)
+      .select(col("query_id"), col("cell_id"))
+      .join(luts, Seq("query_id"))
+    val scored = encoded.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", adc_score(col("codes"), col("lut"), cb.ksub))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val sl = math.max(k, shortlist)
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("neighbor_id").asc), sl)
+    if (shortlist > k) refine(top, corpus, queries, vecCol, idCol, k)
+    else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+    }
+  }
+
   /** Train + encode + score in one call (the query-surface entry).
     * `shortlist > k` turns on ADC+refine: the lookup-table pass narrows
     * the corpus to `shortlist` candidates per query, then exact cosine

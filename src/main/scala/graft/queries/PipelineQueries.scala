@@ -156,6 +156,20 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC: IVF cells bound WHICH rows are scored (nprobe/nlist of the
+    * corpus through an equi hash join on cell_id), PQ codes bound what
+    * scoring costs (ADC lookups), exact cosine re-ranks the shortlist —
+    * the production billion-scale ANN composition. Rows-only; recall and
+    * the no-nested-loop plan are pinned in PqSpec.
+    */
+  def simTopkIvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Pq.ivfAdcTopK(all, all.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 4, m = 16, ksub = 32, iters = 3,
+        shortlist = 25)
+      .orderBy("query_id", "rank")
+  }
+
   /** k-means over the embeddings (k=8, 2 Lloyd iterations, deterministic
     * md5-order seeds, 2^-20 integer-grid centroid arithmetic) — flattened
     * to (cell_id, dim, cval, n_members) scalars. Fully oracle-checkable:
@@ -1354,6 +1368,7 @@ object PipelineQueries {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
+    "sim_topk_ivfadc" -> (simTopkIvfAdc _),
     "sim_kmeans" -> (simKmeans _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
