@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.operators.ValidatingTransform
 import graft.warehouse.{RunId, Warehouse}
@@ -109,6 +109,72 @@ object IncrementalStream {
           }
       }
       .toDF("source", "doc_id")
+  }
+
+  final case class WinTok(ts: java.sql.Timestamp, wstart: java.sql.Timestamp,
+                          wend: java.sql.Timestamp, token: String)
+  final case class HeavyHit(window_start: java.sql.Timestamp, token: String,
+                            est_count: Long)
+
+  /** Streaming heavy hitters per event-time window: a Misra-Gries summary
+    * per window accumulates across micro-batches (state is the BOUNDED
+    * sketch — `capacity` counters per open window, independent of stream
+    * volume, the streaming face of `Sketches.heavyHitters`), and the
+    * window's top-k emits exactly once when the watermark passes its end
+    * (event-time timeout). MG guarantees every token with true count >
+    * N/capacity survives; estimates undercount by ≤ the decrement total.
+    * Determinism: batch tokens fold in (token) order and ties emit
+    * alphabetically.
+    */
+  def windowedHeavyHitters(events: DataFrame, tokenCol: String, tsCol: String,
+                           windowLength: String, capacity: Int, k: Int,
+                           watermarkDelay: String = "10 minutes"): Dataset[HeavyHit] = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val inEnc = Encoders.product[WinTok]
+    implicit val outEnc = Encoders.product[HeavyHit]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.kryo[Map[String, Long]]
+    events
+      .select(col(tsCol).as("ts"),
+        window(col(tsCol), windowLength).getField("start").as("wstart"),
+        window(col(tsCol), windowLength).getField("end").as("wend"),
+        col(tokenCol).cast("string").as("token"))
+      // watermark on the RAW event time, applied after the projection
+      // (the tag must live on a retained column; tagging before the
+      // select is dropped, and tagging wstart would make every later
+      // batch of an open window "late")
+      .withWatermark("ts", watermarkDelay)
+      .as[WinTok]
+      .groupByKey(_.wstart.getTime)
+      .flatMapGroupsWithState[Map[String, Long], HeavyHit](
+        streaming.OutputMode.Append, streaming.GroupStateTimeout.EventTimeTimeout) {
+        (wstartMs: Long, batch: Iterator[WinTok],
+         state: streaming.GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove() // window closed: nothing survives
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+              .map { case (t, c) =>
+                HeavyHit(new java.sql.Timestamp(wstartMs), t, c) }.iterator
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            var wend: java.sql.Timestamp = null
+            batch.toSeq.sortBy(_.token).foreach { wt =>
+              wend = wt.wend
+              counts.get(wt.token) match {
+                case Some(c) => counts = counts.updated(wt.token, c + 1L)
+                case None if counts.size < capacity =>
+                  counts = counts.updated(wt.token, 1L)
+                case None => // MG decrement: all counters down one, drop zeros
+                  counts = counts.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+              }
+            }
+            state.update(counts)
+            // flush when the watermark passes the window end
+            state.setTimeoutTimestamp(wend.getTime)
+            Iterator.empty
+          }
+      }
   }
 
   /** Watermarked stream-stream interval join — event attribution: each

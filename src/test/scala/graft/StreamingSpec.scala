@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("streaming windowed heavy hitters: MG state across batches, watermark flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val hh = graft.streaming.IncrementalStream.windowedHeavyHitters(
+      input.toDF().toDF("ts", "token"), "token", "ts",
+      windowLength = "1 hour", capacity = 16, k = 2,
+      watermarkDelay = "0 seconds")
+    val q = hh.writeStream.outputMode("append").format("memory")
+      .queryName("hh_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(1, 1), "x"), (ts(1, 2), "x"), (ts(1, 3), "y"))
+    q.processAllAvailable() // window open: nothing emitted
+    assert(spark.table("hh_out").count() == 0)
+    input.addData((ts(1, 10), "x"), (ts(1, 11), "z")) // second batch, same window
+    q.processAllAvailable()
+    input.addData((ts(3, 0), "w")) // watermark passes 02:00 -> flush hour-1 window
+    q.processAllAvailable()
+    val out = spark.table("hh_out")
+      .select("token", "est_count").as[(String, Long)].collect().toSet
+    q.stop()
+    // capacity > distinct tokens: MG is exact here; top-2 of {x:3, y:1, z:1}
+    assert(out == Set(("x", 3L), ("y", 1L)), s"got $out")
+  }
+
   test("stream-stream attribution join matches within horizon only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
