@@ -130,6 +130,43 @@ object Bpe {
     * statistics per doc. The per-word merge loop runs over the broadcast
     * list exactly like every tokenizer runtime.
     */
+  /** Encode to TOKEN ID SEQUENCES — the artifact a training run reads.
+    * Two map-only passes over a cached symbol encoding: the first
+    * derives the vocabulary (distinct final symbols — bounded by
+    * alphabet + merges, a driver-sized collect), the second maps
+    * symbols to ids. Vocabulary ids are sorted-symbol order:
+    * deterministic under any partitioning and stable across runs with
+    * the same merges. Returns (doc_id, token_ids) plus the vocabulary.
+    */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[Merge]): (DataFrame, Array[String]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val bMerges = spark.sparkContext.broadcast(ordered)
+    val syms = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.trim.toLowerCase.split(" ").filter(_.nonEmpty)
+        val out = Seq.newBuilder[String]
+        words.foreach { word =>
+          var s: Seq[String] = word.map(_.toString) :+ EndOfWord
+          bMerges.value.foreach { case (a, b) => s = mergePair(s, a, b) }
+          out ++= s
+        }
+        (id, out.result())
+      }
+      .toDF("id", "syms")
+      .cache()
+    val vocab = syms.select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded: alphabet + merges
+    val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    val ids = syms.as[(Long, Seq[String])]
+      .map { case (id, ss) => (id, ss.map(bIdx.value)) }
+      .toDF(idCol, "token_ids")
+    (ids, vocab)
+  }
+
   def encode(df: DataFrame, textCol: String, idCol: String,
              merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession

@@ -67,6 +67,38 @@ object CorpusOps {
       .withColumn("bin_offset", col("stream_start") % budget)
   }
 
+  /** Pack token-id sequences into EXACT fixed-length training blocks:
+    * docs are hashed into `blocks` independent streams (same scheme as
+    * [[packSequential]]), concatenated in id order within each stream,
+    * and the concatenation is cut every `blockSize` tokens — each output
+    * row is one training block with its ids in order (the final ragged
+    * block of each stream keeps its remainder).
+    *
+    * Scale shape: the per-stream prefix window runs over DOCS (streams ×
+    * docs-per-stream — pick `blocks` ≥ cluster parallelism), then ONE
+    * token-level explode assigns every token its global stream position
+    * map-only, and one shuffle by (stream, bin) reassembles blocks with
+    * an in-row sort. Token order inside and across docs is preserved
+    * exactly — the property a next-token objective depends on.
+    */
+  def packTokens(df: DataFrame, idCol: String, tokensCol: String,
+                 blockSize: Int, blocks: Int = 32): DataFrame = {
+    val block = pmod(
+      conv(substring(md5(concat(lit("b:"), col(idCol).cast("string"))), 1, 6), 16, 10)
+        .cast("long"), lit(blocks.toLong))
+    val w = Window.partitionBy(col("block")).orderBy(col(idCol))
+    df.select(col(idCol), col(tokensCol).as("toks"), block.as("block"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("stream_start", sum(col("n")).over(w) - col("n"))
+      .select(col("block"), col("stream_start"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .withColumn("pos", col("stream_start") + col("i"))
+      .withColumn("bin_id", floor(col("pos") / blockSize).cast("long"))
+      .groupBy(col("block"), col("bin_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct((col("pos") % blockSize).as("off"),
+          col("tok").as("t")))), x => x("t")).as("token_ids"))
+  }
+
   /** Deterministic stratified sampling: the `n` lowest-hash rows per
     * stratum (per language, per source domain — the per-group quota that
     * balances corpus composition). Selection order is the portable md5

@@ -442,6 +442,25 @@ object PipelineQueries {
       .select("doc_id", "n_chars", "bucket")
       .orderBy("doc_id")
 
+  /** Tokenized training shards — the end-of-pipeline artifact a training
+    * run consumes: BPE-encode every doc to token ids (vocabulary =
+    * sorted final symbols) and pack the id streams into exact
+    * fixed-length blocks (one token-level explode, one shuffle by
+    * (stream, bin); order preserved within and across docs). Rows-only
+    * (BPE is iterative); exactness and round-trip pinned in BpeSpec.
+    */
+  def corpusTokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // tokenizer trained on a quarter sample, corpus encoded in full —
+    // the standard production split (training is iterative and
+    // sample-sized; encoding is the map-only full pass)
+    val merges = Bpe.train(d.filter(col("doc_id") % 4 === 0), "text", numMerges = 8)
+    val (ids, _) = Bpe.encodeIds(d, "text", "doc_id", merges)
+    graft.operators.CorpusOps.packTokens(ids, "doc_id", "token_ids",
+        blockSize = 512, blocks = 8)
+      .orderBy("block", "bin_id")
+  }
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1385,6 +1404,7 @@ object PipelineQueries {
     "corpus_bpe" -> (corpusBpe _),
     "text_quality_trained" -> (textQualityTrained _),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
+    "corpus_tokenize_pack" -> (corpusTokenizePack _),
     "corpus_sample_hash" -> (corpusSampleHash _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_domain_cap" -> (corpusDomainCap _),

@@ -73,6 +73,42 @@ class BpeSpec extends SparkSpec {
     enc.values.foreach { case (nw, ns) => assert(ns >= nw) }
   }
 
+  test("encodeIds + packTokens: blocks are exact, ordered, and round-trip") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    val merges = Bpe.train(docs, "text", numMerges = 8)
+    val (ids, vocab) = Bpe.encodeIds(docs, "text", "doc_id", merges)
+    assert(vocab.nonEmpty && vocab.sameElements(vocab.sorted))
+    // id range valid
+    val mx = ids.select(max(array_max(col("token_ids")))).head().getInt(0)
+    assert(mx < vocab.length)
+    val packed = graft.operators.CorpusOps.packTokens(
+      ids, "doc_id", "token_ids", blockSize = 128, blocks = 4)
+      .collect()
+    // every non-final block of a stream holds exactly blockSize tokens
+    val byStream = packed.groupBy(_.getLong(0))
+    byStream.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.dropRight(1).foreach(r => assert(r.getLong(2) == 128L, r))
+      assert(sorted.map(_.getLong(2)).sum ==
+        sorted.flatMap(_.getSeq[Int](3)).length)
+    }
+    // round-trip: per-stream concatenation of blocks == concatenation of
+    // that stream's docs in id order
+    val streamOf = ids.select(col("doc_id"), col("token_ids")).collect().map { r =>
+      val id = r.getLong(0)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"b:$id".getBytes("US-ASCII"))
+      val h24 = ((h(0) & 0xFFL) << 16) | ((h(1) & 0xFFL) << 8) | (h(2) & 0xFFL)
+      (h24 % 4, id, r.getSeq[Int](1))
+    }
+    streamOf.groupBy(_._1).foreach { case (s, docRows) =>
+      val expected = docRows.sortBy(_._2).flatMap(_._3).toSeq
+      val got = byStream(s).sortBy(_.getLong(1)).flatMap(_.getSeq[Int](3)).toSeq
+      assert(got == expected, s"stream $s")
+    }
+  }
+
   test("merges are deterministic under repartitioning") {
     val d = Tables.load(spark, sf, "documents")
     val a = Bpe.train(d.repartition(2), "text", 6)
