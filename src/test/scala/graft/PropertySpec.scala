@@ -122,4 +122,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("equi-depth buckets: sizes within one of n/b, monotone in value, for random data") {
+    val values = draws(Gen.chooseNum(-1000L, 1000L), 400)
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val b = 8
+    val out = graft.operators.CorpusOps.equiDepthBuckets(df, "id", "v", b)
+      .select("id", "v", "bucket").as[(Long, Long, Long)].collect()
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until b).toSet)
+    val (lo, hi) = (values.length / b, values.length / b + 1)
+    assert(sizes.values.forall(s => s >= lo && s <= hi), sizes)
+    // monotone: a row in a higher bucket never has a smaller value than
+    // any row in a lower bucket (ties may straddle by (v, id) order)
+    val maxPerBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minPerBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (0L until b - 1).foreach(k =>
+      assert(maxPerBucket(k) <= minPerBucket(k + 1), s"bucket $k straddles"))
+  }
+
+  test("interleave_bits round-trips: de-interleaving recovers both inputs") {
+    val pairs = draws(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)), 200)
+    val df = pairs.toDF("a", "b")
+      .select(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"),
+        graft.functions.interleave_bits(
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    df.foreach { case (a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >>> (2 * i)) & 1L) << i
+        rb |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"($a,$b) -> $z -> ($ra,$rb)")
+    }
+  }
 }
