@@ -104,6 +104,35 @@ class Warehouse(val spark: SparkSession, val root: String) {
     AppendStats(attempted, inserted, attempted - inserted)
   }
 
+  /** MERGE / upsert: incoming rows REPLACE existing rows with the same
+    * key; unmatched existing rows are kept; duplicate keys within the
+    * batch keep the first in `orderCol` order (or arbitrary-deterministic
+    * via dropDuplicates). The set-based formulation of `INSERT OR
+    * REPLACE`: existing ⟕anti incoming ∪ incoming, one shuffle each
+    * side, rewritten through the temp-then-swap overwrite — no row-level
+    * update I/O, the only way parquet (an immutable format) can honor an
+    * update at scale. Schema is taken from the incoming batch; columns
+    * must match (the usual merge precondition).
+    */
+  def upsert(table: String, incoming: DataFrame, keys: Seq[String],
+             orderCol: Option[String] = None): Unit = {
+    val deduped = orderCol match {
+      case Some(c) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+        incoming.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => incoming.dropDuplicates(keys)
+    }
+    val merged = readIfExists(table) match {
+      case Some(existing) =>
+        existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+          .select(deduped.columns.map(col): _*) // align column order
+          .unionByName(deduped)
+      case None => deduped
+    }
+    overwrite(table, merged)
+  }
+
   /** J1 — set-based dimension maintenance with stable surrogate keys.
     *
     * New members = distinct incoming values anti-joined against the

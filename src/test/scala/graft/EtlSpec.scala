@@ -75,6 +75,22 @@ class EtlSpec extends SparkSpec {
     assert(s3.attempted == 2 && s3.inserted == 1)
   }
 
+  test("upsert: matched rows replaced, unmatched kept, batch dupes keep first by order") {
+    val wh = new Warehouse(spark, tempDir("wh"))
+    wh.upsert("t", Seq((1L, "a", "r1"), (2L, "b", "r1"), (3L, "c", "r1"))
+      .toDF("k", "v", "run_id"), Seq("k"))
+    // replace k=2, insert k=4; duplicate k=4 in-batch keeps lowest run
+    wh.upsert("t", Seq((2L, "B", "r2"), (4L, "d", "r2"), (4L, "DD", "r3"))
+      .toDF("k", "v", "run_id"), Seq("k"), orderCol = Some("run_id"))
+    val out = wh.read("t").select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")), out)
+    // idempotent: re-applying the same batch changes nothing
+    wh.upsert("t", Seq((2L, "B", "r2"), (4L, "d", "r2"))
+      .toDF("k", "v", "run_id"), Seq("k"))
+    assert(wh.read("t").count() == 4)
+  }
+
   test("table compaction: file count drops, contents exact") {
     val wh = new Warehouse(spark, tempDir("wh"))
     // ten micro-batch appends → ten (or more) small files
