@@ -133,6 +133,49 @@ class Warehouse(val spark: SparkSession, val root: String) {
     overwrite(table, merged)
   }
 
+  /** SCD Type-2 upsert — the historized dimension: each key carries
+    * versioned rows with `[valid_from, valid_to)` + `is_current`. An
+    * incoming snapshot CLOSES the current version of every key whose
+    * attributes changed (valid_to = `asOf`, is_current = false) and
+    * inserts a new open version; unchanged keys are untouched; unseen
+    * keys insert open. Entirely set-based: one null-safe attribute
+    * comparison join against the current slice, a union of three
+    * branches, one temp-swap overwrite — no per-row lookups, which is
+    * what makes slowly-changing dimensions tractable when the dimension
+    * itself is large. Attribute set = incoming columns minus keys.
+    */
+  def scd2Upsert(table: String, incoming: DataFrame, keys: Seq[String],
+                 asOf: String): Unit = {
+    val attrs = incoming.columns.filterNot(keys.contains).toSeq
+    val open = incoming
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null: String))
+      .withColumn("is_current", lit(true))
+    readIfExists(table) match {
+      case None => overwrite(table, open)
+      case Some(existing) =>
+        val current = existing.filter(col("is_current"))
+        // keys whose current attributes differ from the snapshot (null-safe)
+        val changedKeys = current.alias("c")
+          .join(incoming.alias("i"), keys)
+          .filter(!attrs.map(a => col(s"c.$a") <=> col(s"i.$a")).reduce(_ && _))
+          .select(keys.map(col): _*)
+        val newKeys = incoming.select(keys.map(col): _*)
+          .join(current.select(keys.map(col): _*), keys, "left_anti")
+        val toOpen = changedKeys.union(newKeys)
+        val closed = current.join(changedKeys, keys, "left_semi")
+          .withColumn("valid_to", lit(asOf))
+          .withColumn("is_current", lit(false))
+        // all rows of unchanged keys, plus the already-closed history of
+        // changed keys (their current version moves to `closed`)
+        val untouched = existing.join(changedKeys, keys, "left_anti")
+          .unionByName(existing.filter(!col("is_current"))
+            .join(changedKeys, keys, "left_semi"))
+        val inserts = open.join(toOpen, keys, "left_semi")
+        overwrite(table, untouched.unionByName(closed).unionByName(inserts))
+    }
+  }
+
   /** J1 — set-based dimension maintenance with stable surrogate keys.
     *
     * New members = distinct incoming values anti-joined against the

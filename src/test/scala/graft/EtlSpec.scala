@@ -91,6 +91,29 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("t").count() == 4)
   }
 
+  test("scd2: changed keys close and reopen, history immutable, no-op snapshot") {
+    val wh = new Warehouse(spark, tempDir("wh"))
+    wh.scd2Upsert("dim", Seq((1L, "NY"), (2L, "SF")).toDF("k", "city"),
+      Seq("k"), asOf = "t1")
+    // k=1 moves; k=3 appears; k=2 unchanged
+    wh.scd2Upsert("dim", Seq((1L, "LA"), (2L, "SF"), (3L, "TX")).toDF("k", "city"),
+      Seq("k"), asOf = "t2")
+    val rows = wh.read("dim")
+      .select("k", "city", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows == Seq(
+      (1L, "NY", "t1", Some("t2"), false),
+      (1L, "LA", "t2", None, true),
+      (2L, "SF", "t1", None, true),
+      (3L, "TX", "t2", None, true)), rows)
+    // identical snapshot: nothing changes
+    wh.scd2Upsert("dim", Seq((1L, "LA"), (2L, "SF"), (3L, "TX")).toDF("k", "city"),
+      Seq("k"), asOf = "t3")
+    assert(wh.read("dim").count() == 4)
+    assert(wh.read("dim").filter(col("is_current")).count() == 3)
+  }
+
   test("table compaction: file count drops, contents exact") {
     val wh = new Warehouse(spark, tempDir("wh"))
     // ten micro-batch appends → ten (or more) small files
