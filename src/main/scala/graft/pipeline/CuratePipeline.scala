@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, QualityModel, TextAnalysis}
+
+/** End-to-end training-data curation: the whole engine chained into ONE
+  * pipeline over the documents table — the flow a 100 TB pretraining crawl
+  * actually runs, each stage the operator documented in its own module:
+  *
+  *  1. boilerplate line removal (per-source template df)
+  *  2. quality filtering by the IRLS-TRAINED model (not the raw heuristic:
+  *     featureize → train on the corpus itself → map-only score)
+  *  3. exact dedup (content-hash keep list)
+  *  4. fuzzy dedup (MinHash-LSH pairs → connected-component keep list)
+  *  5. benchmark decontamination (shared-shingle overlap)
+  *  6. temperature-balanced mixture over sources
+  *  7. BPE tokenization (sample-trained merges) + exact fixed-length packing
+  *
+  * Every stage is declarative and shuffle-bounded; the driver touches only
+  * bounded artifacts (model weights, merge list, stage counts). Returns
+  * per-stage (docs, sample row) counts; `main` prints them.
+  */
+object CuratePipeline {
+
+  final case class Stage(stage: String, docs: Long)
+
+  def run(spark: SparkSession, sfDir: String,
+          quotaPerSource: Int = Int.MaxValue): (Seq[Stage], DataFrame) = {
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+    val stages = Seq.newBuilder[Stage]
+    def record(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      stages += Stage(name, cached.count())
+      cached
+    }
+
+    // 1 — strip per-source template lines (headers/footers/banners)
+    val stripped = record("boilerplate", TextAnalysis
+      .removeBoilerplateLines(raw, "text", "doc_id", "source", minDf = 10)
+      .join(raw.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"), col("source"))
+      .filter(length(col("text")) > 0))
+
+    // 2 — trained quality filter: distill the heuristic into a logistic
+    // model on THIS corpus, keep predicted-positive docs
+    val feats = QualityModel.featureTable(stripped, "text", "doc_id")
+    val w = QualityModel.train(feats, QualityModel.defaultFeatures, "label")
+    val kept = QualityModel.score(feats, QualityModel.defaultFeatures, w)
+      .filter(col("predicted") === 1).select("doc_id")
+    val quality = record("quality",
+      stripped.join(kept, "doc_id"))
+
+    // 3 — exact dedup: lowest-id representative per content hash
+    val exactKeep = Dedup.exact(quality, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val exact = record("exact_dedup", quality.join(exactKeep, "doc_id"))
+
+    // 4 — fuzzy dedup: MinHash-LSH pairs, connected-component keep list
+    val pairs = Dedup.minhashLsh(exact, "text", "doc_id", k = 8, threshold = 0.3)
+    val reps = Dedup.clusterReps(exact, pairs, "doc_id")
+      .filter(col("doc_id") === col("rep_id")).select("doc_id")
+    val fuzzy = record("fuzzy_dedup", exact.join(reps, "doc_id"))
+
+    // 5 — decontamination: drop docs sharing 8-gram shingles with the
+    // "benchmark" (stand-in: the 1% lowest-hash sample of the corpus)
+    val bench = CorpusOps.sampleByHash(raw, "doc_id", rate = 0.01)
+    val dirty = Decontam.overlap(fuzzy, bench, "text", "doc_id", k = 8)
+      .filter(col("doc_id").isNotNull).select("doc_id")
+      .except(bench.select("doc_id")) // the bench docs themselves stay
+    val clean = record("decontaminated", fuzzy.join(dirty, Seq("doc_id"), "left_anti"))
+
+    // 6 — temperature-balanced source mixture (α=0.5, keep ~80%)
+    val mixed = record("mixture", CorpusOps.mixtureTemperature(
+      clean, "doc_id", "source", alpha = 0.5, targetFraction = 0.8))
+
+    // 7 — tokenize (merges trained on a quarter sample) and pack
+    val merges = Bpe.train(mixed.filter(col("doc_id") % 4 === 0), "text", numMerges = 8)
+    val (ids, _) = Bpe.encodeIds(mixed, "text", "doc_id", merges)
+    val packed = CorpusOps.packTokens(ids, "doc_id", "token_ids",
+      blockSize = 512, blocks = 8)
+    stages += Stage("packed_blocks", packed.count())
+    (stages.result(), packed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.getOrCreate("graft-curate")
+    val (stages, _) = run(spark, sfDir)
+    stages.foreach(s => println(f"  ${s.stage}%-16s ${s.docs}%8d"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import graft.pipeline.CuratePipeline
+
+/** The end-to-end curation chain on sf0.001: stage counts monotonically
+  * non-increasing through the filters, and the final packed blocks are
+  * exact (every non-final block of a stream holds exactly blockSize).
+  */
+class CuratePipelineSpec extends SparkSpec {
+
+  test("curation pipeline: stages filter monotonically; packed blocks exact") {
+    val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001")
+    val byName = stages.map(s => s.stage -> s.docs).toMap
+    assert(stages.map(_.stage) == Seq("boilerplate", "quality", "exact_dedup",
+      "fuzzy_dedup", "decontaminated", "mixture", "packed_blocks"))
+    val docCounts = stages.dropRight(1).map(_.docs)
+    assert(docCounts.head > 0)
+    assert(docCounts.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"non-monotone: $stages")
+    assert(byName("quality") < byName("boilerplate")) // the filter actually filters
+    assert(byName("packed_blocks") > 0)
+    val rows = packed.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(r => assert(r.getLong(2) == 512L, r))
+    }
+  }
+}
