@@ -140,6 +140,18 @@ object ScaleProbe {
     time("boilerplate_all_hot")(graft.operators.TextAnalysis.removeBoilerplateLines(
       big.withColumn("source", lit("one")), "text", "doc_id", "source",
       minDf = factor).count())
+    spark.catalog.clearCache()
+    // tokenize + pack at factor×: merges train on a 1/32 sample, the full
+    // replicated corpus encodes map-only, and the block packer's
+    // token-level explode + (stream, bin) shuffle must scale with tokens
+    big.cache().count()
+    time("tokenize_pack")({
+      val merges = graft.operators.Bpe.train(
+        big.filter(col("doc_id") % 32 === 0), "text", numMerges = 8)
+      val (ids, _) = graft.operators.Bpe.encodeIds(big, "text", "doc_id", merges)
+      graft.operators.CorpusOps.packTokens(ids, "doc_id", "token_ids",
+        blockSize = 2048, blocks = 32).count()
+    })
     spark.stop()
   }
 }
