@@ -271,6 +271,19 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // Explicit GROUPING SETS — arbitrary set lists beyond rollup/cube's
+  // fixed families, still ONE Expand + one aggregate pass (never a union
+  // of re-scans). Sets here: (flag, status), (status), () — a selection
+  // no rollup or cube produces.
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // TPC-H Q1-style pricing summary: the headline heavy aggregation.
   // Derived measures are exact: 2dp x 2dp products have <= 4dp (6dp with
   // tax), so the decimal casts lose nothing and sums are order-independent.
@@ -1040,6 +1053,12 @@ object ReferenceQueries {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a5_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "a5_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
@@ -1084,6 +1103,7 @@ object ReferenceQueries {
     "set_ops" -> (setOps _),
     "a5_rollup" -> (rollupAgg _),
     "a5_cube" -> (cubeAgg _),
+    "a5_grouping_sets" -> (groupingSetsAgg _),
     "j5_outer_join" -> (outerJoin _),
     "w2_window_variety" -> (windowVariety _),
     "a6_percentiles" -> (percentiles _),
