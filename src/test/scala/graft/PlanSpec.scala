@@ -150,6 +150,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("grouping sets plan as one Expand + one aggregate, not a union of scans") {
+    val p = plan("a5_grouping_sets")
+    assert(p.contains("Expand"), p.take(800))
+    assert(!p.contains("Union"), p.take(800))
+    // one partial+final pair over the expanded rows
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") == 2, p.take(1200))
+  }
+
+  test("sql surface: quantize_int8 and interleave_bits callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))).qvec AS q, " +
+        "interleave_bits(5L, 3L, 3) AS z").head()
+    assert(r.getSeq[Int](0) == Seq(64, -127))
+    assert(r.getLong(1) == 27L)
+  }
+
   test("q19: disjunctive predicate keeps the broadcast hash join") {
     val p = plan("q19_discounted_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
