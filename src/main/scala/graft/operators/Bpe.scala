@@ -102,6 +102,17 @@ object Bpe {
     merges.result()
   }
 
+  /** Encode-side tokenization, mirroring the training pass EXACTLY
+    * ([[TextAnalysis.tokens]] = `split(lower(trim(text)), " ")` + drop
+    * empties): locale-independent lowercase (a tr_TR JVM default would
+    * map 'I'→'ı' and diverge from Spark's `lower()`), split on the space
+    * character only (Java `trim` would also strip tab/newline edges the
+    * training tokenizer keeps inside tokens; space-trim itself is a
+    * no-op under the empty-token filter).
+    */
+  private def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+
   /** The standard BPE merge scan: replace adjacent (a,b) left-to-right,
     * non-overlapping.
     */
@@ -147,7 +158,7 @@ object Bpe {
     val syms = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.trim.toLowerCase.split(" ").filter(_.nonEmpty)
+        val words = tokenize(text)
         val out = Seq.newBuilder[String]
         words.foreach { word =>
           var s: Seq[String] = word.map(_.toString) :+ EndOfWord
@@ -176,7 +187,7 @@ object Bpe {
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.trim.toLowerCase.split(" ").filter(_.nonEmpty)
+        val words = tokenize(text)
         var nSub = 0L
         words.foreach { word =>
           var syms: Seq[String] = word.map(_.toString) :+ EndOfWord

@@ -39,20 +39,33 @@ object Sketches {
     *   group); the candidate recall guarantee covers tokens with count
     *   > N_partition/(localCandidates+1). Raise it for flatter
     *   distributions; memory stays bounded at m counters per group.
+    * @param maxGroups PRECONDITION guard: `groupCol` must be
+    *   low-cardinality (source, language, shard family — not doc_id).
+    *   Driver + broadcast memory is groups × sketch size (~1.1 MB at the
+    *   default eps/confidence), so an unbounded group column would OOM
+    *   the driver; the collect is capped at `maxGroups + 1` rows and the
+    *   call fails fast past the cap rather than accumulating sketches.
     */
   def heavyHitters(df: DataFrame, groupCol: String, tokenCol: String, k: Int,
                    eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42,
-                   localCandidates: Int = 64): DataFrame = {
+                   localCandidates: Int = 64, maxGroups: Int = 256): DataFrame = {
     val spark = df.sparkSession
     val toks = df.select(col(groupCol).cast("string").as("g"),
       col(tokenCol).cast("string").as("token"))
 
     // (1) fixed-memory mergeable sketch per group. The collect is one
-    // row per group (the sketch bytes), NOT data-sized.
-    val sketches: Map[String, CountMinSketch] = toks
+    // row per group (the sketch bytes), NOT data-sized — guarded by
+    // maxGroups so a high-cardinality groupCol fails fast, not OOM.
+    val collected = toks
       .groupBy(col("g"))
       .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("cms"))
+      .limit(maxGroups + 1)
       .collect()
+    require(collected.length <= maxGroups,
+      s"heavyHitters: groupCol '$groupCol' has more than $maxGroups distinct values; " +
+        "each group costs ~1 MB of driver/broadcast memory — group by a " +
+        "low-cardinality column or raise maxGroups deliberately")
+    val sketches: Map[String, CountMinSketch] = collected
       .map(r => r.getString(0) -> CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
       .toMap
     val bSketches = spark.sparkContext.broadcast(

@@ -456,8 +456,15 @@ object PipelineQueries {
     // sample-sized; encoding is the map-only full pass)
     val merges = Bpe.train(d.filter(col("doc_id") % 4 === 0), "text", numMerges = 8)
     val (ids, _) = Bpe.encodeIds(d, "text", "doc_id", merges)
+    // the raw INTEGER[] block content is pinned in BpeSpec (round-trip);
+    // the driver-facing result carries a portable scalar digest of the id
+    // stream instead — drivers hash/sort rows, and an array cell is not
+    // hashable by that harness
     graft.operators.CorpusOps.packTokens(ids, "doc_id", "token_ids",
         blockSize = 512, blocks = 8)
+      .select(col("block"), col("bin_id"), col("n_tokens"),
+        md5(array_join(transform(col("token_ids"), _.cast("string")), ","))
+          .as("token_digest"))
       .orderBy("block", "bin_id")
   }
 
@@ -1128,12 +1135,12 @@ object PipelineQueries {
            FROM documents),
          s AS (
            SELECT doc_id, block, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
-                    AS stream_start
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
+                    AS BIGINT) AS stream_start
            FROM t)
          SELECT doc_id, block, n_tokens,
-                stream_start // 2048 AS bin_id,
-                stream_start % 2048 AS bin_offset
+                CAST(stream_start // 2048 AS BIGINT) AS bin_id,
+                CAST(stream_start % 2048 AS BIGINT) AS bin_offset
          FROM s ORDER BY doc_id""",
     "sim_kmeans" ->
       s"""WITH $kmeansCtes,
@@ -1199,9 +1206,11 @@ object PipelineQueries {
                  / 16777216.0 < 0.5),
          st AS (
            SELECT doc_id, block, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens AS ss
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
+                    AS BIGINT) AS ss
            FROM smp)
-         SELECT doc_id, block, n_tokens, ss // 1024 AS bin_id, ss % 1024 AS bin_offset
+         SELECT doc_id, block, n_tokens, CAST(ss // 1024 AS BIGINT) AS bin_id,
+                CAST(ss % 1024 AS BIGINT) AS bin_offset
          FROM st ORDER BY doc_id"""
     },
     "mm_frames" ->
@@ -1220,7 +1229,7 @@ object PipelineQueries {
                   CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
            FROM documents)
          SELECT least(n_tokens // 64, 7) AS bucket,
-                count(*) AS n_docs, sum(n_tokens) AS total_tokens
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM t GROUP BY 1 ORDER BY bucket""",
     "corpus_length_equidepth" ->
       """WITH r AS (

@@ -113,9 +113,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * update I/O, the only way parquet (an immutable format) can honor an
     * update at scale. Schema is taken from the incoming batch; columns
     * must match (the usual merge precondition).
+    *
+    * When `partitionCol` is given (and the table was written partitioned
+    * by it — [[appendPartitioned]]/[[overwritePartitions]]), the MERGE is
+    * PARTITION-SCOPED: only the partitions the incoming batch touches are
+    * read back, merged, and rewritten; every other partition's files are
+    * untouched. At 100 TB that is the difference between rewriting one
+    * day and rewriting the table. Precondition: a key's partition value
+    * is stable (include `partitionCol` in `keys` if it is part of the
+    * identity) — a key that MOVES partitions would leave its old row in
+    * an untouched partition.
     */
   def upsert(table: String, incoming: DataFrame, keys: Seq[String],
-             orderCol: Option[String] = None): Unit = {
+             orderCol: Option[String] = None,
+             partitionCol: Option[String] = None): Unit = {
     val deduped = orderCol match {
       case Some(c) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
@@ -123,14 +134,24 @@ class Warehouse(val spark: SparkSession, val root: String) {
           .filter(col("__rn") === 1).drop("__rn")
       case None => incoming.dropDuplicates(keys)
     }
-    val merged = readIfExists(table) match {
-      case Some(existing) =>
-        existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+    (readIfExists(table), partitionCol) match {
+      case (Some(existing), Some(pc)) =>
+        // bounded collect: one value per TOUCHED partition (batch churn,
+        // not table size); the isin filter partition-prunes the readback
+        val touched = deduped.select(col(pc)).distinct().collect().map(_.get(0))
+        val merged = existing.filter(col(pc).isin(touched.toIndexedSeq: _*))
+          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
           .select(deduped.columns.map(col): _*) // align column order
           .unionByName(deduped)
-      case None => deduped
+        overwritePartitions(table, merged, pc)
+      case (Some(existing), None) =>
+        overwrite(table, existing
+          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+          .select(deduped.columns.map(col): _*) // align column order
+          .unionByName(deduped))
+      case (None, Some(pc)) => overwritePartitions(table, deduped, pc)
+      case (None, None) => overwrite(table, deduped)
     }
-    overwrite(table, merged)
   }
 
   /** SCD Type-2 upsert — the historized dimension: each key carries
@@ -143,9 +164,21 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * branches, one temp-swap overwrite — no per-row lookups, which is
     * what makes slowly-changing dimensions tractable when the dimension
     * itself is large. Attribute set = incoming columns minus keys.
+    *
+    * A snapshot carrying the same key twice would otherwise open two
+    * simultaneous `is_current` versions, so the incoming batch is deduped
+    * on `keys` first — deterministically by `orderCol` when given (first
+    * row per key in that order wins), arbitrarily-but-stably otherwise.
     */
-  def scd2Upsert(table: String, incoming: DataFrame, keys: Seq[String],
-                 asOf: String): Unit = {
+  def scd2Upsert(table: String, incoming0: DataFrame, keys: Seq[String],
+                 asOf: String, orderCol: Option[String] = None): Unit = {
+    val incoming = orderCol match {
+      case Some(c) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+        incoming0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => incoming0.dropDuplicates(keys)
+    }
     val attrs = incoming.columns.filterNot(keys.contains).toSeq
     val open = incoming
       .withColumn("valid_from", lit(asOf))
@@ -278,18 +311,15 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * would truncate the whole table first; the dynamic mode scopes the
     * overwrite to the partitions the incoming data actually carries — at
     * 100 TB that is the difference between rewriting a day and rewriting
-    * years. Session conf is restored afterwards.
+    * years. The mode is set as a PER-WRITE option, not session conf: a
+    * session-level set/restore races with concurrent writers on the same
+    * SparkSession (one thread restoring "static" while another's dynamic
+    * overwrite is still planning would truncate that table).
     */
-  def overwritePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path(table))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  def overwritePartitions(table: String, df: DataFrame, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path(table))
 
   /** Bucketed catalog table write: co-locates future joins/aggregations on
     * `keys` — two tables bucketed the same way join without any exchange

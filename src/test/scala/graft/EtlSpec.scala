@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.ValidatingTransform
@@ -89,6 +91,46 @@ class EtlSpec extends SparkSpec {
     wh.upsert("t", Seq((2L, "B", "r2"), (4L, "d", "r2"))
       .toDF("k", "v", "run_id"), Seq("k"))
     assert(wh.read("t").count() == 4)
+  }
+
+  test("partition-scoped upsert: untouched partitions' files are byte-identical") {
+    val root = tempDir("wh")
+    val wh = new Warehouse(spark, root)
+    val init = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"), (4L, "d", "d3"))
+      .toDF("k", "v", "day")
+    wh.upsert("t", init, Seq("k"), partitionCol = Some("day"))
+
+    def files(day: String): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(s"$root/t/day=$day")
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+    val d2Before = files("d2"); val d3Before = files("d3")
+
+    // touch only d1: replace k=2, insert k=5
+    wh.upsert("t", Seq((2L, "B", "d1"), (5L, "e", "d1")).toDF("k", "v", "day"),
+      Seq("k"), partitionCol = Some("day"))
+
+    // d2/d3 files untouched (same names, same mtimes); contents merged
+    assert(files("d2") == d2Before && files("d3") == d3Before)
+    val out = wh.read("t").select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")), out)
+  }
+
+  test("scd2: incoming snapshot with duplicate keys opens ONE current version") {
+    val wh = new Warehouse(spark, tempDir("wh"))
+    wh.scd2Upsert("dim", Seq((1L, "NY", "r1"), (1L, "LA", "r2"), (2L, "SF", "r1"))
+      .toDF("k", "city", "run"), Seq("k"), asOf = "t1", orderCol = Some("run"))
+    val cur = wh.read("dim").filter(col("is_current"))
+      .select("k", "city").as[(Long, String)].collect().sorted.toSeq
+    // first row per key in run order wins: k=1 -> NY
+    assert(cur == Seq((1L, "NY"), (2L, "SF")), cur)
+    assert(wh.read("dim").count() == 2)
   }
 
   test("scd2: changed keys close and reopen, history immutable, no-op snapshot") {
