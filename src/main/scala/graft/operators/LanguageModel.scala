@@ -57,10 +57,18 @@ object LanguageModel {
     // prefix counts roll up from the aggregated table, not a second pass
     // over the corpus: c1(w1) = Σ_w2 c2(w1,w2) exactly
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    // vocab over the full token stream (not just bigram prefixes), so
-    // single-token documents still contribute to V
-    val vocab = graft.Tables.fanOut(corpus.select(col(textCol)))
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    // vocab over the full token stream, WITHOUT a second corpus-wide
+    // explode+distinct: every token of a ≥2-token document appears in
+    // some bigram as prefix or suffix, so V = distinct(w1 ∪ w2 ∪ tokens
+    // of exactly-one-token documents). The first two legs read the
+    // cached, vocabulary-sized c2; the third scans the corpus but only
+    // ships the (rare) single-token docs' tokens into the distinct —
+    // semantics identical to the full-stream count (oracle unchanged)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val vocab = c2.select(col("w1").as("w"))
+      .union(c2.select(col("w2").as("w")))
+      .union(corpus.select(col(textCol)).filter(size(toks) === 1)
+        .select(element_at(toks, 1).as("w")))
       .agg(count_distinct(col("w")).as("v"))
     (c2, c1, vocab)
   }

@@ -704,7 +704,94 @@ object PipelineQueries {
            JOIN sizes sb ON sb.doc_id = i.id_b
            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.30)"""
 
+  /** BPE merge-training as generated SQL: `numMerges` unrolled
+    * generations, each = weighted adjacent-pair count → argmax (count
+    * desc, pair asc — the engine's tie-break) → greedy left-to-right
+    * non-overlapping merge rewrite. The rewrite is exact, including the
+    * a=a run case ("aaa" + merge (a,a) → [aa, a]): pair-start positions
+    * form gaps-and-islands (consecutive starts only happen for equal
+    * symbols), and greedy selects the even offsets within each island.
+    * Mirrors `Bpe.train`/`Bpe.mergePair`; generations are MATERIALIZED
+    * so DuckDB doesn't inline the chain exponentially. Defines w0..w{n}
+    * (per-word symbol lists) and b0..b{n-1} (the merge table rows) —
+    * and because `Bpe.encode` applies the same merges in the same rank
+    * order, w{n} IS the per-word encode result the encode oracle joins.
+    */
+  private def bpeChainCtes(numMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS w,
+             list_append(list_transform(range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word)"""
+    (0 until numMerges).foreach { k =>
+      parts += s"""p$k AS (
+      SELECT u.l AS l, u.r AS r, sum(w) AS pw FROM (
+        SELECT w, unnest(list_transform(range(1, len(syms)),
+          i -> {'l': syms[CAST(i AS INTEGER)], 'r': syms[CAST(i AS INTEGER) + 1]})) AS u
+        FROM w$k)
+      GROUP BY u.l, u.r),
+    b$k AS MATERIALIZED (
+      SELECT l, r, CAST(pw AS BIGINT) AS pw FROM p$k
+      ORDER BY pw DESC, l ASC, r ASC LIMIT 1),
+    e$k AS (
+      SELECT word, w, u.pos AS pos, u.sym AS sym FROM (
+        SELECT word, w, unnest(list_transform(range(1, len(syms) + 1),
+          i -> {'pos': i, 'sym': syms[CAST(i AS INTEGER)]})) AS u
+        FROM w$k)),
+    m$k AS (
+      SELECT word, w, pos, sym,
+             coalesce(sym = (SELECT l FROM b$k) AND
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$k),
+               false) AS ps
+      FROM e$k),
+    i$k AS (
+      SELECT word, w, pos, sym, ps,
+             CASE WHEN ps THEN pos - row_number() OVER (PARTITION BY word, ps ORDER BY pos) END AS isl
+      FROM m$k),
+    s$k AS (
+      SELECT word, w, pos, sym,
+             ps AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) AS sel
+      FROM i$k),
+    w${k + 1} AS MATERIALIZED (
+      SELECT word, w, list(ns ORDER BY pos) AS syms FROM (
+        SELECT word, w, pos,
+               CASE WHEN sel THEN sym || (SELECT r FROM b$k) ELSE sym END AS ns,
+               coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+        FROM s$k)
+      WHERE NOT consumed
+      GROUP BY word, w)"""
+    }
+    parts.result().mkString(",\n    ")
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val union = (0 until numMerges).map { k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right", pw AS pair_count FROM b$k"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainCtes(numMerges)}
+       SELECT * FROM ($union) ORDER BY "rank""""
+  }
+
+  private def bpeEncodeOracle(numMerges: Int): String =
+    s"""WITH ${bpeChainCtes(numMerges)},
+       docw AS (
+         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+         FROM documents),
+       docw2 AS (SELECT doc_id, word FROM docw WHERE length(word) > 0),
+       enc AS (
+         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(s.syms)) AS BIGINT) AS n_subwords
+         FROM docw2 d JOIN w$numMerges s USING (word) GROUP BY d.doc_id)
+       SELECT doc_id, coalesce(e.n_words, CAST(0 AS BIGINT)) AS n_words,
+              coalesce(e.n_subwords, CAST(0 AS BIGINT)) AS n_subwords
+       FROM documents LEFT JOIN enc e USING (doc_id) ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "corpus_bpe" -> bpeTrainOracle(16),
+    "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "dedup_windows" ->
       // token-window exact substring dedup — windows keyed by raw text,
       // first occurrence ordered by (doc_id, widx); combined BIGINT key
