@@ -221,6 +221,50 @@ object CorpusOps {
         Seq(col(domainCol)), Seq(col("__score").desc, col(idCol).asc), n)
       .drop("__score")
 
+  /** Sliding-window document chunking: split each document's token stream
+    * into `chunkTokens`-token windows advancing by `stride` (stride <
+    * chunkTokens ⇒ overlapping context windows — the standard long-document
+    * treatment for pretraining and retrieval corpora). The last window may
+    * be short; windows stop once the document is covered (no fully-redundant
+    * tail). Map-only: one `sequence` explode + in-row `slice`, no shuffle,
+    * no state — the shape that runs on a 100 TB corpus as a pure map stage.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val lastIdx = when(col("__n") <= chunkTokens, lit(0L))
+      .otherwise(ceil((col("__n") - chunkTokens).cast("double") / stride).cast("long"))
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws the portable hash-uniform u and keys
+    * by u^(1/w); the k largest keys are exactly a weight-proportional
+    * sample without replacement. Global top-k plans as
+    * TakeOrderedAndProject — per-partition bounded heaps, never a full
+    * sort — and the decision is reproducible under any partitioning (and
+    * by the SQL oracle; keys round to 9 dp so cross-engine libm `pow`
+    * can't flip an ordering, ties break by id). Rows with w ≤ 0 are
+    * excluded by definition.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(weightCol > 0)
+      .withColumn("__wkey",
+        round(pow(hashUniform(col(idCol), salt), lit(1.0) / weightCol), 9))
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+
   /** Token-length histogram: docs and token mass per power-of-two-ish
     * length bucket — the composition summary a data curator reads before
     * choosing packing budgets and length filters.

@@ -468,6 +468,23 @@ object PipelineQueries {
       .orderBy("block", "bin_id")
   }
 
+  /** Sliding-window chunking: 64-token windows, stride 48 (25% overlap) —
+    * the long-document split for pretraining/retrieval corpora. Map-only.
+    */
+  def corpusChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Weighted sampling without replacement (A-ES keys): 200 docs drawn
+    * proportional to length, reproducible under any partitioning.
+    */
+  def corpusSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.sampleWeighted(docs(s, dir), "doc_id",
+        col("n_chars"), k = 200)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -792,6 +809,34 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
+    "corpus_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, w,
+                  unnest(range(0, CASE WHEN n <= 64 THEN 1
+                         ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS BIGINT) + 1 END))
+                    AS chunk_idx
+           FROM t)
+         SELECT doc_id, chunk_idx,
+                CAST(len(list_slice(w, CAST(chunk_idx * 48 + 1 AS INTEGER),
+                                       CAST(chunk_idx * 48 + 64 AS INTEGER))) AS BIGINT)
+                  AS n_tokens,
+                array_to_string(list_slice(w, CAST(chunk_idx * 48 + 1 AS INTEGER),
+                                              CAST(chunk_idx * 48 + 64 AS INTEGER)), ' ')
+                  AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "corpus_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  round(pow(CAST(('0x' || substr(md5('s:wsample:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                              AS BIGINT) / 16777216.0,
+                            1.0 / n_chars), 9) AS wkey
+           FROM documents WHERE n_chars > 0
+           ORDER BY wkey DESC, doc_id LIMIT 200)
+         ORDER BY doc_id""",
     "dedup_windows" ->
       // token-window exact substring dedup — windows keyed by raw text,
       // first occurrence ordered by (doc_id, widx); combined BIGINT key
@@ -1508,6 +1553,8 @@ object PipelineQueries {
     "corpus_mixture" -> (corpusMixture _),
     "corpus_mixture_temperature" -> (corpusMixtureTemperature _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_chunk" -> (corpusChunk _),
+    "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),
     "corpus_length_equidepth" -> (corpusLengthEquidepth _),
     "corpus_pipeline" -> (corpusPipeline _),

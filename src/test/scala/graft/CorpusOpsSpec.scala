@@ -127,6 +127,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byId.toSeq != byId.sorted.toSeq)
   }
 
+  test("chunking: full coverage, stride overlap, reconstruction, no redundant tail") {
+    val chunks = CorpusOps.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.keySet == toks.keySet) // every doc chunked
+    chunks.foreach { case (id, rows) =>
+      val n = toks(id).length
+      val ordered = rows.sortBy(_._2)
+      // indices dense from 0; window i starts at i*stride
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong))
+      ordered.foreach { case (_, i, nt, text) =>
+        val expect = toks(id).slice((i * 48).toInt, (i * 48).toInt + 64)
+        assert(text == expect.mkString(" ") && nt == expect.length)
+      }
+      // coverage: last window reaches the end; no window starts past it
+      val last = ordered.last
+      assert(last._2 * 48 + last._3 == n)
+      assert(n <= 64 || (last._2 - 1) * 48 + 64 < n) // predecessor didn't already cover
+    }
+  }
+
+  test("weighted sampling: without replacement, partition-invariant, weight-biased") {
+    val k = 200
+    val a = CorpusOps.sampleWeighted(docs, "doc_id", col("n_chars"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == k) // without replacement: k distinct rows
+    val b = CorpusOps.sampleWeighted(docs.repartition(17), "doc_id", col("n_chars"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // deterministic under any partitioning
+    // biased toward weight: sampled docs are longer on average than corpus
+    val meanAll = docs.agg(avg("n_chars")).head().getDouble(0)
+    val meanSample = docs.filter(col("doc_id").isInCollection(a))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(meanSample > meanAll,
+      s"weighted sample mean $meanSample should exceed corpus mean $meanAll")
+  }
+
   test("length buckets: masses add up") {
     val total = docs.count()
     val tokens = docs.select(size(TextAnalysis.tokens(col("text"))).cast("long"))
