@@ -185,6 +185,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    val p = graft.operators.CorpusOps.sampleWeighted(
+        Tables.load(spark, sf, "documents"), "doc_id",
+        col("n_chars"), k = 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("\nSort") && !p.contains("*Sort"), p.take(600))
+  }
+
+  test("chunking is map-only before the query's output sort: no exchange, no window") {
+    val p = graft.operators.CorpusOps.chunkDocs(
+        Tables.load(spark, sf, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
   test("pq encode is map-only codegen: no exchange, no UDF") {
     val embs = Tables.load(spark, sf, "embeddings")
     val cb = graft.operators.Pq.train(embs, "embedding", "vec_id",
