@@ -141,6 +141,16 @@ object ScaleProbe {
       big.withColumn("source", lit("one")), "text", "doc_id", "source",
       minDf = factor).count())
     spark.catalog.clearCache()
+    // chunking at factor×: pure map stage — wall time must scale with
+    // output tokens only (no shuffle to regress)
+    time("chunk_docs")(graft.operators.CorpusOps.chunkDocs(
+      big, "doc_id", "text", chunkTokens = 64, stride = 48).count())
+    spark.catalog.clearCache()
+    // weighted sampling at factor×: TakeOrderedAndProject keeps per-task
+    // state at k rows regardless of corpus size
+    time("weighted_sample")(graft.operators.CorpusOps.sampleWeighted(
+      big, "doc_id", length(col("text")).cast("double"), k = 1000).count())
+    spark.catalog.clearCache()
     // tokenize + pack at factor×: merges train on a 1/32 sample, the full
     // replicated corpus encodes map-only, and the block packer's
     // token-level explode + (stream, bin) shuffle must scale with tokens
