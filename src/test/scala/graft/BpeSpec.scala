@@ -109,6 +109,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode tokenization mirrors training: space-only split, no Java trim") {
+    import spark.implicits._
+    // Java String.trim would strip the tab/newline edges and toLowerCase
+    // would use the JVM default locale; training (split(lower(trim)), " "))
+    // keeps them inside tokens. Both paths must see the SAME words.
+    val d = Seq((1L, "\tHELLO  world\n")).toDF("doc_id", "text")
+    val enc = Bpe.encode(d, "text", "doc_id", merges = Seq.empty).head()
+    // training tokens: ["\thello", "world\n"] -> 2 words; with no merges
+    // each word contributes chars + 1 (the </w> sentinel) subwords
+    assert(enc.getLong(1) == 2L, s"n_words ${enc.getLong(1)}")
+    assert(enc.getLong(2) == ("\thello".length + 1 + "world\n".length + 1).toLong,
+      s"n_subwords ${enc.getLong(2)}")
+    // and the id-encode path tokenizes identically
+    val (ids, vocab) = Bpe.encodeIds(d, "text", "doc_id", Seq.empty)
+    val idSeq = ids.select(col("token_ids")).as[Seq[Int]].head()
+    assert(idSeq.length == enc.getLong(2).toInt)
+    assert(vocab.contains("\t") && vocab.contains("\n")) // edges survived
+  }
+
   test("merges are deterministic under repartitioning") {
     val d = Tables.load(spark, sf, "documents")
     val a = Bpe.train(d.repartition(2), "text", 6)
