@@ -206,6 +206,15 @@ object ReferenceQueries {
       .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
         col("l_orderkey"), col("l_linenumber"))
 
+  /** Time-series resample: 6-hour buckets per user, gaps filled with the
+    * forward-carried latest value (see operators/Resample.scala for the
+    * scale shape — per-key grids, per-key windows, no global calendar).
+    */
+  def eventsResample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.ffill(t(s, dir, "events"), "user_id", "ts", "value",
+        tieCol = "event_id", intervalSec = 21600L)
+      .orderBy("user_id", "bucket")
+
   // JSON extraction from the events.props payload column.
   def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -798,6 +807,31 @@ object ReferenceQueries {
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
+    "ev_resample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value, ts, event_id
+           FROM events),
+         pb AS (
+           SELECT user_id, bucket,
+                  CAST(count(*) OVER (PARTITION BY user_id, bucket) AS BIGINT)
+                    AS n_events,
+                  value AS lastv
+           FROM e
+           QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, event_id DESC) = 1),
+         grid AS (
+           SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+           FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                 FROM pb GROUP BY user_id)),
+         f AS (
+           SELECT g.user_id, g.bucket,
+                  coalesce(p.n_events, CAST(0 AS BIGINT)) AS n_events,
+                  last_value(p.lastv IGNORE NULLS) OVER (
+                    PARTITION BY g.user_id ORDER BY g.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+           FROM grid g LEFT JOIN pb p USING (user_id, bucket))
+         SELECT user_id, bucket, n_events, value_ffill FROM f
+         ORDER BY user_id, bucket""",
     "ev_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
                 epoch_us(r.ts) AS view_ts_us, r.value AS view_value
@@ -1095,6 +1129,7 @@ object ReferenceQueries {
     "ev_window_agg" -> (eventsWindowAgg _),
     "ev_json_extract" -> (eventsJsonExtract _),
     "ev_asof_join" -> (eventsAsOf _),
+    "ev_resample" -> (eventsResample _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),
