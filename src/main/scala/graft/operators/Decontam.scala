@@ -41,6 +41,30 @@ object Decontam {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** Per-document contamination REPORT: every corpus doc with its total
+    * distinct shingle count, the count shared with the benchmark, and the
+    * shared fraction (the "n-gram contamination rate" a curation run
+    * thresholds on — [[overlap]] answers "which docs touch the bench at
+    * all", this answers "how much"). Same broadcast-bench scale shape:
+    * the corpus stream probes a broadcast distinct-shingle set, nothing
+    * corpus-sized shuffles before the per-doc aggregate.
+    */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, k: Int = 8, portable: Boolean = false,
+                         broadcastBench: Boolean = true): DataFrame = {
+    def sh(d: DataFrame) =
+      if (portable) Dedup.shingleHashesPortable(d, textCol, idCol, k)
+      else Dedup.shingleHashes(d, textCol, idCol, k)
+    val b = sh(bench).select(col("shingle")).distinct().withColumn("__hit", lit(1L))
+    sh(corpus).join(if (broadcastBench) broadcast(b) else b, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** [[overlap]] with a bloom-filter prefilter on the corpus side — the
     * shuffle-join scale path. With `broadcastBench = false` (two corpora,
     * eval side too big to broadcast) the plain join shuffles EVERY corpus

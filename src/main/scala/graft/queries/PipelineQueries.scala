@@ -300,6 +300,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc contamination fractions over the same corpus/bench split as
+    * [[decontaminate]] — every corpus doc scored, clean docs at 0.
+    */
+  def decontaminateScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Decontam.contaminationScore(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", k = 8, portable = true)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: top-5 tokens per language — token counting feeding
     * the custom TopKPerKey operator (shuffles ≤k rows per language instead
     * of window-sorting the whole vocabulary).
@@ -1176,6 +1187,21 @@ object PipelineQueries {
     // false positives can't reach the output.
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
+    "decontaminate_score" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          ${shingleChainCtes("cs_", "corp", None)},
+          ${shingleChainCtes("bs_", "bench", None)},
+          bset AS (SELECT DISTINCT shingle FROM bs_kept)
+        SELECT cs_kept.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS contamination
+        FROM cs_kept LEFT JOIN bset b ON b.shingle = cs_kept.shingle
+        GROUP BY cs_kept.doc_id
+        ORDER BY doc_id""",
     "corpus_vocab_cms" ->
       """SELECT lang, token, n AS n_est FROM (
            SELECT lang, token, count(*) AS n,
@@ -1540,6 +1566,7 @@ object PipelineQueries {
     "text_boilerplate" -> (textBoilerplate _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "decontaminate_score" -> (decontaminateScore _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_vocab_cms" -> (corpusVocabCms _),
     "corpus_bpe" -> (corpusBpe _),

@@ -71,6 +71,25 @@ class TextOpsSpec extends SparkSpec {
     assert(shuffled.toSeq == Seq((10L, 1L, 1L)))
   }
 
+  test("contamination score: fractions of shared shingles, clean docs at 0") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog entirely"), // 3 shingles, 1 shared
+      (11L, "completely different words nothing shared here at all okay")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (90L, "quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val r = Decontam.contaminationScore(corpus, bench, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 10: 10 tokens -> 3 distinct 8-grams, one matches bench;
+    // doc 11: 9 tokens -> 2 distinct 8-grams, none match
+    assert(r == Seq((10L, 3L, 1L, 0.333333), (11L, 2L, 0L, 0.0)), r)
+    // agrees with overlap(): every doc overlap() reports shares >= 1 shingle
+    val flagged = Decontam.overlap(corpus, bench, "text", "doc_id", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r.filter(_._3 > 0).map(_._1).toSet == flagged)
+  }
+
   test("bloom-prefiltered decontamination: identical output, map-side probe in plan") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter($"doc_id" % 10 =!= 0)
