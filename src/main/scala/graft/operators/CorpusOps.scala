@@ -265,6 +265,40 @@ object CorpusOps {
       .limit(k)
       .drop("__wkey")
 
+  /** Quality-ordered corpus selection under a TOKEN budget: keep the
+    * best-scored documents (ties by id) while the inclusive running token
+    * total stays ≤ `budget` — the data-selection primitive behind
+    * "train on the top N tokens of the pool".
+    *
+    * Scale shape: the running total is a distributed prefix sum, NOT a
+    * global window — range-repartition on (score desc, id), local sorted
+    * sums, per-partition totals (a partition-count-bounded collect) turned
+    * into prefix offsets. Same pattern as [[rankByRange]]; the layout is
+    * pinned (localCheckpoint) so the totals job and the cumsum job read
+    * one partitioning.
+    */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: Column,
+                     tokensCol: Column, budget: Long): DataFrame = {
+    val sorted = df.withColumn("__score", scoreCol)
+      .withColumn("__tok", tokensCol.cast("long"))
+      .repartitionByRange(col("__score").desc, col(idCol).asc)
+      .sortWithinPartitions(col("__score").desc, col(idCol).asc)
+    val withPart = sorted.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = withPart.groupBy("__pid").agg(sum("__tok").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = sums.scanLeft(0L)(_ + _._2).zip(sums).map {
+      case (start, (pid, _)) => pid -> start
+    }.toMap
+    val prefixUdf = udf((pid: Int) => prefix(pid))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    withPart
+      .withColumn("__cum", sum(col("__tok")).over(w) + prefixUdf(col("__pid")))
+      .filter(col("__cum") <= budget)
+      .drop("__pid", "__cum", "__score", "__tok")
+  }
+
   /** Token-length histogram: docs and token mass per power-of-two-ish
     * length bucket — the composition summary a data curator reads before
     * choosing packing budgets and length filters.

@@ -496,6 +496,18 @@ object PipelineQueries {
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** Token-budget data selection: the highest-quality docs until 20k
+    * tokens are in — distributed prefix sum in (quality desc, id) order,
+    * no global window (see CorpusOps.selectByBudget).
+    */
+  def corpusSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+    graft.operators.CorpusOps.selectByBudget(
+        q.select("doc_id", "n_tokens", "quality_score"),
+        "doc_id", col("quality_score"), col("n_tokens"), budget = 20000L)
+      .orderBy("doc_id")
+  }
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -839,6 +851,26 @@ object PipelineQueries {
                                               CAST(chunk_idx * 48 + 64 AS INTEGER)), ' ')
                   AS chunk_text
          FROM c ORDER BY doc_id, chunk_idx""",
+    "corpus_select_budget" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                  round(0.5 * (CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+                          / len(string_split(lower(trim(text)), ' ')))
+                      + 0.3 * least(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              x -> x IN ($stop))) AS DOUBLE)
+                          / len(string_split(lower(trim(text)), ' ')) * 4, 1.0)
+                      + 0.2 * least(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)
+                          / 100.0, 1.0), 6) AS quality_score
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens, quality_score,
+                  CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+                    AS cum
+           FROM f)
+         SELECT doc_id, n_tokens, quality_score FROM s
+         WHERE cum <= 20000 ORDER BY doc_id""" },
     "corpus_sample_weighted" ->
       """SELECT doc_id, n_chars FROM (
            SELECT doc_id, n_chars,
@@ -1582,6 +1614,7 @@ object PipelineQueries {
     "corpus_pack" -> (corpusPack _),
     "corpus_chunk" -> (corpusChunk _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
+    "corpus_select_budget" -> (corpusSelectBudget _),
     "corpus_length_buckets" -> (corpusLengthBuckets _),
     "corpus_length_equidepth" -> (corpusLengthEquidepth _),
     "corpus_pipeline" -> (corpusPipeline _),

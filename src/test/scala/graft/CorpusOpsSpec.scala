@@ -167,6 +167,28 @@ class CorpusOpsSpec extends SparkSpec {
       s"weighted sample mean $meanSample should exceed corpus mean $meanAll")
   }
 
+  test("budget selection: maximal quality-order prefix within budget, partition-invariant") {
+    val budget = 20000L
+    val q = TextAnalysis.quality(docs, "text", "doc_id")
+      .select("doc_id", "n_tokens", "quality_score")
+    val sel = CorpusOps.selectByBudget(q, "doc_id", col("quality_score"),
+        col("n_tokens"), budget)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sel.map(_._2).sum <= budget)
+    // the selection is exactly the maximal prefix of (score desc, id) order
+    val all = q.as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, s) => (-s, id) }
+    val prefix = all.scanLeft(0L)(_ + _._2).tail.zip(all)
+      .takeWhile(_._1 <= budget).map(_._2)
+    assert(sel == prefix.sortBy(_._1).toSeq)
+    assert(prefix.length < all.length) // the budget actually binds
+    // same selection from any input partitioning
+    val sel2 = CorpusOps.selectByBudget(q.repartition(19), "doc_id",
+        col("quality_score"), col("n_tokens"), budget)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sel2 == sel)
+  }
+
   test("length buckets: masses add up") {
     val total = docs.count()
     val tokens = docs.select(size(TextAnalysis.tokens(col("text"))).cast("long"))
