@@ -73,6 +73,29 @@ object LanguageModel {
     (c2, c1, vocab)
   }
 
+  /** Pointwise-mutual-information collocations: the top-k adjacent word
+    * pairs by PMI = ln(c(w1,w2)·N / (c(w1)·c(w2))) among pairs seen at
+    * least `minCount` times — the collocation extractor a corpus analyst
+    * runs before building tokenizers or phrase tables. All inputs come
+    * from the one bigram aggregate ([[trainBigram]]'s c2 plus a suffix
+    * rollup); N is a bounded 1-row collect; the global top-k plans as
+    * TakeOrderedAndProject. PMI rounds to 6 dp (cross-engine libm `ln`),
+    * ties break lexicographically.
+    */
+  def pmiTopK(corpus: DataFrame, textCol: String, idCol: String,
+              minCount: Long, k: Int): DataFrame = {
+    val (c2, c1, _) = trainBigram(corpus, textCol, idCol)
+    val c1r = c2.groupBy("w2").agg(sum("c2").as("c1r"))
+    val n = c2.agg(sum(col("c2"))).head().getLong(0) // bounded: one scalar
+    c2.filter(col("c2") >= minCount)
+      .join(c1, Seq("w1")).join(c1r, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") * n /
+          (col("c1").cast("double") * col("c1r"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Score `docs` against trained counts with add-one (Laplace) smoothing:
     * p(w2|w1) = (c2 + 1) / (c1 + V), with c2 = 0 for unseen bigrams and
     * c1 = 0 for unseen prefixes. Returns one row per document that has at

@@ -1505,6 +1505,23 @@ object PipelineQueries {
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // bigram LM with add-one smoothing: train on doc_id % 4 <> 0, score
     // the held-out quarter — mirrors operators/LanguageModel.scala
+    "text_pmi" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         b AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM toks, unnest(range(1, len(w))) AS t(i)),
+         c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY w1),
+         c1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS c1r FROM b GROUP BY w2),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+         SELECT w1, w2, c2, pmi FROM (
+           SELECT c2.w1 AS w1, c2.w2 AS w2, c2.c2 AS c2,
+                  round(ln(CAST(c2.c2 AS DOUBLE) * n.n
+                        / (CAST(c1.c1 AS DOUBLE) * c1r.c1r)), 6) AS pmi
+           FROM c2 JOIN c1 USING (w1) JOIN c1r USING (w2) CROSS JOIN n
+           WHERE c2.c2 >= 5)
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "lm_perplexity" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
          sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
@@ -1568,9 +1585,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Top-20 PMI collocations over the full corpus (pairs seen ≥5 times). */
+  def textPmi(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.pmiTopK(docs(s, dir), "text", "doc_id", minCount = 5L, k = 20)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
     "lm_perplexity" -> (lmPerplexity _),
+    "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_windows" -> (dedupWindows _),

@@ -63,6 +63,17 @@ class RetrievalLmSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("pmi collocations: hand-computed values, minCount excludes rare pairs") {
+    // bigrams: (a,b)x3 (b,a)x2 (b,c)x1 -> N=6
+    val d = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.pmiTopK(d, "text", "doc_id", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // c1 prefix: a=3 b=3; suffix: b=3 a=2 c=1
+    // pmi(a,b) = ln(3*6 / (3*3)) = ln 2; pmi(b,a) = ln(2*6 / (3*2)) = ln 2
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("a", "b", 3L, ln2), ("b", "a", 2L, ln2)), out.toSeq)
+  }
+
   test("moments query matches Spark built-in stddev/covar/corr at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val ours = ReferenceQueries.moments(spark, sf).collect()
