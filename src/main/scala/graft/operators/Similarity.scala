@@ -199,6 +199,39 @@ object Similarity {
       transform(col("qvec"), q => (q.cast("double") * col("scale")).cast("float"))
         .as("embedding"))
 
+  /** Per-DIMENSION z-score standardization of an embedding column — the
+    * whitening step before distance-based clustering/dedup when feature
+    * scales differ. One corpus pass computes exact decimal-funneled power
+    * sums per dimension (the a7_moments pattern — partition-invariant and
+    * SQL-oracle-exact); the per-dim (mean, std) table is dim-count-sized,
+    * collected once and folded back as ARRAY LITERALS so the normalize
+    * pass is map-only (no join, no shuffle). Zero-variance dims emit 0.
+    * Returns (idCol, zvec: array<double>).
+    */
+  def standardize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("d"), col("v").cast("double").as("v"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 12))).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 12))).cast("double").as("s2"))
+      .collect() // bounded: one row per DIMENSION, not per vector
+      .map { r =>
+        val (n, s1, s2) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+        val mean = s1 / n
+        (r.getInt(0), mean, math.sqrt(math.max(s2 / n - mean * mean, 0.0)))
+      }.sortBy(_._1)
+    val means = lit(stats.map(_._2))
+    val stds = lit(stats.map(_._3))
+    df.select(col(idCol),
+      transform(col(vecCol), (v, i) =>
+        when(element_at(stds, i + 1) === 0d, lit(0d))
+          .otherwise((v.cast("double") - element_at(means, i + 1))
+            / element_at(stds, i + 1))).as("zvec"))
+  }
+
   /** End-to-end IVF ANN: corpus partitioned into `nlist` cells, each query
     * scored only against the `nprobe` cells nearest to it. The probe join
     * broadcasts the (queries × nprobe) side, so the corpus streams map-side

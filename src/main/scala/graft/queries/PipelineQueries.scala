@@ -479,6 +479,16 @@ object PipelineQueries {
       .orderBy("block", "bin_id")
   }
 
+  /** Per-dimension z-score standardization, exploded to (vec_id, dim,
+    * zval) for the cell-exact oracle.
+    */
+  def embStandardize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.standardize(embs(s, dir), "embedding", "vec_id")
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("dim", "z")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("z"), 6).as("zval"))
+      .orderBy("vec_id", "dim")
+
   /** Sliding-window chunking: 64-token windows, stride 48 (25% overlap) —
     * the long-document split for pretraining/retrieval corpora. Map-only.
     */
@@ -1355,6 +1365,25 @@ object PipelineQueries {
          SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
          FROM assign3 a LEFT JOIN dom d ON d.vec_id = a.vec_id
          ORDER BY a.vec_id""",
+    "emb_standardize" ->
+      """WITH d AS (
+           SELECT vec_id, i.range AS dim,
+                  CAST(embedding[CAST(i.range + 1 AS INTEGER)] AS DOUBLE) AS v
+           FROM embeddings, range(64) i),
+         st AS (
+           SELECT dim, count(*) AS n,
+                  CAST(sum(CAST(v AS DECIMAL(38, 12))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(v * v AS DECIMAL(38, 12))) AS DOUBLE) AS s2
+           FROM d GROUP BY dim),
+         ms AS (
+           SELECT dim, s1 / n AS mean,
+                  sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+           FROM st)
+         SELECT d.vec_id, d.dim,
+                round(CASE WHEN ms.std = 0 THEN 0
+                           ELSE (d.v - ms.mean) / ms.std END, 6) AS zval
+         FROM d JOIN ms USING (dim)
+         ORDER BY vec_id, dim""",
     "emb_quantize" ->
       """WITH q AS (
            SELECT vec_id, embedding,
@@ -1604,6 +1633,7 @@ object PipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "emb_quantize" -> (embQuantize _),
+    "emb_standardize" -> (embStandardize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),

@@ -240,6 +240,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sims.forall(_ > 0.9995), s"min ${sims.min}")
   }
 
+  test("standardize: per-dim mean 0 / std 1, zero-variance guard, partition-invariant") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val z = Similarity.standardize(embs, "embedding", "vec_id")
+      .select(posexplode(col("zvec")).as(Seq("d", "z")))
+      .groupBy("d")
+      .agg(avg("z").as("m"), stddev_pop(col("z")).as("s"))
+      .as[(Int, Double, Double)].collect()
+    assert(z.length == 64)
+    z.foreach { case (d, m, s) =>
+      assert(math.abs(m) < 1e-9, s"dim $d mean $m")
+      assert(math.abs(s - 1.0) < 1e-9, s"dim $d std $s")
+    }
+    // constant dim standardizes to 0, not NaN
+    val const = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val zc = Similarity.standardize(const, "embedding", "vec_id")
+      .orderBy("vec_id").select("zvec").as[Seq[Double]].collect()
+    assert(zc.forall(v => v.head == 0.0) && zc.flatten.forall(!_.isNaN))
+    // identical output under any input partitioning
+    val a = Similarity.standardize(embs, "embedding", "vec_id")
+      .orderBy("vec_id").select("zvec").as[Seq[Double]].collect().toSeq
+    val b = Similarity.standardize(embs.repartition(13), "embedding", "vec_id")
+      .orderBy("vec_id").select("zvec").as[Seq[Double]].collect().toSeq
+    assert(a == b)
+  }
+
   test("SRP top-k recall vs brute force on sf0.001") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embs.filter(col("vec_id") < 5)
