@@ -49,17 +49,33 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String) =
     planCache.getOrElseUpdate((spark, s"$sfDir/$name"), {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert to a microsecond
-      // timestamp (the data is microsecond-resolution — division exact).
+      // events.ts has shipped in two parquet encodings across harness data
+      // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+      // accepts as int64 via nanosAsLong) and TIMESTAMP(MICROS) with
+      // isAdjustedToUTC=0 (read as TIMESTAMP_NTZ). Dispatch on the schema
+      // Spark actually read so either generation loads identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events")
-        // integer `div`, not `/`: nanos (~1.7e18) exceed double's 2^53
-        // exact range, so floating division would corrupt microseconds.
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      if (name == "events") df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
       else df
     })
+
+  /** Normalize an events `ts` column to session-zone TIMESTAMP regardless of
+    * how the parquet encoded it. The session runs in UTC, so the NTZ→LTZ cast
+    * is wall-clock exact.
+    */
+  private def normalizeTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    dt match {
+      // nanos-as-long: integer `div`, not `/` — nanos (~1.7e18) exceed
+      // double's 2^53 exact range, so floating division would corrupt
+      // microseconds.
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+  }
 
   /** Spread a narrow scan across the cluster before per-row-expensive work.
     * A small parquet file arrives as one partition; exploding/hashing it on
