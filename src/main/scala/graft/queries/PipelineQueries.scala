@@ -133,8 +133,11 @@ object PipelineQueries {
 
   /** IVF with k-means-trained cells (8 centers, 5 Lloyd iterations):
     * Lloyd centroids replace the hash pivots — the production ANN shape
-    * (train once, persist, probe). Rows-only driver check; recall vs
-    * brute force is spec-pinned in DedupSimilaritySpec.
+    * (train once, persist, probe). Fully oracled since round 4: the
+    * integer-grid Lloyd rounds unroll to MATERIALIZED SQL CTEs and the
+    * float cast of the trained centroids is replayed exactly, so the
+    * shortlist and scores are deterministic across engines. Recall vs
+    * brute force additionally spec-pinned in DedupSimilaritySpec.
     */
   def simTopkIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
@@ -639,11 +642,11 @@ object PipelineQueries {
                       ELSE s.cv END AS cv
           FROM $prev s)"""
 
-  /** Seed + 2 Lloyd rounds + final assignment (`assign3` against `cent2`)
-    * — the SQL replay of Clustering.kmeans(k=8, iters=2) ∘ assign.
+  /** Seed CTE: the first `k` vectors in md5-hash order as cells 0..k-1 —
+    * the SQL replay of [[graft.operators.Clustering.seedCentroids]].
     */
-  private val kmeansCtes: String = Seq(
-    """seeds AS (
+  private def kmSeedSql(k: Int): String =
+    s"""seeds AS (
          SELECT CAST(row_number() OVER (
                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
                            vec_id) AS INT) - 1 AS c,
@@ -651,10 +654,32 @@ object PipelineQueries {
          FROM embeddings
          QUALIFY row_number() OVER (
                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
-                           vec_id) <= 8)""",
-    kmAssignSql(1, "seeds"), kmUpdateSql(1, "seeds"),
-    kmAssignSql(2, "cent1"), kmUpdateSql(2, "cent1"),
-    kmAssignSql(3, "cent2")).mkString(",\n")
+                           vec_id) <= $k)"""
+
+  /** Seed + `iters` unrolled Lloyd rounds: defines `cent$iters` as the
+    * trained centroids — the SQL replay of Clustering.kmeans(k, iters).
+    * Each round chains assign$i/cent$i off cent${i-1}; DuckDB inlines a
+    * CTE once per reference, and cent$i references its predecessor ~3×,
+    * so a deep chain re-evaluates its prefix exponentially unless the
+    * per-round CTEs are MATERIALIZED (the BPE-oracle lesson) — pass
+    * `materialize = true` for iters > 2. Materialization never changes
+    * results, only evaluation count.
+    */
+  private def kmChainCtes(k: Int, iters: Int, materialize: Boolean = false): String = {
+    val chain = (Seq(kmSeedSql(k)) ++ (1 to iters).flatMap { i =>
+      val prev = if (i == 1) "seeds" else s"cent${i - 1}"
+      Seq(kmAssignSql(i, prev), kmUpdateSql(i, prev))
+    }).mkString(",\n")
+    if (materialize)
+      chain.replaceAll("""(?m)^(\s*(?:seeds|assign\d+|ex\d+|upd\d+|cent\d+) AS) \(""", "$1 MATERIALIZED (")
+    else chain
+  }
+
+  /** Seed + 2 Lloyd rounds + final assignment (`assign3` against `cent2`)
+    * — the SQL replay of Clustering.kmeans(k=8, iters=2) ∘ assign.
+    */
+  private val kmeansCtes: String =
+    Seq(kmChainCtes(8, 2), kmAssignSql(3, "cent2")).mkString(",\n")
 
   /** Portable-SRP signature CTEs: hyperplane weights from md5 (exactly
     * VectorOps.srpSignaturePortable), per-(vector, table) bucket strings.
@@ -1070,6 +1095,44 @@ object PipelineQueries {
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
               FROM embeddings e CROSS JOIN pivots p WHERE e.vec_id < 10)
+            WHERE rn <= 2),
+          scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ${cosSql("q.q_vec", "a.embedding")} AS c
+            FROM qprobe q JOIN assigned a
+              ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored)
+         SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // SQL replay of Similarity.ivfTopKTrained(k=5, nlist=8, iters=5,
+    // nprobe=2): 5 unrolled integer-grid Lloyd rounds (MATERIALIZED — the
+    // chain is depth 5), then the trained cent5 centroids are cast through
+    // FLOAT exactly as the Scala side ships them into the routing literal
+    // (`cv.map(_.toFloat)`), corpus rows route to their nearest cell,
+    // queries probe their 2 nearest cells, exact cosine scores within
+    // probed cells, top-5 per query.
+    "sim_topk_ivf_kmeans" ->
+      s"""WITH ${kmChainCtes(8, 5, materialize = true)},
+          centf AS MATERIALIZED (
+            SELECT c, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cvf
+            FROM cent5),
+          assigned AS (
+            SELECT vec_id, embedding, c AS cell_id FROM (
+              SELECT e.vec_id, e.embedding, s.c,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "s.cvf")} DESC, s.c) AS rn
+              FROM embeddings e CROSS JOIN centf s)
+            WHERE rn = 1),
+          qprobe AS (
+            SELECT query_id, q_vec, cell_id FROM (
+              SELECT e.vec_id AS query_id, e.embedding AS q_vec, s.c AS cell_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "s.cvf")} DESC, s.c) AS rn
+              FROM embeddings e CROSS JOIN centf s WHERE e.vec_id < 10)
             WHERE rn <= 2),
           scored AS (
             SELECT q.query_id, a.vec_id AS neighbor_id,
