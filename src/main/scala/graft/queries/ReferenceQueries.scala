@@ -587,9 +587,19 @@ object ReferenceQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"))
       .orderBy("l_returnflag")
 
-  /** A9 scale path: HyperLogLog++ distinct counts — fixed sketch memory
-    * per group instead of a distinct-shuffle over every value, mergeable
-    * partial/final (map-side combine). Rows-only driver check (sketch
+  /** A9 scale path: HyperLogLog distinct counts — fixed sketch memory per
+    * group instead of a distinct-shuffle over every value, mergeable
+    * partial/final (map-side combine). Uses the DataSketches
+    * `hll_sketch_agg` (lgConfigK = 14 ≈ 0.8% RSE) rather than
+    * `approx_count_distinct(rsd = 0.01)`: the legacy HLL++ at that
+    * precision declares 2^14 registers as ~1.6k Long buffer FIELDS per
+    * aggregate, and the generated aggregate code for thousands of fields
+    * costs seconds of janino compilation PER QUERY — a fixed cost that
+    * scales with precision, not data (measured: 2.2 s at rsd 0.01, 7.3 s
+    * at 0.005, flat from sf0.001 to sf0.1). The sketch aggregate keeps
+    * one binary buffer per group (ObjectHashAggregate), planning cost is
+    * constant, and the sketch itself is the industry-standard mergeable
+    * artifact a warehouse would persist. Rows-only driver check (sketch
     * estimates are algorithm-specific); PercentileSpec pins each estimate
     * within 2% of the exact count. The exact `a4_distinct` family remains
     * the oracle anchor.
@@ -598,8 +608,8 @@ object ReferenceQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("nd_part"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_order"))
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("nd_part"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("nd_order"))
       .orderBy("l_returnflag")
 
   /** A7 — second-moment statistics (variance / stddev / covariance /

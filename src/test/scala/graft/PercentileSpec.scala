@@ -5,8 +5,8 @@ import graft.queries.ReferenceQueries
 /** The sketch scale paths must track their exact anchors: with accuracy
   * 10000 and sf0.01 group sizes (~20k rows), the GK sketch's rank error
   * is ≤ n/10000 — a tiny relative value error on these distributions.
-  * Assert 1% relative agreement per group and percentile; HLL++ distinct
-  * estimates at rsd 0.01 must sit within 2%.
+  * Assert 1% relative agreement per group and percentile; DataSketches
+  * HLL distinct estimates at lgConfigK = 14 must sit within 2%.
   */
 class PercentileSpec extends SparkSpec {
 
