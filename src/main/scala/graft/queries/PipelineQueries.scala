@@ -460,8 +460,10 @@ object PipelineQueries {
     * run consumes: BPE-encode every doc to token ids (vocabulary =
     * sorted final symbols) and pack the id streams into exact
     * fixed-length blocks (one token-level explode, one shuffle by
-    * (stream, bin); order preserved within and across docs). Rows-only
-    * (BPE is iterative); exactness and round-trip pinned in BpeSpec.
+    * (stream, bin); order preserved within and across docs). Fully
+    * oracled since round 4 (generated SQL: sample-trained merge chain +
+    * full-vocabulary rewrite chain + packTokens replay, digests
+    * compared); round-trip additionally pinned in BpeSpec.
     */
   def corpusTokenizePack(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -792,15 +794,57 @@ object PipelineQueries {
     * and because `Bpe.encode` applies the same merges in the same rank
     * order, w{n} IS the per-word encode result the encode oracle joins.
     */
-  private def bpeChainCtes(numMerges: Int): String = {
-    val parts = Seq.newBuilder[String]
-    parts += """w0 AS MATERIALIZED (
+  /** Weighted per-word symbol table (chars + end-of-word sentinel) from a
+    * source relation exposing `text` — generation 0 of a BPE chain.
+    */
+  private def bpeW0(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS w,
              list_append(list_transform(range(1, length(word) + 1),
                i -> substr(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
-      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM $src)
       WHERE length(word) > 0
       GROUP BY word)"""
+
+  /** One greedy merge-rewrite generation: `${p}${k+1}` from `${p}$k`
+    * applying the training chain's merge `b$k` (gaps-and-islands greedy
+    * left-to-right non-overlapping scan — exact, including same-symbol
+    * runs). Prefix `p` lets the TRAINING chain (w…) and a separate
+    * ENCODE-only chain over another word table (v…) share the one
+    * rewrite definition (no-fork rule, same as the shingle CTEs).
+    */
+  private def bpeRewriteCtes(p: String, k: Int): String =
+    s"""${p}e$k AS (
+      SELECT word, w, u.pos AS pos, u.sym AS sym FROM (
+        SELECT word, w, unnest(list_transform(range(1, len(syms) + 1),
+          i -> {'pos': i, 'sym': syms[CAST(i AS INTEGER)]})) AS u
+        FROM ${p}$k)),
+    ${p}m$k AS (
+      SELECT word, w, pos, sym,
+             coalesce(sym = (SELECT l FROM b$k) AND
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$k),
+               false) AS ps
+      FROM ${p}e$k),
+    ${p}i$k AS (
+      SELECT word, w, pos, sym, ps,
+             CASE WHEN ps THEN pos - row_number() OVER (PARTITION BY word, ps ORDER BY pos) END AS isl
+      FROM ${p}m$k),
+    ${p}s$k AS (
+      SELECT word, w, pos, sym,
+             ps AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) AS sel
+      FROM ${p}i$k),
+    ${p}${k + 1} AS MATERIALIZED (
+      SELECT word, w, list(ns ORDER BY pos) AS syms FROM (
+        SELECT word, w, pos,
+               CASE WHEN sel THEN sym || (SELECT r FROM b$k) ELSE sym END AS ns,
+               coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+        FROM ${p}s$k)
+      WHERE NOT consumed
+      GROUP BY word, w)"""
+
+  private def bpeChainCtes(numMerges: Int, src: String = "documents"): String = {
+    val parts = Seq.newBuilder[String]
+    parts += bpeW0("w0", src)
     (0 until numMerges).foreach { k =>
       parts += s"""p$k AS (
       SELECT u.l AS l, u.r AS r, sum(w) AS pw FROM (
@@ -811,36 +855,174 @@ object PipelineQueries {
     b$k AS MATERIALIZED (
       SELECT l, r, CAST(pw AS BIGINT) AS pw FROM p$k
       ORDER BY pw DESC, l ASC, r ASC LIMIT 1),
-    e$k AS (
-      SELECT word, w, u.pos AS pos, u.sym AS sym FROM (
-        SELECT word, w, unnest(list_transform(range(1, len(syms) + 1),
-          i -> {'pos': i, 'sym': syms[CAST(i AS INTEGER)]})) AS u
-        FROM w$k)),
-    m$k AS (
-      SELECT word, w, pos, sym,
-             coalesce(sym = (SELECT l FROM b$k) AND
-               lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$k),
-               false) AS ps
-      FROM e$k),
-    i$k AS (
-      SELECT word, w, pos, sym, ps,
-             CASE WHEN ps THEN pos - row_number() OVER (PARTITION BY word, ps ORDER BY pos) END AS isl
-      FROM m$k),
-    s$k AS (
-      SELECT word, w, pos, sym,
-             ps AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) AS sel
-      FROM i$k),
-    w${k + 1} AS MATERIALIZED (
-      SELECT word, w, list(ns ORDER BY pos) AS syms FROM (
-        SELECT word, w, pos,
-               CASE WHEN sel THEN sym || (SELECT r FROM b$k) ELSE sym END AS ns,
-               coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
-        FROM s$k)
-      WHERE NOT consumed
-      GROUP BY word, w)"""
+    ${bpeRewriteCtes("w", k)}"""
     }
     parts.result().mkString(",\n    ")
   }
+
+  /** SQL replay of Pq.train + final encode: seeds = sub-slices of the
+    * first `ksub` vectors in md5-id order, then `iters` fused Lloyd
+    * rounds over every subspace (squared-L2 argmin with ties toward the
+    * lowest code — Pq's strict `<` scan — and Clustering.Grid integer
+    * sums), then `pcode$iters` = the corpus codes under the trained
+    * codebooks `cb$iters`. Dim pinned at 64 (every SF's embeddings
+    * fixture; same pinning as srpSigsCte). All per-round CTEs are
+    * MATERIALIZED — the chain is deep and referenced multiply.
+    */
+  private def pqChainCtes(m: Int, ksub: Int, iters: Int): String = {
+    val dsub = 64 / m
+    val parts = Seq.newBuilder[String]
+    parts +=
+      s"""pseed AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (
+                  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                           vec_id) AS INT) - 1 AS j,
+                embedding
+         FROM embeddings
+         QUALIFY row_number() OVER (
+                  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                           vec_id) <= $ksub),
+       cb0 AS MATERIALIZED (
+         SELECT sr.range AS s, p.j AS j,
+                list_transform(range(1, $dsub + 1),
+                  t -> CAST(p.embedding[CAST(sr.range * $dsub + t AS INTEGER)] AS DOUBLE)) AS cv
+         FROM pseed p, range($m) sr)"""
+    // rounds 0..iters-1 train; round `iters` is the final encode (codes only)
+    (0 to iters).foreach { k =>
+      parts +=
+        s"""pdist$k AS (
+         SELECT e.vec_id, c.s, c.j,
+                list_sum(list_transform(range(1, $dsub + 1),
+                  t -> (CAST(e.embedding[CAST(c.s * $dsub + t AS INTEGER)] AS DOUBLE)
+                          - c.cv[CAST(t AS INTEGER)])
+                       * (CAST(e.embedding[CAST(c.s * $dsub + t AS INTEGER)] AS DOUBLE)
+                          - c.cv[CAST(t AS INTEGER)]))) AS d2
+         FROM embeddings e CROSS JOIN cb$k c),
+       pcode$k AS MATERIALIZED (
+         SELECT vec_id, s, j AS code FROM (
+           SELECT vec_id, s, j,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn
+           FROM pdist$k)
+         WHERE rn = 1)"""
+      if (k < iters) parts +=
+        s"""pupd$k AS MATERIALIZED (
+         SELECT pc.s, pc.code, tr.range AS dim,
+                SUM(CAST(floor(CAST(e.embedding[CAST(pc.s * $dsub + tr.range + 1 AS INTEGER)]
+                        AS DOUBLE) * 1048576) AS BIGINT)) AS sm,
+                COUNT(*) AS n
+         FROM pcode$k pc JOIN embeddings e USING (vec_id), range($dsub) tr
+         GROUP BY pc.s, pc.code, tr.range),
+       cb${k + 1} AS MATERIALIZED (
+         SELECT c.s, c.j,
+                CASE WHEN EXISTS (SELECT 1 FROM pupd$k u WHERE u.s = c.s AND u.code = c.j)
+                     THEN (SELECT list(CAST(u2.sm AS DOUBLE) / (CAST(u2.n AS DOUBLE) * 1048576)
+                                       ORDER BY u2.dim)
+                           FROM pupd$k u2 WHERE u2.s = c.s AND u2.code = c.j)
+                     ELSE c.cv END AS cv
+         FROM cb$k c)"""
+    }
+    parts.result().mkString(",\n       ")
+  }
+
+  /** Query-side ADC lookup tables + ordered lookup-sum scoring over the
+    * trained chain: defines `plut` (per (query, s, j) dot products) —
+    * the score of a (query, neighbor) pair is the s-ORDERED list_sum of
+    * lut values, matching AdcScore's fixed-subspace-order accumulation.
+    */
+  private def pqLutCte(m: Int, iters: Int): String = {
+    val dsub = 64 / m
+    s"""plut AS MATERIALIZED (
+         SELECT q.vec_id AS query_id, c.s, c.j,
+                list_sum(list_transform(range(1, $dsub + 1),
+                  t -> CAST(q.embedding[CAST(c.s * $dsub + t AS INTEGER)] AS DOUBLE)
+                       * c.cv[CAST(t AS INTEGER)])) AS lv
+         FROM embeddings q CROSS JOIN cb$iters c WHERE q.vec_id < 10)"""
+  }
+
+  /** Exact-cosine re-rank of a `short(query_id, neighbor_id)` shortlist
+    * to top-`k` — Pq.refine's SQL mirror.
+    */
+  private def pqRefineSql(k: Int): String =
+    s"""pref AS (
+         SELECT s.query_id, s.neighbor_id, ${cosSql("q.embedding", "n.embedding")} AS c
+         FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+                      JOIN embeddings n ON n.vec_id = s.neighbor_id),
+       pranked AS (
+         SELECT query_id, neighbor_id, c,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank
+         FROM pref)
+       SELECT query_id, rank, neighbor_id, round(c, 6) AS score
+       FROM pranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** SQL replay of Pq.pqTopK(k=5, m=16, ksub=32, iters=3, shortlist=25):
+    * flat ADC over every (query, corpus-code) pair, top-25 shortlist,
+    * exact-cosine refine to 5.
+    */
+  private def pqTopkOracle(m: Int, ksub: Int, iters: Int, shortlist: Int,
+                           k: Int): String =
+    s"""WITH ${pqChainCtes(m, ksub, iters)},
+       ${pqLutCte(m, iters)},
+       adc AS (
+         SELECT l.query_id, pc.vec_id AS neighbor_id,
+                list_sum(list(l.lv ORDER BY l.s)) AS score
+         FROM pcode$iters pc JOIN plut l ON l.s = pc.s AND l.j = pc.code
+         WHERE l.query_id <> pc.vec_id
+         GROUP BY l.query_id, pc.vec_id),
+       short AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rn
+           FROM adc)
+         WHERE rn <= $shortlist),
+       ${pqRefineSql(k)}"""
+
+  /** SQL replay of Pq.ivfAdcTopK(k=5, nlist=16, nprobe=4, m=16, ksub=32,
+    * iters=3, shortlist=25): md5-pivot IVF cells bound WHICH pairs are
+    * ADC-scored (the equi-join on cell_id), then shortlist + refine as in
+    * the flat path.
+    */
+  private def ivfAdcOracle(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+                           iters: Int, shortlist: Int, k: Int): String =
+    s"""WITH ${pqChainCtes(m, ksub, iters)},
+       ${pqLutCte(m, iters)},
+       ivpiv AS MATERIALIZED (
+         SELECT vec_id AS pivot_id, embedding AS pivot_vec FROM embeddings
+         ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                  vec_id
+         LIMIT $nlist),
+       ivassign AS MATERIALIZED (
+         SELECT vec_id, pivot_id AS cell_id FROM (
+           SELECT e.vec_id, p.pivot_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+           FROM embeddings e CROSS JOIN ivpiv p)
+         WHERE rn = 1),
+       ivprobe AS (
+         SELECT query_id, cell_id FROM (
+           SELECT e.vec_id AS query_id, p.pivot_id AS cell_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+           FROM embeddings e CROSS JOIN ivpiv p WHERE e.vec_id < 10)
+         WHERE rn <= $nprobe),
+       adc AS (
+         SELECT l.query_id, pc.vec_id AS neighbor_id,
+                list_sum(list(l.lv ORDER BY l.s)) AS score
+         FROM pcode$iters pc
+         JOIN ivassign a ON a.vec_id = pc.vec_id
+         JOIN ivprobe qp ON qp.cell_id = a.cell_id
+         JOIN plut l ON l.query_id = qp.query_id AND l.s = pc.s AND l.j = pc.code
+         WHERE qp.query_id <> pc.vec_id
+         GROUP BY l.query_id, pc.vec_id),
+       short AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rn
+           FROM adc)
+         WHERE rn <= $shortlist),
+       ${pqRefineSql(k)}"""
 
   private def bpeTrainOracle(numMerges: Int): String = {
     val union = (0 until numMerges).map { k =>
@@ -864,9 +1046,71 @@ object PipelineQueries {
               coalesce(e.n_subwords, CAST(0 AS BIGINT)) AS n_subwords
        FROM documents LEFT JOIN enc e USING (doc_id) ORDER BY doc_id"""
 
+  /** SQL replay of `corpusTokenizePack`: train `numMerges` merges on the
+    * quarter sample (`doc_id % 4 = 0` — the w/b training chain), apply
+    * them rank-ordered to the FULL corpus vocabulary (the v rewrite-only
+    * chain — the sample-trained tokenizer must encode words it never
+    * saw), derive token ids as sorted-final-symbol order (`Bpe.encodeIds`
+    * vocabulary; fixture text is ASCII so DuckDB's binary collation and
+    * Scala's UTF-16 sort agree), then replay `CorpusOps.packTokens`:
+    * md5-hash docs into 8 streams, per-stream token prefix positions in
+    * doc-id order, cut every 512 tokens, digest each block's id stream.
+    */
+  private def tokenizePackOracle(numMerges: Int, blockSize: Int,
+                                 blocks: Int): String =
+    s"""WITH ${bpeChainCtes(numMerges, "(SELECT text FROM documents WHERE doc_id % 4 = 0)")},
+       ${bpeW0("v0", "documents")},
+       ${(0 until numMerges).map(k => bpeRewriteCtes("v", k)).mkString(",\n       ")},
+       vocab AS MATERIALIZED (
+         SELECT s, CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS tid
+         FROM (SELECT DISTINCT unnest(syms) AS s FROM v$numMerges)),
+       docw0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+                  i -> {'wp': i, 'word': ws[CAST(i AS INTEGER)]})) AS u
+         FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)),
+       docw AS (
+         SELECT doc_id, u.wp AS wp, u.word AS word FROM docw0
+         WHERE length(u.word) > 0),
+       subs0 AS (
+         SELECT d.doc_id, d.wp, unnest(list_transform(range(1, len(v.syms) + 1),
+                  i -> {'sp': i, 'sym': v.syms[CAST(i AS INTEGER)]})) AS u
+         FROM docw d JOIN v$numMerges v USING (word)),
+       subs AS (
+         SELECT s0.doc_id, s0.wp, u.sp AS sp, vc.tid AS tid
+         FROM subs0 s0 JOIN vocab vc ON vc.s = u.sym),
+       dstream AS MATERIALIZED (
+         SELECT doc_id, list(tid ORDER BY wp, sp) AS ids
+         FROM subs GROUP BY doc_id),
+       dmeta AS (
+         SELECT d.doc_id,
+                CAST(('0x' || substr(md5('b:' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  % $blocks AS block,
+                coalesce(len(s.ids), 0) AS n
+         FROM documents d LEFT JOIN dstream s USING (doc_id)),
+       doffs AS (
+         SELECT doc_id, block,
+                CAST(sum(n) OVER (PARTITION BY block ORDER BY doc_id) - n AS BIGINT)
+                  AS stream_start
+         FROM dmeta),
+       tok0 AS (
+         SELECT o.block, o.stream_start, unnest(list_transform(range(1, len(s.ids) + 1),
+                  i -> {'i': i, 'tok': s.ids[CAST(i AS INTEGER)]})) AS u
+         FROM doffs o JOIN dstream s USING (doc_id)),
+       tok AS (
+         SELECT block, stream_start + u.i - 1 AS pos, u.tok AS tok FROM tok0)
+       SELECT block, CAST(pos // $blockSize AS BIGINT) AS bin_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              md5(array_to_string(list(CAST(tok AS VARCHAR) ORDER BY pos), ',')) AS token_digest
+       FROM tok GROUP BY block, bin_id
+       ORDER BY block, bin_id"""
+
   val oracles: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
+    "corpus_tokenize_pack" -> tokenizePackOracle(8, blockSize = 512, blocks = 8),
+    "sim_topk_pq" -> pqTopkOracle(m = 16, ksub = 32, iters = 3, shortlist = 25, k = 5),
+    "sim_topk_ivfadc" -> ivfAdcOracle(nlist = 16, nprobe = 4, m = 16, ksub = 32,
+      iters = 3, shortlist = 25, k = 5),
     "corpus_chunk" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
