@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame}
+
+/** Multinomial Naive Bayes over hashed token buckets — the fastText-shaped
+  * document classifier of web-scale curation pipelines (language ID,
+  * domain/topic routing, quality-tier labeling): train on a labeled
+  * sample, classify the corpus with one broadcast join.
+  *
+  * Scale shape:
+  *
+  *  - TRAIN: joint (label, bucket) counts partial-aggregate to a table
+  *    bounded by labels × buckets — whatever the corpus size, the model
+  *    is a small DataFrame a warehouse persists and ships (never the
+  *    corpus). The model is COMPLETE (every label × bucket cell exists,
+  *    Laplace-smoothed), so scoring needs no outer-join null handling.
+  *  - CLASSIFY: explode doc tokens to buckets, broadcast-join the model,
+  *    one hash aggregate per (doc, label), then an argmax as a map-side
+  *    `max(struct(score, −rank))` — no window, no per-doc shuffle beyond
+  *    the one aggregate exchange.
+  *
+  * Determinism & oracle parity: bucket hashing is the portable md5
+  * scheme; per-(doc,label) sums funnel through DECIMAL(38,12); the
+  * argmax compares scores ROUNDED to 9 dp with ties toward the
+  * lexicographically smallest label (rank order) — a declared contract
+  * that makes the prediction replayable in ANSI SQL.
+  */
+object NaiveBayes {
+
+  /** (doc, bucket, n) multinomial features: hashed lowercase whitespace
+    * tokens (empties dropped), portable md5 → `buckets`.
+    */
+  def tokenBuckets(df: DataFrame, idCol: String, textCol: String,
+                   buckets: Int): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(concat(lit("nb:"), col("tok"))), 1, 6), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Train: complete (label, bucket) model table with Laplace-smoothed
+    * log p(bucket|label), plus per-label log priors and a deterministic
+    * label rank (sorted order — the argmax tie-break). Bounded by
+    * construction: labels × buckets rows.
+    */
+  /** Bounded label metadata — (label, rank, log prior) — collected once
+    * (≤ |labels| rows by construction) and re-entered as a literal
+    * struct array: the "broadcast the centers" move, which keeps every
+    * consumer map-only instead of planning a BroadcastNestedLoopJoin for
+    * the label×bucket / doc×label expansions.
+    */
+  private def labelLiteral(df: DataFrame, labelCol: String) = {
+    val priorRows = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+      .collect() // bounded: one row per label
+    val nDocs = priorRows.map(_.getLong(1)).sum.toDouble
+    val info = priorRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((lbl, docs), i) => (lbl, i + 1L, math.log(docs / nDocs)) }
+    array(info.toIndexedSeq.map { case (lbl, rank, lp) =>
+      struct(lit(lbl).as("label"), lit(rank).as("label_rank"),
+        lit(lp).as("log_prior"))
+    }: _*)
+  }
+
+  def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+            buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    val joint = tokenBuckets(df, idCol, textCol, buckets)
+      .join(df.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
+      .groupBy(col("label"), col("bucket"))
+      .agg(sum("n").as("c"))
+    val labelTotals = joint.groupBy("label").agg(sum("c").as("labelN"))
+    // complete grid: every (label, bucket) cell, zero-count smoothed —
+    // labels enter as a literal exploded per bucket row (map-only)
+    val grid = spark.range(buckets.toLong)
+      .select(col("id").as("bucket"), explode(labelLiteral(df, labelCol)).as("lr"))
+      .select(col("lr.label").as("label"), col("lr.label_rank").as("label_rank"),
+        col("lr.log_prior").as("log_prior"), col("bucket"))
+    grid.join(joint, Seq("label", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(labelTotals, Seq("label"))
+      .select(col("label"), col("label_rank"), col("log_prior"), col("bucket"),
+        log((col("c") + 1.0) / (col("labelN") + lit(buckets.toDouble)))
+          .as("log_lik"))
+  }
+
+  /** Classify every doc: joint log-probability per label (prior + Σ
+    * log-lik · multiplicity, decimal funnel), argmax with the rounded-
+    * score/label-rank contract. Docs with no tokens fall back to the
+    * highest-prior label (rank tie-break) — prior-only argmax.
+    * Returns (id, predicted label, rounded best score).
+    */
+  def classify(df: DataFrame, model: DataFrame, idCol: String,
+               textCol: String, buckets: Int): DataFrame = {
+    val scores = tokenBuckets(df, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("label"), col("label_rank"), col("log_prior"))
+      .agg(sum((col("log_lik") * col("n")).cast(DecimalType(38, 12)))
+        .cast("double").as("ll"))
+      .select(col(idCol), col("label"), col("label_rank"),
+        (col("log_prior") + col("ll")).as("score"))
+    // label metadata re-derived from the model (bounded collect) and
+    // exploded as a literal — no doc×label join in the plan
+    val labelRows = model.select("label", "label_rank", "log_prior")
+      .distinct().collect() // bounded: one row per label
+    val labelLit = array(labelRows.toIndexedSeq.map { r =>
+      struct(lit(r.getString(0)).as("label"), lit(r.getLong(1)).as("label_rank"),
+        lit(r.getDouble(2)).as("log_prior"))
+    }: _*)
+    val priorOnly = df.select(col(idCol))
+      .select(col(idCol), explode(labelLit).as("lr"))
+      .select(col(idCol), col("lr.label").as("label"),
+        col("lr.label_rank").as("label_rank"), col("lr.log_prior").as("score"))
+    // docs with tokens take their scored rows; tokenless docs keep the
+    // prior-only rows (anti-join keeps the fallback bounded to them)
+    val scoredIds = scores.select(col(idCol)).distinct()
+    val all = scores.unionByName(
+      priorOnly.join(scoredIds, Seq(idCol), "left_anti"))
+    all
+      .groupBy(col(idCol))
+      .agg(max(struct(round(col("score"), 9).as("s"),
+        (-col("label_rank")).as("nr"), col("label").as("l"))).as("best"))
+      .select(col(idCol), col("best.l").as("pred_label"),
+        round(col("best.s"), 6).as("score"))
+  }
+}

@@ -523,6 +523,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling toward the English sub-corpus: hashed-
+    * bigram likelihood ratios (1024 buckets), Gumbel top-150 draw. The
+    * target here is a label slice for oracle determinism; production
+    * callers pass any high-quality reference corpus.
+    */
+  def corpusDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dsir.select(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024, k = 150, salt = "dsir")
+      .orderBy("doc_id")
+  }
+
+  /** Hashed multinomial Naive Bayes language classifier: trained on the
+    * quarter sample (`doc_id % 4 = 0`, label = lang, 512 buckets),
+    * classifying the full corpus — the fastText-shaped router of
+    * curation pipelines, as train-once/broadcast-classify relational
+    * algebra.
+    */
+  def textNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = graft.operators.NaiveBayes.train(
+      d.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang", buckets = 512)
+    graft.operators.NaiveBayes.classify(d, model, "doc_id", "text", buckets = 512)
+      .orderBy("doc_id")
+  }
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1108,6 +1134,100 @@ object PipelineQueries {
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "corpus_tokenize_pack" -> tokenizePackOracle(8, blockSize = 512, blocks = 8),
+    // SQL replay of Dsir.select(buckets=1024, k=150, salt="dsir",
+    // temperature=1): hashed-bigram bucket counts, Laplace log-ratio
+    // table, decimal-funneled per-doc weights, Gumbel top-k from the
+    // portable md5 uniform.
+    "corpus_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
+                    x -> length(x) > 0) AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS bg
+           FROM toks WHERE len(w) >= 2),
+         db AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('d:' || bg), 1, 6)) AS BIGINT) % 1024 AS bucket,
+                  count(*) AS n
+           FROM bg GROUP BY doc_id, bucket),
+         rawc AS (SELECT bucket, sum(n) AS c FROM db GROUP BY bucket),
+         tgtc AS (
+           SELECT bucket, sum(n) AS c FROM db JOIN documents USING (doc_id)
+           WHERE lang = 'en' GROUP BY bucket),
+         llr AS (
+           SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                  ln((coalesce(t.c, 0) + 1.0) / ((SELECT sum(c) FROM tgtc) + 1024.0))
+                  - ln((coalesce(r.c, 0) + 1.0) / ((SELECT sum(c) FROM rawc) + 1024.0)) AS llr
+           FROM rawc r FULL JOIN tgtc t ON t.bucket = r.bucket),
+         lw AS (
+           SELECT db.doc_id,
+                  CAST(sum(CAST(llr * n AS DECIMAL(38, 12))) AS DOUBLE) AS log_weight
+           FROM db JOIN llr USING (bucket) GROUP BY db.doc_id),
+         keyed AS (
+           SELECT d.doc_id, coalesce(lw.log_weight, 0.0) AS log_weight,
+                  coalesce(lw.log_weight, 0.0)
+                  - ln(-ln(greatest(
+                      CAST(('0x' || substr(md5('s:dsir:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) / 16777216.0,
+                      1.0 / 33554432.0))) AS gk
+           FROM documents d LEFT JOIN lw USING (doc_id)),
+         sel AS (SELECT doc_id, log_weight FROM keyed ORDER BY gk DESC, doc_id LIMIT 150)
+         SELECT doc_id, round(log_weight, 6) AS log_weight FROM sel ORDER BY doc_id""",
+    // SQL replay of NaiveBayes.train(quarter sample, lang, 512) ∘
+    // classify(full corpus): complete smoothed (label, bucket) grid,
+    // decimal-funneled joint log-probabilities, argmax on rounded score
+    // with label-rank ties.
+    "text_naive_bayes" ->
+      """WITH tr AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 4 = 0),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '),
+                    x -> length(x) > 0)) AS tok
+           FROM documents),
+         tb AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('nb:' || tok), 1, 6)) AS BIGINT) % 512 AS bucket,
+                  count(*) AS n
+           FROM toks GROUP BY doc_id, bucket),
+         joint AS (
+           SELECT tr.lang AS label, tb.bucket, sum(tb.n) AS c
+           FROM tb JOIN tr USING (doc_id) GROUP BY tr.lang, tb.bucket),
+         ltot AS (SELECT label, sum(c) AS labelN FROM joint GROUP BY label),
+         priors AS (SELECT lang AS label, count(*) AS docs FROM tr GROUP BY lang),
+         ranked AS (
+           SELECT label, docs,
+                  CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS label_rank,
+                  ln(CAST(docs AS DOUBLE) / (SELECT count(*) FROM tr)) AS log_prior
+           FROM priors),
+         grid AS (
+           SELECT r.label, r.label_rank, r.log_prior, b.range AS bucket
+           FROM ranked r, range(512) b),
+         model AS (
+           SELECT g.label, g.label_rank, g.log_prior, g.bucket,
+                  ln((coalesce(j.c, 0) + 1.0) / (lt.labelN + 512.0)) AS log_lik
+           FROM grid g
+           LEFT JOIN joint j ON j.label = g.label AND j.bucket = g.bucket
+           JOIN ltot lt ON lt.label = g.label),
+         scores AS (
+           SELECT tb.doc_id, m.label, m.label_rank,
+                  m.log_prior + CAST(sum(CAST(m.log_lik * tb.n AS DECIMAL(38, 12)))
+                    AS DOUBLE) AS score
+           FROM tb JOIN model m USING (bucket)
+           GROUP BY tb.doc_id, m.label, m.label_rank, m.log_prior),
+         allsc AS (
+           SELECT * FROM scores
+           UNION ALL
+           SELECT d.doc_id, r.label, r.label_rank, r.log_prior AS score
+           FROM documents d CROSS JOIN ranked r
+           WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM scores)),
+         best AS (
+           SELECT doc_id, label, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY round(score, 9) DESC, label_rank ASC) AS rn
+           FROM allsc)
+         SELECT doc_id, label AS pred_label, round(round(score, 9), 6) AS score
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
     "sim_topk_pq" -> pqTopkOracle(m = 16, ksub = 32, iters = 3, shortlist = 25, k = 5),
     "sim_topk_ivfadc" -> ivfAdcOracle(nlist = 16, nprobe = 4, m = 16, ksub = 32,
       iters = 3, shortlist = 25, k = 5),
@@ -1978,6 +2098,8 @@ object PipelineQueries {
     "corpus_length_buckets" -> (corpusLengthBuckets _),
     "corpus_length_equidepth" -> (corpusLengthEquidepth _),
     "corpus_pipeline" -> (corpusPipeline _),
+    "corpus_dsir" -> (corpusDsir _),
+    "text_naive_bayes" -> (textNaiveBayes _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))
