@@ -105,8 +105,28 @@ object Dsir {
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, buckets: Int, k: Int,
              salt: String = "dsir", temperature: Double = 1.0): DataFrame = {
-    val llr = logRatioTable(raw, target, idCol, textCol, buckets)
-    val lw = logWeights(raw, llr, idCol, textCol, buckets)
+    // ONE featurize pass over the raw corpus, persisted: the bucket
+    // totals (for the ratio table), the rawN scalar, and the per-doc
+    // weight sums all read it — without the persist the bigram explode
+    // runs three times (grand-total job, ratio plan, weight plan)
+    val db = bigramBuckets(raw, idCol, textCol, buckets).persist()
+    val rawC = db.groupBy("bucket").agg(sum("n").as("c"))
+    val tgtC = bigramBuckets(target, idCol, textCol, buckets)
+      .groupBy("bucket").agg(sum("n").as("c")).persist()
+    val rawN = rawC.agg(sum("c")).head().getLong(0) // bounded: 1 scalar
+    val tgtN = tgtC.agg(sum("c")).head().getLong(0)
+    val llr = rawC.withColumnRenamed("c", "raw_c")
+      .join(tgtC.withColumnRenamed("c", "tgt_c"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("raw_c", "tgt_c"))
+      .select(col("bucket"),
+        (log((col("tgt_c") + 1.0) / lit(tgtN + buckets.toDouble)) -
+         log((col("raw_c") + 1.0) / lit(rawN + buckets.toDouble)))
+          .as("llr"))
+    val lw = db
+      .join(broadcast(llr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum((col("llr") * col("n")).cast(DecimalType(38, 12)))
+        .cast("double").as("log_weight"))
     val u = CorpusOps.hashUniform(col(idCol), salt)
     // guard: u ∈ {0} hash cells would make -ln(-ln(u)) infinite; the
     // 24-bit grid never yields exactly 1.0, and 0 maps to the smallest

@@ -99,8 +99,13 @@ object NaiveBayes {
     */
   def classify(df: DataFrame, model: DataFrame, idCol: String,
                textCol: String, buckets: Int): DataFrame = {
-    val scores = tokenBuckets(df, idCol, textCol, buckets)
-      .join(broadcast(model), Seq("bucket"))
+    // the model is labels×buckets — bounded — but DERIVING it scans the
+    // training corpus; persist so the label-metadata collect below and
+    // the classify plan's broadcast don't each retrain it
+    val m = model.persist()
+    val tb = tokenBuckets(df, idCol, textCol, buckets)
+    val scores = tb
+      .join(broadcast(m), Seq("bucket"))
       .groupBy(col(idCol), col("label"), col("label_rank"), col("log_prior"))
       .agg(sum((col("log_lik") * col("n")).cast(DecimalType(38, 12)))
         .cast("double").as("ll"))
@@ -108,7 +113,7 @@ object NaiveBayes {
         (col("log_prior") + col("ll")).as("score"))
     // label metadata re-derived from the model (bounded collect) and
     // exploded as a literal — no doc×label join in the plan
-    val labelRows = model.select("label", "label_rank", "log_prior")
+    val labelRows = m.select("label", "label_rank", "log_prior")
       .distinct().collect() // bounded: one row per label
     val labelLit = array(labelRows.toIndexedSeq.map { r =>
       struct(lit(r.getString(0)).as("label"), lit(r.getLong(1)).as("label_rank"),
@@ -119,8 +124,11 @@ object NaiveBayes {
       .select(col(idCol), col("lr.label").as("label"),
         col("lr.label_rank").as("label_rank"), col("lr.log_prior").as("score"))
     // docs with tokens take their scored rows; tokenless docs keep the
-    // prior-only rows (anti-join keeps the fallback bounded to them)
-    val scoredIds = scores.select(col(idCol)).distinct()
+    // prior-only rows. The id set comes from the PRE-join feature table
+    // (the complete model grid means the inner join never drops a doc) —
+    // deriving it from `scores` would re-run the model join + aggregate
+    // a second time just to list ids
+    val scoredIds = tb.select(col(idCol)).distinct()
     val all = scores.unionByName(
       priorOnly.join(scoredIds, Seq(idCol), "left_anti"))
     all

@@ -297,7 +297,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Partitioned append: fact tables partitioned by a low-cardinality
     * lineage/date column so per-run or per-day readback prunes at the file
-    * index (PartitionFilters in the scan — asserted in WarehouseBucketSpec).
+    * index (PartitionFilters in the scan — asserted in ScaleToolsSpec).
     * The reference's `WHERE run_id = ?` preview (SURVEY.md J3) becomes a
     * partition-pruned scan instead of a full-table filter.
     */
@@ -323,7 +323,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Bucketed catalog table write: co-locates future joins/aggregations on
     * `keys` — two tables bucketed the same way join without any exchange
-    * (asserted in WarehouseBucketSpec). This is the 100 TB answer to the
+    * (asserted in ScaleToolsSpec). This is the 100 TB answer to the
     * reference's indexed SQLite tables: pay the clustering once at write
     * time, skip the shuffle on every read.
     */
