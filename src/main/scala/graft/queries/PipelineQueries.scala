@@ -549,6 +549,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Snapshot diff (CDC): two deterministic views of the documents table
+    * — the "old" snapshot drops doc_id % 7 = 0, the "new" drops
+    * doc_id % 5 = 0 and rewrites every doc_id % 3 = 0 text — diffed to
+    * (key, added | removed | changed) via narrow (key, content-hash)
+    * reductions and one full-outer join. The delta primitive that scopes
+    * backfills and triggers incremental downstream work.
+    */
+  def warehouseDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.Cdc.tableDiff(oldSnap, newSnap,
+        Seq("doc_id"), Seq("text", "lang", "source"))
+      .orderBy("doc_id")
+  }
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1228,6 +1247,31 @@ object PipelineQueries {
            FROM allsc)
          SELECT doc_id, label AS pred_label, round(round(score, 9), 6) AS score
          FROM best WHERE rn = 1 ORDER BY doc_id""",
+    // SQL replay of Cdc.tableDiff over the two deterministic snapshot
+    // views: md5(concat_ws(chr(31), …)) content hashes, full outer join.
+    "warehouse_diff" ->
+      """WITH oldd AS (
+           SELECT doc_id,
+                  md5(concat_ws(chr(31),
+                    coalesce(CAST(text AS VARCHAR), '<null>'),
+                    coalesce(lang, '<null>'),
+                    coalesce(source, '<null>'))) AS old_hash
+           FROM documents WHERE doc_id % 7 <> 0),
+         newd AS (
+           SELECT doc_id,
+                  md5(concat_ws(chr(31),
+                    coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END,
+                             '<null>'),
+                    coalesce(lang, '<null>'),
+                    coalesce(source, '<null>'))) AS new_hash
+           FROM documents WHERE doc_id % 5 <> 0),
+         d AS (
+           SELECT doc_id,
+                  CASE WHEN old_hash IS NULL THEN 'added'
+                       WHEN new_hash IS NULL THEN 'removed'
+                       WHEN old_hash <> new_hash THEN 'changed' END AS change
+           FROM oldd FULL JOIN newd USING (doc_id))
+         SELECT doc_id, change FROM d WHERE change IS NOT NULL ORDER BY doc_id""",
     "sim_topk_pq" -> pqTopkOracle(m = 16, ksub = 32, iters = 3, shortlist = 25, k = 5),
     "sim_topk_ivfadc" -> ivfAdcOracle(nlist = 16, nprobe = 4, m = 16, ksub = 32,
       iters = 3, shortlist = 25, k = 5),
@@ -2100,6 +2144,7 @@ object PipelineQueries {
     "corpus_pipeline" -> (corpusPipeline _),
     "corpus_dsir" -> (corpusDsir _),
     "text_naive_bayes" -> (textNaiveBayes _),
+    "warehouse_diff" -> (warehouseDiff _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))

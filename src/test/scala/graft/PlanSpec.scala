@@ -212,4 +212,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(800))
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(800))
   }
+
+  test("dsir: ratio table broadcasts, selection is TakeOrderedAndProject") {
+    val p = plan("corpus_dsir")
+    // the llr table join must broadcast (bounded side); the id-to-id
+    // weight join may SMJ — both of ITS sides are corpus-sized, which is
+    // the correct shape, so no blanket SMJ ban here
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("naive bayes: model broadcasts; argmax is an aggregate, not a window") {
+    val p = plan("text_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(800))
+  }
+
+  test("cdc diff: one outer join, hash projection below the exchange") {
+    val d = Tables.load(spark, sf, "documents")
+    val diff = graft.operators.Cdc.tableDiff(
+      d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 5 =!= 0),
+      Seq("doc_id"), Seq("text", "lang", "source"))
+    val p = diff.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // exactly one join in the plan (the diff is ONE pass, not per-state
+    // joins); narrowness is structural — sideHash projects to (key, md5)
+    // before the join inputs
+    assert(p.sliding("Join".length).count(_ == "Join") == 1, p.take(1200))
+  }
 }
