@@ -57,8 +57,28 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events") df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
+      else if (name == "embeddings")
+        df.withColumn("embedding", normalizeVec(df.schema("embedding").dataType))
       else df
     })
+
+  /** Normalize the embeddings vector column to `array<float>` regardless
+    * of the parquet element width. Every graft vector expression
+    * (cosine, SRP, PQ encode, quantize) reads `getFloat` on its input —
+    * a regenerated fixture shipping `array<double>` would otherwise
+    * break the entire ANN/dedup family the way TIMESTAMP(MICROS) broke
+    * the events family in round 3 (same failure class, pinned in
+    * EventsLoaderSpec / EmbeddingsLoaderSpec).
+    */
+  private def normalizeVec(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(FloatType, _) => col("embedding")
+      case ArrayType(_, _)         => col("embedding").cast("array<float>")
+      case _                       => col("embedding")
+    }
+  }
 
   /** Normalize an events `ts` column to session-zone TIMESTAMP regardless of
     * how the parquet encoded it. The session runs in UTC, so the NTZ→LTZ cast
