@@ -37,20 +37,29 @@ object Cdc {
     * one row per key that changed state — (key…, change ∈ added |
     * removed | changed). Unchanged keys emit nothing (the usual CDC
     * contract: the delta is small even when the table is not).
+    *
+    * Keys join NULL-SAFELY (`<=>` — still an equi hash/merge join key in
+    * Spark), so a key that is null in both snapshots compares by content
+    * instead of reporting a spurious added+removed pair. PRECONDITION
+    * (standard CDC contract, not checked — checking would cost an extra
+    * pass): keys are unique within each snapshot; duplicate keys
+    * multiply rows through the join.
     */
   def tableDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
                 valueCols: Seq[String]): DataFrame = {
-    def sideHash(df: DataFrame, hashName: String) =
-      df.select(keyCols.map(col) :+
+    def sideHash(df: DataFrame, prefix: String, hashName: String) =
+      df.select(keyCols.map(k => col(k).as(s"$prefix$k")) :+
         rowHash(valueCols.map(col)).as(hashName): _*)
-    val o = sideHash(oldDf, "old_hash")
-    val n = sideHash(newDf, "new_hash")
-    o.join(n, keyCols, "full_outer")
+    val o = sideHash(oldDf, "o_", "old_hash")
+    val n = sideHash(newDf, "n_", "new_hash")
+    val cond = keyCols.map(k => o(s"o_$k") <=> n(s"n_$k")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
       .withColumn("change",
         when(col("old_hash").isNull, lit("added"))
           .when(col("new_hash").isNull, lit("removed"))
           .when(col("old_hash") =!= col("new_hash"), lit("changed")))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyCols.map(k => coalesce(col(s"o_$k"), col(s"n_$k")).as(k)) :+
+        col("change"): _*)
   }
 }

@@ -58,24 +58,27 @@ object Dsir {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Laplace-smoothed per-bucket log likelihood ratio table:
-    * llr(b) = ln((target_b + 1) / (targetN + buckets))
-    *        − ln((raw_b + 1) / (rawN + buckets)).
+  /** Laplace-smoothed per-bucket log likelihood ratio table from
+    * FEATURIZED sides ([[bigramBuckets]] output): llr(b) =
+    * ln((target_b + 1) / (targetN + buckets))
+    * − ln((raw_b + 1) / (rawN + buckets)).
     * ≤ `buckets` rows — the bounded, persistable "trained importance
     * model" (at real scale: train once on samples, reuse every batch).
+    * Takes pre-featurized inputs so callers can share one bigram pass
+    * across the totals, the scalar collects, and the weight join.
+    * Empty sides degrade to zero totals (all-smoothing ratios), not a
+    * crash.
     */
-  def logRatioTable(raw: DataFrame, target: DataFrame, idCol: String,
-                    textCol: String, buckets: Int): DataFrame = {
-    def bucketTotals(df: DataFrame) =
-      bigramBuckets(df, idCol, textCol, buckets)
-        .groupBy("bucket").agg(sum("n").as("c"))
-    val rawC = bucketTotals(raw)
-    val tgtC = bucketTotals(target)
-    // grand totals: 1-row scalar collects injected as literals (the
-    // pmiTopK pattern) — a cross join of 1-row frames would plan a
-    // BroadcastNestedLoopJoin the blanket plan audit forbids
-    val rawN = rawC.agg(sum("c")).head().getLong(0)
-    val tgtN = tgtC.agg(sum("c")).head().getLong(0)
+  def logRatioTable(rawBuckets: DataFrame, targetBuckets: DataFrame,
+                    buckets: Int): DataFrame = {
+    def total(df: DataFrame): Long = { // bounded: 1 scalar; null when empty
+      val r = df.agg(sum("c")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val rawC = rawBuckets.groupBy("bucket").agg(sum("n").as("c"))
+    val tgtC = targetBuckets.groupBy("bucket").agg(sum("n").as("c"))
+    val rawN = total(rawC)
+    val tgtN = total(tgtC)
     rawC.withColumnRenamed("c", "raw_c")
       .join(tgtC.withColumnRenamed("c", "tgt_c"), Seq("bucket"), "full")
       .na.fill(0L, Seq("raw_c", "tgt_c"))
@@ -85,13 +88,13 @@ object Dsir {
           .as("llr"))
   }
 
-  /** Per-doc log importance weight: Σ llr(bucket) · multiplicity, decimal
-    * funnel. Docs with no bigrams get weight 0 (kept, weightless — the
-    * declared semantics).
+  /** Per-doc log importance weight from a featurized corpus: Σ
+    * llr(bucket) · multiplicity, decimal funnel. Docs with no bigrams
+    * get no row here — [[select]] fills weight 0 for them (kept,
+    * weightless — the declared semantics).
     */
-  def logWeights(raw: DataFrame, llr: DataFrame, idCol: String,
-                 textCol: String, buckets: Int): DataFrame =
-    bigramBuckets(raw, idCol, textCol, buckets)
+  def logWeights(rawBuckets: DataFrame, llr: DataFrame, idCol: String): DataFrame =
+    rawBuckets
       .join(broadcast(llr), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum((col("llr") * col("n")).cast(DecimalType(38, 12)))
@@ -105,28 +108,17 @@ object Dsir {
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, buckets: Int, k: Int,
              salt: String = "dsir", temperature: Double = 1.0): DataFrame = {
-    // ONE featurize pass over the raw corpus, persisted: the bucket
-    // totals (for the ratio table), the rawN scalar, and the per-doc
-    // weight sums all read it — without the persist the bigram explode
-    // runs three times (grand-total job, ratio plan, weight plan)
-    val db = bigramBuckets(raw, idCol, textCol, buckets).persist()
-    val rawC = db.groupBy("bucket").agg(sum("n").as("c"))
-    val tgtC = bigramBuckets(target, idCol, textCol, buckets)
-      .groupBy("bucket").agg(sum("n").as("c")).persist()
-    val rawN = rawC.agg(sum("c")).head().getLong(0) // bounded: 1 scalar
-    val tgtN = tgtC.agg(sum("c")).head().getLong(0)
-    val llr = rawC.withColumnRenamed("c", "raw_c")
-      .join(tgtC.withColumnRenamed("c", "tgt_c"), Seq("bucket"), "full")
-      .na.fill(0L, Seq("raw_c", "tgt_c"))
-      .select(col("bucket"),
-        (log((col("tgt_c") + 1.0) / lit(tgtN + buckets.toDouble)) -
-         log((col("raw_c") + 1.0) / lit(rawN + buckets.toDouble)))
-          .as("llr"))
-    val lw = db
-      .join(broadcast(llr), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum((col("llr") * col("n")).cast(DecimalType(38, 12)))
-        .cast("double").as("log_weight"))
+    // ONE featurize pass per side, eagerly checkpointed: the bucket
+    // totals, the grand-total scalar jobs, and the per-doc weight sums
+    // all read it — without the materialization the bigram explode runs
+    // three times. localCheckpoint (not persist) so the blocks are
+    // reclaimed by the ContextCleaner once the result is dropped — a
+    // bench/driver loop re-invoking select() must not accumulate caches
+    // (the Bpe.train lineage discipline).
+    val db = bigramBuckets(raw, idCol, textCol, buckets).localCheckpoint(true)
+    val tgtB = bigramBuckets(target, idCol, textCol, buckets).localCheckpoint(true)
+    val llr = logRatioTable(db, tgtB, buckets)
+    val lw = logWeights(db, llr, idCol)
     val u = CorpusOps.hashUniform(col(idCol), salt)
     // guard: u ∈ {0} hash cells would make -ln(-ln(u)) infinite; the
     // 24-bit grid never yields exactly 1.0, and 0 maps to the smallest

@@ -83,9 +83,14 @@ object NaiveBayes {
       .select(col("id").as("bucket"), explode(labelLiteral(df, labelCol)).as("lr"))
       .select(col("lr.label").as("label"), col("lr.label_rank").as("label_rank"),
         col("lr.log_prior").as("log_prior"), col("bucket"))
+    // LEFT join + zero fill: a label whose training docs carry no tokens
+    // at all still keeps its complete grid slice (log_lik = ln(1/B), the
+    // pure-smoothing likelihood) — an inner join would silently delete
+    // the label from the model and make it unpredictable
     grid.join(joint, Seq("label", "bucket"), "left")
       .na.fill(0L, Seq("c"))
-      .join(labelTotals, Seq("label"))
+      .join(labelTotals, Seq("label"), "left")
+      .na.fill(0L, Seq("labelN"))
       .select(col("label"), col("label_rank"), col("log_prior"), col("bucket"),
         log((col("c") + 1.0) / (col("labelN") + lit(buckets.toDouble)))
           .as("log_lik"))
@@ -100,10 +105,15 @@ object NaiveBayes {
   def classify(df: DataFrame, model: DataFrame, idCol: String,
                textCol: String, buckets: Int): DataFrame = {
     // the model is labels×buckets — bounded — but DERIVING it scans the
-    // training corpus; persist so the label-metadata collect below and
-    // the classify plan's broadcast don't each retrain it
-    val m = model.persist()
-    val tb = tokenBuckets(df, idCol, textCol, buckets)
+    // training corpus, and the corpus featurization below feeds two
+    // branches (scores + the tokenless-doc id set). Both materialize
+    // eagerly via localCheckpoint, NOT persist: checkpoint blocks are
+    // reclaimed by the ContextCleaner once the result is dropped, so a
+    // bench/driver loop re-invoking classify() cannot accumulate caches
+    // (the Bpe.train lineage discipline; an unpersist() here would have
+    // no safe call site — the returned frame is lazy).
+    val m = model.localCheckpoint(true)
+    val tb = tokenBuckets(df, idCol, textCol, buckets).localCheckpoint(true)
     val scores = tb
       .join(broadcast(m), Seq("bucket"))
       .groupBy(col(idCol), col("label"), col("label_rank"), col("log_prior"))

@@ -149,8 +149,10 @@ object PipelineQueries {
   /** Product-quantization ANN: 8 subspaces × 16 codes trained by fused
     * L2 Lloyd iterations, corpus encoded to 8 small codes per vector,
     * queries score by ADC table lookups (m lookups per pair, no float
-    * math). Rows-only driver check (iterative training); recall vs brute
-    * force and bit-determinism under repartitioning are pinned in PqSpec.
+    * math). Fully oracled since round 4 (unrolled per-subspace Lloyd
+    * CTEs + ordered ADC list sums + refine replay); recall vs brute
+    * force and bit-determinism under repartitioning also pinned in
+    * PqSpec.
     */
   def simTopkPq(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
@@ -162,8 +164,9 @@ object PipelineQueries {
   /** IVFADC: IVF cells bound WHICH rows are scored (nprobe/nlist of the
     * corpus through an equi hash join on cell_id), PQ codes bound what
     * scoring costs (ADC lookups), exact cosine re-ranks the shortlist —
-    * the production billion-scale ANN composition. Rows-only; recall and
-    * the no-nested-loop plan are pinned in PqSpec.
+    * the production billion-scale ANN composition. Fully oracled since
+    * round 4 (same PQ chain + md5-pivot cell routing); recall and the
+    * no-nested-loop plan also pinned in PqSpec.
     */
   def simTopkIvfAdc(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)

@@ -38,6 +38,22 @@ class CdcSpec extends SparkSpec {
     assert(diff.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "changed")))
   }
 
+  test("null keys join null-safely: unchanged content emits nothing") {
+    val oldDf = Seq((Option.empty[java.lang.Long], Option("a"), "x"),
+      (Option(java.lang.Long.valueOf(1L)), Option("b"), "y"))
+      .toDF("id", "v1", "v2")
+    val newDf = Seq((Option.empty[java.lang.Long], Option("a"), "x"),
+      (Option(java.lang.Long.valueOf(1L)), Option("b"), "y"))
+      .toDF("id", "v1", "v2")
+    assert(Cdc.tableDiff(oldDf, newDf, Seq("id"), Seq("v1", "v2")).count() == 0)
+    // and a changed null-keyed row reports exactly one 'changed'
+    val newDf2 = Seq((Option.empty[java.lang.Long], Option("a"), "X"),
+      (Option(java.lang.Long.valueOf(1L)), Option("b"), "y"))
+      .toDF("id", "v1", "v2")
+    val d = Cdc.tableDiff(oldDf, newDf2, Seq("id"), Seq("v1", "v2")).collect()
+    assert(d.length == 1 && d(0).isNullAt(0) && d(0).getString(1) == "changed")
+  }
+
   test("column boundaries are not confusable") {
     // ("ab", "c") vs ("a", "bc") — same concatenation without a separator
     val oldDf = frame(Seq((1L, Some("ab"), "c")))

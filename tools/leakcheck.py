@@ -20,9 +20,12 @@ from datetime import datetime, timezone
 # reference (imports from non-public namespaces, internal-looking URLs/
 # buckets/short links, credentials), not any specific named system.
 PATTERNS = {
+    # any dotted depth before the internal-ish segment, so an import of
+    # com.<vendor>.<suspect-segment>.Client hits at depth 3+ as well
+    # (the two-segment-only version missed those)
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache|scala|java|graft|org\.scalatest|org\.scalacheck)"
-        r"[a-z]+\.(internal|corp|private)\b", re.M),
+        r"^\s*import\s+(?!org\.apache|scala\b|java\b|graft\b|org\.scalatest|org\.scalacheck)"
+        r"(?:[\w]+\.)+(?:internal|corp|private)\b", re.M),
     "internal-url": re.compile(
         r"https?://[\w.-]*\b(internal|corp|intranet)\b[\w./-]*"),
     "internal-pkg2": re.compile(
