@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Ordered funnel analysis over an event stream — the conversion query of
+  * product/behavioral analytics: for each entity, the earliest time it
+  * completed step 1, then step 2 STRICTLY AFTER step 1, and so on
+  * (signup → click → purchase). A step that never happens leaves that
+  * and all later steps null — the entity "drops out" of the funnel.
+  *
+  * Scale shape: ONE shuffle by entity; each step is a conditional
+  * windowed min over that same partitioning (whole-partition frame — no
+  * sort, no further exchange; step i+1's condition reads step i's column
+  * inside the same partition), then one aggregate collapses to a row
+  * per entity — which AQE plans on the already-partitioned data. No
+  * joins, no per-step passes over the corpus: the k-step funnel costs
+  * one event-table scan regardless of k.
+  *
+  * Determinism: min over timestamps is order-free; the strict `>`
+  * boundary is the declared semantics (an event in the same microsecond
+  * as the previous step does not advance the funnel) and is replayed by
+  * the oracle's independent join-chain formulation.
+  */
+object Funnel {
+
+  /** Per-entity funnel times: (entity, t1..tk as step timestamps,
+    * n_steps completed). Steps are event-type values matched in order.
+    */
+  def funnelTimes(events: DataFrame, entityCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(entityCol))
+    val base = events.select(col(entityCol), col(typeCol), col(tsCol))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (acc, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"t$i")
+      acc.withColumn(s"t${i + 1}", min(when(cond, col(tsCol))).over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"t${i + 1}"))
+    withSteps
+      .groupBy(col(entityCol))
+      .agg(max(stepCols.head).as("t1"),
+        stepCols.tail.zipWithIndex.map { case (c, i) => max(c).as(s"t${i + 2}") }: _*)
+  }
+}

@@ -168,6 +168,24 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Ordered conversion funnel signup → click → purchase per user: each
+    * step's earliest timestamp strictly after the previous step, nulls
+    * cascading on drop-out, plus the completed-step count. One shuffle
+    * by user, windowed conditional mins, no joins (see
+    * [[graft.operators.Funnel]]); the oracle replays it as an
+    * independent join-chain formulation.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelTimes(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"),
+        (col("t1").isNotNull.cast("long") + col("t2").isNotNull.cast("long") +
+          col("t3").isNotNull.cast("long")).as("n_steps"))
+      .orderBy("user_id")
+
   /** As-of join: each click enriched with the user's most recent prior
     * view (event-time lookup). Oracled against DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantics.
@@ -817,6 +835,30 @@ object ReferenceQueries {
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
+    // independent join-chain replay of the windowed-min funnel: each
+    // step's min ts strictly after the previous step's, per user
+    "ev_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+           FROM events GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND t1.t1 IS NOT NULL AND e.ts > t1.t1
+           GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           GROUP BY e.user_id)
+         SELECT t1.user_id,
+                epoch_us(t1.t1) AS t1_us, epoch_us(t2.t2) AS t2_us,
+                epoch_us(t3.t3) AS t3_us,
+                CAST((CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_steps
+         FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+         ORDER BY user_id""",
     "ev_resample" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value, ts, event_id
@@ -1140,6 +1182,7 @@ object ReferenceQueries {
     "ev_json_extract" -> (eventsJsonExtract _),
     "ev_asof_join" -> (eventsAsOf _),
     "ev_resample" -> (eventsResample _),
+    "ev_funnel" -> (eventsFunnel _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),

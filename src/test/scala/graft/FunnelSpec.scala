@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Funnel
+
+/** Pins Funnel.funnelTimes' ordering contract on a constructed stream:
+  * strict-after step advancement, null cascade on drop-out, earliest-
+  * occurrence selection, and partition invariance.
+  */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private val events = Seq(
+    // user 1: full funnel, with decoys (later duplicate steps ignored)
+    (1L, "signup", ts(1000)), (1L, "click", ts(2000)),
+    (1L, "click", ts(3000)), (1L, "purchase", ts(4000)),
+    // user 2: click BEFORE signup must not count; no click after → stalls
+    (2L, "click", ts(500)), (2L, "signup", ts(1000)), (2L, "purchase", ts(2000)),
+    // user 3: same-microsecond click does NOT advance (strict >)
+    (3L, "signup", ts(1000)), (3L, "click", ts(1000)),
+    // user 4: never signs up
+    (4L, "click", ts(100)), (4L, "purchase", ts(200))
+  ).toDF("user_id", "event_type", "ts")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Funnel.funnelTimes(df, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+      .toMap
+
+  test("strict-after ordering, null cascade, earliest occurrence") {
+    val f = run(events)
+    assert(f(1L) == ((Some(ts(1000)), Some(ts(2000)), Some(ts(4000)))))
+    // user 2: pre-signup click ignored; purchase can't count without click
+    assert(f(2L) == ((Some(ts(1000)), None, None)))
+    // user 3: equal timestamp does not advance the funnel
+    assert(f(3L) == ((Some(ts(1000)), None, None)))
+    // user 4: no signup → all null
+    assert(f(4L) == ((None, None, None)))
+  }
+
+  test("partition invariant") {
+    assert(run(events).toSeq.sortBy(_._1) ==
+      run(events.repartition(7)).toSeq.sortBy(_._1))
+  }
+
+  test("plan: one exchange by entity, no joins") {
+    val p = Funnel.funnelTimes(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p.take(1200))
+  }
+}
