@@ -45,4 +45,46 @@ object Funnel {
       .agg(max(stepCols.head).as("t1"),
         stepCols.tail.zipWithIndex.map { case (c, i) => max(c).as(s"t${i + 2}") }: _*)
   }
+
+  /** Cohort retention: entities cohorted by the week of their first
+    * `anchorType` event, then each (cohort week, weeks-since) cell
+    * counts the distinct entities active (ANY event) in that week —
+    * the standard retention triangle.
+    *
+    * Scale shape: the cohort table is one aggregate by entity; activity
+    * reduces to distinct (entity, week) BEFORE the cohort join, so the
+    * join carries one row per entity-week, not per event; the final
+    * cells are a two-phase distinct-count aggregate. All joins are
+    * equi-joins on the entity / cohort-week keys — no windows, nothing
+    * entity-quadratic.
+    *
+    * Output: (cohort_week yyyy-MM-dd, week_offset, n_active,
+    * cohort_size, retention = n_active / cohort_size rounded to 6).
+    * Week boundaries are Monday-start `date_trunc("week")` in both
+    * engines; offsets are exact (week-truncated days are multiples
+    * of 7).
+    */
+  def cohortRetention(events: DataFrame, entityCol: String, typeCol: String,
+                      tsCol: String, anchorType: String): DataFrame = {
+    val cohort = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(entityCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val acts = events
+      .select(col(entityCol), date_trunc("week", col(tsCol)).as("act_week"))
+      .distinct()
+      .join(cohort, Seq(entityCol))
+      .filter(col("act_week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    acts.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
 }

@@ -186,6 +186,16 @@ object ReferenceQueries {
           col("t3").isNotNull.cast("long")).as("n_steps"))
       .orderBy("user_id")
 
+  /** Cohort retention triangle: users cohorted by first-signup week,
+    * each (cohort, weeks-since) cell counting distinct users active
+    * that week. Activity reduces to distinct user-weeks BEFORE the
+    * cohort join (see [[graft.operators.Funnel.cohortRetention]]).
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(t(s, dir, "events"),
+        "user_id", "event_type", "ts", anchorType = "signup")
+      .orderBy("cohort_week", "week_offset")
+
   /** As-of join: each click enriched with the user's most recent prior
     * view (event-time lookup). Oracled against DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantics.
@@ -859,6 +869,31 @@ object ReferenceQueries {
                    + (CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_steps
          FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
          ORDER BY user_id""",
+    // cohort retention replay: Monday-start week truncs in both engines;
+    // activity deduped to user-weeks before the cohort join
+    "ev_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         acts AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events),
+         j AS (
+           SELECT c.cohort_week,
+                  CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS BIGINT)
+                    AS week_offset,
+                  a.user_id
+           FROM acts a JOIN cohort c USING (user_id)
+           WHERE a.act_week >= c.cohort_week),
+         sizes AS (
+           SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week),
+         r AS (
+           SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+           FROM j GROUP BY cohort_week, week_offset)
+         SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week, r.week_offset,
+                r.n_active, s.cohort_size,
+                round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+         FROM r JOIN sizes s USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
     "ev_resample" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value, ts, event_id
@@ -1183,6 +1218,7 @@ object ReferenceQueries {
     "ev_asof_join" -> (eventsAsOf _),
     "ev_resample" -> (eventsResample _),
     "ev_funnel" -> (eventsFunnel _),
+    "ev_retention" -> (eventsRetention _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),

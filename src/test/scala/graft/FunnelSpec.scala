@@ -50,6 +50,26 @@ class FunnelSpec extends SparkSpec {
       run(events.repartition(7)).toSeq.sortBy(_._1))
   }
 
+  test("cohort retention: anchor gating, offsets, and rates") {
+    // weeks: 2024-01-01 (Mon) and 2024-01-08
+    val w0 = 1704067200000L // 2024-01-01T00:00Z
+    val day = 86400000L
+    val ev = Seq(
+      (1L, "signup", ts(w0 + day)), (1L, "click", ts(w0 + 8 * day)),   // w0 cohort, active w0+w1
+      (2L, "signup", ts(w0 + 2 * day)),                                // w0 cohort, w0 only
+      (3L, "click", ts(w0 + day)),                                     // never signs up → no cohort
+      (4L, "signup", ts(w0 + 9 * day))                                 // w1 cohort
+    ).toDF("user_id", "event_type", "ts")
+    val r = Funnel.cohortRetention(ev, "user_id", "event_type", "ts", "signup")
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    assert(r(("2024-01-01", 0L)) == ((2L, 2L, 1.0)))  // both w0 users active in w0
+    assert(r(("2024-01-01", 1L)) == ((1L, 2L, 0.5)))  // only user 1 returns
+    assert(r(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 3) // user 3's activity creates no cohort cell
+  }
+
   test("plan: one exchange by entity, no joins") {
     val p = Funnel.funnelTimes(events, "user_id", "event_type", "ts",
         Seq("signup", "click", "purchase"))
