@@ -114,37 +114,42 @@ object NaiveBayes {
     // no safe call site — the returned frame is lazy).
     val m = model.localCheckpoint(true)
     val tb = tokenBuckets(df, idCol, textCol, buckets).localCheckpoint(true)
-    val scores = tb
-      .join(broadcast(m), Seq("bucket"))
-      .groupBy(col(idCol), col("label"), col("label_rank"), col("log_prior"))
-      .agg(sum((col("log_lik") * col("n")).cast(DecimalType(38, 12)))
-        .cast("double").as("ll"))
-      .select(col(idCol), col("label"), col("label_rank"),
-        (col("log_prior") + col("ll")).as("score"))
-    // label metadata re-derived from the model (bounded collect) and
-    // exploded as a literal — no doc×label join in the plan
+    // label metadata (bounded collect), rank-ordered
     val labelRows = m.select("label", "label_rank", "log_prior")
-      .distinct().collect() // bounded: one row per label
-    val labelLit = array(labelRows.toIndexedSeq.map { r =>
-      struct(lit(r.getString(0)).as("label"), lit(r.getLong(1)).as("label_rank"),
-        lit(r.getDouble(2)).as("log_prior"))
-    }: _*)
-    val priorOnly = df.select(col(idCol))
-      .select(col(idCol), explode(labelLit).as("lr"))
-      .select(col(idCol), col("lr.label").as("label"),
-        col("lr.label_rank").as("label_rank"), col("lr.log_prior").as("score"))
-    // docs with tokens take their scored rows; tokenless docs keep the
-    // prior-only rows. The id set comes from the PRE-join feature table
-    // (the complete model grid means the inner join never drops a doc) —
-    // deriving it from `scores` would re-run the model join + aggregate
-    // a second time just to list ids
-    val scoredIds = tb.select(col(idCol)).distinct()
-    val all = scores.unionByName(
-      priorOnly.join(scoredIds, Seq(idCol), "left_anti"))
-    all
+      .distinct().collect().sortBy(_.getLong(1)) // bounded: one row per label
+    val nLabels = labelRows.length
+    // model PIVOTED to one row per bucket with the rank-ordered log-lik
+    // vector: the score join then carries ONE row per (doc, bucket) into
+    // the aggregate instead of one per (doc, bucket, label) — the
+    // aggregate input stays corpus-sized no matter how many labels the
+    // router has (the label count moves into the row width, which is the
+    // bounded dimension)
+    val pivoted = m.groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("label_rank"), col("log_lik")))).as("s"))
+      .select(col("bucket"), transform(col("s"), x => x("log_lik")).as("llhs"))
+    // per-doc decimal-funneled sum per label position — same addends and
+    // same DECIMAL(38,12) cast as the per-(doc,label) formulation, so
+    // results (and the SQL oracle) are unchanged
+    val llAggs = (1 to nLabels).map(i =>
+      sum((element_at(col("llhs"), i) * col("n")).cast(DecimalType(38, 12)))
+        .cast("double").as(s"ll_$i"))
+    val perDoc = tb.join(broadcast(pivoted), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(max(struct(round(col("score"), 9).as("s"),
-        (-col("label_rank")).as("nr"), col("label").as("l"))).as("best"))
+      .agg(llAggs.head, llAggs.tail: _*)
+    // argmax across the label columns: greatest() over (rounded score,
+    // −rank, label) structs — map-side, no window, no doc×label rows
+    def bestOf(scoreFor: Int => org.apache.spark.sql.Column) =
+      greatest(labelRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        struct(round(scoreFor(i), 9).as("s"),
+          lit(-r.getLong(1)).as("nr"), lit(r.getString(0)).as("l"))
+      }: _*)
+    val scored = perDoc.select(col(idCol),
+      bestOf(i => lit(labelRows(i).getDouble(2)) + col(s"ll_${i + 1}")).as("best"))
+    // tokenless docs (no tb rows): prior-only argmax, same struct contract
+    val priorOnly = df.select(col(idCol))
+      .join(tb.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(col(idCol), bestOf(i => lit(labelRows(i).getDouble(2))).as("best"))
+    scored.unionByName(priorOnly)
       .select(col(idCol), col("best.l").as("pred_label"),
         round(col("best.s"), 6).as("score"))
   }
