@@ -27,12 +27,24 @@ object Funnel {
 
   /** Per-entity funnel times: (entity, t1..tk as step timestamps,
     * n_steps completed). Steps are event-type values matched in order.
+    *
+    * Only step-type events enter the plan: the `isin(steps)` filter is
+    * pushed to the scan, so a 3-step funnel over a table with hundreds
+    * of event types scans, shuffles, and window-buffers only the rows
+    * the step conditions could ever match — at 100 TB that is the
+    * difference between buffering an entity's whole history per task
+    * and buffering just its funnel-relevant slice. Consequence of the
+    * declared semantics: an entity with NO step-type events is not in
+    * the funnel at all (no all-null row) — it never entered step 1's
+    * candidate set, so it has no funnel state to report.
     */
   def funnelTimes(events: DataFrame, entityCol: String, typeCol: String,
                   tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(col(entityCol))
-    val base = events.select(col(entityCol), col(typeCol), col(tsCol))
+    val base = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(entityCol), col(typeCol), col(tsCol))
     val withSteps = steps.zipWithIndex.foldLeft(base) { case (acc, (step, i)) =>
       val cond =
         if (i == 0) col(typeCol) === step

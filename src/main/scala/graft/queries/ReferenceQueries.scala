@@ -846,11 +846,17 @@ object ReferenceQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
     // independent join-chain replay of the windowed-min funnel: each
-    // step's min ts strictly after the previous step's, per user
+    // step's min ts strictly after the previous step's, per user. The
+    // universe is users with >=1 STEP-TYPE event (mirrors the operator's
+    // pushed isin filter — entities that never touch the funnel emit no
+    // row); users in that universe who lack a signup still get a
+    // null-t1 row from the grouped FILTER aggregate.
     "ev_funnel" ->
       """WITH t1 AS (
            SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
-           FROM events GROUP BY user_id),
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')
+           GROUP BY user_id),
          t2 AS (
            SELECT e.user_id, min(e.ts) AS t2
            FROM events e JOIN t1 USING (user_id)

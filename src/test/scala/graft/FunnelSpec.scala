@@ -70,6 +70,15 @@ class FunnelSpec extends SparkSpec {
     assert(r.size == 3) // user 3's activity creates no cohort cell
   }
 
+  test("plan: step-type filter pushed to the events scan") {
+    // ev_funnel reads the real parquet fixture — the isin(steps) filter
+    // must reach the scan as a pushed In predicate, so a 100 TB events
+    // table with hundreds of types only surfaces the 3 funnel types.
+    val p = SparkEntry.queries("ev_funnel")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("In(event_type, [click,purchase,signup])"), p.take(1500))
+  }
+
   test("plan: one exchange by entity, no joins") {
     val p = Funnel.funnelTimes(events, "user_id", "event_type", "ts",
         Seq("signup", "click", "purchase"))
