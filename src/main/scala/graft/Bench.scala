@@ -10,11 +10,14 @@ import org.apache.spark.sql.SparkSession
   * measured PASSES over all queries, min per query reported — passes
   * rather than back-to-back repeats so multi-minute host-contention
   * windows can't pollute every sample of one query.
-  * `spark.catalog.clearCache()` runs before EACH measured run, so
-  * operator-internal `.cache()` intermediates (shingle indexes, LSH
-  * signatures, candidate sets) are rebuilt INSIDE the measurement — a
-  * measured run is the full cost of the query from cold storage, not a
-  * read-through of the warmup's materialized caches (r1 advice). Results
+  * `spark.catalog.clearCache()` runs before EACH measured run, and each
+  * run re-constructs the query from scratch, so operator-internal
+  * materializations (shingle indexes, LSH signatures, candidate sets —
+  * eager localCheckpoints since r5) are rebuilt INSIDE the measurement —
+  * a measured run is the full cost of the query from cold storage, not a
+  * read-through of the warmup's materialized state (r1 advice); the
+  * post-run System.gc() lets the ContextCleaner reclaim the previous
+  * run's checkpoint blocks. Results
   * are forced through the `noop` datasource so every projection and
   * aggregation actually executes (a bare `count()` would let Catalyst
   * prune the work away) without paying collect() or parquet-write

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * appear (the adversarial case for LSH bucketing).
   *
   * Usage: runMain graft.ScaleProbe [factor]
+  *
+  * Cache discipline: plain `.cache()` is fine HERE (unlike in operators) —
+  * the probe is a run-once main whose caches die with the process; the
+  * replicated corpus is deliberately pinned across probes so each timing
+  * measures the operator, not the replication explode.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

@@ -168,7 +168,10 @@ object Bpe {
         (id, out.result())
       }
       .toDF("id", "syms")
-      .cache()
+      // eager localCheckpoint, not cache: the returned ids frame is a lazy
+      // view over syms, so no unpersist site exists; checkpoint blocks are
+      // ContextCleaner-reclaimed once the caller drops the result
+      .localCheckpoint(true)
     val vocab = syms.select(explode(col("syms")).as("s")).distinct()
       .collect().map(_.getString(0)).sorted // bounded: alphabet + merges
     val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)

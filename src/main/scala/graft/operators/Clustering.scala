@@ -154,8 +154,10 @@ object Clustering {
                     iters: Int, threshold: Double,
                     maxCluster: Int = 100000): DataFrame = {
     val cents = kmeans(df, vecCol, idCol, k, iters)
-    val assigned = assign(df, vecCol, idCol, cents).cache()
-    assigned.count() // materialize once before the self-join's two consumers
+    // materialize once before the self-join's two consumers — eager
+    // localCheckpoint (the kept/dominated result is lazy; no unpersist
+    // site, ContextCleaner reclaims the blocks with the result)
+    val assigned = assign(df, vecCol, idCol, cents).localCheckpoint(true)
     val inJoin = Dedup.dropHotKeys(assigned, "cell_id", maxCluster)
     val a = inJoin.select(col("cell_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = inJoin.select(col("cell_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))

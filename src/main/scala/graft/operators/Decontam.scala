@@ -87,7 +87,11 @@ object Decontam {
     def sh(d: DataFrame) =
       if (portable) Dedup.shingleHashesPortable(d, textCol, idCol, k)
       else Dedup.shingleHashes(d, textCol, idCol, k)
-    val b = sh(bench).select(col(idCol).as("bench_id"), col("shingle")).cache()
+    // bench shingles feed the bloom build (distinct + count) AND the lazy
+    // verification join — eager localCheckpoint, not cache, so the blocks
+    // die with the result instead of accumulating across invocations
+    val b = sh(bench).select(col(idCol).as("bench_id"), col("shingle"))
+      .localCheckpoint(true)
     val distinctSh = b.select("shingle").distinct()
     val nDistinct = math.max(distinctSh.count(), 1L)
     val bloom = distinctSh.stat.bloomFilter("shingle", nDistinct, fpp)

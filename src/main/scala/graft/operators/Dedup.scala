@@ -120,10 +120,13 @@ object Dedup {
               else if (portable) shingleHashesPortable(df, textCol, idCol, k)
               else shingleHashes(df, textCol, idCol, k)).cache()
     sh.count() // materialize before concurrent consumers (see minhashLsh)
-    // kept feeds three consumers (sizes, both pair-join sides) — cache it so
-    // the shingle explode + df-cap join run once.
-    val kept = dropHotKeys(sh, "shingle", maxDf).cache()
-    kept.count()
+    // kept feeds three consumers (sizes, both pair-join sides) and backs
+    // the lazily returned result — eager localCheckpoint, NOT cache: the
+    // blocks are reclaimed by the ContextCleaner once the result is
+    // dropped, so a long-lived session re-invoking the operator cannot
+    // accumulate cached intermediates (no safe unpersist site exists).
+    val kept = dropHotKeys(sh, "shingle", maxDf).localCheckpoint(true)
+    sh.unpersist() // everything downstream reads the capped stream only
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
     val b = kept.select(col(idCol).as("id_b"), col("shingle"))
@@ -215,9 +218,13 @@ object Dedup {
     sh0.count() // the df-cap anti-join reads the raw stream from BOTH sides
     // (hot-key agg + kept stream) — cached, the tokenize/hash explode runs
     // once instead of twice
-    val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
-    sh.count() // materialize NOW: AQE runs downstream stages concurrently,
-    // and racing consumers would each recompute the unbuilt cache
+    // eager localCheckpoint, not cache: sh backs the lazily returned pair
+    // set (verifyJaccard reads it from three consumers), and with no safe
+    // unpersist site a plain cache would accumulate blocks across
+    // invocations; checkpoint blocks are ContextCleaner-reclaimed once the
+    // result is dropped. Eager also pre-empts AQE's concurrent downstream
+    // stages racing to build an unmaterialized cache.
+    val sh = dropHotKeys(sh0, "shingle", maxDf).localCheckpoint(true)
     sh0.unpersist() // everything downstream reads the capped stream only
     val banded = bandKeysFor(sh, idCol, bands, rowsPerBand, portable)
     val cand = banded.alias("x")
@@ -249,10 +256,11 @@ object Dedup {
         val b = (40503L * (i.toLong * i + 1)) % P
         min((col("shingle") * a + b) % P).as(s"m$i")
       }
-      // cached: candidate joins reference the signature aggregate from
-      // both sides
+      // candidate joins reference the signature aggregate from both
+      // sides — eager localCheckpoint (ContextCleaner-reclaimed; the band
+      // keys are returned lazily, so no unpersist site exists)
       val sig0 = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      val sig = if (cacheSig) { val c = sig0.cache(); c.count(); c } else sig0
+      val sig = if (cacheSig) sig0.localCheckpoint(true) else sig0
       val bandKeys = array((0 until bands).map { b =>
         concat_ws(":", lit(b) +:
           (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
@@ -260,10 +268,11 @@ object Dedup {
       sig.select(col(idCol), explode(bandKeys).as("band_key"))
     } else {
       // materialize signatures once: the banded explode references sig
-      // `bands` times on each side of the self-join — uncached, the shingle
-      // shuffle and the min-agg would run 2*bands times.
-      val sig = minhashSignatures(sh, idCol, numHashes).cache()
-      sig.count()
+      // `bands` times on each side of the self-join — unmaterialized, the
+      // shingle shuffle and the min-agg would run 2*bands times. Eager
+      // localCheckpoint, not cache (lazily returned; ContextCleaner
+      // reclaims the blocks when the result is dropped).
+      val sig = minhashSignatures(sh, idCol, numHashes).localCheckpoint(true)
       // band key = hash of the band's signature slice; one explode generates
       // all bands in a single stage (a bands-way union would multiply the
       // stage/task count and re-scan sig per branch)
@@ -301,8 +310,10 @@ object Dedup {
                              rowsPerBand: Int = 4, maxDf: Int = 100,
                              portable: Boolean = false,
                              cacheBandSig: Boolean = true): (DataFrame, DataFrame) = {
-    val sh = dropHotKeys(sh0, "shingle", maxDf).cache()
-    sh.count()
+    // eager localCheckpoint: the shingle half of the returned state is
+    // consumed lazily (possibly across batches) — ContextCleaner reclaims
+    // the blocks once the caller drops the state frames.
+    val sh = dropHotKeys(sh0, "shingle", maxDf).localCheckpoint(true)
     (bandKeysFor(sh, idCol, bands, rowsPerBand, portable, cacheBandSig), sh)
   }
 
@@ -351,8 +362,10 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val cand = vsCorpus.union(inBatch).cache()
-    cand.count()
+    // eager localCheckpoint (not cache): cand backs the lazily returned
+    // verification result from two consumers; blocks are
+    // ContextCleaner-reclaimed once the result is dropped.
+    val cand = vsCorpus.union(inBatch).localCheckpoint(true)
     // only corpus docs that actually matched a band need their shingles
     // back for verification — ids are disjoint across sides, so one union
     // feeds verifyJaccard for both pair kinds. unionByName, NOT union:
@@ -360,10 +373,10 @@ object Dedup {
     // positional union would silently swap the corpus rows' columns.
     val matchedOld = corpusShingles
       .join(cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    // cached: verification reads this from three consumers (sizes + both
-    // join sides), and the semi join shouldn't re-run per consumer
-    val shAll = bSh.unionByName(matchedOld).cache()
-    shAll.count()
+    // verification reads this from three consumers (sizes + both join
+    // sides), and the semi join shouldn't re-run per consumer — eager
+    // localCheckpoint for the same no-unpersist-site reason as cand
+    val shAll = bSh.unionByName(matchedOld).localCheckpoint(true)
     verifyJaccard(cand, shAll, idCol, threshold)
   }
 
@@ -371,10 +384,10 @@ object Dedup {
   def verifyJaccard(cand0: DataFrame, sh: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
     // the candidate set feeds the intersection join AND the outer
-    // left-join; uncached, the whole LSH candidate pipeline would run once
-    // per consumer
-    val cand = cand0.cache()
-    cand.count()
+    // left-join; unmaterialized, the whole LSH candidate pipeline would
+    // run once per consumer. Eager localCheckpoint — the verified pairs
+    // are returned lazily, so there is no unpersist site for a cache.
+    val cand = cand0.localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -431,13 +444,13 @@ object Dedup {
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       concat_ws(":", lit(blk), shiftrightunsigned(col("sig"), lo).bitwiseAND(mask))
     }: _*)
-    // cached + materialized like minhashLsh's banded side: both aliases of
-    // the self-join (and the hot-key aggregate) would otherwise re-run the
-    // per-row simhash over the whole corpus
+    // materialized like minhashLsh's banded side: both aliases of the
+    // self-join (and the hot-key aggregate) would otherwise re-run the
+    // per-row simhash over the whole corpus. Eager localCheckpoint so the
+    // blocks backing the lazy pair result are ContextCleaner-reclaimed.
     val blocked = dropHotKeys(
       sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key")),
-      "block_key", maxBucket).cache()
-    blocked.count()
+      "block_key", maxBucket).localCheckpoint(true)
     val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
@@ -601,8 +614,10 @@ object Dedup {
     // through the self-join and the distinct — carrying the vectors through
     // those shuffles would multiply shuffle bytes by the embedding width.
     // Vectors are re-attached once per surviving candidate pair.
-    val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol))).cache()
-    vecs.count() // materialize before concurrent consumers
+    // eager localCheckpoint (materializes before concurrent consumers;
+    // blocks reclaimed with the lazy result — no unpersist site)
+    val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol)))
+      .localCheckpoint(true)
     val bucketKeys = array((0 until tables).map { t =>
       concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t, portable))
     }: _*)

@@ -49,11 +49,14 @@ object LanguageModel {
   def trainBigram(corpus: DataFrame, textCol: String, idCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val bg = bigrams(corpus, textCol, idCol)
-    // cached: c1 derives from it and the score join reads it again — the
-    // bigram-vocabulary table is the small, persistable artifact here (the
-    // raw bigram stream is corpus-sized and is deliberately NOT cached)
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).cache()
-    c2.count()
+    // materialized: c1 derives from it and the score join reads it again —
+    // the bigram-vocabulary table is the small, persistable artifact here
+    // (the raw bigram stream is corpus-sized and is deliberately NOT
+    // materialized). Eager localCheckpoint, not cache: all three returned
+    // frames are lazy views over c2, so no unpersist site exists and the
+    // ContextCleaner must be able to reclaim the blocks.
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     // prefix counts roll up from the aggregated table, not a second pass
     // over the corpus: c1(w1) = Σ_w2 c2(w1,w2) exactly
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))

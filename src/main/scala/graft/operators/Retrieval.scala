@@ -54,9 +54,12 @@ object Retrieval {
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // postings feed three consumers (doc lengths, document frequencies,
-    // the scored join) — cache so the corpus explode+aggregate runs once
-    val post = postings(docs, textCol, idCol).cache()
-    post.count() // materialize before AQE's concurrent consumers
+    // the scored join) — materialize so the corpus explode+aggregate runs
+    // once, via eager localCheckpoint rather than cache: the scored result
+    // is returned lazily, so an unmatched cache would accumulate blocks
+    // across invocations (ContextCleaner reclaims checkpoint blocks once
+    // the result is dropped — the 5112cb9 discipline).
+    val post = postings(docs, textCol, idCol).localCheckpoint(true)
     val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // df over the postings table: one row per (doc, token) by construction
     val docFreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))

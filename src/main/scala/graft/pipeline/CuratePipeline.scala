@@ -31,9 +31,13 @@ object CuratePipeline {
     val raw = graft.Tables.load(spark, sfDir, "documents")
     val stages = Seq.newBuilder[Stage]
     def record(name: String, df: DataFrame): DataFrame = {
-      val cached = df.cache()
-      stages += Stage(name, cached.count())
-      cached
+      // each stage feeds the next AND the returned final frame — eager
+      // localCheckpoint, not cache, so a caller re-running the pipeline
+      // in one session cannot accumulate stage blocks (ContextCleaner
+      // reclaims them once the previous run's result is dropped)
+      val mat = df.localCheckpoint(true)
+      stages += Stage(name, mat.count())
+      mat
     }
 
     // 1 — strip per-source template lines (headers/footers/banners)

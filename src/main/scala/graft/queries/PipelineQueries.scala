@@ -63,10 +63,12 @@ object PipelineQueries {
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     // one tokenize/md5 explode pass over the whole table; both sides'
-    // states filter the shared cached stream (caps stay side-local —
-    // dropHotKeys counts within each filtered slice)
-    val allSh = Dedup.shingleHashesPortable(docs(s, dir), "text", "doc_id", 8).cache()
-    allSh.count()
+    // states filter the shared materialized stream (caps stay side-local —
+    // dropHotKeys counts within each filtered slice). localCheckpoint, not
+    // cache: the pair result is lazy, so the blocks must be reclaimable
+    // by the ContextCleaner rather than pinned until clearCache().
+    val allSh = Dedup.shingleHashesPortable(docs(s, dir), "text", "doc_id", 8)
+      .localCheckpoint(true)
     val (cBands, cSh) = Dedup.minhashStateFromHashes(
       allSh.filter(col("doc_id") % 5 =!= 0), "doc_id",
       bands = 8, rowsPerBand = 4, maxDf = 100, portable = true,
