@@ -349,13 +349,18 @@ object PipelineQueries {
       .select(col("lang"), col("token"), col("n_est"))
       .orderBy(col("lang"), col("n_est").desc, col("token"))
 
-  /** Trained quality classifier: logistic regression distilled from the
-    * rule-based quality heuristic by distributed IRLS (weights enter
-    * each iteration as literals; gradient + Hessian = one decimal-funneled
-    * partial+final aggregate, Newton solve on the driver — ~5 corpus
-    * jobs total). Rows-only for the driver (iterative
-    * training isn't SQL-expressible); accuracy, bit-determinism under
-    * repartitioning, and loss descent are pinned in QualityModelSpec.
+  /** Trained quality classifier: a linear scorer distilled from the
+    * rule-based quality heuristic by distributed Newton iterations
+    * (weights enter each iteration as literals; gradient + Hessian = one
+    * fixed-point-funneled partial+final aggregate, pivot-free Newton
+    * solve on the driver — ~5 corpus jobs total). FULLY oracled: the
+    * exp-free Elliot link, floor-quantized integer sums, and fixed-order
+    * elimination make every training op an engine-independent IEEE
+    * operation, so [[qualityTrainedSql]] replays all five Newton
+    * iterations (unrolled CTE chains, like the k-means/BPE oracles) and
+    * the driver hash-checks the trained scores. Accuracy,
+    * bit-determinism under repartitioning, and loss descent stay pinned
+    * in QualityModelSpec.
     */
   def textQualityTrained(s: SparkSession, dir: String): DataFrame = {
     val ft = QualityModel.featureTable(docs(s, dir), "text", "doc_id")
@@ -364,6 +369,117 @@ object PipelineQueries {
       .select(col("doc_id"), col("label").cast("int").as("label"),
         col("predicted"), round(col("score"), 6).as("score"))
       .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB replay of [[textQualityTrained]] — full training +
+    * scoring, bit-exact. Every operation QualityModel performs is an
+    * engine-independent IEEE double op (+,−,×,÷,abs,floor,sqrt) or an
+    * exact integer sum, so the replay is faithful to the bit:
+    *  - raw features + distilled label (the proven text_quality math);
+    *  - the standardization scaler from fixed-point moment sums;
+    *  - 5 unrolled Newton iterations: per-row Elliot-link p and σ′
+    *    weight from the current weight row, 20 fixed-point sums, then
+    *    the pivot-free 5×5 elimination + back-substitution as scalar
+    *    CTE chains (fixed op order = replayable; the ridged Hessian is
+    *    SPD so no pivoting is needed);
+    *  - map-only scoring under the final weights.
+    * MATERIALIZED is emitted directly on the multiply-referenced CTEs
+    * (rawf feeds stats + feats; feats feeds 5 iterations + scoring) so
+    * DuckDB cannot re-inline the corpus scan per reference.
+    */
+  private[graft] def qualityTrainedSql(iters: Int = 5): String = {
+    val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    // mirrors QualityModel.qsum: clamp ±1e6, floor-quantize by 1e12,
+    // exact DECIMAL(38,0) sum, back to double
+    def qsum(term: String, alias: String) =
+      s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
+        s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS $alias"
+    val d = 5 // 4 features + bias
+    val f: Int => String = i => if (i == d - 1) "1.0" else s"f$i"
+    val sb = new StringBuilder("WITH rawf AS MATERIALIZED (\n")
+    // raw features + label (identical math to the text_quality oracle)
+    sb.append(s"""  SELECT doc_id,
+         CAST(n_unique AS DOUBLE) / n_tokens AS f0r,
+         CAST(n_stopwords AS DOUBLE) / n_tokens AS f1r,
+         CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS f2r,
+         CAST(n_tokens AS DOUBLE) / 100.0 AS f3r,
+         CASE WHEN round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+              + 0.3 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4, 1.0)
+              + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) > 0.45
+              THEN 1.0 ELSE 0.0 END AS label
+  FROM (SELECT doc_id, length(text) AS n_chars,
+               len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   x -> x IN ($stop))) AS n_stopwords
+        FROM documents)),\n""")
+    // fixed-point moment sums, then the scaler (mirrors featureTable)
+    val moments = (0 to 3).flatMap(i =>
+      Seq(qsum(s"f${i}r", s"s$i"), qsum(s"f${i}r * f${i}r", s"q$i")))
+    sb.append(s"st AS (SELECT ${moments.mkString(",\n  ")},\n" +
+      "  CAST(count(*) AS DOUBLE) AS n FROM rawf),\n")
+    val scaler = (0 to 3).flatMap(i => Seq(
+      s"s$i / n AS m$i",
+      s"sqrt(greatest(q$i / n - (s$i / n) * (s$i / n), 1.0e-12)) AS sd$i"))
+    sb.append(s"sc AS (SELECT ${scaler.mkString(", ")} FROM st),\n")
+    sb.append("feats AS MATERIALIZED (SELECT doc_id, label, " +
+      (0 to 3).map(i => s"(f${i}r - m$i) / sd$i AS f$i").mkString(", ") +
+      " FROM rawf, sc),\n")
+    sb.append("w0 AS (SELECT " +
+      (0 until d).map(i => s"0.0 AS w$i").mkString(", ") + "),\n")
+    val margin = s"((((f0*w0 + f1*w1) + f2*w2) + f3*w3) + w4)"
+    for (t <- 1 to iters) {
+      // one aggregate: gradient X'(y-p) and upper-triangle Hessian X'RX
+      val gs = (0 until d).map(i => qsum(s"(label - p) * ${f(i)}", s"g$i"))
+      val hs = for (i <- 0 until d; j <- i until d)
+        yield qsum(s"r * ${f(i)} * ${f(j)}", s"h$i$j")
+      sb.append(s"""s$t AS (SELECT ${(gs ++ hs).mkString(",\n  ")}
+  FROM (SELECT label, f0, f1, f2, f3, p, 0.5 / ((1.0 + abs(m)) * (1.0 + abs(m))) AS r
+        FROM (SELECT label, f0, f1, f2, f3, m, 0.5 * (1.0 + m / (1.0 + abs(m))) AS p
+              FROM (SELECT label, f0, f1, f2, f3, $margin AS m
+                    FROM feats, w${t - 1})))),\n""")
+      // full (symmetric) matrix with the ridge on the diagonal
+      val mat = for (r <- 0 until d; k <- 0 until d) yield {
+        val h = if (r <= k) s"h$r$k" else s"h$k$r"
+        if (r == k) s"$h + 1.0e-6 AS a$r$k" else s"$h AS a$r$k"
+      }
+      sb.append(s"n$t AS (SELECT ${(0 until d).map(i => s"g$i AS b$i").mkString(", ")}, " +
+        mat.mkString(", ") + s" FROM s$t),\n")
+      // forward elimination, fixed order (no pivoting — SPD)
+      var live = (for (r <- 0 until d; k <- 0 until d) yield (r, k)).toSet
+      var prev = s"n$t"
+      for (c <- 0 until d - 1) {
+        val fs = (c + 1 until d).map(r => s"a$r$c / a$c$c AS e$r").mkString(", ")
+        live = live -- (c + 1 until d).map(r => (r, c))
+        val redefined = (for (r <- c + 1 until d; k <- c + 1 until d) yield (r, k)).toSet
+        val carryA = live.diff(redefined).toSeq.sorted.map { case (r, k) => s"a$r$k" }
+        val carryB = (0 to c).map(r => s"b$r")
+        val updA = for (r <- c + 1 until d; k <- c + 1 until d)
+          yield s"a$r$k - e$r * a$c$k AS a$r$k"
+        val updB = (c + 1 until d).map(r => s"b$r - e$r * b$c AS b$r")
+        sb.append(s"e$t$c AS (SELECT ${(carryA ++ carryB ++ updA ++ updB).mkString(", ")}" +
+          s" FROM (SELECT *, $fs FROM $prev)),\n")
+        prev = s"e$t$c"
+      }
+      // back-substitution, fixed order (k ascending per row)
+      var inner = s"SELECT *, b${d - 1} / a${d - 1}${d - 1} AS x${d - 1} FROM $prev"
+      for (r <- d - 2 to 0 by -1) {
+        val terms = (r + 1 until d).map(k => s" - a$r$k * x$k").mkString
+        inner = s"SELECT *, (b$r$terms) / a$r$r AS x$r FROM ($inner)"
+      }
+      sb.append(s"d$t AS (SELECT ${(0 until d).map(i => s"x$i AS d$i").mkString(", ")}" +
+        s" FROM ($inner)),\n")
+      sb.append(s"w$t AS (SELECT ${(0 until d).map(i => s"w$i + d$i AS w$i").mkString(", ")}" +
+        s" FROM w${t - 1}, d$t)")
+      sb.append(if (t < iters) ",\n" else "\n")
+    }
+    sb.append(s"""SELECT doc_id, CAST(label AS INTEGER) AS label,
+       CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS predicted,
+       round(score, 6) AS score
+FROM (SELECT doc_id, label, 0.5 * (1.0 + m / (1.0 + abs(m))) AS score
+      FROM (SELECT doc_id, label, $margin AS m FROM feats, w$iters))
+ORDER BY doc_id""")
+    sb.toString
   }
 
   /** BPE merge training: 16 merges learned from the corpus. Rows-only for
@@ -1580,6 +1696,9 @@ object PipelineQueries {
                 $greatest AS n_hits
          FROM hits ORDER BY doc_id"""
     },
+    // full bit-exact replay of trained-quality-model training + scoring
+    // (generated: 5 unrolled Newton iterations — see qualityTrainedSql)
+    "text_quality_trained" -> qualityTrainedSql(),
     "text_quality" -> {
       val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
       s"""WITH f AS (
