@@ -29,7 +29,18 @@ object Cdc {
   private val Sep = "\u001f"
   private val NullSentinel = "<null>"
 
-  /** md5 content hash of `cols` in order — null-safe, separator-joined. */
+  /** md5 content hash of `cols` in order — null-safe, separator-joined.
+    *
+    * Cross-engine contract: values enter the hash via CAST(col AS
+    * STRING), whose rendering is engine-identical for STRING and
+    * integral types only. Doubles, timestamps, decimals, and booleans
+    * format differently across engines (Spark `true` vs DuckDB `true`
+    * is fine, but `1.0E-5` vs `1e-05`, timestamp precision, and decimal
+    * trailing zeros are not) — the diff itself stays CORRECT for any
+    * type (both sides hash through the same engine), but ANSI-SQL
+    * replayability of the hash needs such columns pre-formatted to
+    * strings by the caller (e.g. `date_format`, `format_number`).
+    */
   def rowHash(cols: Seq[Column]): Column =
     md5(concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
 
@@ -41,12 +52,32 @@ object Cdc {
     * Keys join NULL-SAFELY (`<=>` — still an equi hash/merge join key in
     * Spark), so a key that is null in both snapshots compares by content
     * instead of reporting a spurious added+removed pair. PRECONDITION
-    * (standard CDC contract, not checked — checking would cost an extra
-    * pass): keys are unique within each snapshot; duplicate keys
-    * multiply rows through the join.
+    * (standard CDC contract): keys are unique within each snapshot;
+    * duplicate keys multiply rows through the join. By default the
+    * precondition is NOT checked (the usual contract — checking costs a
+    * pass per side); `strict = true` verifies it with one narrow scalar
+    * aggregate per side (total count vs distinct-key count over the key
+    * projection — two already-reduced numbers, no extra shuffle width)
+    * and fails fast instead of silently multiplying rows into a
+    * downstream backfill.
     */
   def tableDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-                valueCols: Seq[String]): DataFrame = {
+                valueCols: Seq[String], strict: Boolean = false): DataFrame = {
+    if (strict) {
+      def assertUniqueKeys(df: DataFrame, side: String): Unit = {
+        // count_distinct over a struct: a row whose key fields are null
+        // still forms a non-null struct, so null keys are counted — the
+        // same null-safe key semantics the join uses
+        val r = df.agg(count(lit(1)),
+          count_distinct(struct(keyCols.map(col): _*))).head()
+        val (total, distinct) = (r.getLong(0), r.getLong(1))
+        require(total == distinct,
+          s"tableDiff strict: $side snapshot has ${total - distinct} " +
+            s"duplicate rows over key (${keyCols.mkString(", ")})")
+      }
+      assertUniqueKeys(oldDf.select(keyCols.map(col): _*), "old")
+      assertUniqueKeys(newDf.select(keyCols.map(col): _*), "new")
+    }
     def sideHash(df: DataFrame, prefix: String, hashName: String) =
       df.select(keyCols.map(k => col(k).as(s"$prefix$k")) :+
         rowHash(valueCols.map(col)).as(hashName): _*)

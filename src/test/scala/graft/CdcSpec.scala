@@ -54,6 +54,26 @@ class CdcSpec extends SparkSpec {
     assert(d.length == 1 && d(0).isNullAt(0) && d(0).getString(1) == "changed")
   }
 
+  test("strict mode fails fast on duplicate keys; off by default") {
+    val oldDf = frame(Seq((1L, Some("a"), "x"), (1L, Some("b"), "y")))
+    val newDf = frame(Seq((1L, Some("a"), "x")))
+    // default: standard CDC contract, duplicates are the caller's problem
+    Cdc.tableDiff(oldDf, newDf, Seq("id"), Seq("v1", "v2")).collect()
+    val e = intercept[IllegalArgumentException] {
+      Cdc.tableDiff(oldDf, newDf, Seq("id"), Seq("v1", "v2"), strict = true)
+    }
+    assert(e.getMessage.contains("old snapshot has 1 duplicate"), e.getMessage)
+    // clean snapshots pass strict unchanged
+    val clean = Cdc.tableDiff(newDf, newDf, Seq("id"), Seq("v1", "v2"), strict = true)
+    assert(clean.count() == 0)
+    // null keys count as keys in the uniqueness check too
+    val dupNull = Seq((Option.empty[java.lang.Long], "x"),
+      (Option.empty[java.lang.Long], "y")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Cdc.tableDiff(dupNull, dupNull.limit(1), Seq("id"), Seq("v"), strict = true)
+    }
+  }
+
   test("column boundaries are not confusable") {
     // ("ab", "c") vs ("a", "bc") — same concatenation without a separator
     val oldDf = frame(Seq((1L, Some("ab"), "c")))
