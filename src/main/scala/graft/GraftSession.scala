@@ -88,10 +88,18 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     dt match {
-      // nanos-as-long: integer `div`, not `/` — nanos (~1.7e18) exceed
-      // double's 2^53 exact range, so floating division would corrupt
+      // int64 ts: dispatch on magnitude per value — epoch NANOS are
+      // ~1.7e18, epoch MICROS ~1.7e15, three orders apart, so 1e17
+      // (nanos: 1973; micros: year 5138) splits them unambiguously for
+      // any plausible event time. A schema-level guess would silently be
+      // 1000x off if a future harness regeneration ships plain int64
+      // micros (the round-3 failure class); the CASE is map-only codegen,
+      // no probe scan. Integer `div`, not `/` — nanos exceed double's
+      // 2^53 exact range, so floating division would corrupt
       // microseconds.
-      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case LongType =>
+        expr("timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 " +
+          "THEN ts div 1000 ELSE ts END)")
       case TimestampNTZType => col("ts").cast(TimestampType)
       case _                => col("ts")
     }

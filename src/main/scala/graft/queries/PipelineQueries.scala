@@ -776,8 +776,8 @@ ORDER BY doc_id""")
     * must expose (c, cv)), cosine ties toward the lowest cell id — exactly
     * [[graft.operators.Clustering.assign]].
     */
-  private def kmAssignSql(i: Int, prev: String): String =
-    s"""assign$i AS (
+  private def kmAssignSql(i: Int, prev: String, mat: Boolean = false): String =
+    s"""assign$i AS ${kmMat(mat)}(
           SELECT vec_id, embedding, c AS cell_id FROM (
             SELECT e.vec_id, e.embedding, s.c,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -790,18 +790,18 @@ ORDER BY doc_id""")
     * [[graft.operators.Clustering.lloydStep]]'s integer-grid mean. Cells
     * with no members keep `prev`'s centroid.
     */
-  private def kmUpdateSql(i: Int, prev: String): String =
-    s"""ex$i AS (
+  private def kmUpdateSql(i: Int, prev: String, mat: Boolean = false): String =
+    s"""ex$i AS ${kmMat(mat)}(
           SELECT cell_id,
                  unnest(list_transform(range(1, len(embedding)+1),
                    ii -> {'d': ii - 1, 'x': embedding[CAST(ii AS INTEGER)]})) AS u
           FROM assign$i),
-        upd$i AS (
+        upd$i AS ${kmMat(mat)}(
           SELECT cell_id, u.d AS dim,
                  SUM(CAST(floor(CAST(u.x AS DOUBLE) * 1048576) AS BIGINT)) AS sq,
                  COUNT(*) AS n
           FROM ex$i GROUP BY cell_id, u.d),
-        cent$i AS (
+        cent$i AS ${kmMat(mat)}(
           SELECT s.c,
                  CASE WHEN s.c IN (SELECT cell_id FROM upd$i)
                       THEN (SELECT list(CAST(u2.sq AS DOUBLE) / (CAST(u2.n AS DOUBLE) * 1048576)
@@ -813,8 +813,14 @@ ORDER BY doc_id""")
   /** Seed CTE: the first `k` vectors in md5-hash order as cells 0..k-1 —
     * the SQL replay of [[graft.operators.Clustering.seedCentroids]].
     */
-  private def kmSeedSql(k: Int): String =
-    s"""seeds AS (
+  /** "MATERIALIZED " or "" — the km CTE generators emit the keyword
+    * directly in the CTE header so it cannot silently detach from a
+    * drifting name/spacing (it used to be a post-hoc regex rewrite).
+    */
+  private def kmMat(mat: Boolean): String = if (mat) "MATERIALIZED " else ""
+
+  private def kmSeedSql(k: Int, mat: Boolean = false): String =
+    s"""seeds AS ${kmMat(mat)}(
          SELECT CAST(row_number() OVER (
                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
                            vec_id) AS INT) - 1 AS c,
@@ -831,17 +837,16 @@ ORDER BY doc_id""")
     * so a deep chain re-evaluates its prefix exponentially unless the
     * per-round CTEs are MATERIALIZED (the BPE-oracle lesson) — pass
     * `materialize = true` for iters > 2. Materialization never changes
-    * results, only evaluation count.
+    * results, only evaluation count. The flag is threaded into each CTE
+    * generator (emitted in the header itself), not applied by rewriting
+    * the generated text — a name/spacing drift can no longer silently
+    * strip the keyword and hand DuckDB an exponential re-evaluation.
     */
-  private def kmChainCtes(k: Int, iters: Int, materialize: Boolean = false): String = {
-    val chain = (Seq(kmSeedSql(k)) ++ (1 to iters).flatMap { i =>
+  private def kmChainCtes(k: Int, iters: Int, materialize: Boolean = false): String =
+    (Seq(kmSeedSql(k, materialize)) ++ (1 to iters).flatMap { i =>
       val prev = if (i == 1) "seeds" else s"cent${i - 1}"
-      Seq(kmAssignSql(i, prev), kmUpdateSql(i, prev))
+      Seq(kmAssignSql(i, prev, materialize), kmUpdateSql(i, prev, materialize))
     }).mkString(",\n")
-    if (materialize)
-      chain.replaceAll("""(?m)^(\s*(?:seeds|assign\d+|ex\d+|upd\d+|cent\d+) AS) \(""", "$1 MATERIALIZED (")
-    else chain
-  }
 
   /** Seed + 2 Lloyd rounds + final assignment (`assign3` against `cent2`)
     * — the SQL replay of Clustering.kmeans(k=8, iters=2) ∘ assign.
@@ -1344,11 +1349,16 @@ ORDER BY doc_id""")
            SELECT r.label, r.label_rank, r.log_prior, b.range AS bucket
            FROM ranked r, range(512) b),
          model AS (
+           -- LEFT JOIN + zero fill mirrors NaiveBayes.train's left-join of
+           -- labelTotals: a label whose sampled training docs are all
+           -- tokenless keeps a pure-smoothing slice (ln(1/512)) instead of
+           -- silently vanishing from the grid
            SELECT g.label, g.label_rank, g.log_prior, g.bucket,
-                  ln((coalesce(j.c, 0) + 1.0) / (lt.labelN + 512.0)) AS log_lik
+                  ln((coalesce(j.c, 0) + 1.0)
+                     / (coalesce(lt.labelN, 0) + 512.0)) AS log_lik
            FROM grid g
            LEFT JOIN joint j ON j.label = g.label AND j.bucket = g.bucket
-           JOIN ltot lt ON lt.label = g.label),
+           LEFT JOIN ltot lt ON lt.label = g.label),
          scores AS (
            SELECT tb.doc_id, m.label, m.label_rank,
                   m.log_prior + CAST(sum(CAST(m.log_lik * tb.n AS DECIMAL(38, 12)))

@@ -40,6 +40,14 @@ class EventsLoaderSpec extends SparkSpec {
     assert(micros.head.getLong(1) == 1704067798778549L)
   }
 
+  test("plain-int64-micros events dispatch on magnitude, not schema guess") {
+    // A third plausible harness encoding: ts as bare int64 epoch MICROS.
+    // It reads as LongType exactly like the nanos encoding — the loader
+    // must dispatch per value on magnitude (~1.7e15 micros vs ~1.7e18
+    // nanos) instead of assuming nanos and landing 1000x off.
+    assert(loadTs("int64us") == loadTs("micros"))
+  }
+
   test("current harness testdata loads and analyzes") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/events.parquet").exists()) {
