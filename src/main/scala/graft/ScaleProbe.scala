@@ -167,6 +167,58 @@ object ScaleProbe {
       graft.operators.CorpusOps.packTokens(ids, "doc_id", "token_ids",
         blockSize = 2048, blocks = 32).count()
     })
+    spark.catalog.clearCache()
+    // Naive Bayes at factor×: the model stays label×bucket-bounded no
+    // matter how big the corpus, training + classify are each one corpus
+    // pass, and the pivoted per-bucket likelihood vector keeps the score
+    // aggregate input at one row per (doc, bucket)
+    big.cache().count()
+    // label modulus coprime with the % 4 training slice so the sample
+    // carries all three labels
+    val labeled = big.withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+    time("naive_bayes_train_classify")({
+      val model = graft.operators.NaiveBayes.train(
+        labeled.filter(col("doc_id") % 4 === 0), "doc_id", "text", "lang",
+        buckets = 512)
+      graft.operators.NaiveBayes.classify(labeled, model, "doc_id", "text",
+        buckets = 512).count()
+    })
+    spark.catalog.clearCache()
+    // DSIR at factor×: one shared bigram-bucket featurize pass per side,
+    // a bucket-bounded broadcast llr table, and Gumbel top-k as a
+    // bounded-heap TakeOrderedAndProject — nothing corpus-sized collects
+    big.cache().count()
+    time("dsir_select")(graft.operators.Dsir.select(
+      big, big.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      buckets = 1024, k = 1000, salt = "probe").count())
+    spark.catalog.clearCache()
+    // snapshot diff at factor×: both sides reduce map-side to
+    // (key, md5) before the single full-outer join — the probe's wall
+    // time must track the narrow hash columns, not the text width
+    big.cache().count()
+    time("cdc_table_diff")({
+      val oldSnap = big.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = big.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Cdc.tableDiff(oldSnap, newSnap,
+        Seq("doc_id"), Seq("text")).count()
+    })
+    spark.catalog.clearCache()
+    // funnel at factor×: events replicated with fresh user ids; the
+    // pushed step-type isin filter means the per-entity window buffers
+    // only funnel-relevant rows even when the corpus multiplies
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val nu = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val bigE = ev
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("user_id") + col("__rep") * nu).as("user_id"),
+        col("event_type"), col("ts"))
+      .cache()
+    println(s"events: ${bigE.count()} (${factor}x)")
+    time("funnel_times")(graft.operators.Funnel.funnelTimes(
+      bigE, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase")).count())
     spark.stop()
   }
 }
