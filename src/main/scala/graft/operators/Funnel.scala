@@ -58,6 +58,42 @@ object Funnel {
         stepCols.tail.zipWithIndex.map { case (c, i) => max(c).as(s"t${i + 2}") }: _*)
   }
 
+  /** Per-step dwell-time distribution of a funnel: for each consecutive
+    * step pair (i → i+1), how long entities that advanced took — the
+    * "where does the funnel stall" follow-up to [[funnelTimes]]. Returns
+    * one row per step pair: (step, step_pair, n, p50_us, p90_us).
+    *
+    * Scale shape: funnelTimes' single entity shuffle, then a map-only
+    * explode to (step, dwell) rows and ONE aggregate over k−1 groups.
+    * The exact `percentile` buffers each group's dwell values — the
+    * ORACLE ANCHOR, not the 100 TB path (same split as a6_percentiles):
+    * at corpus scale feed the same dwell stream to the GK sketch
+    * (`approx_percentile` / graft's GK path) — O(accuracy) memory,
+    * identical plan shape otherwise.
+    *
+    * Dwells are exact integer microsecond differences; a step that never
+    * happened contributes nothing (nulls cascade out of funnelTimes, and
+    * the strict `>` boundary makes every dwell positive).
+    */
+  def funnelDwell(events: DataFrame, entityCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "dwell needs at least two steps")
+    val ft = funnelTimes(events, entityCol, typeCol, tsCol, steps)
+    val pairs = steps.indices.dropRight(1).map { i =>
+      struct(lit(i + 1).as("step"),
+        lit(s"${steps(i)}->${steps(i + 1)}").as("step_pair"),
+        (unix_micros(col(s"t${i + 2}")) - unix_micros(col(s"t${i + 1}")))
+          .as("dwell_us"))
+    }
+    ft.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.step"), col("p.step_pair"), col("p.dwell_us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("step"), col("step_pair"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(dwell_us, 0.5)"), 6).as("p50_us"),
+        round(expr("percentile(dwell_us, 0.9)"), 6).as("p90_us"))
+  }
+
   /** Cohort retention: entities cohorted by the week of their first
     * `anchorType` event, then each (cohort week, weeks-since) cell
     * counts the distinct entities active (ANY event) in that week —

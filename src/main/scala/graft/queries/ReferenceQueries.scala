@@ -186,6 +186,17 @@ object ReferenceQueries {
           col("t3").isNotNull.cast("long")).as("n_steps"))
       .orderBy("user_id")
 
+  /** Funnel dwell-time distribution: exact median/p90 microseconds spent
+    * between consecutive funnel steps by users who advanced (see
+    * [[graft.operators.Funnel.funnelDwell]]). The oracle replays the
+    * join-chain funnel, derives the dwell rows by UNION ALL, and uses
+    * quantile_cont — the same exact-percentile parity as a6_percentiles.
+    */
+  def eventsFunnelDwell(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelDwell(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+      .orderBy("step")
+
   /** Cohort retention triangle: users cohorted by first-signup week,
     * each (cohort, weeks-since) cell counting distinct users active
     * that week. Activity reduces to distinct user-weeks BEFORE the
@@ -875,6 +886,36 @@ object ReferenceQueries {
                    + (CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_steps
          FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
          ORDER BY user_id""",
+    // dwell replay: the same join-chain funnel, dwell rows by UNION ALL,
+    // exact quantile_cont (the a6_percentiles parity)
+    "ev_funnel_dwell" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')
+           GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND t1.t1 IS NOT NULL AND e.ts > t1.t1
+           GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           GROUP BY e.user_id),
+         d AS (
+           SELECT CAST(1 AS INTEGER) AS step, 'signup->click' AS step_pair,
+                  epoch_us(t2.t2) - epoch_us(t1.t1) AS dwell_us
+           FROM t1 JOIN t2 USING (user_id)
+           UNION ALL
+           SELECT CAST(2 AS INTEGER) AS step, 'click->purchase' AS step_pair,
+                  epoch_us(t3.t3) - epoch_us(t2.t2) AS dwell_us
+           FROM t2 JOIN t3 USING (user_id))
+         SELECT step, step_pair, count(*) AS n,
+                round(quantile_cont(dwell_us, 0.5), 6) AS p50_us,
+                round(quantile_cont(dwell_us, 0.9), 6) AS p90_us
+         FROM d GROUP BY step, step_pair ORDER BY step""",
     // cohort retention replay: Monday-start week truncs in both engines;
     // activity deduped to user-weeks before the cohort join
     "ev_retention" ->
@@ -1224,6 +1265,7 @@ object ReferenceQueries {
     "ev_asof_join" -> (eventsAsOf _),
     "ev_resample" -> (eventsResample _),
     "ev_funnel" -> (eventsFunnel _),
+    "ev_funnel_dwell" -> (eventsFunnelDwell _),
     "ev_retention" -> (eventsRetention _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),

@@ -70,6 +70,26 @@ class FunnelSpec extends SparkSpec {
     assert(r.size == 3) // user 3's activity creates no cohort cell
   }
 
+  test("dwell: exact per-pair medians, drop-outs contribute nothing") {
+    // user 1: signup→click 1000µs, click→purchase 2000µs (dwell from the
+    //         FIRST qualifying click at 2000, not the decoy at 3000)
+    // user 2: stalls after signup → no dwell rows at all
+    // user 5: signup→click 3000µs, no purchase → only the first pair
+    val ev = events.union(Seq(
+      (5L, "signup", ts(10000)), (5L, "click", ts(13000))
+    ).toDF("user_id", "event_type", "ts"))
+    val d = Funnel.funnelDwell(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // pair 1 dwells: {1000, 3000} ms = {1e6, 3e6} µs → interpolated
+    // p50 = 2e6, p90 = 2.8e6; n = 2
+    assert(d(1) == (("signup->click", 2L, 2000000.0, 2800000.0)))
+    // pair 2 dwells: {2000 ms} → both percentiles the single value
+    assert(d(2) == (("click->purchase", 1L, 2000000.0, 2000000.0)))
+  }
+
   test("plan: step-type filter pushed to the events scan") {
     // ev_funnel reads the real parquet fixture — the isin(steps) filter
     // must reach the scan as a pushed In predicate, so a 100 TB events
