@@ -689,6 +689,31 @@ ORDER BY doc_id""")
       .orderBy("doc_id")
   }
 
+  /** One-pass column profile of the documents table — row/null/distinct
+    * counts and string-rendered min/max per column (see
+    * [[graft.operators.Profile.profile]]). All outputs are integral or
+    * string, so the result is hash-stable by construction.
+    */
+  def warehouseProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  /** Per-column UNION ALL replay of [[graft.operators.Profile.profile]]:
+    * identical CAST-to-string contract, identical null/distinct
+    * semantics (count(expr) skips nulls, count(DISTINCT) too).
+    */
+  private def profileOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+            (SELECT count(*) FROM $table) AS n_rows,
+            count(*) - count(CAST($c AS VARCHAR)) AS n_nulls,
+            count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+            min(CAST($c AS VARCHAR)) AS min_val,
+            max(CAST($c AS VARCHAR)) AS max_val
+          FROM $table"""
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1380,6 +1405,8 @@ ORDER BY doc_id""")
          FROM best WHERE rn = 1 ORDER BY doc_id""",
     // SQL replay of Cdc.tableDiff over the two deterministic snapshot
     // views: md5(concat_ws(chr(31), …)) content hashes, full outer join.
+    "warehouse_profile" ->
+      profileOracle("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "warehouse_diff" ->
       """WITH oldd AS (
            SELECT doc_id,
@@ -2279,6 +2306,7 @@ ORDER BY doc_id""")
     "corpus_dsir" -> (corpusDsir _),
     "text_naive_bayes" -> (textNaiveBayes _),
     "warehouse_diff" -> (warehouseDiff _),
+    "warehouse_profile" -> (warehouseProfile _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))

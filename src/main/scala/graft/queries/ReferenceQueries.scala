@@ -207,6 +207,46 @@ object ReferenceQueries {
         "user_id", "event_type", "ts", anchorType = "signup")
       .orderBy("cohort_week", "week_offset")
 
+  /** First-order Markov transition matrix over the event stream: per-user
+    * event sequences (ordered by ts, ties by event_id) reduced to a
+    * (src, dst, n, p) edge list — bounded by |event-type vocabulary|²
+    * regardless of corpus size (see [[graft.operators.Graph.transitions]]).
+    * p is a single double division, bit-identical in any engine.
+    */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.transitions(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+      .select(col("src"), col("dst"), col("n"), round(col("p"), 6).as("p"))
+      .orderBy("src", "dst")
+
+  /** Weighted PageRank over the event-type transition graph — which event
+    * types the behavioral flow concentrates on. The corpus-scale work is
+    * the one windowed pass that extracts transitions; the 5 synchronous
+    * iterations then run on the model-sized edge list (fully distributed,
+    * no driver collect — see [[graft.operators.Graph.pageRank]]). The
+    * oracle replays all 5 iterations as unrolled MATERIALIZED CTEs on the
+    * same fixed-point qsum grid.
+    */
+  def eventsPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Graph.transitions(t(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id")
+    graft.operators.Graph.pageRank(edges, "src", "dst", "n", iters = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** Robust MAD outlier detection on event values, per event type — the
+    * data-quality gate over a metric with a genuine heavy tail (see
+    * [[graft.operators.Outliers.madOutliers]]). Exact percentiles carry
+    * the a6 quantile_cont parity; everything else is per-row IEEE math.
+    */
+  def eventsOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.madOutliers(t(s, dir, "events"),
+        "event_type", "event_id", "value", threshold = 3.5)
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_type", "event_id")
+
   /** As-of join: each click enriched with the user's most recent prior
     * view (event-time lookup). Oracled against DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantics.
@@ -770,6 +810,53 @@ object ReferenceQueries {
       .orderBy("user_id")
   }
 
+  /** Unrolled-iteration PageRank replay over the event-type transition
+    * graph — the same technique as the k-means / PQ oracle chains: every
+    * cross-row sum goes through the fixed-point qsum grid (floor ×1e12 →
+    * exact DECIMAL(38,0) sum → double), per-row double ops are IEEE-
+    * identical, and each iteration is a MATERIALIZED CTE so DuckDB never
+    * re-evaluates the chain prefix. Literals are written as the SAME
+    * double expressions Spark computes (`(1.0 - 0.85)`, not `0.15` —
+    * 1.0-0.85 is 0.15000000000000002 in IEEE 754, and graft computes it
+    * that way too).
+    */
+  private[graft] def evPageRankSql(iters: Int = 5): String = {
+    def qsumRaw(term: String) =
+      s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
+        s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12"
+    def qsum(term: String, alias: String) = s"${qsumRaw(term)} AS $alias"
+    val sb = new StringBuilder
+    sb.append("""WITH seq AS MATERIALIZED (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+      edges AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst),
+      outw AS (SELECT src, CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS out_w
+               FROM edges GROUP BY src),
+      pe AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.out_w AS p
+                          FROM edges e JOIN outw o USING (src)),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, 1.0 / nd AS rank FROM nodes, nn),""")
+    for (t <- 1 to iters) {
+      sb.append(s"""
+      i$t AS (SELECT pe.dst, ${qsum("r.rank * pe.p", "inc")}
+              FROM pe JOIN r${t - 1} r ON pe.src = r.node GROUP BY pe.dst),
+      dg$t AS (SELECT coalesce(${qsumRaw("r.rank")}, 0.0) AS dang FROM r${t - 1} r
+               WHERE NOT EXISTS (SELECT 1 FROM pe WHERE pe.src = r.node)),
+      r$t AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - 0.85) / nn.nd + 0.85 * (coalesce(i.inc, 0.0) + d.dang / nn.nd) AS rank
+        FROM nodes n LEFT JOIN i$t i ON n.node = i.dst, dg$t d, nn),""")
+    }
+    sb.setLength(sb.length - 1) // drop trailing comma
+    sb.append(s"\n      SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node")
+    sb.toString
+  }
+
   /** DuckDB oracle SQL per query — same table names, same aliases, same
     * ORDER BY, same decimal funneling.
     */
@@ -1240,7 +1327,40 @@ object ReferenceQueries {
          FROM (SELECT user_id, epoch_us(ts) AS ts_us,
                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                FROM events)
-         GROUP BY user_id ORDER BY user_id""")
+         GROUP BY user_id ORDER BY user_id""",
+    // transition matrix: same lead() sequence derivation, p is one double
+    // division (IEEE-identical in both engines), rounded at emission only
+    "ev_markov" ->
+      """WITH seq AS (
+           SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           FROM events),
+         edges AS (
+           SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+           GROUP BY src, dst)
+         SELECT src, dst, n,
+                round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+         FROM edges ORDER BY src, dst""",
+    "ev_pagerank" -> evPageRankSql(),
+    // robust MAD outliers: quantile_cont parity for both percentile
+    // passes; the z expression is written in the same association order
+    // Spark evaluates ((0.6745 * dev) / mad)
+    "ev_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+           FROM events GROUP BY event_type),
+         d AS (
+           SELECT e.event_type, e.event_id, CAST(e.value AS DOUBLE) AS value,
+                  CAST(e.value AS DOUBLE) - m.med AS dev
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad
+           FROM d GROUP BY event_type)
+         SELECT d.event_type, d.event_id, d.value,
+                round(0.6745 * d.dev / m.mad, 6) AS z
+         FROM d JOIN mad m USING (event_type)
+         WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
+         ORDER BY d.event_type, d.event_id""")
 
   /** Query-name → implementation, aligned with [[oracles]] keys. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1267,6 +1387,9 @@ object ReferenceQueries {
     "ev_funnel" -> (eventsFunnel _),
     "ev_funnel_dwell" -> (eventsFunnelDwell _),
     "ev_retention" -> (eventsRetention _),
+    "ev_markov" -> (eventsMarkov _),
+    "ev_pagerank" -> (eventsPageRank _),
+    "ev_outliers" -> (eventsOutliers _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),

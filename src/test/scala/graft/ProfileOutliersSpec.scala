@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Outliers, Profile}
+
+/** Column profiler (null/distinct/min/max semantics on hand-built data)
+  * and robust MAD outliers (hand-computed z-scores, MAD=0 degeneracy).
+  */
+class ProfileOutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: null, distinct, and string min/max semantics") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(10L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val rows = Profile.profile(df, Seq("k", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    // string min/max: "1" < "10" < "2" lexicographically — the documented
+    // rendered-string contract, not numeric order
+    assert(rows == Seq(
+      ("k", 4L, 1L, 3L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("madOutliers: hand-computed modified z, only outliers emitted") {
+    // group g: values 1..9 plus a 1000 spike. median=5.5, MAD=2.5
+    // z(1000) = 0.6745*(1000-5.5)/2.5 = 268.30989
+    val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+ ("g", 10L, 1000.0))
+      .toDF("key", "id", "v")
+    val out = Outliers.madOutliers(df, "key", "id", "v", threshold = 3.5)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out.size == 1)
+    val (_, id, v, z) = out.head
+    assert(id == 10L && v == 1000.0)
+    assert(math.abs(z - 0.6745 * (1000.0 - 5.5) / 2.5) < 1e-9)
+  }
+
+  test("madOutliers: MAD=0 group is degenerate and emits nothing") {
+    val df = (Seq.fill(8)(5.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("key", "id", "v")
+    // median=5, over half the values sit on it -> MAD=0 -> no rows
+    assert(Outliers.madOutliers(df, "key", "id", "v").count() == 0)
+  }
+}
