@@ -133,6 +133,32 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@5 of the IVF index against the exact brute-force scan — the
+    * index-quality evaluation every ANN deployment runs before trusting
+    * an index at scale (recall is THE accuracy metric for approximate
+    * search; speed numbers are meaningless without it). Both sides are
+    * the already-oracled topk operators; the comparison is a semi-join
+    * on (query_id, neighbor_id) and a count — nothing float-sensitive
+    * beyond the inputs themselves.
+    */
+  def simEvalRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val qs = all.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(all, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(all, qs, "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** IVF with k-means-trained cells (8 centers, 5 Lloyd iterations):
     * Lloyd centroids replace the hash pivots — the production ANN shape
     * (train once, persist, probe). Fully oracled since round 4: the
@@ -781,6 +807,65 @@ ORDER BY doc_id""")
              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len($b)+1),
              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+
+  /** Exact brute-force top-5 oracle — also the ground-truth CTE of
+    * `sim_eval_recall`.
+    */
+  private lazy val bruteforceTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, len(qv)+1),
+                         i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                            i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+                         AS cos_exact
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos_exact,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_exact DESC, neighbor_id) AS rank
+                FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos_exact, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Hash-pivot IVF top-5 oracle — also the approximate CTE of
+    * `sim_eval_recall`.
+    */
+  private lazy val ivfTopkSql: String =
+    s"""WITH pivots AS (
+            SELECT vec_id AS pivot_id, embedding AS pivot_vec FROM embeddings
+            ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
+                     vec_id
+            LIMIT 16),
+          assigned AS (
+            SELECT vec_id, embedding, pivot_id AS cell_id FROM (
+              SELECT e.vec_id, e.embedding, p.pivot_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+              FROM embeddings e CROSS JOIN pivots p)
+            WHERE rn = 1),
+          qprobe AS (
+            SELECT query_id, q_vec, cell_id FROM (
+              SELECT e.vec_id AS query_id, e.embedding AS q_vec, p.pivot_id AS cell_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
+              FROM embeddings e CROSS JOIN pivots p WHERE e.vec_id < 10)
+            WHERE rn <= 2),
+          scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ${cosSql("q.q_vec", "a.embedding")} AS c
+            FROM qprobe q JOIN assigned a
+              ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored)
+         SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Shared oracle of `decontaminate` and `decontaminate_bloom` (same
     * exact semantics, different plan).
@@ -1623,57 +1708,25 @@ ORDER BY doc_id""")
                 FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
          WHERE c >= 0.35 ORDER BY id_a, id_b""",
-    "sim_topk_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-              scored AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       list_sum(list_transform(range(1, len(qv)+1),
-                         i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
-                            i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
-                         AS cos_exact
-                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-              ranked AS (
-                SELECT query_id, neighbor_id, cos_exact,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cos_exact DESC, neighbor_id) AS rank
-                FROM scored)
-         SELECT query_id, rank, neighbor_id, round(cos_exact, 6) AS cosine
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
-    "sim_topk_ivf" ->
-      s"""WITH pivots AS (
-            SELECT vec_id AS pivot_id, embedding AS pivot_vec FROM embeddings
-            ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
-                     vec_id
-            LIMIT 16),
-          assigned AS (
-            SELECT vec_id, embedding, pivot_id AS cell_id FROM (
-              SELECT e.vec_id, e.embedding, p.pivot_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
-              FROM embeddings e CROSS JOIN pivots p)
-            WHERE rn = 1),
-          qprobe AS (
-            SELECT query_id, q_vec, cell_id FROM (
-              SELECT e.vec_id AS query_id, e.embedding AS q_vec, p.pivot_id AS cell_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${cosSql("e.embedding", "p.pivot_vec")} DESC, p.pivot_id) AS rn
-              FROM embeddings e CROSS JOIN pivots p WHERE e.vec_id < 10)
-            WHERE rn <= 2),
-          scored AS (
-            SELECT q.query_id, a.vec_id AS neighbor_id,
-                   ${cosSql("q.q_vec", "a.embedding")} AS c
-            FROM qprobe q JOIN assigned a
-              ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, c,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY c DESC, neighbor_id) AS rank
-            FROM scored)
-         SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_topk_bruteforce" -> bruteforceTopkSql,
+    "sim_topk_ivf" -> ivfTopkSql,
+    // recall@5 of the IVF index vs the exact scan: both sides are the
+    // already-oracled topk queries embedded as CTEs (their inner WITHs
+    // are subquery-scoped), joined on (query_id, neighbor_id)
+    "sim_eval_recall" ->
+      s"""WITH bf AS ($bruteforceTopkSql),
+          iv AS ($ivfTopkSql),
+          hits AS (
+            SELECT bf.query_id, count(*) AS n_hits
+            FROM bf JOIN iv ON bf.query_id = iv.query_id
+                           AND bf.neighbor_id = iv.neighbor_id
+            GROUP BY bf.query_id),
+          qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10)
+         SELECT q.query_id,
+                coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     // SQL replay of Similarity.ivfTopKTrained(k=5, nlist=8, iters=5,
     // nprobe=2): 5 unrolled integer-grid Lloyd rounds (MATERIALIZED — the
     // chain is depth 5), then the trained cent5 centroids are cast through
@@ -2269,6 +2322,7 @@ ORDER BY doc_id""")
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_eval_recall" -> (simEvalRecall _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfadc" -> (simTopkIvfAdc _),

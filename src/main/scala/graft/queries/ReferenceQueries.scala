@@ -235,6 +235,23 @@ object ReferenceQueries {
       .orderBy("node")
   }
 
+  /** Salted equi-join made driver-visible: lineitem ⋈ supplier through
+    * [[graft.operators.Skew.saltedEquiJoin]] (8 deterministic salt
+    * buckets — the hot-key mitigation when AQE's runtime skew split
+    * can't help, e.g. a single key that swamps one task), then the same
+    * grouped aggregate a plain join would produce. The oracle is the
+    * UNSALTED join — identical semantics is the whole point.
+    */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedEquiJoin(li, sup, "l_suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
   /** Robust MAD outlier detection on event values, per event type — the
     * data-quality gate over a metric with a genuine heavy tail (see
     * [[graft.operators.Outliers.madOutliers]]). Exact percentiles carry
@@ -1360,7 +1377,13 @@ object ReferenceQueries {
                 round(0.6745 * d.dev / m.mad, 6) AS z
          FROM d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
-         ORDER BY d.event_type, d.event_id""")
+         ORDER BY d.event_type, d.event_id""",
+    // the salted Spark plan must equal the plain relational join
+    "j6_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""")
 
   /** Query-name → implementation, aligned with [[oracles]] keys. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1390,6 +1413,7 @@ object ReferenceQueries {
     "ev_markov" -> (eventsMarkov _),
     "ev_pagerank" -> (eventsPageRank _),
     "ev_outliers" -> (eventsOutliers _),
+    "j6_salted_join" -> (saltedJoinAgg _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),
