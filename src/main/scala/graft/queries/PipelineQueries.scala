@@ -740,6 +740,61 @@ ORDER BY doc_id""")
           FROM $table"""
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
 
+  /** Top-principal-component projection of the embedding table (see
+    * [[graft.operators.Pca.powerIterationPc1]]): 6 power-iteration
+    * rounds on the exact-quantized covariance, trained AND scored
+    * relationally — the oracle replays the identical algorithm, so the
+    * learned component itself is hash-checked, not just frozen scoring.
+    */
+  def embPca(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerIterationPc1(embs(s, dir), "embedding", "vec_id",
+        dim = 64, iters = 6)
+      .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
+      .orderBy("vec_id")
+
+  /** Full SQL replay of [[graft.operators.Pca.powerIterationPc1]]:
+    * flatten → fixed-point means → self-join covariance → `iters`
+    * unrolled MATERIALIZED power-iteration rounds → quantized-BIGINT
+    * projection. Every cross-row sum is on the qsum grid; every
+    * per-element double op is written in the association order the
+    * Spark side evaluates.
+    */
+  private def pcaOracle(dim: Int, iters: Int): String = {
+    def qsumRaw(term: String) =
+      s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
+        s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12"
+    val sb = new StringBuilder
+    sb.append(s"""WITH flat AS MATERIALIZED (
+        SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS x
+        FROM embeddings, range(1, ${dim + 1}) r(i)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM embeddings),
+      means AS MATERIALIZED (
+        SELECT i, ${qsumRaw("x")} / nn.nd AS m FROM flat, nn GROUP BY i, nn.nd),
+      pairs AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, ${qsumRaw("a.x * b.x")} AS sxx
+        FROM flat a JOIN flat b USING (vec_id) GROUP BY a.i, b.i),
+      cov AS MATERIALIZED (
+        SELECT p.i, p.j, p.sxx / nn.nd - mi.m * mj.m AS c
+        FROM pairs p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i, nn),
+      v0 AS (SELECT r.i AS i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS v
+             FROM range(1, ${dim + 1}) r(i)),""")
+    for (t <- 1 to iters) {
+      sb.append(s"""
+      u$t AS (SELECT c.i, ${qsumRaw("c.c * v.v")} AS u
+              FROM cov c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+      n$t AS (SELECT sqrt(${qsumRaw("u * u")}) AS nrm FROM u$t),
+      v$t AS MATERIALIZED (SELECT i, u / nrm AS v FROM u$t, n$t),""")
+    }
+    sb.setLength(sb.length - 1) // trailing comma
+    sb.append(s"""
+      SELECT f.vec_id,
+             round(CAST(sum(CAST(floor((f.x - m.m) * v.v * 1.0e12) AS BIGINT)) AS DOUBLE)
+                   / 1.0e12, 6) AS pc1
+      FROM flat f JOIN means m ON f.i = m.i JOIN v$iters v ON f.i = v.i
+      GROUP BY f.vec_id ORDER BY f.vec_id""")
+    sb.toString
+  }
+
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
     * dedup (keep the lowest id per content hash) → deterministic hash
@@ -1492,6 +1547,7 @@ ORDER BY doc_id""")
     // views: md5(concat_ws(chr(31), …)) content hashes, full outer join.
     "warehouse_profile" ->
       profileOracle("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+    "emb_pca" -> pcaOracle(dim = 64, iters = 6),
     "warehouse_diff" ->
       """WITH oldd AS (
            SELECT doc_id,
@@ -2319,6 +2375,7 @@ ORDER BY doc_id""")
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "emb_quantize" -> (embQuantize _),
     "emb_standardize" -> (embStandardize _),
+    "emb_pca" -> (embPca _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
