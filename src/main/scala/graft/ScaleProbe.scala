@@ -210,15 +210,62 @@ object ScaleProbe {
     // only funnel-relevant rows even when the corpus multiplies
     val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
     val nu = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val ne = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val bigE = ev
       .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
       .select((col("user_id") + col("__rep") * nu).as("user_id"),
-        col("event_type"), col("ts"))
+        (col("event_id") + col("__rep") * ne).as("event_id"),
+        col("event_type"), col("ts"), col("value"))
       .cache()
     println(s"events: ${bigE.count()} (${factor}x)")
     time("funnel_times")(graft.operators.Funnel.funnelTimes(
       bigE, "user_id", "event_type", "ts",
       Seq("signup", "click", "purchase")).count())
+    spark.catalog.clearCache()
+    bigE.cache().count()
+    // transition extraction at factor×: the lead window shuffles once by
+    // entity; the edge list stays |types|²-bounded however big the corpus
+    time("markov_transitions")(graft.operators.Graph.transitions(
+      bigE, "user_id", "event_type", "ts", "event_id").count())
+    // pageRank end-to-end: edge extraction is the corpus-scale part; the
+    // 5 iterations run on the bounded edge list (flat with factor)
+    time("pagerank_5it")({
+      val e = graft.operators.Graph.transitions(
+        bigE, "user_id", "event_type", "ts", "event_id")
+      graft.operators.Graph.pageRank(e, "src", "dst", "n", iters = 5).count()
+    })
+    // MAD outliers at factor×: two grouped exact-percentile passes plus
+    // broadcast stat joins — the replicated values keep identical
+    // medians, so the flagged fraction must stay constant
+    time("mad_outliers")(graft.operators.Outliers.madOutliers(
+      bigE, "event_type", "event_id", "value", threshold = 3.5).count())
+    spark.catalog.clearCache()
+    // column profile at factor×: one scan, Expand ×k into partial aggs;
+    // the exchange is k rows per partition regardless of corpus size
+    big.cache().count()
+    time("profile")(graft.operators.Profile.profile(
+      big.withColumn("source", concat(lit("s"), col("doc_id") % 997)),
+      Seq("doc_id", "text", "source")).count())
+    spark.catalog.clearCache()
+    // salted join under a genuine hot key (half the corpus on one key):
+    // plain shuffle join vs 16-bucket salted — semantics equal by
+    // ScaleToolsSpec, this measures the skew mitigation itself
+    val skewBig = big.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("doc_id") % 997).as("k"))
+      .cache()
+    skewBig.count()
+    val dim = spark.range(0, 997).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    time("join_plain_hotkey")(skewBig.join(dim, "k").count())
+    time("join_salted_hotkey")(graft.operators.Skew.saltedEquiJoin(
+      skewBig, dim, "k", buckets = 16).count())
+    spark.catalog.clearCache()
+    // PCA at factor×: the honest cost is the covariance self-join
+    // (d² product rows per vector, collapsed by map-side partial agg);
+    // iterations are model-sized and flat with factor
+    bigV.cache().count()
+    time("pca_pc1")(graft.operators.Pca.powerIterationPc1(
+      bigV, "embedding", "vec_id", dim = 64, iters = 6).count())
     spark.stop()
   }
 }

@@ -40,6 +40,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k hard negatives: candidates restricted to a DIFFERENT
+    * label than the query — the hard-negative mining step of contrastive
+    * embedding training (the informative negatives are the most-similar
+    * wrong-label points, not random ones). Same linear scan-vs-broadcast
+    * shape as [[bruteForceTopK]]; the label inequality rides the join
+    * condition, so wrong-label pairs never reach the scorer.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                        idCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val c = graft.Tables.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id")
+        && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Per-query top-k via graft's TopKPerKey operator: map-side bounded
     * heaps, then a shuffle of at most k rows per (query, map task) — the
     * full candidate set is never sorted or shuffled (see

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -157,6 +158,43 @@ object PipelineQueries {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
       .orderBy("query_id")
+  }
+
+  /** kNN majority-vote labeling: each query vector takes the modal label
+    * of its 5 exact nearest neighbors (ties broken by smallest label) —
+    * the auto-labeling / label-propagation step a curation pipeline runs
+    * to extend a seed label set over an unlabeled corpus, and the
+    * straightest read on whether the embedding space respects the label
+    * structure at all. The vote window is over ≤k rows per query, never
+    * corpus-sized.
+    */
+  def simLabelKnn(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val qs = all.filter(col("vec_id") < 10)
+    val topk = Similarity.bruteForceTopK(all, qs, "embedding", "vec_id", k = 5)
+    val votes = topk
+      .join(all.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(qs.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  /** Hard-negative mining: per query, the 5 most-similar vectors with a
+    * DIFFERENT label (see [[Similarity.hardNegativesTopK]]) — the
+    * contrastive-training counterpart of plain topk.
+    */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    Similarity.hardNegativesTopK(all, all.filter(col("vec_id") < 10),
+        "embedding", "vec_id", "label", k = 5)
+      .orderBy("query_id", "rank")
   }
 
   /** IVF with k-means-trained cells (8 centers, 5 Lloyd iterations):
@@ -713,6 +751,36 @@ ORDER BY doc_id""")
     graft.operators.Cdc.tableDiff(oldSnap, newSnap,
         Seq("doc_id"), Seq("text", "lang", "source"))
       .orderBy("doc_id")
+  }
+
+  /** Distribution-drift monitor between two snapshots: per-language
+    * share in each snapshot and the per-cell |p_a − p_b| (whose half-sum
+    * is the total-variation distance). TVD instead of KL/χ² is a
+    * deliberate engine choice: it needs no log/exp (libm functions are
+    * not bit-identical across engines) — counts, two divisions, abs.
+    * Scale shape: two grouped counts (partial-agg'd to |langs| rows), a
+    * full-outer join of two tiny tables, and an unpartitioned window
+    * over |langs| rows — nothing corpus-sized past the first aggregate.
+    */
+  def warehouseDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ca = d.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_a"))
+    val cb = d.filter(col("doc_id") % 2 =!= 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_b"))
+    val w = Window.partitionBy()
+    ca.join(cb, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("p_a", col("n_a").cast("double")
+        / sum(col("n_a")).over(w).cast("double"))
+      .withColumn("p_b", col("n_b").cast("double")
+        / sum(col("n_b")).over(w).cast("double"))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(abs(col("p_a") - col("p_b")), 6).as("abs_diff"))
+      .orderBy("lang")
   }
 
   /** One-pass column profile of the documents table — row/null/distinct
@@ -1548,6 +1616,23 @@ ORDER BY doc_id""")
     "warehouse_profile" ->
       profileOracle("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "emb_pca" -> pcaOracle(dim = 64, iters = 6),
+    // TVD drift: integer counts, two double divisions, abs — the window
+    // totals are over |langs| rows; association mirrors the Spark side
+    "warehouse_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+                    WHERE doc_id % 2 = 0 GROUP BY lang),
+          b AS (SELECT lang, count(*) AS n_b FROM documents
+                WHERE doc_id % 2 <> 0 GROUP BY lang),
+          j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+          p AS (SELECT lang, n_a, n_b,
+                       CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE) AS p_a,
+                       CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE) AS p_b
+                FROM j)
+         SELECT lang, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+                round(abs(p_a - p_b), 6) AS abs_diff
+         FROM p ORDER BY lang""",
     "warehouse_diff" ->
       """WITH oldd AS (
            SELECT doc_id,
@@ -1783,6 +1868,46 @@ ORDER BY doc_id""")
                 CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
          FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
+    // hard negatives: the brute-force scorer restricted to wrong-label
+    // candidates (the label predicate joins the pair filter)
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                    FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, len(qv)+1),
+                         i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                            i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+                         AS c
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+              ranked AS (
+                SELECT query_id, neighbor_id, c,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, neighbor_id) AS rank
+                FROM scored)
+         SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // kNN majority vote over the exact top-5: modal neighbor label,
+    // ties to the smallest label — integer votes, nothing float-borne
+    "sim_label_knn" ->
+      s"""WITH bf AS ($bruteforceTopkSql),
+          votes AS (
+            SELECT bf.query_id, e.label, count(*) AS n_votes
+            FROM bf JOIN embeddings e ON bf.neighbor_id = e.vec_id
+            GROUP BY bf.query_id, e.label),
+          ranked AS (
+            SELECT query_id, label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, label) AS rn
+            FROM votes)
+         SELECT r.query_id, r.label AS pred_label, r.n_votes,
+                e.label AS true_label, r.label = e.label AS correct
+         FROM ranked r JOIN embeddings e ON r.query_id = e.vec_id
+         WHERE r.rn = 1 ORDER BY r.query_id""",
     // SQL replay of Similarity.ivfTopKTrained(k=5, nlist=8, iters=5,
     // nprobe=2): 5 unrolled integer-grid Lloyd rounds (MATERIALIZED — the
     // chain is depth 5), then the trained cent5 centroids are cast through
@@ -2380,6 +2505,8 @@ ORDER BY doc_id""")
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_eval_recall" -> (simEvalRecall _),
+    "sim_label_knn" -> (simLabelKnn _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfadc" -> (simTopkIvfAdc _),
@@ -2418,6 +2545,7 @@ ORDER BY doc_id""")
     "text_naive_bayes" -> (textNaiveBayes _),
     "warehouse_diff" -> (warehouseDiff _),
     "warehouse_profile" -> (warehouseProfile _),
+    "warehouse_drift" -> (warehouseDrift _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))

@@ -235,6 +235,50 @@ object ReferenceQueries {
       .orderBy("node")
   }
 
+  /** Per-type equi-width histogram of event values: 10 bins over the
+    * observed [min, max] per event type — one corpus pass for the bounds
+    * (partial-agg'd), a broadcast join back, a map-side bin expression,
+    * and a grouped count on (type, bin) ≤ 10·|types| rows. Degenerate
+    * types (hi = lo) land wholly in bin 0 by declared semantics; values
+    * exactly at hi clamp into the last bin.
+    */
+  def eventsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(stats, "event_type")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+            lit(9.0)))
+          .cast("long"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Recency-weighted engagement score per user: Σ value · 1/(1+age_days),
+    * age measured back from the corpus max timestamp. Hyperbolic decay
+    * instead of exponential is a deliberate engine choice — exp/log are
+    * libm calls that are NOT bit-identical across engines, while the
+    * rational decay is pure IEEE (subtract, divide, floor). One corpus
+    * pass; the anchor is a single driver scalar (bounded by construction:
+    * one row), replayed as a scalar subquery in the oracle; sums ride the
+    * fixed-point qsum grid.
+    */
+  def eventsDecay(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val amax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val qsum: Column => Column = term =>
+      sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
+        .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
+    ev.select(col("user_id"), col("value"),
+        floor((lit(amax) - unix_micros(col("ts"))) / lit(8.64e10)).as("age_days"))
+      .groupBy("user_id")
+      .agg(round(qsum(col("value") / (lit(1.0) + col("age_days"))), 6).as("score"))
+      .orderBy("user_id")
+  }
+
   /** Salted equi-join made driver-visible: lineitem ⋈ supplier through
     * [[graft.operators.Skew.saltedEquiJoin]] (8 deterministic salt
     * buckets — the hot-key mitigation when AQE's runtime skew split
@@ -1378,6 +1422,32 @@ object ReferenceQueries {
          FROM d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
          ORDER BY d.event_type, d.event_id""",
+    // rational (libm-free) recency decay; anchor as a scalar subquery,
+    // per-term association mirrors the Spark side exactly
+    "ev_decay" ->
+      """WITH anchor AS (SELECT max(epoch_us(ts)) AS amax FROM events),
+         d AS (
+           SELECT user_id, value,
+                  floor((anchor.amax - epoch_us(ts)) / 8.64e10) AS age_days
+           FROM events, anchor)
+         SELECT user_id,
+                round(CAST(sum(CAST(floor(least(greatest(value / (1.0 + age_days), -1.0e6), 1.0e6)
+                      * 1.0e12) AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12, 6) AS score
+         FROM d GROUP BY user_id ORDER BY user_id""",
+    // equi-width bins: min/max are exact, the bin expression is written
+    // in the Spark association order ((v - lo) / ((hi - lo) / 10.0))
+    "ev_histogram" ->
+      """WITH st AS (
+           SELECT event_type, min(value) AS lo, max(value) AS hi
+           FROM events GROUP BY event_type),
+         b AS (
+           SELECT e.event_type,
+                  CAST(CASE WHEN st.hi = st.lo THEN 0.0
+                       ELSE least(floor((e.value - st.lo) / ((st.hi - st.lo) / 10.0)), 9.0)
+                       END AS BIGINT) AS bin
+           FROM events e JOIN st USING (event_type))
+         SELECT event_type, bin, count(*) AS n
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
     // the salted Spark plan must equal the plain relational join
     "j6_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
@@ -1414,6 +1484,8 @@ object ReferenceQueries {
     "ev_pagerank" -> (eventsPageRank _),
     "ev_outliers" -> (eventsOutliers _),
     "j6_salted_join" -> (saltedJoinAgg _),
+    "ev_histogram" -> (eventsHistogram _),
+    "ev_decay" -> (eventsDecay _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),

@@ -21,8 +21,14 @@ class PlanAuditSpec extends SparkSpec {
     *   against the broadcast per-query lookup tables — linear in the
     *   corpus by design, and the refine join is candidates-only.
     */
-  private val intendedNestedLoop =
-    Set("dedup_embedding_exact", "sim_topk_bruteforce", "sim_topk_pq")
+  private val intendedNestedLoop = Set(
+    "dedup_embedding_exact", "sim_topk_bruteforce", "sim_topk_pq",
+    // compositions OVER the brute-force baseline inherit its declared
+    // broadcast-nested-loop (corpus streamed once against broadcast
+    // queries — linear in the corpus):
+    "sim_eval_recall",    // ground-truth side of the recall metric
+    "sim_label_knn",      // votes over the exact top-5
+    "sim_hard_negatives") // same scan with the label predicate added
 
   test("no registered query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
