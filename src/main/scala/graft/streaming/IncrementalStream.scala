@@ -177,6 +177,70 @@ object IncrementalStream {
       }
   }
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Stateful streaming sessionization — the unbounded form of the batch
+    * sessionizer (ev_sessionize): per user, events closer than `gapMin`
+    * minutes belong to one session; a session CLOSES (and is emitted)
+    * either when a later in-stream event opens the next one, or when the
+    * event-time watermark passes `last + gap` (the timeout path — no
+    * terminating event is ever required, which is what makes this a
+    * streaming operator and not a window over a finished table).
+    *
+    * State per user is three longs — O(active users), never O(events).
+    * Within a micro-batch events are walked in event-time order;
+    * cross-batch stragglers newer than the watermark extend the open
+    * session (their lateness is bounded by `watermarkDelay`); rows older
+    * than the watermark are dropped by the engine before reaching the
+    * state function — the declared streaming contract.
+    */
+  def streamingSessionize(events: DataFrame, gapMin: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.{Encoders, streaming}
+    implicit val inEnc = Encoders.product[SessEvent]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.product[SessState]
+    val gapMs = gapMin * 60000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        streaming.OutputMode.Append, streaming.GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEvent],
+         state: streaming.GroupState[SessState]) =>
+          def close(s: SessState) = ClosedSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            var out = List.empty[ClosedSession]
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessState(t, t, 1L)
+                case SessState(s0, l, n) if t - l > gapMs =>
+                  out ::= close(SessState(s0, l, n))
+                  st = SessState(t, t, 1L)
+                case SessState(s0, l, n) =>
+                  st = SessState(s0, math.max(l, t), n + 1L)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+            out.reverse.iterator
+          }
+      }
+  }
+
   /** Watermarked stream-stream interval join — event attribution: each
     * `effectType` event matches the `causeType` events of the same user
     * in the `horizon` window before it (click-to-impression, purchase-

@@ -260,4 +260,37 @@ class StreamingSpec extends SparkSpec {
     assert(fact.count() == 3) // walter deduped across delivery + re-delivery
     assert(wh.read("etl_runs").count() >= 2)
   }
+
+  test("streaming sessionize: gap splits in-stream, watermark closes the tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sess = graft.streaming.IncrementalStream.streamingSessionize(
+      input.toDF().toDF("ts", "user_id"), gapMin = 30,
+      watermarkDelay = "0 seconds")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 10 min apart (one session), then a 60-min gap
+    // opens a second session IN-STREAM
+    input.addData((ts(1, 0), 1L), (ts(1, 10), 1L))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // session still open
+    input.addData((ts(2, 10), 1L)) // gap 60 min > 30 -> closes session 1
+    q.processAllAvailable()
+    def rows() = spark.table("sess_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(rows() == Set((1L, ts(1, 0), ts(1, 10), 2L)), rows().toString)
+    // a far-future event from ANOTHER user advances the watermark past
+    // session 2's timeout -> the open tail closes without a user-1 event
+    input.addData((ts(9, 0), 2L))
+    q.processAllAvailable()
+    input.addData((ts(9, 1), 2L)) // one more batch so the timeout fires
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set(
+      (1L, ts(1, 0), ts(1, 10), 2L),
+      (1L, ts(2, 10), ts(2, 10), 1L)), rows().toString)
+  }
 }
