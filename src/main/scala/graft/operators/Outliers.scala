@@ -35,14 +35,18 @@ object Outliers {
   def madOutliers(df: DataFrame, keyCol: String, idCol: String,
                   valueCol: String, threshold: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")
+    // the stat tables are |groups|-sized by construction — broadcast them
+    // DECLARATIVELY rather than hoping AQE converts (the dev⋈mad join sits
+    // inside a fused stage where AQE cannot re-plan it): the corpus is
+    // never shuffled, only aggregated
     val med = df.groupBy(col(keyCol))
       .agg(expr(s"percentile(CAST($valueCol AS DOUBLE), 0.5)").as("__med"))
     val dev = df.select(col(keyCol), col(idCol), v.as(valueCol))
-      .join(med, keyCol)
+      .join(broadcast(med), keyCol)
       .withColumn("__dev", col(valueCol) - col("__med"))
     val mad = dev.groupBy(col(keyCol))
       .agg(expr("percentile(abs(__dev), 0.5)").as("__mad"))
-    dev.join(mad, keyCol)
+    dev.join(broadcast(mad), keyCol)
       .filter(col("__mad") > 0.0)
       .withColumn("z", lit(0.6745) * col("__dev") / col("__mad"))
       .filter(abs(col("z")) > threshold)

@@ -67,7 +67,7 @@ object Similarity {
     * graft.plans.TopKPerKey). The rank window afterwards runs on ≤ k rows
     * per key, already co-partitioned by the operator's exchange.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
     val w = Window.partitionBy(col("query_id"))
@@ -199,6 +199,16 @@ object Similarity {
   def ivfProbeCells(queries: DataFrame, pivots: DataFrame, vecCol: String,
                     idCol: String, nprobe: Int): DataFrame =
     probeCells(queries, pivotLiteral(pivots), vecCol, idCol, nprobe)
+
+  /** Route every vector to its nearest pivot cell — the write-path
+    * companion of [[ivfProbeCells]] for a PERSISTED index (see
+    * [[AnnIndex]]): `pivots` is (cell_id: Long, pv: Array[Float]), the
+    * same float-cast table the query path reloads, so routing decisions
+    * are identical on both sides of the persistence boundary.
+    */
+  def ivfRoute(corpus: DataFrame, pivots: DataFrame, vecCol: String,
+               idCol: String): DataFrame =
+    assignCells(corpus, pivotLiteral(pivots), vecCol, idCol)
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
     * round(x_i/scale). The standard 4× storage/bandwidth compression for

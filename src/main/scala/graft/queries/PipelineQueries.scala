@@ -134,6 +134,24 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The persisted-index lifecycle end-to-end: train + write the IVF
+    * index (centroids + cell-partitioned corpus), then answer the same
+    * query batch FROM THE WRITTEN ARTIFACT with partition-pruned probes
+    * (see [[graft.operators.AnnIndex]]). Same parameters as
+    * sim_topk_ivf_kmeans, and the same oracle verbatim: identical
+    * centroid floats and routing on both sides of the persistence
+    * boundary is the whole contract.
+    */
+  def simTopkIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    graft.operators.AnnIndex.buildIvf(all, "embedding", "vec_id", idx,
+      nlist = 8, iters = 5)
+    graft.operators.AnnIndex.queryIvf(s, idx, all.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@5 of the IVF index against the exact brute-force scan — the
     * index-quality evaluation every ANN deployment runs before trusting
     * an index at scale (recall is THE accuracy metric for approximate
@@ -1508,7 +1526,7 @@ ORDER BY doc_id""")
        FROM tok GROUP BY block, bin_id
        ORDER BY block, bin_id"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "corpus_tokenize_pack" -> tokenizePackOracle(8, blockSize = 512, blocks = 8),
@@ -2485,6 +2503,14 @@ ORDER BY doc_id""")
     LanguageModel.pmiTopK(docs(s, dir), "text", "doc_id", minCount = 5L, k = 20)
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
 
+  /** The persisted-index query must reproduce the in-memory trained-IVF
+    * result bit-for-bit (same centroid floats, same routing, same
+    * scoring), so it shares that oracle verbatim — the same
+    * one-semantics-two-plans sharing as decontaminate/_bloom.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
     "lm_perplexity" -> (lmPerplexity _),
@@ -2507,6 +2533,7 @@ ORDER BY doc_id""")
     "sim_eval_recall" -> (simEvalRecall _),
     "sim_label_knn" -> (simLabelKnn _),
     "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_topk_ivf_persisted" -> (simTopkIvfPersisted _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfadc" -> (simTopkIvfAdc _),

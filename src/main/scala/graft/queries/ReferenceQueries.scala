@@ -246,7 +246,7 @@ object ReferenceQueries {
     val ev = t(s, dir, "events")
     val stats = ev.groupBy("event_type")
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    ev.join(stats, "event_type")
+    ev.join(broadcast(stats), "event_type")
       .withColumn("bin",
         when(col("hi") === col("lo"), lit(0.0))
           .otherwise(least(
@@ -255,6 +255,26 @@ object ReferenceQueries {
           .cast("long"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bin")
+  }
+
+  /** Top-10 most-frequent 3-step behavioral paths (event-type trigrams
+    * per user sequence) — the path-analysis query behind "what do users
+    * actually do". Same one-entity-shuffle shape as the Markov extractor
+    * (two leads over one window), the path table is bounded by |types|³,
+    * and the top-10 is a bounded-heap TakeOrderedAndProject, never a
+    * global sort. Ties break on the path string in both engines.
+    */
+  def eventsTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws("->", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
   }
 
   /** Recency-weighted engagement score per user: Σ value · 1/(1+age_days),
@@ -1422,6 +1442,19 @@ object ReferenceQueries {
          FROM d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
          ORDER BY d.event_type, d.event_id""",
+    // trigram paths: same lead-sequence derivation; ties on (n, path)
+    // make the LIMIT 10 set identical in both engines
+    "ev_top_paths" ->
+      """WITH seq AS (
+           SELECT event_type AS e1,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (
+           SELECT e1 || '->' || e2 || '->' || e3 AS path, count(*) AS n
+           FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+         SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
     // rational (libm-free) recency decay; anchor as a scalar subquery,
     // per-term association mirrors the Spark side exactly
     "ev_decay" ->
@@ -1486,6 +1519,7 @@ object ReferenceQueries {
     "j6_salted_join" -> (saltedJoinAgg _),
     "ev_histogram" -> (eventsHistogram _),
     "ev_decay" -> (eventsDecay _),
+    "ev_top_paths" -> (eventsTopPaths _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),

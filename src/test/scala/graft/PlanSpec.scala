@@ -17,6 +17,27 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("warehouse_profile: one corpus scan, Expand-based multi-distinct") {
+    val p = plan("warehouse_profile")
+    assert(p.contains("Expand"), p.take(800))
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"profile must read the table exactly once:\n${p.take(800)}")
+  }
+
+  test("ev_markov: no joins — one windowed pass plus model-sized window") {
+    val p = plan("ev_markov")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("ev_outliers: group-stat joins broadcast after AQE") {
+    val df = SparkEntry.queries("ev_outliers")(spark, sf)
+    df.collect() // finalize the AQE plan: stat-table sizes are runtime facts
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("p3: predicates and projection pushed to the parquet scan") {
     val p = plan("p3_filter_predicate")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(800))
