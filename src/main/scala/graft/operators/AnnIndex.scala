@@ -47,6 +47,25 @@ object AnnIndex {
       .parquet(s"$dir/corpus")
   }
 
+  /** Incremental index maintenance: route NEW vectors with the
+    * already-persisted centroids (no retraining — the index's routing
+    * contract is frozen at build time, which is exactly what keeps old
+    * and new rows comparable) and append them into the same cell
+    * partitions. Dynamic partition append touches only the cells the new
+    * vectors land in; existing files are never rewritten. Re-train (a
+    * fresh buildIvf) when drift makes the frozen centroids a bad coarse
+    * quantizer — that is a policy decision the caller owns, measurable
+    * with Pca/warehouse_drift.
+    */
+  def appendIvf(newVectors: DataFrame, vecCol: String, idCol: String,
+                dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.ivfRoute(newVectors, cents, vecCol, idCol)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/corpus")
+  }
+
   /** Top-k per query against a persisted index. `queries` must be
     * broadcast-sized (the same contract as every graft ANN query path);
     * the probed-cell collect is bounded by |queries|·nprobe.

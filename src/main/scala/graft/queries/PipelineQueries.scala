@@ -838,6 +838,18 @@ ORDER BY doc_id""")
       .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
       .orderBy("vec_id")
 
+  /** Top-2 components via Hotelling deflation (see
+    * [[graft.operators.Pca.powerIterationTop2]]): the deflated second
+    * chain AND λ₁ replay relationally — the composed algorithm stays
+    * hash-checked end to end.
+    */
+  def embPca2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerIterationTop2(embs(s, dir), "embedding", "vec_id",
+        dim = 64, iters = 6)
+      .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+        round(col("pc2"), 6).as("pc2"))
+      .orderBy("vec_id")
+
   /** Full SQL replay of [[graft.operators.Pca.powerIterationPc1]]:
     * flatten → fixed-point means → self-join covariance → `iters`
     * unrolled MATERIALIZED power-iteration rounds → quantized-BIGINT
@@ -845,41 +857,76 @@ ORDER BY doc_id""")
     * per-element double op is written in the association order the
     * Spark side evaluates.
     */
-  private def pcaOracle(dim: Int, iters: Int): String = {
-    def qsumRaw(term: String) =
-      s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
-        s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12"
-    val sb = new StringBuilder
-    sb.append(s"""WITH flat AS MATERIALIZED (
+  private def pcaQsumRaw(term: String) =
+    s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
+      s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12"
+
+  /** Shared prefix: flat / count / means / covariance CTEs. */
+  private def pcaCovCtes(dim: Int): String =
+    s"""WITH flat AS MATERIALIZED (
         SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS x
         FROM embeddings, range(1, ${dim + 1}) r(i)),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM embeddings),
       means AS MATERIALIZED (
-        SELECT i, ${qsumRaw("x")} / nn.nd AS m FROM flat, nn GROUP BY i, nn.nd),
+        SELECT i, ${pcaQsumRaw("x")} / nn.nd AS m FROM flat, nn GROUP BY i, nn.nd),
       pairs AS MATERIALIZED (
-        SELECT a.i AS i, b.i AS j, ${qsumRaw("a.x * b.x")} AS sxx
+        SELECT a.i AS i, b.i AS j, ${pcaQsumRaw("a.x * b.x")} AS sxx
         FROM flat a JOIN flat b USING (vec_id) GROUP BY a.i, b.i),
       cov AS MATERIALIZED (
         SELECT p.i, p.j, p.sxx / nn.nd - mi.m * mj.m AS c
-        FROM pairs p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i, nn),
-      v0 AS (SELECT r.i AS i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS v
+        FROM pairs p JOIN means mi ON p.i = mi.i JOIN means mj ON p.j = mj.i, nn)"""
+
+  /** One normalized power-iteration chain over `covName`, vectors named
+    * `$p0..$p$iters`, scratch CTEs prefixed to stay collision-free.
+    */
+  private def pcaIterCtes(covName: String, p: String, dim: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      ${p}0 AS (SELECT r.i AS i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS v
              FROM range(1, ${dim + 1}) r(i)),""")
     for (t <- 1 to iters) {
       sb.append(s"""
-      u$t AS (SELECT c.i, ${qsumRaw("c.c * v.v")} AS u
-              FROM cov c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
-      n$t AS (SELECT sqrt(${qsumRaw("u * u")}) AS nrm FROM u$t),
-      v$t AS MATERIALIZED (SELECT i, u / nrm AS v FROM u$t, n$t),""")
+      ${p}u$t AS (SELECT c.i, ${pcaQsumRaw("c.c * v.v")} AS u
+              FROM $covName c JOIN $p${t - 1} v ON c.j = v.i GROUP BY c.i),
+      ${p}n$t AS (SELECT sqrt(${pcaQsumRaw("u * u")}) AS nrm FROM ${p}u$t),
+      $p$t AS MATERIALIZED (SELECT i, u / nrm AS v FROM ${p}u$t, ${p}n$t),""")
     }
     sb.setLength(sb.length - 1) // trailing comma
-    sb.append(s"""
-      SELECT f.vec_id,
-             round(CAST(sum(CAST(floor((f.x - m.m) * v.v * 1.0e12) AS BIGINT)) AS DOUBLE)
-                   / 1.0e12, 6) AS pc1
-      FROM flat f JOIN means m ON f.i = m.i JOIN v$iters v ON f.i = v.i
-      GROUP BY f.vec_id ORDER BY f.vec_id""")
     sb.toString
   }
+
+  private def pcaProjTerm(vAlias: String) =
+    s"round(CAST(sum(CAST(floor((f.x - m.m) * $vAlias.v * 1.0e12) AS BIGINT)) AS DOUBLE)" +
+      " / 1.0e12, 6)"
+
+  private def pcaOracle(dim: Int, iters: Int): String =
+    s"""${pcaCovCtes(dim)},${pcaIterCtes("cov", "v", dim, iters)}
+      SELECT f.vec_id,
+             ${pcaProjTerm("v")} AS pc1
+      FROM flat f JOIN means m ON f.i = m.i JOIN v$iters v ON f.i = v.i
+      GROUP BY f.vec_id ORDER BY f.vec_id"""
+
+  /** Two components: the v-chain, then Hotelling deflation (λ via one
+    * more mat-vec + fixed-point dot, C₂ = C − λ·v₁v₁ᵀ) and the w-chain
+    * on C₂ — every expression in the association order Spark evaluates.
+    */
+  private def pca2Oracle(dim: Int, iters: Int): String =
+    s"""${pcaCovCtes(dim)},${pcaIterCtes("cov", "v", dim, iters)},
+      uf AS (SELECT c.i, ${pcaQsumRaw("c.c * v.v")} AS u
+             FROM cov c JOIN v$iters v ON c.j = v.i GROUP BY c.i),
+      lam AS (SELECT ${pcaQsumRaw("v.v * u.u")} AS l
+              FROM uf u JOIN v$iters v ON u.i = v.i),
+      cov2 AS MATERIALIZED (
+        SELECT c.i, c.j, c.c - ((lam.l * vi.v) * vj.v) AS c
+        FROM cov c JOIN v$iters vi ON c.i = vi.i
+                   JOIN v$iters vj ON c.j = vj.i, lam),${pcaIterCtes("cov2", "w", dim, iters)}
+      SELECT f.vec_id,
+             ${pcaProjTerm("v")} AS pc1,
+             ${pcaProjTerm("w")} AS pc2
+      FROM flat f JOIN means m ON f.i = m.i
+                  JOIN v$iters v ON f.i = v.i
+                  JOIN w$iters w ON f.i = w.i
+      GROUP BY f.vec_id ORDER BY f.vec_id"""
 
   /** Flagship composition — the whole curation pipeline as ONE declarative
     * plan Catalyst optimizes end-to-end: quality-score filter → exact
@@ -1634,6 +1681,7 @@ ORDER BY doc_id""")
     "warehouse_profile" ->
       profileOracle("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "emb_pca" -> pcaOracle(dim = 64, iters = 6),
+    "emb_pca2" -> pca2Oracle(dim = 64, iters = 6),
     // TVD drift: integer counts, two double divisions, abs — the window
     // totals are over |langs| rows; association mirrors the Spark side
     "warehouse_drift" ->
@@ -2527,6 +2575,7 @@ ORDER BY doc_id""")
     "emb_quantize" -> (embQuantize _),
     "emb_standardize" -> (embStandardize _),
     "emb_pca" -> (embPca _),
+    "emb_pca2" -> (embPca2 _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_srp" -> (simTopkSrp _),
     "sim_topk_ivf" -> (simTopkIvf _),

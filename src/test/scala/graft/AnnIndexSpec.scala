@@ -30,6 +30,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("append routes with frozen centroids: index == rebuilt-from-union query surface") {
+    val (all, qs) = fixture()
+    val base = all.filter(col("vec_id") % 3 =!= 0L)
+    val late = all.filter(col("vec_id") % 3 === 0L && col("vec_id") >= 10L)
+    val dir = tempDir("annidx3")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    AnnIndex.appendIvf(late, "embedding", "vec_id", dir)
+    val appended = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // reference: one in-memory pass over base ∪ late using the SAME
+    // centroids (trained on base only) — appendIvf must not retrain
+    val centsDf = spark.read.parquet(s"$dir/centroids")
+    val union = base.unionByName(late)
+    val dir2 = tempDir("annidx4")
+    centsDf.write.parquet(s"$dir2/centroids")
+    Similarity.ivfRoute(union, centsDf, "embedding", "vec_id")
+      .write.partitionBy("cell_id").parquet(s"$dir2/corpus")
+    val rebuilt = AnnIndex.queryIvf(spark, dir2, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(appended == rebuilt)
+    assert(appended.nonEmpty)
+  }
+
   test("probe scan prunes cell partitions") {
     val (all, qs) = fixture()
     val dir = tempDir("annidx2")

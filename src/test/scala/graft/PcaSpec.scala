@@ -23,6 +23,26 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("top2: axis-aligned grid recovers both components analytically") {
+    // grid (2t, s, 0, 0), t,s in {-1,0,1}: zero means, zero cross-moments
+    // -> C = diag(8/3, 2/3, 0, 0) exactly on the quantization grid.
+    // pc1 = +e1 (projection 2t), pc2 = +e2 (projection s).
+    val pts = (for (t <- -1 to 1; s <- -1 to 1) yield (t, s)).zipWithIndex
+      .map { case ((t, s), i) =>
+        (i.toLong, Array(2f * t, s.toFloat, 0f, 0f)) }
+      .toDF("vec_id", "embedding")
+    // eigenvalue ratio is 0.25, so the e2-residual in v1 decays 0.25^t:
+    // 14 rounds push it to ~4e-9, inside the 1e-6 assertion
+    val out = Pca.powerIterationTop2(pts, "embedding", "vec_id", dim = 4, iters = 14)
+      .orderBy("vec_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    (for (t <- -1 to 1; s <- -1 to 1) yield (t, s)).zip(out)
+      .foreach { case ((t, s), (_, pc1, pc2)) =>
+        assert(math.abs(pc1 - 2.0 * t) < 1e-6, s"t=$t pc1=$pc1")
+        assert(math.abs(pc2 - s) < 1e-6, s"s=$s pc2=$pc2")
+      }
+  }
+
   test("bit-identical across partitionings") {
     val pts = (1 to 100).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * (j + 3)) % 17 - 8).toFloat)))
