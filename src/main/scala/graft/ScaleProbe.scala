@@ -266,6 +266,21 @@ object ScaleProbe {
     bigV.cache().count()
     time("pca_pc1")(graft.operators.Pca.powerIterationPc1(
       bigV, "embedding", "vec_id", dim = 64, iters = 6).count())
+    spark.catalog.clearCache()
+    // persisted IVF index at factor×: build cost scales with the corpus
+    // (train + route + write); QUERY cost scales with the probed cells
+    // only — the partition prune reads nprobe/nlist of the index bytes,
+    // so the query probe must grow far slower than the build probe
+    bigV.cache().count()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_idx").toString
+    time("ann_index_build")({
+      graft.operators.AnnIndex.buildIvf(bigV, "embedding", "vec_id", idxDir,
+        nlist = 16, iters = 3)
+      1L
+    })
+    time("ann_index_query")(graft.operators.AnnIndex.queryIvf(
+      spark, idxDir, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, nprobe = 2).count())
     spark.stop()
   }
 }

@@ -257,6 +257,42 @@ object ReferenceQueries {
       .orderBy("event_type", "bin")
   }
 
+  /** RFM segmentation — the classic customer-analytics triple per user:
+    * Recency (days since last purchase, back from the corpus max ts),
+    * Frequency (purchase count), Monetary (fixed-point purchase value
+    * sum), each quintile-scored 1–5 against the exact 20/40/60/80th
+    * percentiles of the per-user table (recency inverted: most recent =
+    * 5). The percentile boundaries are a 1-row bounded collect (the
+    * ev_decay anchor precedent), so scoring is map-only literals; the
+    * per-user table itself is one filtered aggregate over the corpus.
+    */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val amax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val qsum: Column => Column = term =>
+      sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
+        .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        floor((lit(amax) - max(unix_micros(col("ts")))) / lit(8.64e10)).as("r_days"),
+        count(lit(1)).as("f"),
+        round(qsum(col("value")), 6).as("m"))
+      .localCheckpoint(true)
+    val b = perUser.agg(
+      expr("percentile(CAST(r_days AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+      expr("percentile(CAST(f AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq")).head()
+    def bucket(c: Column, qs: Seq[Double]): Column =
+      qs.foldLeft(lit(1)) { (acc, q) => acc + (c > lit(q)).cast("int") }
+    perUser.select(col("user_id"), col("r_days"), col("f"), col("m"),
+        (lit(6) - bucket(col("r_days").cast("double"), b.getSeq[Double](0)))
+          .as("r_score"),
+        bucket(col("f").cast("double"), b.getSeq[Double](1)).as("f_score"),
+        bucket(col("m"), b.getSeq[Double](2)).as("m_score"))
+      .orderBy("user_id")
+  }
+
   /** Top-10 most-frequent 3-step behavioral paths (event-type trigrams
     * per user sequence) — the path-analysis query behind "what do users
     * actually do". Same one-entity-shuffle shape as the Markov extractor
@@ -1442,6 +1478,47 @@ object ReferenceQueries {
          FROM d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
          ORDER BY d.event_type, d.event_id""",
+    // RFM: exact-percentile boundaries (quantile_cont parity), integer
+    // bucket sums, recency inverted; r_days cast to BIGINT to match the
+    // Spark floor's long type
+    "ev_rfm" ->
+      """WITH anchor AS (SELECT max(epoch_us(ts)) AS amax FROM events),
+         pu AS (
+           SELECT user_id,
+                  CAST(floor((anchor.amax - max(epoch_us(ts))) / 8.64e10) AS BIGINT)
+                    AS r_days,
+                  count(*) AS f,
+                  round(CAST(sum(CAST(floor(least(greatest(value, -1.0e6), 1.0e6)
+                        * 1.0e12) AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12, 6) AS m
+           FROM events, anchor WHERE event_type = 'purchase'
+           GROUP BY user_id, anchor.amax),
+         b AS (
+           SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.2) AS r1,
+                  quantile_cont(CAST(r_days AS DOUBLE), 0.4) AS r2,
+                  quantile_cont(CAST(r_days AS DOUBLE), 0.6) AS r3,
+                  quantile_cont(CAST(r_days AS DOUBLE), 0.8) AS r4,
+                  quantile_cont(CAST(f AS DOUBLE), 0.2) AS f1,
+                  quantile_cont(CAST(f AS DOUBLE), 0.4) AS f2,
+                  quantile_cont(CAST(f AS DOUBLE), 0.6) AS f3,
+                  quantile_cont(CAST(f AS DOUBLE), 0.8) AS f4,
+                  quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+                  quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+           FROM pu)
+         SELECT pu.user_id, pu.r_days, pu.f, pu.m,
+                6 - (1 + (CASE WHEN CAST(pu.r_days AS DOUBLE) > b.r1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(pu.r_days AS DOUBLE) > b.r2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(pu.r_days AS DOUBLE) > b.r3 THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(pu.r_days AS DOUBLE) > b.r4 THEN 1 ELSE 0 END))
+                  AS r_score,
+                1 + (CASE WHEN CAST(pu.f AS DOUBLE) > b.f1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(pu.f AS DOUBLE) > b.f2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(pu.f AS DOUBLE) > b.f3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(pu.f AS DOUBLE) > b.f4 THEN 1 ELSE 0 END) AS f_score,
+                1 + (CASE WHEN pu.m > b.m1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN pu.m > b.m2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN pu.m > b.m3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN pu.m > b.m4 THEN 1 ELSE 0 END) AS m_score
+         FROM pu, b ORDER BY pu.user_id""",
     // trigram paths: same lead-sequence derivation; ties on (n, path)
     // make the LIMIT 10 set identical in both engines
     "ev_top_paths" ->
@@ -1520,6 +1597,7 @@ object ReferenceQueries {
     "ev_histogram" -> (eventsHistogram _),
     "ev_decay" -> (eventsDecay _),
     "ev_top_paths" -> (eventsTopPaths _),
+    "ev_rfm" -> (eventsRfm _),
     "o2_topk_per_group" -> (topKPerGroup _),
     "ev_sessionize" -> (eventsSessionize _),
     "s1_literal_scan" -> (literalScan _),
