@@ -2551,13 +2551,62 @@ ORDER BY doc_id""")
     LanguageModel.pmiTopK(docs(s, dir), "text", "doc_id", minCount = 5L, k = 20)
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
 
+  /** LSH dedup quality: precision/recall of the MinHash-LSH pair set
+    * against the exact n-gram-Jaccard ground truth at the same threshold
+    * — the dedup counterpart of sim_eval_recall (an approximate
+    * algorithm is only trustworthy next to its measured accuracy).
+    * Union-tag-aggregate instead of scalar cross-joins, so the plan has
+    * no nested-loop shape; output is one summary row of exact integer
+    * counts plus two deterministic divisions.
+    */
+  def dedupEvalLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.ngramJaccard(d, "text", "doc_id", k = 8,
+        threshold = 0.30, maxDf = 100, portable = true)
+      .select(col("id_a"), col("id_b"), lit(1).as("e"), lit(0).as("l"))
+    val lsh = Dedup.minhashLsh(d, "text", "doc_id", k = 8,
+        threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
+        portable = true)
+      .select(col("id_a"), col("id_b"), lit(0).as("e"), lit(1).as("l"))
+    exact.unionByName(lsh)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("e")).as("e"), max(col("l")).as("l"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("l")).as("n_lsh"),
+        sum(when(col("e") === 1 && col("l") === 1, 1).otherwise(0)).as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_lsh").cast("double"), 6)
+          .as("prec"),
+        round(col("n_both").cast("double") / col("n_exact").cast("double"), 6)
+          .as("rec"))
+  }
+
   /** The persisted-index query must reproduce the in-memory trained-IVF
     * result bit-for-bit (same centroid floats, same routing, same
     * scoring), so it shares that oracle verbatim — the same
-    * one-semantics-two-plans sharing as decontaminate/_bloom.
+    * one-semantics-two-plans sharing as decontaminate/_bloom. The LSH
+    * quality eval composes the two already-oracled pair queries as CTEs.
     */
   val oracles: Map[String, String] =
-    oraclesBase + ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans"))
+    oraclesBase +
+      ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
+      ("dedup_eval_lsh" ->
+        s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
+            ls AS (${oraclesBase("dedup_minhash_lsh")}),
+            tagged AS (
+              SELECT id_a, id_b, 1 AS e, 0 AS l FROM ex
+              UNION ALL
+              SELECT id_a, id_b, 0 AS e, 1 AS l FROM ls),
+            per AS (SELECT id_a, id_b, max(e) AS e, max(l) AS l
+                    FROM tagged GROUP BY id_a, id_b)
+           SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+                  CAST(sum(l) AS BIGINT) AS n_lsh,
+                  CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_both,
+                  round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(l) AS DOUBLE), 6) AS prec,
+                  round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(e) AS DOUBLE), 6) AS rec
+           FROM per""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
@@ -2567,6 +2616,7 @@ ORDER BY doc_id""")
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_windows" -> (dedupWindows _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_eval_lsh" -> (dedupEvalLsh _),
     "dedup_cluster_reps" -> (dedupClusterReps _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
