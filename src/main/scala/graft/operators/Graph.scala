@@ -102,6 +102,7 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list (no nodes found)")
     val nD = lit(n.toDouble)
     val base = lit(1.0 - damping) / nD
     val d = lit(damping)

@@ -2574,9 +2574,14 @@ ORDER BY doc_id""")
       .agg(sum(col("e")).as("n_exact"), sum(col("l")).as("n_lsh"),
         sum(when(col("e") === 1 && col("l") === 1, 1).otherwise(0)).as("n_both"))
       .select(col("n_exact"), col("n_lsh"), col("n_both"),
-        round(col("n_both").cast("double") / col("n_lsh").cast("double"), 6)
+        // empty denominators -> NULL explicitly: double/0 semantics are
+        // an engine-divergence trap (Spark Infinity vs whatever the
+        // oracle engine does), so neither side ever evaluates it
+        when(col("n_lsh") > 0,
+          round(col("n_both").cast("double") / col("n_lsh").cast("double"), 6))
           .as("prec"),
-        round(col("n_both").cast("double") / col("n_exact").cast("double"), 6)
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
           .as("rec"))
   }
 
@@ -2602,10 +2607,12 @@ ORDER BY doc_id""")
                   CAST(sum(l) AS BIGINT) AS n_lsh,
                   CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_both,
-                  round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                        / CAST(sum(l) AS DOUBLE), 6) AS prec,
-                  round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                        / CAST(sum(e) AS DOUBLE), 6) AS rec
+                  CASE WHEN sum(l) > 0 THEN
+                    round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(sum(l) AS DOUBLE), 6) END AS prec,
+                  CASE WHEN sum(e) > 0 THEN
+                    round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(sum(e) AS DOUBLE), 6) END AS rec
            FROM per""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

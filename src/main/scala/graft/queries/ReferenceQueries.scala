@@ -283,13 +283,17 @@ object ReferenceQueries {
       expr("percentile(CAST(r_days AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("rq"),
       expr("percentile(CAST(f AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("fq"),
       expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq")).head()
-    def bucket(c: Column, qs: Seq[Double]): Column =
-      qs.foldLeft(lit(1)) { (acc, q) => acc + (c > lit(q)).cast("int") }
+    // zero purchasers: percentiles come back null — any literal boundary
+    // works because perUser (and so the output) is empty either way, but
+    // getSeq would NPE at plan-construction time without the fallback
+    def qs(i: Int): Seq[Double] =
+      if (b.isNullAt(i)) Seq(0.0, 0.0, 0.0, 0.0) else b.getSeq[Double](i)
+    def bucket(c: Column, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1)) { (acc, q) => acc + (c > lit(q)).cast("int") }
     perUser.select(col("user_id"), col("r_days"), col("f"), col("m"),
-        (lit(6) - bucket(col("r_days").cast("double"), b.getSeq[Double](0)))
-          .as("r_score"),
-        bucket(col("f").cast("double"), b.getSeq[Double](1)).as("f_score"),
-        bucket(col("m"), b.getSeq[Double](2)).as("m_score"))
+        (lit(6) - bucket(col("r_days").cast("double"), qs(0))).as("r_score"),
+        bucket(col("f").cast("double"), qs(1)).as("f_score"),
+        bucket(col("m"), qs(2)).as("m_score"))
       .orderBy("user_id")
   }
 
