@@ -76,6 +76,30 @@ object LanguageModel {
     (c2, c1, vocab)
   }
 
+  /** Greedy next-token table: for the `k` most frequent contexts w1
+    * (ties to the smallest token), the argmax continuation w2 with its
+    * conditional probability — the inspection surface of the bigram LM
+    * ("what does the model actually predict"), and the 1-step greedy
+    * decoder over it. Everything derives from [[trainBigram]]'s
+    * vocabulary-sized c2/c1 tables: the per-context argmax window runs
+    * over c2 (never the corpus), the context top-k plans as a bounded
+    * TakeOrderedAndProject, and p = c2/c1 is one exact-integer division
+    * per emitted row.
+    */
+  def nextTokenTopK(corpus: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (c2, c1, _) = trainBigram(corpus, textCol, idCol)
+    val topCtx = c1.orderBy(col("c1").desc, col("w1")).limit(k)
+    val w = Window.partitionBy("w1").orderBy(col("c2").desc, col("w2"))
+    val best = c2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    topCtx.join(best, "w1")
+      .select(col("w1"), col("c1").as("n_ctx"), col("w2").as("next_tok"),
+        col("c2").as("n_pair"),
+        round(col("c2").cast("double") / col("c1").cast("double"), 6)
+          .as("p_next"))
+  }
+
   /** Pointwise-mutual-information collocations: the top-k adjacent word
     * pairs by PMI = ln(c(w1,w2)·N / (c(w1)·c(w2))) among pairs seen at
     * least `minCount` times — the collocation extractor a corpus analyst

@@ -2483,6 +2483,26 @@ ORDER BY doc_id""")
            FROM c2 JOIN c1 USING (w1) JOIN c1r USING (w2) CROSS JOIN n
            WHERE c2.c2 >= 5)
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    // greedy next-token: same tokenization CTEs as lm_perplexity; the
+    // context top-10 and per-context argmax tie-break on the token
+    "lm_next_token" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         tb AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM toks, unnest(range(1, len(w))) AS t(i)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         topctx AS (
+           SELECT w1, c1, row_number() OVER (ORDER BY c1 DESC, w1) AS cr FROM c1),
+         best AS (
+           SELECT w1, w2, c2, row_number() OVER (PARTITION BY w1
+                                                 ORDER BY c2 DESC, w2) AS rn
+           FROM c2)
+         SELECT t.w1, t.c1 AS n_ctx, b.w2 AS next_tok, b.c2 AS n_pair,
+                round(CAST(b.c2 AS DOUBLE) / CAST(t.c1 AS DOUBLE), 6) AS p_next
+         FROM topctx t JOIN best b ON t.w1 = b.w1 AND b.rn = 1
+         WHERE t.cr <= 10 ORDER BY t.w1""",
     "lm_perplexity" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
          sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
@@ -2545,6 +2565,13 @@ ORDER BY doc_id""")
         "text", "doc_id", c2, c1, v)
       .orderBy("doc_id")
   }
+
+  /** Greedy next-token table of the bigram LM over the 10 most frequent
+    * contexts (see [[LanguageModel.nextTokenTopK]]).
+    */
+  def lmNextToken(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.nextTokenTopK(docs(s, dir), "text", "doc_id", k = 10)
+      .orderBy("w1")
 
   /** Top-20 PMI collocations over the full corpus (pairs seen ≥5 times). */
   def textPmi(s: SparkSession, dir: String): DataFrame =
@@ -2618,6 +2645,7 @@ ORDER BY doc_id""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
     "lm_perplexity" -> (lmPerplexity _),
+    "lm_next_token" -> (lmNextToken _),
     "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
