@@ -63,6 +63,18 @@ class RetrievalLmSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("next-token table: hand-computed argmax, probabilities, context top-k") {
+    // "a b a b": bigrams (a,b),(b,a),(a,b); "a c": (a,c)
+    // c2: (a,b)=2, (b,a)=1, (a,c)=1; c1: a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LanguageModel.nextTokenTopK(docs, "text", "doc_id", k = 2)
+      .orderBy("w1")
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 3L, "b", 2L, 0.666667), // argmax of {b:2, c:1}; 2/3 rounded
+      ("b", 1L, "a", 1L, 1.0)))
+  }
+
   test("pmi collocations: hand-computed values, minCount excludes rare pairs") {
     // bigrams: (a,b)x3 (b,a)x2 (b,c)x1 -> N=6
     val d = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
