@@ -801,6 +801,15 @@ ORDER BY doc_id""")
       .orderBy("lang")
   }
 
+  /** k-anonymity audit over the (lang, source) quasi-identifier pair:
+    * groups with fewer than 5 members — each a re-identification handle
+    * if released (see [[graft.operators.Privacy.kAnonViolations]]).
+    */
+  def privacyKAnon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonViolations(docs(s, dir),
+        Seq("lang", "source"), k = 5)
+      .orderBy("lang", "source")
+
   /** One-pass column profile of the documents table — row/null/distinct
     * counts and string-rendered min/max per column (see
     * [[graft.operators.Profile.profile]]). All outputs are integral or
@@ -1681,6 +1690,11 @@ ORDER BY doc_id""")
     "warehouse_profile" ->
       profileOracle("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "emb_pca" -> pcaOracle(dim = 64, iters = 6),
+    // k-anonymity: one grouped count, strict < k
+    "privacy_k_anon" ->
+      """SELECT lang, source, count(*) AS n
+         FROM documents GROUP BY lang, source
+         HAVING count(*) < 5 ORDER BY lang, source""",
     "emb_pca2" -> pca2Oracle(dim = 64, iters = 6),
     // TVD drift: integer counts, two double divisions, abs — the window
     // totals are over |langs| rows; association mirrors the Spark side
@@ -2707,6 +2721,7 @@ ORDER BY doc_id""")
     "warehouse_diff" -> (warehouseDiff _),
     "warehouse_profile" -> (warehouseProfile _),
     "warehouse_drift" -> (warehouseDrift _),
+    "privacy_k_anon" -> (privacyKAnon _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))

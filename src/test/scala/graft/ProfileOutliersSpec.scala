@@ -36,6 +36,17 @@ class ProfileOutliersSpec extends SparkSpec {
     assert(math.abs(z - 0.6745 * (1000.0 - 5.5) / 2.5) < 1e-9)
   }
 
+  test("kAnonViolations: strict boundary, empty report iff k-anonymous") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("qid", "id")
+    val v = graft.operators.Privacy.kAnonViolations(df, Seq("qid"), k = 5)
+      .orderBy("qid").as[(String, Long)].collect().toSeq
+    // a has exactly k=5 members -> compliant (strict <); b and c violate
+    assert(v == Seq(("b", 2L), ("c", 4L)))
+    assert(graft.operators.Privacy.kAnonViolations(df, Seq("qid"), k = 2)
+      .count() == 0) // every group >= 2 -> 2-anonymous
+  }
+
   test("madOutliers: MAD=0 group is degenerate and emits nothing") {
     val df = (Seq.fill(8)(5.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("key", "id", "v")
