@@ -32,4 +32,23 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** l-diversity violations (Machanavajjhala et al., 2007 — public
+    * literature): quasi-identifier groups whose SENSITIVE attribute
+    * takes fewer than `l` distinct values. k-anonymity alone leaves the
+    * homogeneity attack open — a large group all sharing one sensitive
+    * value discloses it for every member without identifying anyone;
+    * distinct-l-diversity is the standard counter. Same one-aggregate
+    * scale shape as the k check (the distinct count adds an Expand,
+    * still one corpus pass; the report stays group-sized).
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, "l < 2 makes every group compliant by definition")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
 }

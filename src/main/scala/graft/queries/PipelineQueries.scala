@@ -810,6 +810,16 @@ ORDER BY doc_id""")
         Seq("lang", "source"), k = 5)
       .orderBy("lang", "source")
 
+  /** l-diversity audit: sources whose language distribution is too
+    * homogeneous (< 5 distinct langs) — the homogeneity-attack check
+    * that k-anonymity alone misses (see
+    * [[graft.operators.Privacy.lDiversityViolations]]).
+    */
+  def privacyLDiv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversityViolations(docs(s, dir),
+        Seq("source"), "lang", l = 5)
+      .orderBy("source")
+
   /** One-pass column profile of the documents table — row/null/distinct
     * counts and string-rendered min/max per column (see
     * [[graft.operators.Profile.profile]]). All outputs are integral or
@@ -1695,6 +1705,12 @@ ORDER BY doc_id""")
       """SELECT lang, source, count(*) AS n
          FROM documents GROUP BY lang, source
          HAVING count(*) < 5 ORDER BY lang, source""",
+    // l-diversity: distinct sensitive values per quasi-group, strict < l
+    "privacy_l_div" ->
+      """SELECT source, count(*) AS n,
+                count(DISTINCT lang) AS n_sensitive
+         FROM documents GROUP BY source
+         HAVING count(DISTINCT lang) < 5 ORDER BY source""",
     "emb_pca2" -> pca2Oracle(dim = 64, iters = 6),
     // TVD drift: integer counts, two double divisions, abs — the window
     // totals are over |langs| rows; association mirrors the Spark side
@@ -2722,6 +2738,7 @@ ORDER BY doc_id""")
     "warehouse_profile" -> (warehouseProfile _),
     "warehouse_drift" -> (warehouseDrift _),
     "privacy_k_anon" -> (privacyKAnon _),
+    "privacy_l_div" -> (privacyLDiv _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _))

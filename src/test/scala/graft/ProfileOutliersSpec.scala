@@ -47,6 +47,16 @@ class ProfileOutliersSpec extends SparkSpec {
       .count() == 0) // every group >= 2 -> 2-anonymous
   }
 
+  test("lDiversityViolations: homogeneous groups flagged, diverse ones pass") {
+    // group a: 4 rows but only 1 sensitive value (homogeneity attack);
+    // group b: 2 rows, 2 values -> 2-diverse
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "y")).toDF("qid", "s")
+    val v = graft.operators.Privacy.lDiversityViolations(df, Seq("qid"), "s", l = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v == Seq(("a", 4L, 1L)))
+  }
+
   test("madOutliers: MAD=0 group is degenerate and emits nothing") {
     val df = (Seq.fill(8)(5.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("key", "id", "v")
