@@ -260,12 +260,30 @@ object ScaleProbe {
     time("join_salted_hotkey")(graft.operators.Skew.saltedEquiJoin(
       skewBig, dim, "k", buckets = 16).count())
     spark.catalog.clearCache()
-    // PCA at factor×: the honest cost is the covariance self-join
-    // (d² product rows per vector, collapsed by map-side partial agg);
-    // iterations are model-sized and flat with factor
+    // PCA covariance A/B — gramian aggregate (default) vs relational
+    // self-join (oracle anchor), bit-equal by PcaSpec. The aggregate's
+    // win is a CONSTANT factor that grows with d: at factor× and d=64
+    // both are corpus-linear; the d=256 pair below (4×-concatenated
+    // embeddings, unreplicated corpus) isolates the d² row-machinery
+    // cost the self-join pays and the flat buffer doesn't.
     bigV.cache().count()
-    time("pca_pc1")(graft.operators.Pca.powerIterationPc1(
-      bigV, "embedding", "vec_id", dim = 64, iters = 6).count())
+    time("pca_pc1_gramian")(graft.operators.Pca.powerIterationPc1(
+      bigV, "embedding", "vec_id", dim = 64, iters = 6, gramian = true).count())
+    time("pca_pc1_selfjoin")(graft.operators.Pca.powerIterationPc1(
+      bigV, "embedding", "vec_id", dim = 64, iters = 6, gramian = false).count())
+    spark.catalog.clearCache()
+    val wideV = embs.select(col("vec_id"), flatten(array(
+        col("embedding"),
+        transform(col("embedding"), x => (x * lit(-1.0)).cast("float")),
+        transform(col("embedding"), x => (x * lit(0.5)).cast("float")),
+        transform(col("embedding"), x => (x * lit(-0.25)).cast("float"))))
+        .as("embedding"))
+      .cache()
+    println(s"wide vectors: ${wideV.count()} (d=256)")
+    time("pca_pc1_d256_gramian")(graft.operators.Pca.powerIterationPc1(
+      wideV, "embedding", "vec_id", dim = 256, iters = 6, gramian = true).count())
+    time("pca_pc1_d256_selfjoin")(graft.operators.Pca.powerIterationPc1(
+      wideV, "embedding", "vec_id", dim = 256, iters = 6, gramian = false).count())
     spark.catalog.clearCache()
     // persisted IVF index at factor×: build cost scales with the corpus
     // (train + route + write); QUERY cost scales with the probed cells

@@ -14,10 +14,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Everything is RELATIONAL — no driver-side linear algebra at all:
   *   - `flat`: posexplode to (id, i, x) — N·d rows, one scan.
   *   - means: d grouped fixed-point sums.
-  *   - covariance: the co-partitioned self-join of `flat` on id emits the
-  *     d² products per row which partial aggregation collapses to ≤ d²
-  *     rows per partition before the (i,j) shuffle — the exchange is
-  *     model-sized (d² rows), never corpus-sized. C = Σxy/n − mᵢmⱼ.
+  *   - covariance: by default ONE [[graft.functions.GramianAgg]] pass
+  *     (d²/2 primitive adds per row into a 128-bit fixed-point buffer;
+  *     the exchange is one model-sized buffer per partition); the
+  *     equivalent relational self-join of `flat` on id remains as the
+  *     SQL-oracle anchor (`gramian = false`) and is pinned bit-equal in
+  *     PcaSpec. C = Σxy/n − mᵢmⱼ either way.
   *   - power iteration: `iters` rounds of (cov ⋈ v → grouped sum →
   *     normalize), each on the d²-row matrix — model-sized jobs, eagerly
   *     localCheckpoint'ed so the loop doesn't deepen the plan.
@@ -47,9 +49,26 @@ object Pca {
     sum(floor(least(greatest(term, lit(-Clamp)), lit(Clamp)) * lit(Quantum))
       .cast(DecimalType(38, 0))).cast("double") / lit(Quantum)
 
-  /** flat (id, i, x), means (i, m), cov (i, j, c) — all checkpointed. */
+  /** flat (id, i, x), means (i, m), cov (i, j, c) — all checkpointed.
+    *
+    * Two covariance paths with bit-identical output (PcaSpec pins it):
+    *
+    *  - `gramian = true` (default — the compute path): ONE
+    *    [[graft.functions.GramianAgg]] pass accumulates the d·(d+1)/2
+    *    upper-triangle fixed-point sums in a flat 128-bit buffer per
+    *    partition; the full matrix is the triangle unioned with its
+    *    mirror (xᵢxⱼ = xⱼxᵢ exactly in IEEE). Per row: d²/2 primitive
+    *    adds, no join machinery.
+    *  - `gramian = false` (the SQL-oracle anchor): the relational
+    *    self-join of `flat` on id emits d² product rows per input row;
+    *    map-side partial aggregation collapses them to ≤ d² per
+    *    partition before the (i,j) exchange. Correct shuffle shape, but
+    *    the d²-per-row materialization is the wrong CONSTANT at
+    *    production widths — ~10⁶ InternalRows per vector at d = 1024.
+    */
   private def covariance(df: DataFrame, vecCol: String, idCol: String,
-                         nD: Column): (DataFrame, DataFrame, DataFrame) = {
+                         nD: Column, dim: Int,
+                         gramian: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val flat = df
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("i0", "xf")))
       .select(col(idCol), (col("i0") + 1).cast("long").as("i"),
@@ -57,10 +76,22 @@ object Pca {
       .localCheckpoint(true)
     val means = flat.groupBy("i").agg((qsum(col("x")) / nD).as("m"))
       .localCheckpoint(true)
-    val flatB = flat.select(col(idCol), col("i").as("j"), col("x").as("y"))
-    val cov = flat.join(flatB, idCol)
-      .groupBy("i", "j")
-      .agg(qsum(col("x") * col("y")).as("sxx"))
+    val sxx =
+      if (gramian) {
+        val tri = df
+          .select(graft.functions.GramianAgg.gramian_upper(
+            col(vecCol).cast("array<double>"), dim, Quantum, Clamp).as("g"))
+          .select(explode(col("g")).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.sxx").as("sxx"))
+        tri.union(tri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("sxx")))
+      } else {
+        val flatB = flat.select(col(idCol), col("i").as("j"), col("x").as("y"))
+        flat.join(flatB, idCol)
+          .groupBy("i", "j")
+          .agg(qsum(col("x") * col("y")).as("sxx"))
+      }
+    val cov = sxx
       .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
       .select(col("i"), col("j"), (col("sxx") / nD - col("mi") * col("mj")).as("c"))
@@ -88,21 +119,29 @@ object Pca {
     cov.join(v.select(col("i").as("j"), col("v")), "j")
       .groupBy("i").agg(qsum(col("c") * col("v")).as("u"))
 
-  /** Quantized-BIGINT per-row projection term for component column `w`. */
+  /** Quantized-BIGINT per-row projection term for component column `w`.
+    * Terms clamp to ±1e6 like qsum's (a term past the clamp would
+    * silently overflow the long at ×1e12); the long sum then has ~9e6
+    * rows of headroom per GROUP even at the clamp — and a projection
+    * group is one vector's d terms, bounded by construction.
+    */
   private def projTerm(w: Column): Column =
-    sum(floor(((col("x") - col("m")) * w) * lit(Quantum)).cast("long"))
+    sum(floor(least(greatest((col("x") - col("m")) * w, lit(-Clamp)), lit(Clamp))
+      * lit(Quantum)).cast("long"))
       .cast("double") / lit(Quantum)
 
   /** (idCol, pc1): each row's projection onto the power-iterated top
     * principal component of the centered covariance. `dim` must equal
-    * the embedding length.
+    * the embedding length. `gramian` picks the covariance path — see
+    * [[covariance]]; results are bit-identical either way.
     */
   def powerIterationPc1(df: DataFrame, vecCol: String, idCol: String,
-                        dim: Int, iters: Int = 6): DataFrame = {
+                        dim: Int, iters: Int = 6,
+                        gramian: Boolean = true): DataFrame = {
     require(dim >= 1 && iters >= 1, "pca needs dim >= 1 and iters >= 1")
     val spark = df.sparkSession
     val nD = lit(df.count().toDouble)
-    val (flat, means, cov) = covariance(df, vecCol, idCol, nD)
+    val (flat, means, cov) = covariance(df, vecCol, idCol, nD, dim, gramian)
     val v = iterate(spark, cov, dim, iters)
     flat.join(means, "i").join(v, "i")
       .groupBy(col(idCol))
@@ -114,11 +153,12 @@ object Pca {
     * Both projections come out of ONE grouped pass over `flat`.
     */
   def powerIterationTop2(df: DataFrame, vecCol: String, idCol: String,
-                         dim: Int, iters: Int = 6): DataFrame = {
+                         dim: Int, iters: Int = 6,
+                         gramian: Boolean = true): DataFrame = {
     require(dim >= 2 && iters >= 1, "top2 needs dim >= 2 and iters >= 1")
     val spark = df.sparkSession
     val nD = lit(df.count().toDouble)
-    val (flat, means, cov) = covariance(df, vecCol, idCol, nD)
+    val (flat, means, cov) = covariance(df, vecCol, idCol, nD, dim, gramian)
     val v1 = iterate(spark, cov, dim, iters)
     // Rayleigh quotient of the normalized v1 (|v1| = 1 by construction)
     val lam = matVec(cov, v1)

@@ -915,8 +915,8 @@ ORDER BY doc_id""")
   }
 
   private def pcaProjTerm(vAlias: String) =
-    s"round(CAST(sum(CAST(floor((f.x - m.m) * $vAlias.v * 1.0e12) AS BIGINT)) AS DOUBLE)" +
-      " / 1.0e12, 6)"
+    s"round(CAST(sum(CAST(floor(least(greatest((f.x - m.m) * $vAlias.v, -1.0e6), 1.0e6)" +
+      " * 1.0e12) AS BIGINT)) AS DOUBLE) / 1.0e12, 6)"
 
   private def pcaOracle(dim: Int, iters: Int): String =
     s"""${pcaCovCtes(dim)},${pcaIterCtes("cov", "v", dim, iters)}

@@ -43,6 +43,19 @@ class PcaSpec extends SparkSpec {
       }
   }
 
+  test("gramian-aggregate covariance path equals the relational self-join bit-for-bit") {
+    val pts = (1 to 200).map(i =>
+      (i.toLong, Array.tabulate(12)(j => (((i * 31 + j * 7) % 23 - 11) / 3.0f))))
+      .toDF("vec_id", "embedding")
+    val agg = Pca.powerIterationTop2(pts, "embedding", "vec_id",
+      dim = 12, iters = 5, gramian = true)
+      .orderBy("vec_id").as[(Long, Double, Double)].collect().toSeq
+    val join = Pca.powerIterationTop2(pts.repartition(17), "embedding", "vec_id",
+      dim = 12, iters = 5, gramian = false)
+      .orderBy("vec_id").as[(Long, Double, Double)].collect().toSeq
+    assert(agg == join)
+  }
+
   test("bit-identical across partitionings") {
     val pts = (1 to 100).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * (j + 3)) % 17 - 8).toFloat)))
