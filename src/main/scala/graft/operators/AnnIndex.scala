@@ -3,32 +3,51 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.cosine_similarity
+import graft.functions.{adc_score, cosine_similarity, pq_encode}
 
-/** Persisted IVF ANN index — the production shape of approximate search
-  * at corpus scale: train ONCE, write the index, answer every query from
-  * the written artifact. The in-memory operators (Similarity.ivfTopK*)
-  * re-train and re-route per invocation, which is right for a one-shot
-  * job and wrong for a query service over 100 TB; this operator splits
-  * the lifecycle:
+/** Persisted ANN indexes — the production shape of approximate search at
+  * corpus scale: train ONCE, write the index, answer every query from the
+  * written artifact. The in-memory operators (Similarity.ivfTopK*,
+  * Pq.ivfAdcTopK) re-train and re-route per invocation, which is right
+  * for a one-shot job and wrong for a query service over 100 TB; this
+  * module splits the lifecycle for both index families:
   *
-  *   - [[buildIvf]] — Lloyd-train `nlist` centroids, float-cast them
-  *     ONCE into `dir/centroids` (the exact table the query path
-  *     reloads — routing is bit-identical across the persistence
-  *     boundary), route the corpus map-only to its nearest cell, and
-  *     write it `partitionBy(cell_id)`.
-  *   - [[queryIvf]] — reload the centroid table (nlist rows — bounded
-  *     collect), probe the `nprobe` nearest cells per query, and read
-  *     ONLY those cells' partitions: the `cell_id IN (...)` filter is a
-  *     partition-directory prune, so a 100 TB index reads
-  *     nprobe/nlist of its bytes per query batch, before any row is
-  *     deserialized. Scoring inside probed cells is the same broadcast
-  *     join + codegen cosine as the in-memory path.
+  *   - IVF-flat ([[buildIvf]]/[[appendIvf]]/[[queryIvf]]): raw vectors
+  *     partitioned by coarse cell; a query reads nprobe/nlist of the
+  *     index bytes (partition-directory prune) and scores exact cosine
+  *     inside the probed cells.
+  *   - IVFADC ([[buildIvfAdc]]/[[appendIvfAdc]]/[[queryIvfAdc]]): the
+  *     same coarse prune, but the scored payload is m PQ codes per
+  *     vector — cells bound WHICH rows score, codes bound what scoring
+  *     COSTS. Raw vectors ride along in the same cell partitions so the
+  *     exact re-rank of the ADC shortlist reads only probed partitions
+  *     too. Pivots AND codebooks freeze at build time; appends route and
+  *     encode under the frozen model (what keeps old and new rows
+  *     comparable), re-train is a drift-informed policy the caller owns.
   *
-  * AnnIndexSpec pins (a) persisted results ≡ in-memory ivfTopKTrained
-  * bit-for-bit, and (b) the PartitionFilters prune in the scan plan.
+  * Continuous appends accrete one small file per touched cell per batch;
+  * [[compactIvf]] rewrites each cell partition to a bounded file count
+  * through a temp-then-swap (the Warehouse.compact discipline), contents
+  * byte-identical.
+  *
+  * AnnIndexSpec pins (a) persisted results ≡ the in-memory operators
+  * bit-for-bit (queryIvf vs ivfTopKTrained, queryIvfAdc vs ivfAdcTopK),
+  * (b) the PartitionFilters prune in the scan plan, and (c) compaction
+  * invariance.
   */
 object AnnIndex {
+
+  /** Read a persisted cell-partitioned corpus with `cell_id` pinned to
+    * LONG: the write side partitions by a long column, but partition-
+    * column INFERENCE types the read-back directory values (IntegerType
+    * for small ids) — the explicit cast keeps the isin prune and every
+    * downstream join comparing identical types regardless of inference
+    * settings.
+    */
+  private def readCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/corpus")
+    df.withColumn("cell_id", col("cell_id").cast("long"))
+  }
 
   /** Train and persist: `dir/centroids` (cell_id, pv float vector) and
     * `dir/corpus` partitioned by cell_id.
@@ -76,7 +95,7 @@ object AnnIndex {
     val qCells = Similarity.ivfProbeCells(queries, cents, vecCol, idCol, nprobe)
     val probed = qCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted // bounded: |queries| * nprobe
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = readCorpus(spark, dir)
       .filter(col("cell_id").isin(probed: _*))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell_id"))
@@ -85,5 +104,142 @@ object AnnIndex {
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     Similarity.rankTopK(scored, k)
+  }
+
+  // ---------------------------------------------------------------- IVFADC
+
+  /** Reload persisted codebooks: m·ksub rows — bounded by construction. */
+  private def readCodebooks(spark: SparkSession, dir: String): Pq.Codebooks = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s"), col("code"), col("cv")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    Pq.Codebooks(m, ksub, cents(0)(0).length, cents)
+  }
+
+  /** Train and persist the full IVFADC index under `dir`:
+    * `pivots` (cell_id, pv) — the md5-sampled coarse quantizer exactly as
+    * [[Pq.ivfAdcTopK]] trains it; `codebooks` (s, code, cv) — the fused-
+    * Lloyd PQ model, doubles roundtripped exactly through parquet; and
+    * `corpus` (id, vec, codes) partitioned by cell_id — codes for ADC
+    * scoring, raw vectors riding along for the shortlist re-rank, both
+    * behind the same partition prune.
+    */
+  def buildIvfAdc(corpus: DataFrame, vecCol: String, idCol: String, dir: String,
+                  nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.ivfPivots(corpus, vecCol, idCol, nlist)
+      .select(col("pivot_id").as("cell_id"), col("pivot_vec").as("pv"))
+      .write.mode("overwrite").parquet(s"$dir/pivots")
+    val cb = Pq.train(corpus, vecCol, idCol, m, ksub, iters)
+    (for (s <- 0 until cb.m; c0 <- 0 until cb.ksub)
+      yield (s, c0, cb.cents(s)(c0).toSeq))
+      .toDF("s", "code", "cv")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val pivots = spark.read.parquet(s"$dir/pivots")
+    Similarity.ivfRoute(corpus, pivots, vecCol, idCol)
+      .withColumn("codes", pq_encode(col(vecCol), cb.cents))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/corpus")
+  }
+
+  /** Route + encode NEW vectors under the FROZEN pivots and codebooks and
+    * append them into their cell partitions — the IVFADC twin of
+    * [[appendIvf]]: the quantization contract is fixed at build time, so
+    * appended rows score identically to built rows.
+    */
+  def appendIvfAdc(newVectors: DataFrame, vecCol: String, idCol: String,
+                   dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val pivots = spark.read.parquet(s"$dir/pivots")
+    val cb = readCodebooks(spark, dir)
+    Similarity.ivfRoute(newVectors, pivots, vecCol, idCol)
+      .withColumn("codes", pq_encode(col(vecCol), cb.cents))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/corpus")
+  }
+
+  /** ADC top-k against the persisted index, with optional exact-cosine
+    * re-rank of a `shortlist` (the [[Pq.ivfAdcTopK]] semantics — results
+    * are bit-identical to the in-memory operator at the same
+    * parameters, AnnIndexSpec pins it). The corpus read is pruned to the
+    * probed cells BEFORE any row deserializes; the refine pass re-reads
+    * raw vectors from those same pruned partitions only (every shortlist
+    * candidate came from a probed cell by construction).
+    */
+  def queryIvfAdc(spark: SparkSession, dir: String, queries: DataFrame,
+                  vecCol: String, idCol: String, k: Int, nprobe: Int,
+                  shortlist: Int = 0): DataFrame = {
+    val pivots = spark.read.parquet(s"$dir/pivots")
+    val cb = readCodebooks(spark, dir)
+    val qCells = Similarity.ivfProbeCells(queries, pivots, vecCol, idCol, nprobe)
+    val probed = qCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: |queries| * nprobe
+    val pruned = readCorpus(spark, dir)
+      .filter(col("cell_id").isin(probed: _*))
+    val probes = qCells.select(col("query_id"), col("cell_id"))
+      .join(Pq.adcLuts(queries, vecCol, idCol, cb), Seq("query_id"))
+    val scored = pruned
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", adc_score(col("codes"), col("lut"), cb.ksub))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val sl = math.max(k, shortlist)
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("neighbor_id").asc), sl)
+    if (shortlist > k) Pq.refine(top, pruned, queries, vecCol, idCol, k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+    }
+  }
+
+  // ------------------------------------------------------------ compaction
+
+  /** Per-cell small-file compaction for a persisted index corpus (either
+    * family): repeated [[appendIvf]]/[[appendIvfAdc]] batches leave one
+    * file per touched cell per batch; this rewrites the corpus with each
+    * cell hash-routed to exactly one task — ONE file per cell partition —
+    * through a temp-then-swap (write `corpus__compact`, swap directories,
+    * drop the old), so a concurrent reader never sees a half-compacted
+    * index. Partition layout and row contents are preserved exactly;
+    * returns (filesBefore, filesAfter).
+    */
+  def compactIvf(spark: SparkSession, dir: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = corpusPath.getFileSystem(conf)
+    def countFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(corpusPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/corpus__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus__old")
+    // one shuffle partition per distinct cell → exactly one file per cell
+    val df = readCorpus(spark, dir)
+    val nCells = df.select("cell_id").distinct().count().toInt.max(1)
+    df.repartition(nCells, col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(corpusPath, old))
+      throw new IllegalStateException(s"compactIvf: cannot stage $corpusPath")
+    if (!fs.rename(tmp, corpusPath)) {
+      fs.rename(old, corpusPath) // roll back — the index stays readable
+      throw new IllegalStateException(s"compactIvf: swap failed for $corpusPath")
+    }
+    fs.delete(old, true)
+    (before, countFiles(corpusPath))
   }
 }

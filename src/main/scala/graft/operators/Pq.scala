@@ -122,17 +122,18 @@ object Pq {
   def encode(df: DataFrame, vecCol: String, idCol: String, cb: Codebooks): DataFrame =
     df.select(col(idCol), pq_encode(col(vecCol), cb.cents).as("codes"))
 
-  /** ADC top-k over an encoded corpus. `queries` must be bounded by
-    * construction (the broadcast side): their lookup tables —
-    * `lut(s·ksub + j) = dot(q_sub_s, cents(s)(j))` — are built driver-side
-    * and enter the plan through a broadcast join; scoring a corpus row is
-    * `m` array lookups summed in fixed order.
+  /** Per-query ADC lookup tables as a (query_id, lut) DataFrame:
+    * `lut(s·ksub + j) = dot(q_sub_s, cents(s)(j))`, built driver-side
+    * (queries are bounded by construction — the broadcast side of every
+    * graft ANN path). Shared by [[topK]], [[ivfAdcTopK]] and the
+    * persisted [[AnnIndex.queryIvfAdc]], so the three score the exact
+    * same doubles.
     */
-  def topK(encoded: DataFrame, queries: DataFrame, vecCol: String,
-           idCol: String, k: Int, cb: Codebooks): DataFrame = {
-    val spark = encoded.sparkSession
+  private[operators] def adcLuts(queries: DataFrame, vecCol: String,
+                                 idCol: String, cb: Codebooks): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val luts = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+    queries.select(col(idCol), col(vecCol)).collect().map { r =>
       val q = r.getSeq[Float](1).map(_.toDouble).toArray
       val lut = new Array[Double](cb.m * cb.ksub)
       for (s <- 0 until cb.m; j <- 0 until cb.ksub) {
@@ -142,8 +143,17 @@ object Pq {
         lut(s * cb.ksub + j) = d
       }
       (r.getLong(0), lut.toSeq)
-    }.toSeq
-    val q = broadcast(luts.toDF("query_id", "lut"))
+    }.toSeq.toDF("query_id", "lut")
+  }
+
+  /** ADC top-k over an encoded corpus. `queries` must be bounded by
+    * construction (the broadcast side): their lookup tables enter the
+    * plan through a broadcast join; scoring a corpus row is `m` array
+    * lookups summed in fixed order.
+    */
+  def topK(encoded: DataFrame, queries: DataFrame, vecCol: String,
+           idCol: String, k: Int, cb: Codebooks): DataFrame = {
+    val q = broadcast(adcLuts(queries, vecCol, idCol, cb))
     val scored = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", adc_score(col("codes"), col("lut"), cb.ksub))
@@ -194,27 +204,14 @@ object Pq {
                  m: Int = 8, ksub: Int = 16, iters: Int = 3,
                  shortlist: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val pivots = Similarity.ivfPivots(corpus, vecCol, idCol, nlist)
     val assigned = Similarity.ivfAssign(corpus, vecCol, idCol, spark, nlist)
     val cb = train(corpus, vecCol, idCol, m, ksub, iters)
     val encoded = assigned.select(col(idCol).as("neighbor_id"), col("cell_id"),
       pq_encode(col(vecCol), cb.cents).as("codes"))
-    // per-query ADC lookup tables (driver-side, bounded by construction)
-    val luts = queries.select(col(idCol), col(vecCol)).collect().map { r =>
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
-      val lut = new Array[Double](cb.m * cb.ksub)
-      for (s <- 0 until cb.m; j <- 0 until cb.ksub) {
-        var d = 0.0
-        var t = 0
-        while (t < cb.dsub) { d += q(s * cb.dsub + t) * cb.cents(s)(j)(t); t += 1 }
-        lut(s * cb.ksub + j) = d
-      }
-      (r.getLong(0), lut.toSeq)
-    }.toSeq.toDF("query_id", "lut")
     val probes = Similarity.ivfProbeCells(queries, pivots, vecCol, idCol, nprobe)
       .select(col("query_id"), col("cell_id"))
-      .join(luts, Seq("query_id"))
+      .join(adcLuts(queries, vecCol, idCol, cb), Seq("query_id"))
     val scored = encoded.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", adc_score(col("codes"), col("lut"), cb.ksub))

@@ -152,6 +152,24 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The persisted IVFADC lifecycle: train + write pivots, PQ codebooks
+    * and the code-carrying cell-partitioned corpus, then answer the query
+    * batch FROM THE WRITTEN ARTIFACT — ADC scoring over partition-pruned
+    * cells, exact re-rank of the shortlist from the same pruned
+    * partitions (see [[graft.operators.AnnIndex.queryIvfAdc]]). Same
+    * parameters as sim_topk_ivfadc and the same oracle VERBATIM — the
+    * persistence-boundary-invariance contract the IVF index established.
+    */
+  def simTopkIvfAdcPersisted(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_adc_idx").toString
+    graft.operators.AnnIndex.buildIvfAdc(all, "embedding", "vec_id", idx,
+      nlist = 16, m = 16, ksub = 32, iters = 3)
+    graft.operators.AnnIndex.queryIvfAdc(s, idx, all.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nprobe = 4, shortlist = 25)
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@5 of the IVF index against the exact brute-force scan — the
     * index-quality evaluation every ANN deployment runs before trusting
     * an index at scale (recall is THE accuracy metric for approximate
@@ -2651,6 +2669,7 @@ ORDER BY doc_id""")
   val oracles: Map[String, String] =
     oraclesBase +
       ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
+      ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
       ("dedup_eval_lsh" ->
         s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
             ls AS (${oraclesBase("dedup_minhash_lsh")}),
@@ -2698,6 +2717,7 @@ ORDER BY doc_id""")
     "sim_label_knn" -> (simLabelKnn _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_ivf_persisted" -> (simTopkIvfPersisted _),
+    "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfadc" -> (simTopkIvfAdc _),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndex, Similarity}
+import graft.operators.{AnnIndex, Pq, Similarity}
 
 /** Persisted IVF index: results must be bit-identical to the in-memory
   * trained path, and probes must prune cell partitions at the scan.
@@ -53,6 +53,93 @@ class AnnIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(appended == rebuilt)
     assert(appended.nonEmpty)
+  }
+
+  test("persisted IVFADC query == in-memory ivfAdcTopK, bit for bit") {
+    val (all, qs) = fixture()
+    val dir = tempDir("adcidx")
+    AnnIndex.buildIvfAdc(all, "embedding", "vec_id", dir,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    val persisted = AnnIndex.queryIvfAdc(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2, shortlist = 15)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inMemory = Pq.ivfAdcTopK(all, qs, "embedding", "vec_id",
+        k = 5, nlist = 8, nprobe = 2, m = 8, ksub = 16, iters = 2,
+        shortlist = 15)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+  }
+
+  test("IVFADC append encodes under frozen codebooks; compaction bounds files and preserves results") {
+    val (all, qs) = fixture()
+    val base = all.filter(col("vec_id") % 3 =!= 0L)
+    val lateA = all.filter(col("vec_id") % 3 === 0L && col("vec_id") % 2 === 0L
+      && col("vec_id") >= 10L)
+    val lateB = all.filter(col("vec_id") % 3 === 0L && col("vec_id") % 2 === 1L
+      && col("vec_id") >= 10L)
+    val dir = tempDir("adcidx2")
+    AnnIndex.buildIvfAdc(base, "embedding", "vec_id", dir,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    AnnIndex.appendIvfAdc(lateA, "embedding", "vec_id", dir)
+    AnnIndex.appendIvfAdc(lateB, "embedding", "vec_id", dir)
+    val appended = AnnIndex.queryIvfAdc(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2, shortlist = 15)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(appended.nonEmpty)
+    // appended rows must carry codes from the codebooks trained on BASE:
+    // re-encoding the union under the persisted model reproduces the
+    // stored codes exactly
+    val cells = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    assert(cells.keySet == (base.unionByName(lateA).unionByName(lateB))
+      .select("vec_id").as[Long].collect().toSet)
+    // build (2 appends) leaves >1 file in touched cells; compaction
+    // rewrites to ≤ 1 file per cell and changes NOTHING observable
+    val (before, after) = AnnIndex.compactIvf(spark, dir)
+    val nCells = spark.read.parquet(s"$dir/corpus")
+      .select("cell_id").distinct().count().toInt
+    assert(after <= nCells, s"after=$after cells=$nCells")
+    assert(after <= before)
+    val compacted = AnnIndex.queryIvfAdc(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2, shortlist = 15)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(compacted == appended)
+  }
+
+  test("IVF compaction after appends: file count bounded, results byte-identical") {
+    val (all, qs) = fixture()
+    val base = all.filter(col("vec_id") % 3 =!= 0L)
+    val late = all.filter(col("vec_id") % 3 === 0L && col("vec_id") >= 10L)
+    val dir = tempDir("annidx5")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    AnnIndex.appendIvf(late, "embedding", "vec_id", dir)
+    val pre = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val (before, after) = AnnIndex.compactIvf(spark, dir)
+    assert(after <= before)
+    val nCells = spark.read.parquet(s"$dir/corpus")
+      .select("cell_id").distinct().count().toInt
+    assert(after <= nCells, s"after=$after cells=$nCells")
+    val post = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(post == pre)
+    assert(post.nonEmpty)
+  }
+
+  test("IVFADC probe scan prunes cell partitions") {
+    val (all, qs) = fixture()
+    val dir = tempDir("adcidx3")
+    AnnIndex.buildIvfAdc(all, "embedding", "vec_id", dir,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    val one = qs.filter(col("vec_id") === 0L)
+    val df = AnnIndex.queryIvfAdc(spark, dir, one, "embedding", "vec_id",
+      k = 5, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell_id"), p.take(1200))
   }
 
   test("probe scan prunes cell partitions") {
