@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Ordered funnel analysis over an event stream — the conversion query of
   * product/behavioral analytics: for each entity, the earliest time it
@@ -65,18 +65,20 @@ object Funnel {
     *
     * Scale shape: funnelTimes' single entity shuffle, then a map-only
     * explode to (step, dwell) rows and ONE aggregate over k−1 groups.
-    * The exact `percentile` buffers each group's dwell values — the
-    * ORACLE ANCHOR, not the 100 TB path (same split as a6_percentiles):
-    * at corpus scale feed the same dwell stream to the GK sketch
-    * (`approx_percentile` / graft's GK path) — O(accuracy) memory,
-    * identical plan shape otherwise.
+    * `exact = true` (default — the ORACLE ANCHOR, same split as
+    * a6_percentiles) buffers each group's dwell values in the exact
+    * `percentile`; `exact = false` is the 100 TB path — the same dwell
+    * stream through the GK sketch (`approx_percentile`, O(accuracy)
+    * memory per group), identical plan shape otherwise. FunnelSpec pins
+    * the sketch inside the anchor's ±5-point rank envelope.
     *
     * Dwells are exact integer microsecond differences; a step that never
     * happened contributes nothing (nulls cascade out of funnelTimes, and
     * the strict `>` boundary makes every dwell positive).
     */
   def funnelDwell(events: DataFrame, entityCol: String, typeCol: String,
-                  tsCol: String, steps: Seq[String]): DataFrame = {
+                  tsCol: String, steps: Seq[String], exact: Boolean = true,
+                  accuracy: Int = 10000): DataFrame = {
     require(steps.length >= 2, "dwell needs at least two steps")
     val ft = funnelTimes(events, entityCol, typeCol, tsCol, steps)
     val pairs = steps.indices.dropRight(1).map { i =>
@@ -90,9 +92,17 @@ object Funnel {
       .filter(col("dwell_us").isNotNull)
       .groupBy(col("step"), col("step_pair"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(dwell_us, 0.5)"), 6).as("p50_us"),
-        round(expr("percentile(dwell_us, 0.9)"), 6).as("p90_us"))
+        round(pctDwell(exact, 0.5, accuracy), 6).as("p50_us"),
+        round(pctDwell(exact, 0.9, accuracy), 6).as("p90_us"))
   }
+
+  /** Exact interpolated percentile (anchor) or the GK sketch (scale
+    * path) over the dwell stream — cast to double so both paths share
+    * one output schema.
+    */
+  private def pctDwell(exact: Boolean, p: Double, accuracy: Int): Column =
+    if (exact) percentile(col("dwell_us"), lit(p))
+    else percentile_approx(col("dwell_us"), lit(p), lit(accuracy)).cast("double")
 
   /** Cohort retention: entities cohorted by the week of their first
     * `anchorType` event, then each (cohort week, weeks-since) cell

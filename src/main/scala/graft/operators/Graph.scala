@@ -81,7 +81,19 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankCounted(edges, srcCol, dstCol, weightCol, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run — the spec
+    * hook for the convergence stop. `tol > 0` adds an L1-delta check per
+    * round (one more model-sized aggregate, read as a 1-row collect) and
+    * stops as soon as Σ|rank′−rank| < tol; `tol = 0` (default — the
+    * oracle anchor) always runs the fixed `iters`.
+    */
+  private[graft] def pageRankCounted(edges: DataFrame, srcCol: String,
+                                     dstCol: String, weightCol: String,
+                                     iters: Int = 5, damping: Double = 0.85,
+                                     tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -112,21 +124,33 @@ object Graph {
 
     var ranks = nodes.select(col("node"), (lit(1.0) / nD).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var ran = 0
+    var converged = false
+    while (ran < iters && !converged) {
       val incoming = pe.join(ranks, pe("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(qsum(col("rank") * col("p")).as("inc"))
       // dangling mass: aggregate over an anti-join — empty set sums to null
       val dangling = ranks.join(srcs, Seq("node"), "left_anti")
         .agg(coalesce(qsum(col("rank")), lit(0.0)).as("dang"))
-      ranks = nodes
+      val next = nodes
         .join(incoming, nodes("node") === incoming("dst"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (base + d * (coalesce(col("inc"), lit(0.0)) + col("dang") / nD))
             .as("rank"))
         .localCheckpoint(true)
+      ran += 1
+      if (tol > 0.0 && ran < iters) {
+        // L1 movement this round: node-sized join of the two checkpointed
+        // rank vectors, ONE row back to the driver
+        val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(coalesce(qsum(abs(col("rank") - col("prev"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
+      ranks = next
     }
-    ranks
+    (ranks, ran)
   }
 }

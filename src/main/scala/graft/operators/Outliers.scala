@@ -13,11 +13,13 @@ import org.apache.spark.sql.DataFrame
   *
   *   z = 0.6745 · (x − median) / MAD,   MAD = median(|x − median|)
   *
-  * Scale shape: two grouped exact-percentile passes over the corpus (the
-  * same anchor/scale split as a6_percentiles — swap `percentile` for the
-  * GK `approx_percentile` sketch when groups stop fitting the exact
-  * buffer), then two joins against group-sized stat tables, which AQE
-  * broadcasts. No window over the corpus, no driver collect.
+  * Scale shape: two grouped percentile passes over the corpus — exact
+  * (`exact = true`, the anchor: per-group value buffers) or the GK
+  * sketch (`exact = false`, the 100 TB path: O(accuracy) memory per
+  * group, same split as a6_percentiles; ProfileOutliersSpec pins the
+  * sketch's medians within 1% of exact) — then two joins against
+  * group-sized stat tables, broadcast declaratively. No window over the
+  * corpus, no driver collect.
   *
   * Determinism: exact interpolated percentiles carry the established
   * Spark↔DuckDB `quantile_cont` parity; dev/z are per-row IEEE ops.
@@ -33,19 +35,25 @@ object Outliers {
     * (keyCol, idCol, valueCol) and adds the modified z-score `z`.
     */
   def madOutliers(df: DataFrame, keyCol: String, idCol: String,
-                  valueCol: String, threshold: Double = 3.5): DataFrame = {
+                  valueCol: String, threshold: Double = 3.5,
+                  exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val v = col(valueCol).cast("double")
+    // typed percentile builders (no SQL-string interpolation — column
+    // names with dots/quotes/backticks stay plain data)
+    def med50(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
     // the stat tables are |groups|-sized by construction — broadcast them
     // DECLARATIVELY rather than hoping AQE converts (the dev⋈mad join sits
     // inside a fused stage where AQE cannot re-plan it): the corpus is
     // never shuffled, only aggregated
     val med = df.groupBy(col(keyCol))
-      .agg(expr(s"percentile(CAST($valueCol AS DOUBLE), 0.5)").as("__med"))
+      .agg(med50(v).as("__med"))
     val dev = df.select(col(keyCol), col(idCol), v.as(valueCol))
       .join(broadcast(med), keyCol)
       .withColumn("__dev", col(valueCol) - col("__med"))
     val mad = dev.groupBy(col(keyCol))
-      .agg(expr("percentile(abs(__dev), 0.5)").as("__mad"))
+      .agg(med50(abs(col("__dev"))).as("__mad"))
     dev.join(broadcast(mad), keyCol)
       .filter(col("__mad") > 0.0)
       .withColumn("z", lit(0.6745) * col("__dev") / col("__mad"))

@@ -27,23 +27,36 @@ object Profile {
 
   /** Long-form profile: one row per requested column —
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
+    *
+    * Column names are DATA here, never SQL text: each is resolved by
+    * exact schema match and addressed through a backtick-escaped typed
+    * Column, internal aliases are index-based, and the unpivot is an
+    * explode over typed structs — a name carrying spaces, dots, quotes
+    * or backticks profiles like any other (no expression injection into
+    * the plan).
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      val s = col(c).cast("string")
-      Seq(count(s).as(s"__cnt_$c"),
-        countDistinct(s).as(s"__nd_$c"),
-        min(s).as(s"__min_$c"),
-        max(s).as(s"__max_$c"))
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val s = ref(c).cast("string")
+      Seq(count(s).as(s"__cnt_$i"),
+        countDistinct(s).as(s"__nd_$i"),
+        min(s).as(s"__min_$i"),
+        max(s).as(s"__max_$i"))
     } :+ count(lit(1)).as("__n_rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', __n_rows - __cnt_$c, __nd_$c, __min_$c, __max_$c")
-      .mkString(", ")
-    one.selectExpr("__n_rows AS n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        (col("__n_rows") - col(s"__cnt_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
+    one.select(col("__n_rows").as("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, QualityModel, TextAnalysis}
+import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, Privacy, QualityModel, TextAnalysis}
 
 /** End-to-end training-data curation: the whole engine chained into ONE
   * pipeline over the documents table — the flow a 100 TB pretraining crawl
@@ -16,7 +16,12 @@ import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, QualityModel, TextAnaly
   *  4. fuzzy dedup (MinHash-LSH pairs → connected-component keep list)
   *  5. benchmark decontamination (shared-shingle overlap)
   *  6. temperature-balanced mixture over sources
-  *  7. BPE tokenization (sample-trained merges) + exact fixed-length packing
+  *  7. privacy release gates (optional): k-anonymity / l-diversity audits
+  *     over configured quasi-identifiers — violations BLOCK the release
+  *     before any shard ships (PII redaction upstream handles direct
+  *     identifiers; this is the re-identification half, see
+  *     [[graft.operators.Privacy]])
+  *  8. BPE tokenization (sample-trained merges) + exact fixed-length packing
   *
   * Every stage is declarative and shuffle-bounded; the driver touches only
   * bounded artifacts (model weights, merge list, stage counts). Returns
@@ -26,8 +31,22 @@ object CuratePipeline {
 
   final case class Stage(stage: String, docs: Long)
 
+  /** Release-gate config: the corpus must be k-anonymous over `quasiCols`
+    * and (when `sensitiveCol` is set) distinct-l-diverse for the
+    * sensitive attribute within each quasi-identifier group. The audits
+    * are ONE aggregate each (group-sized reports, no row content leaves
+    * executors); `failOnViolation = false` records the violation count as
+    * a stage instead of throwing — the report-only mode a backfill uses
+    * while tightening generalization upstream.
+    */
+  final case class PrivacyGate(quasiCols: Seq[String], k: Long,
+                               sensitiveCol: Option[String] = None,
+                               l: Long = 2,
+                               failOnViolation: Boolean = true)
+
   def run(spark: SparkSession, sfDir: String,
-          quotaPerSource: Int = Int.MaxValue): (Seq[Stage], DataFrame) = {
+          quotaPerSource: Int = Int.MaxValue,
+          privacyGate: Option[PrivacyGate] = None): (Seq[Stage], DataFrame) = {
     val raw = graft.Tables.load(spark, sfDir, "documents")
     val stages = Seq.newBuilder[Stage]
     def record(name: String, df: DataFrame): DataFrame = {
@@ -79,7 +98,22 @@ object CuratePipeline {
     val mixed = record("mixture", CorpusOps.mixtureTemperature(
       clean, "doc_id", "source", alpha = 0.5, targetFraction = 0.8))
 
-    // 7 — tokenize (merges trained on a quarter sample) and pack
+    // 7 — privacy release gates: audit the corpus that is ABOUT to ship
+    // (post-mixture), fail closed before tokenization spends anything
+    privacyGate.foreach { g =>
+      val kViol = Privacy.kAnonViolations(mixed, g.quasiCols, g.k).count()
+      val lViol = g.sensitiveCol
+        .map(sc => Privacy.lDiversityViolations(mixed, g.quasiCols, sc, g.l).count())
+        .getOrElse(0L)
+      stages += Stage("privacy_gate_violations", kViol + lViol)
+      if (g.failOnViolation && kViol + lViol > 0)
+        throw new IllegalStateException(
+          s"privacy gate: $kViol k-anonymity (k=${g.k}) and $lViol l-diversity " +
+            s"violating quasi-identifier groups over ${g.quasiCols.mkString(",")} " +
+            "— release blocked")
+    }
+
+    // 8 — tokenize (merges trained on a quarter sample) and pack
     val merges = Bpe.train(mixed.filter(col("doc_id") % 4 === 0), "text", numMerges = 8)
     val (ids, _) = Bpe.encodeIds(mixed, "text", "doc_id", merges)
     val packed = CorpusOps.packTokens(ids, "doc_id", "token_ids",

@@ -265,10 +265,22 @@ object ReferenceQueries {
     * 5). The percentile boundaries are a 1-row bounded collect (the
     * ev_decay anchor precedent), so scoring is map-only literals; the
     * per-user table itself is one filtered aggregate over the corpus.
+    *
+    * `exact = false` swaps the boundary computation onto the GK sketch
+    * (`approx_percentile`, the a6 anchor/scale split) — same plan shape,
+    * O(accuracy) memory per boundary; PercentileSpec pins sketch scores
+    * against the exact anchor. The oracled query keeps exact boundaries.
     */
-  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+  def eventsRfm(s: SparkSession, dir: String): DataFrame =
+    eventsRfmWith(s, dir, exact = true)
+
+  private[graft] def eventsRfmWith(s: SparkSession, dir: String, exact: Boolean,
+                                   accuracy: Int = 10000): DataFrame = {
     val ev = t(s, dir, "events")
-    val amax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // empty events table: max(ts) is NULL — anchor at 0 (output is empty
+    // either way; the guard only keeps the bounded collect from NPEing)
+    val amax = Option(ev.agg(max(unix_micros(col("ts")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val qsum: Column => Column = term =>
       sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
         .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
@@ -279,10 +291,14 @@ object ReferenceQueries {
         count(lit(1)).as("f"),
         round(qsum(col("value")), 6).as("m"))
       .localCheckpoint(true)
+    val quintiles = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    def bounds(c: Column): Column =
+      if (exact) percentile(c, quintiles)
+      else percentile_approx(c, quintiles, lit(accuracy)).cast("array<double>")
     val b = perUser.agg(
-      expr("percentile(CAST(r_days AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("rq"),
-      expr("percentile(CAST(f AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("fq"),
-      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq")).head()
+      bounds(col("r_days").cast("double")).as("rq"),
+      bounds(col("f").cast("double")).as("fq"),
+      bounds(col("m")).as("mq")).head()
     // zero purchasers: percentiles come back null — any literal boundary
     // works because perUser (and so the output) is empty either way, but
     // getSeq would NPE at plan-construction time without the fallback
@@ -328,7 +344,9 @@ object ReferenceQueries {
     */
   def eventsDecay(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val amax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // empty-table guard: max(ts) is NULL with zero rows (see eventsRfm)
+    val amax = Option(ev.agg(max(unix_micros(col("ts")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val qsum: Column => Column = term =>
       sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
         .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)

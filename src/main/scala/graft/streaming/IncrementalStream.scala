@@ -231,7 +231,12 @@ object IncrementalStream {
                   out ::= close(SessState(s0, l, n))
                   st = SessState(t, t, 1L)
                 case SessState(s0, l, n) =>
-                  st = SessState(s0, math.max(l, t), n + 1L)
+                  // a late in-watermark event can predate the open
+                  // session's start (cross-batch arrival order); it never
+                  // trips the gap test (t − l < 0), so fold it in by
+                  // extending the session BACKWARD — matching the batch
+                  // sessionizer, which would have sorted it first
+                  st = SessState(math.min(s0, t), math.max(l, t), n + 1L)
               }
             }
             state.update(st)
@@ -329,12 +334,20 @@ object IncrementalStream {
           else Nil
         def partDirs(table: String): Seq[String] =
           committed.map(key => s"$stateDir/$table/ingest=$key")
+        // this batch's OWN pinned frames, released in finally — scoped
+        // cleanup, NOT catalog.clearCache(): an embedding application's
+        // unrelated caches in the same session must survive each batch
+        // (spec-pinned); the dedup operators' internal intermediates are
+        // on the eager-localCheckpoint discipline and ContextCleaner-
+        // reclaimed once the batch's references drop
+        var pinned = List.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
         try {
-          val batch = (if (committed.nonEmpty)
+          val batch = pin(if (committed.nonEmpty)
               batch0.select(col(idCol), col(textCol))
                 .join(sp.read.parquet(partDirs("docs"): _*).select(col(idCol)),
                   Seq(idCol), "left_anti")
-            else batch0.select(col(idCol), col(textCol))).cache()
+            else batch0.select(col(idCol), col(textCol)))
           if (!batch.isEmpty) {
             // one shingle+band pass serves matching AND the persisted state
             val (bBands, bSh) = graft.operators.Dedup.minhashState(
@@ -352,7 +365,7 @@ object IncrementalStream {
                     .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
                     .filter(col("id_a") < col("id_b")).distinct(),
                   bSh, idCol, threshold)
-            val p = pairs.cache()
+            val p = pin(pairs)
             p.count()
             val batchIdsB = batch.select(col(idCol).as("id_b"))
             // id_b outside the batch = a committed corpus doc -> drop id_a
@@ -361,15 +374,19 @@ object IncrementalStream {
             val internal = p.join(batchIdsB, Seq("id_b"), "left_semi")
             val internalDrop = graft.operators.Dedup.clusterReps(batch, internal, idCol)
               .filter(col("rep_id") =!= col(idCol)).select(col(idCol))
-            val accepted = batch
-              .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti")
-              .cache()
+            val accepted = pin(batch
+              .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti"))
             if (!accepted.isEmpty) {
               // commit key: stable under same-checkpoint re-delivery (same
               // batchId + content -> overwrite in place), collision-free
-              // across fresh-checkpoint re-reads (content hash differs)
-              val contentHash = accepted.select(col(idCol))
-                .agg(md5(concat_ws(",", sort_array(collect_list(col(idCol).cast("string"))))))
+              // across fresh-checkpoint re-reads (content hash differs).
+              // Order-free O(1)-state hash: bit_xor of per-id xxhash64 —
+              // the collect_list alternative funnels every accepted id
+              // into ONE row (tens of MB through one task on a large
+              // micro-batch) for the same 48–64-bit collision resistance
+              val contentHash = accepted
+                .agg(format_string("%016x",
+                  bit_xor(xxhash64(col(idCol).cast("string")))))
                 .head().getString(0).take(12)
               val key = s"${batchId}_$contentHash"
               val acceptedIds = accepted.select(col(idCol))
@@ -387,10 +404,10 @@ object IncrementalStream {
             }
           }
         } finally {
-          // the dedup operators pin internal caches (shingles, signatures,
-          // candidates) per invocation; a long-lived stream must release
-          // them per batch or storage memory grows without bound
-          sp.catalog.clearCache()
+          // release ONLY this batch's pinned frames — a long-lived stream
+          // must not grow storage memory, and it must not evict caches the
+          // surrounding application owns
+          pinned.foreach(_.unpersist())
         }
         ()
       }

@@ -25,4 +25,31 @@ class CuratePipelineSpec extends SparkSpec {
         .foreach(r => assert(r.getLong(2) == 512L, r))
     }
   }
+
+  test("privacy gate: clean corpus ships, violating corpus is blocked before packing") {
+    // clean: every source carries far more than 2 docs — zero violations,
+    // the gate stage records 0 and the pipeline completes
+    val gate = CuratePipeline.PrivacyGate(Seq("source"), k = 2)
+    val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
+      privacyGate = Some(gate))
+    val byName = stages.map(s => s.stage -> s.docs).toMap
+    assert(byName("privacy_gate_violations") == 0L)
+    assert(byName("packed_blocks") > 0 && packed.columns.nonEmpty)
+
+    // violating: a k no real source group reaches — the release must be
+    // BLOCKED (fail-closed), and the error names the audit that fired
+    val bad = CuratePipeline.PrivacyGate(Seq("source"), k = 100000000L)
+    val e = intercept[IllegalStateException] {
+      CuratePipeline.run(spark, "/root/testdata/sf0.001", privacyGate = Some(bad))
+    }
+    assert(e.getMessage.contains("release blocked"), e.getMessage)
+
+    // report-only mode: same violating config, failOnViolation = false —
+    // the count lands in the stage report and packing still happens
+    val (repStages, _) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
+      privacyGate = Some(bad.copy(failOnViolation = false)))
+    val rep = repStages.map(s => s.stage -> s.docs).toMap
+    assert(rep("privacy_gate_violations") > 0L)
+    assert(rep("packed_blocks") > 0L)
+  }
 }

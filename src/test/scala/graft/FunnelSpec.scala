@@ -90,6 +90,27 @@ class FunnelSpec extends SparkSpec {
     assert(d(2) == (("click->purchase", 1L, 2000000.0, 2000000.0)))
   }
 
+  test("dwell: GK sketch path inside the exact anchor's rank envelope at sf0.01") {
+    // GK guarantees RANK error (returned value's rank within ±ε·n of the
+    // target), not value error — on a heavy-tailed dwell distribution the
+    // neighbor gap can dwarf any value tolerance. Assert the sketch's
+    // p50/p90 land between the exact p45–p55 / p85–p95 per step pair.
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val steps = Seq("signup", "click", "purchase")
+    val a = Funnel.funnelDwell(ev, "user_id", "event_type", "ts", steps,
+        exact = false)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val env = Funnel.funnelTimes(ev, "user_id", "event_type", "ts", steps)
+      .select(org.apache.spark.sql.functions.expr(
+        "percentile(unix_micros(t2) - unix_micros(t1), array(0.45, 0.55, 0.85, 0.95))")
+        .as("q"))
+      .head().getSeq[Double](0)
+    assert(a.nonEmpty)
+    val (a50, a90) = a(1)
+    assert(a50 >= env(0) && a50 <= env(1), s"p50 $a50 outside [${env(0)}, ${env(1)}]")
+    assert(a90 >= env(2) && a90 <= env(3), s"p90 $a90 outside [${env(2)}, ${env(3)}]")
+  }
+
   test("plan: step-type filter pushed to the events scan") {
     // ev_funnel reads the real parquet fixture — the isin(steps) filter
     // must reach the scan as a pushed In predicate, so a 100 TB events

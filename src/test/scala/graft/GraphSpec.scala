@@ -71,4 +71,19 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").as[(String, Double)].collect().toSeq
     assert(r1 == r32)
   }
+
+  test("pageRank: tol stops a converged graph early, same ranks as the full run") {
+    // symmetric 2-cycle: the uniform start IS the fixed point — round 1
+    // moves nothing, so the L1 check fires immediately
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "n")
+    val (early, ran) = Graph.pageRankCounted(edges, "src", "dst", "n",
+      iters = 50, tol = 1e-12)
+    assert(ran < 50, s"ran $ran of 50 — convergence stop never fired")
+    val full = Graph.pageRank(edges, "src", "dst", "n", iters = 50)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(early.orderBy("node").as[(String, Double)].collect().toSeq == full)
+    // default tol = 0 keeps the fixed-iteration anchor semantics
+    val (_, ranFixed) = Graph.pageRankCounted(edges, "src", "dst", "n", iters = 7)
+    assert(ranFixed == 7)
+  }
 }

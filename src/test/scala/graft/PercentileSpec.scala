@@ -28,6 +28,25 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("rfm sketch-boundary scores match the exact anchor for ≥98% of users at sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    def scores(exact: Boolean) =
+      ReferenceQueries.eventsRfmWith(spark, sf, exact = exact)
+        .select("user_id", "r_score", "f_score", "m_score").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val e = scores(true)
+    val a = scores(false)
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    val moved = e.keySet.count(u => e(u) != a(u))
+    assert(moved <= math.max(1, (0.02 * e.size).toInt), s"$moved of ${e.size} moved")
+    // and any movement is a single-quintile boundary flip, never a jump
+    e.keySet.foreach { u =>
+      val ((er, ef, em), (ar, af, am)) = (e(u), a(u))
+      assert(math.abs(er - ar) <= 1 && math.abs(ef - af) <= 1 && math.abs(em - am) <= 1,
+        s"user $u: $e vs $a")
+    }
+  }
+
   test("approx percentiles within 1% of exact per group at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     def byFlag(rows: Array[org.apache.spark.sql.Row]) =

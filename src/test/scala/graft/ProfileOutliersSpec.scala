@@ -23,6 +23,20 @@ class ProfileOutliersSpec extends SparkSpec {
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("profile: hostile column names (dots, spaces, quotes, backticks) are data, not SQL") {
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null))
+      .toDF("a.b c", "weird`'\", name")
+    val out = Profile.profile(df, Seq("a.b c", "weird`'\", name"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("a.b c") == ((3L, 0L, 2L, "1", "2")))
+    assert(out("weird`'\", name") == ((3L, 1L, 2L, "x", "y")))
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope) FROM x; --"))
+    }
+    assert(e.getMessage.contains("no such column"))
+  }
+
   test("madOutliers: hand-computed modified z, only outliers emitted") {
     // group g: values 1..9 plus a 1000 spike. median=5.5, MAD=2.5
     // z(1000) = 0.6745*(1000-5.5)/2.5 = 268.30989
@@ -34,6 +48,21 @@ class ProfileOutliersSpec extends SparkSpec {
     val (_, id, v, z) = out.head
     assert(id == 10L && v == 1000.0)
     assert(math.abs(z - 0.6745 * (1000.0 - 5.5) / 2.5) < 1e-9)
+  }
+
+  test("madOutliers: sketch path tracks the exact anchor at sf0.01") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    def flagged(exact: Boolean) = Outliers.madOutliers(ev, "event_type",
+        "event_id", "value", threshold = 3.5, exact = exact)
+      .select("event_type", "event_id")
+      .as[(String, Long)].collect().toSet
+    val e = flagged(true)
+    val a = flagged(false)
+    assert(e.nonEmpty && a.nonEmpty)
+    // GK medians land on actual values instead of interpolations, so a
+    // few boundary rows may flip — the sets must agree to 2%
+    val diff = (e.diff(a) ++ a.diff(e)).size
+    assert(diff <= math.max(1, (0.02 * e.size).toInt), s"sym-diff $diff of ${e.size}")
   }
 
   test("kAnonViolations: strict boundary, empty report iff k-anonymous") {

@@ -240,6 +240,50 @@ class StreamingSpec extends SparkSpec {
     assert(committedDocs == Set(1L, 2L, 11L, 30L)) // orphan never matched
   }
 
+  test("fuzzy ingest: unrelated session caches survive a batch; commit key stable under re-delivery") {
+    import spark.implicits._
+    val in = tempDir("fz2_in")
+    val state = tempDir("fz2_state")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+          2L -> "one two three four five six seven eight")
+        .map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    // an APPLICATION-owned cache in the same session — per-batch cleanup
+    // must be scoped to the operator's own frames, not catalog-wide
+    val appCache = spark.range(0, 1000).toDF("n").cache()
+    appCache.count()
+    assert(appCache.storageLevel.useMemory)
+    IncrementalStream.fuzzyDedupIngest(
+      spark.readStream.schema(schema).json(in), state, tempDir("fz2_ck1"))
+      .awaitTermination()
+    assert(appCache.storageLevel.useMemory,
+      "batch cleanup evicted an unrelated application cache")
+    appCache.unpersist()
+    def ingestKeys = new java.io.File(s"$state/_commits").listFiles
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    def stateDirs = new java.io.File(s"$state/docs").listFiles
+      .map(_.getName).filter(_.startsWith("ingest=")).toSet
+    val keys1 = ingestKeys
+    assert(keys1.size == 1 && stateDirs.size == 1)
+    // crash-recovery re-delivery: the marker is lost AFTER the state
+    // partitions were written (crash between write and mark). The batch
+    // re-delivers under a fresh checkpoint; nothing reads the orphan, the
+    // deterministic bit_xor content hash reproduces the SAME key, and the
+    // orphan directory is overwritten in place — one state partition, not
+    // an accreting pile of near-identical orphans
+    new java.io.File(s"$state/_commits/${keys1.head}").delete()
+    IncrementalStream.fuzzyDedupIngest(
+      spark.readStream.schema(schema).json(in), state, tempDir("fz2_ck2"))
+      .awaitTermination()
+    assert(ingestKeys == keys1)
+    assert(stateDirs.size == 1)
+    assert(spark.read.parquet(s"$state/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))
@@ -292,5 +336,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == Set(
       (1L, ts(1, 0), ts(1, 10), 2L),
       (1L, ts(2, 10), ts(2, 10), 1L)), rows().toString)
+  }
+
+  test("streaming sessionize: late in-watermark event extends the open session backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    // watermarkDelay (2h) > gap (30min): a later batch can legally carry
+    // an event OLDER than the open session's start — it must merge by
+    // extending session_start backward (the batch sessionizer would have
+    // sorted it first), not silently inherit the newer start
+    val sess = graft.streaming.IncrementalStream.streamingSessionize(
+      input.toDF().toDF("ts", "user_id"), gapMin = 30,
+      watermarkDelay = "2 hours")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(3, 0), 1L))
+    q.processAllAvailable()
+    input.addData((ts(2, 50), 1L)) // late: within watermark, before start
+    q.processAllAvailable()
+    // far-future other-user events push the watermark past the timeout
+    input.addData((ts(10, 0), 2L))
+    q.processAllAvailable()
+    input.addData((ts(10, 1), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_late_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(rows == Set((1L, ts(2, 50), ts(3, 0), 2L)), rows.toString)
   }
 }
