@@ -142,6 +142,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT — the asymmetric near-dup test Jaccard
+    * misses (Broder 1997, "On the resemblance and containment of
+    * documents" — public literature): C(a,b) = |S(a)∩S(b)| / |S(a)|.
+    * A short document pasted verbatim inside a much longer one has tiny
+    * Jaccard (the union is the long doc's shingle set) but containment
+    * ≈ 1 — exactly the quote/aggregator/boilerplate-expansion duplication
+    * a pretraining crawl is full of. Emits ORDERED pairs
+    * (contained_id, container_id, containment ≥ threshold), both
+    * directions of every intersecting pair tested.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — one df-capped inverted
+    * shingle index, one self-join on shingle (the intersection count is
+    * symmetric, so each unordered pair is counted once and mirrored
+    * relationally), per-doc sizes joined back group-sized. The df cap is
+    * declared semantics here too.
+    */
+  def ngramContainment(df: DataFrame, textCol: String, idCol: String, k: Int,
+                       threshold: Double, maxDf: Int = 100,
+                       portable: Boolean = false): DataFrame = {
+    val sh = (if (portable) shingleHashesPortable(df, textCol, idCol, k)
+              else shingleHashes(df, textCol, idCol, k)).cache()
+    sh.count() // materialize before concurrent consumers (see minhashLsh)
+    val kept = dropHotKeys(sh, "shingle", maxDf).localCheckpoint(true)
+    sh.unpersist()
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col(idCol).as("id_a"), col("shingle"))
+    val b = kept.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .localCheckpoint(true) // feeds both direction projections once
+    val fwd = inter.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("n_inter").cast("double") / col("n_a")).as("containment"))
+    val rev = inter.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("n_inter").cast("double") / col("n_b")).as("containment"))
+    fwd.union(rev)
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Exact SUBSTRING dedup at token-window granularity — the practical
     * distributed variant of suffix-array substring deduplication (Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models

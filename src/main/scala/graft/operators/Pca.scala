@@ -91,6 +91,9 @@ object Pca {
           .groupBy("i", "j")
           .agg(qsum(col("x") * col("y")).as("sxx"))
       }
+    // no explicit repartition of the d²-row matrix: AQE already coalesces
+    // the model-sized exchanges (measured — an explicit repartition(1)
+    // before the checkpoint ADDED a stage and cost ~20% on emb_pca2)
     val cov = sxx
       .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")

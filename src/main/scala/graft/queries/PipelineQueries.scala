@@ -29,6 +29,16 @@ object PipelineQueries {
         threshold = 0.30, maxDf = 100, portable = true) // md5-poly hashes: SQL-oracle parity
       .orderBy("id_a", "id_b")
 
+  /** Asymmetric containment pairs (see [[Dedup.ngramContainment]]): the
+    * short-doc-inside-long-doc duplication Jaccard dilutes away. Portable
+    * md5-poly shingles → full DuckDB oracle off the same shingle CTEs as
+    * the Jaccard query.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(docs(s, dir), "text", "doc_id", k = 8,
+        threshold = 0.8, maxDf = 100, portable = true)
+      .orderBy("contained_id", "container_id")
+
   def dedupWindows(s: SparkSession, dir: String): DataFrame =
     Dedup.windowDedup(docs(s, dir), "text", "doc_id", windowTokens = 16)
       .orderBy("doc_id")
@@ -1843,6 +1853,23 @@ ORDER BY doc_id""")
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_containment" -> (shingleCte +
+      """,
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+                  any_value(sa.n_sh) AS n_a, any_value(sb.n_sh) AS n_b
+           FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN sizes sa ON sa.doc_id = a.doc_id
+           JOIN sizes sb ON sb.doc_id = b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         dirpairs AS (
+           SELECT id_a AS contained_id, id_b AS container_id,
+                  CAST(n_inter AS DOUBLE) / n_a AS containment FROM inter
+           UNION ALL
+           SELECT id_b, id_a, CAST(n_inter AS DOUBLE) / n_b FROM inter)
+         SELECT contained_id, container_id, round(containment, 6) AS containment
+         FROM dirpairs WHERE containment >= 0.8
+         ORDER BY contained_id, container_id"""),
     "dedup_ngram_jaccard" -> (shingleCte +
       """
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2698,6 +2725,7 @@ ORDER BY doc_id""")
     "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_windows" -> (dedupWindows _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_eval_lsh" -> (dedupEvalLsh _),

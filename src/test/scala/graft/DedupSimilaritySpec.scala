@@ -33,6 +33,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("containment catches a short doc embedded in a long one that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val embedded = Seq(
+      (0L, short),                      // 3 8-shingles, all inside doc 1
+      (1L, s"$filler $short"),          // long doc containing the short one
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(embedded, "text", "doc_id", k = 8,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((0L, 1L, 1.0))) // short fully contained; NOT the reverse
+    // the same pair is invisible to jaccard at any useful threshold: the
+    // union is dominated by the long doc's shingles
+    val jac = Dedup.ngramJaccard(embedded, "text", "doc_id", k = 8,
+      threshold = 0.3).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containment: direction-correct ratios on partial overlap") {
+    // a: 5 shingles, b: 9 shingles, intersection 4 (one word changed at
+    // the head, shared 12-token tail): C(a,b)=4/5=0.8 >= thr, C(b,a)=4/9 < thr
+    val a = "x1 alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val b = "y1 y2 y3 y4 y5 alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val df = Seq((10L, a), (20L, b)).toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(df, "text", "doc_id", k = 8,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((10L, 20L, 0.8)), out.toString)
+  }
+
   test("window dedup removes repeated token windows, keeps first occurrence") {
     // W=4: doc 10 repeats its own first window; doc 11 opens with doc 10's
     // window (cross-doc repeat) then continues unique; doc 12 is a full
