@@ -132,6 +132,82 @@ object CorpusOps {
     ranked.drop("__h")
   }
 
+  /** Deterministic stratified train/validation/test split — the holdout
+    * partitioning every training pipeline cuts before anything else.
+    * `fractions` (name, fraction) must sum to 1; every row gets exactly
+    * one split label, reproducibly under any partitioning and re-run.
+    *
+    *  - `exact = true` (default, the oracle anchor): EXACT per-stratum
+    *    quotas — rows rank within their stratum by (portable hash, id)
+    *    and the first ⌈cum·n⌉ go to each split. One shuffle by stratum
+    *    (the inherent cost of exact quotas: a per-stratum total order).
+    *  - `exact = false` (the 100 TB path): map-only hash thresholding —
+    *    u < cum picks the split, proportions hold in expectation with
+    *    √n deviation, NO shuffle at all. Same decision hash, so a row's
+    *    assignment never depends on the rest of the corpus — new data
+    *    can be split incrementally without re-ranking history.
+    *
+    * Output: (idCol, strataCol, split).
+    */
+  def splitStratified(df: DataFrame, idCol: String, strataCol: String,
+                      fractions: Seq[(String, Double)],
+                      salt: String = "split",
+                      exact: Boolean = true): DataFrame = {
+    require(fractions.nonEmpty, "split needs at least one fraction")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(fractions.forall(_._2 > 0.0), "every fraction must be positive")
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    if (exact) {
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(col("__h"), col(idCol))
+      val cw = Window.partitionBy(col(strataCol))
+      val base = df.select(col(idCol), col(strataCol))
+        .withColumn("__h", hashUniform(col(idCol), salt))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(cw))
+      val split = fractions.init.zip(cums.init)
+        .foldRight(lit(fractions.last._1): Column) {
+          case (((name, _), c), acc) =>
+            when(col("__rn") <= ceil(lit(c) * col("__n").cast("double")),
+              lit(name)).otherwise(acc)
+        }
+      base.select(col(idCol), col(strataCol), split.as("split"))
+    } else {
+      val u = hashUniform(col(idCol), salt)
+      val split = fractions.init.zip(cums.init)
+        .foldRight(lit(fractions.last._1): Column) {
+          case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
+        }
+      df.select(col(idCol), col(strataCol), split.as("split"))
+    }
+  }
+
+  /** Curriculum ordering: quality-ranked round-robin interleave across
+    * sources — position 1..|sources| takes each source's best document,
+    * the next block each source's second best, and so on (sources
+    * exhaust as they run out). The standard "good data first, balanced
+    * across domains" read order for curriculum training, computed
+    * WITHOUT a single-partition global window: one per-source window
+    * ranks by (score desc, id), then the total order over
+    * (src_rank, source) comes from the range-partitioned gap-free
+    * ranker ([[globalShuffle]]'s machinery).
+    *
+    * Output: (idCol, keyCol, src_rank, position) — reading in
+    * `position` order IS the curriculum.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, keyCol: String,
+                      scoreCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__score").desc, col(idCol))
+    val ranked = df.withColumn("__score", scoreCol)
+      .select(col(idCol), col(keyCol), col("__score"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+    val (pos, _) = rankByRange(ranked,
+      Seq(col("src_rank"), col(keyCol)), "position")
+    pos.select(col(idCol), col(keyCol), col("src_rank"), col("position"))
+  }
+
   /** Gap-free 1-based global rank by `orderCols` WITHOUT a global window:
     * range partition + local sort, per-partition counts (a bounded
     * collect) turn into prefix offsets, and the rank is a per-partition

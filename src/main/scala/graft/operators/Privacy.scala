@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Privacy release gates. PII redaction (TextAnalysis.redactPii) removes
   * direct identifiers from text; this module covers the OTHER half of a
@@ -50,5 +51,67 @@ object Privacy {
       .agg(count(lit(1)).as("n"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
+  }
+
+  /** Fixed-point exact sum (the engine-wide qsum grid): order-free and
+    * engine-portable, so the per-group TVD below hash-matches its SQL
+    * replay under any partitioning.
+    */
+  private def qsum(term: Column): Column =
+    sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
+      .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
+
+  /** t-closeness violations (Li, Li & Venkatasubramanian 2007 — public
+    * literature): quasi-identifier groups whose SENSITIVE-attribute
+    * distribution sits farther than `t` from the table-wide
+    * distribution. l-diversity counts distinct values but is blind to
+    * SKEW — a group that is 98% one diagnosis with a token sprinkle of
+    * others passes distinct-l yet still discloses; t-closeness bounds
+    * the distributional gap itself. Distance is the total-variation /
+    * variational distance (= EMD under the uniform categorical ground
+    * metric, the paper's categorical instantiation, and the same TVD
+    * the drift monitor uses).
+    *
+    * Scale shape: one (quasi × sensitive) aggregate over the corpus
+    * (partial-aggregatable), two group-sized rollups, and a broadcast
+    * of the |values|-sized global distribution — nothing corpus-sized
+    * shuffles twice, no row content leaves the executors. The absent-
+    * value mass is folded in algebraically (TVD = ½(1 + Σ_present
+    * (|p−q| − q))), so the join touches only OBSERVED (group, value)
+    * pairs — never the dense group×vocabulary grid. The global-count
+    * anchor is a 1-row bounded collect (the ev_decay precedent).
+    * Sensitive values must be non-null (null rows would silently drop
+    * at the distribution join — same non-null contract as l-diversity's
+    * distinct count).
+    *
+    * Output: (quasiCols…, n, tvd) for groups with tvd > t (strict —
+    * a group AT t is compliant, matching the paper's "at most t").
+    */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    require(t >= 0.0 && t < 1.0, "t must be in [0, 1)")
+    val nTotal = df.count().toDouble // bounded anchor: one scalar
+    val q = df.groupBy(col(sensitiveCol))
+      .agg((count(lit(1)).cast("double") / lit(nTotal)).as("__qv"))
+    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n_vs"))
+    // group totals as a whole-partition window over the ALREADY
+    // aggregated (quasi × sensitive) table — one exchange by quasi on
+    // model-sized rows, no join, and no broadcast of a table whose
+    // cardinality is the quasi-group count (unbounded in general)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    gv.withColumn("__n", sum(col("__n_vs")).over(w))
+      .join(broadcast(q), sensitiveCol)
+      .select(quasiCols.map(col) :+ col("__n") :+
+        (abs(col("__n_vs").cast("double") / col("__n").cast("double") - col("__qv"))
+          - col("__qv")).as("__term"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        (lit(0.5) * (lit(1.0) + qsum(col("__term")))).as("__tvd"))
+      .filter(col("__tvd") > t)
+      .select(quasiCols.map(col) :+ col("n") :+
+        round(col("__tvd"), 6).as("tvd"): _*)
   }
 }

@@ -32,16 +32,19 @@ object CuratePipeline {
   final case class Stage(stage: String, docs: Long)
 
   /** Release-gate config: the corpus must be k-anonymous over `quasiCols`
-    * and (when `sensitiveCol` is set) distinct-l-diverse for the
-    * sensitive attribute within each quasi-identifier group. The audits
-    * are ONE aggregate each (group-sized reports, no row content leaves
-    * executors); `failOnViolation = false` records the violation count as
-    * a stage instead of throwing — the report-only mode a backfill uses
-    * while tightening generalization upstream.
+    * and (when `sensitiveCol` is set) distinct-l-diverse — plus, when
+    * `tCloseness` is also set, t-close (per-group sensitive DISTRIBUTION
+    * within TVD t of the global one — the skew disclosure distinct
+    * counting misses). The audits are ONE aggregate each (group-sized
+    * reports, no row content leaves executors); `failOnViolation =
+    * false` records the violation count as a stage instead of throwing —
+    * the report-only mode a backfill uses while tightening
+    * generalization upstream.
     */
   final case class PrivacyGate(quasiCols: Seq[String], k: Long,
                                sensitiveCol: Option[String] = None,
                                l: Long = 2,
+                               tCloseness: Option[Double] = None,
                                failOnViolation: Boolean = true)
 
   def run(spark: SparkSession, sfDir: String,
@@ -105,12 +108,15 @@ object CuratePipeline {
       val lViol = g.sensitiveCol
         .map(sc => Privacy.lDiversityViolations(mixed, g.quasiCols, sc, g.l).count())
         .getOrElse(0L)
-      stages += Stage("privacy_gate_violations", kViol + lViol)
-      if (g.failOnViolation && kViol + lViol > 0)
+      val tViol = (for { sc <- g.sensitiveCol; tt <- g.tCloseness }
+        yield Privacy.tClosenessViolations(mixed, g.quasiCols, sc, tt).count())
+        .getOrElse(0L)
+      stages += Stage("privacy_gate_violations", kViol + lViol + tViol)
+      if (g.failOnViolation && kViol + lViol + tViol > 0)
         throw new IllegalStateException(
-          s"privacy gate: $kViol k-anonymity (k=${g.k}) and $lViol l-diversity " +
-            s"violating quasi-identifier groups over ${g.quasiCols.mkString(",")} " +
-            "— release blocked")
+          s"privacy gate: $kViol k-anonymity (k=${g.k}), $lViol l-diversity and " +
+            s"$tViol t-closeness violating quasi-identifier groups over " +
+            s"${g.quasiCols.mkString(",")} — release blocked")
     }
 
     // 8 — tokenize (merges trained on a quarter sample) and pack

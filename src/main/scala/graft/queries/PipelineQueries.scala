@@ -636,6 +636,27 @@ ORDER BY doc_id""")
         "doc_id", "source", col("quality_score"), n = 10)
       .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
 
+  /** Exact stratified train/validation/test split by language —
+    * 75/12.5/12.5, per-stratum quotas exact (see
+    * [[graft.operators.CorpusOps.splitStratified]]; the map-only
+    * hash-threshold scale path is spec-pinned against these quotas).
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.splitStratified(docs(s, dir), "doc_id", "lang",
+        Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+      .orderBy("doc_id")
+
+  /** Curriculum read order: per-source quality ranks interleaved
+    * round-robin into one gap-free global position (see
+    * [[graft.operators.CorpusOps.curriculumOrder]]).
+    */
+  def corpusCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.curriculumOrder(
+        TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+          .select("doc_id", "source", "quality_score"),
+        "doc_id", "source", col("quality_score"))
+      .orderBy("position")
+
   /** Deterministic global training-order permutation: (doc_id,
     * shuffle_pos) with positions 1..N in portable-md5-hash order.
     */
@@ -846,6 +867,17 @@ ORDER BY doc_id""")
   def privacyLDiv(s: SparkSession, dir: String): DataFrame =
     graft.operators.Privacy.lDiversityViolations(docs(s, dir),
         Seq("source"), "lang", l = 5)
+      .orderBy("source")
+
+  /** t-closeness audit: sources whose language DISTRIBUTION sits more
+    * than total-variation 0.15 from the corpus-wide one — the skew
+    * disclosure distinct-count l-diversity is blind to (see
+    * [[graft.operators.Privacy.tClosenessViolations]]). Completes the
+    * privacy trio.
+    */
+  def privacyTClose(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tClosenessViolations(docs(s, dir),
+        Seq("source"), "lang", t = 0.15)
       .orderBy("source")
 
   /** One-pass column profile of the documents table — row/null/distinct
@@ -1739,6 +1771,28 @@ ORDER BY doc_id""")
                 count(DISTINCT lang) AS n_sensitive
          FROM documents GROUP BY source
          HAVING count(DISTINCT lang) < 5 ORDER BY source""",
+    // t-closeness: per-group sensitive distribution vs global, TVD via
+    // the folded absent-mass identity 0.5*(1 + sum_present(|p-q| - q));
+    // every association and cast mirrors the Spark side, the cross-row
+    // sum rides the qsum grid
+    "privacy_t_close" ->
+      """WITH gv AS (SELECT source, lang, count(*) AS n_vs
+                     FROM documents GROUP BY source, lang),
+          gn AS (SELECT source, lang, n_vs,
+                        CAST(sum(n_vs) OVER (PARTITION BY source) AS BIGINT) AS n
+                 FROM gv),
+          q AS (SELECT lang, CAST(count(*) AS DOUBLE)
+                             / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS qv
+                FROM documents GROUP BY lang),
+          d AS (SELECT gn.source, gn.n,
+                       abs(CAST(gn.n_vs AS DOUBLE) / CAST(gn.n AS DOUBLE) - q.qv) - q.qv AS term
+                FROM gn JOIN q USING (lang)),
+          tv AS (SELECT source, max(n) AS n,
+                        0.5 * (1.0 + CAST(sum(CAST(floor(least(greatest(term, -1.0e6), 1.0e6)
+                            * 1.0e12) AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12) AS tvd
+                 FROM d GROUP BY source)
+         SELECT source, n, round(tvd, 6) AS tvd
+         FROM tv WHERE tvd > 0.15 ORDER BY source""",
     "emb_pca2" -> pca2Oracle(dim = 64, iters = 6),
     // TVD drift: integer counts, two double divisions, abs — the window
     // totals are over |langs| rows; association mirrors the Spark side
@@ -2291,6 +2345,49 @@ ORDER BY doc_id""")
          WHERE rn <= 10
          ORDER BY source, quality_score DESC, doc_id"""
     },
+    // exact stratified split: per-lang (hash, id) ranks against exact
+    // cumulative-fraction quotas; cum literals 0.75/0.875 are exact
+    // binary doubles, associations mirror the Spark side
+    "corpus_split" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5('s:split:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) / 16777216.0 AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM b)
+         SELECT doc_id, lang,
+                CASE WHEN rn <= ceil(0.75 * CAST(n AS DOUBLE)) THEN 'train'
+                     WHEN rn <= ceil(0.875 * CAST(n AS DOUBLE)) THEN 'validation'
+                     ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+    "corpus_curriculum" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id, source,
+                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stopwords
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+                  round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                      + 0.3 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4, 1.0)
+                      + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+           FROM f),
+         r AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank
+           FROM q)
+         SELECT doc_id, source, src_rank,
+                CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS position
+         FROM r ORDER BY position"""
+    },
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
@@ -2771,6 +2868,8 @@ ORDER BY doc_id""")
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_split" -> (corpusSplit _),
+    "corpus_curriculum" -> (corpusCurriculum _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_mixture_temperature" -> (corpusMixtureTemperature _),
     "corpus_pack" -> (corpusPack _),
@@ -2786,6 +2885,7 @@ ORDER BY doc_id""")
     "warehouse_profile" -> (warehouseProfile _),
     "warehouse_drift" -> (warehouseDrift _),
     "privacy_k_anon" -> (privacyKAnon _),
+    "privacy_t_close" -> (privacyTClose _),
     "privacy_l_div" -> (privacyLDiv _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),

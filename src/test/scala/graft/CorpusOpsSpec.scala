@@ -114,6 +114,63 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
   }
 
+  test("stratified split: exact per-stratum quotas, disjoint+complete, partition-invariant") {
+    val fr = Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125)
+    val out = CorpusOps.splitStratified(docs, "doc_id", "lang", fr)
+      .as[(Long, String, String)].collect()
+    assert(out.length == docs.count()) // complete, one label per row
+    val perStratum = out.groupBy(_._2)
+    perStratum.foreach { case (lang, rows) =>
+      val n = rows.length.toDouble
+      val c = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      // exact ceil-quota arithmetic: train gets ceil(0.75n), validation
+      // tops up to ceil(0.875n), test the remainder
+      assert(c("train") == math.ceil(0.75 * n).toLong, s"$lang: $c")
+      assert(c("train") + c("validation") == math.ceil(0.875 * n).toLong, s"$lang: $c")
+    }
+    val again = CorpusOps.splitStratified(docs.repartition(17), "doc_id", "lang", fr)
+      .as[(Long, String, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("stratified split hash path: map-only, expectation-proportional, incrementally stable") {
+    val fr = Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125)
+    val fast = CorpusOps.splitStratified(docs, "doc_id", "lang", fr, exact = false)
+      .as[(Long, String, String)].collect()
+    val frac = fast.count(_._3 == "train").toDouble / fast.length
+    assert(math.abs(frac - 0.75) < 0.05, s"train fraction $frac")
+    // no shuffle: the plan has no Exchange at all
+    val plan = CorpusOps.splitStratified(docs, "doc_id", "lang", fr, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    // incremental stability: a row's split never changes when the corpus
+    // grows (the property exact quotas cannot have)
+    val sub = CorpusOps.splitStratified(docs.filter(col("doc_id") < 1000),
+        "doc_id", "lang", fr, exact = false)
+      .as[(Long, String, String)].collect().map(r => (r._1, r._3)).toMap
+    val full = fast.map(r => (r._1, r._3)).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+  }
+
+  test("curriculum: block b holds every source's rank-b doc; positions gap-free") {
+    val scored = TextAnalysis.quality(docs, "text", "doc_id")
+      .select("doc_id", "source", "quality_score")
+    val out = CorpusOps.curriculumOrder(scored, "doc_id", "source",
+        col("quality_score"))
+      .orderBy("position")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._4).toSeq == (1L to out.length).toSeq) // gap-free total order
+    val nSources = out.map(_._2).distinct.length
+    // while every source still has documents, each block of |sources|
+    // positions contains each source exactly once, ranks ascending
+    val minCount = out.groupBy(_._2).values.map(_.length).min
+    (0 until minCount).foreach { b =>
+      val block = out.slice(b * nSources, (b + 1) * nSources)
+      assert(block.map(_._2).distinct.length == nSources, s"block $b repeats a source")
+      assert(block.forall(_._3 == b + 1), s"block $b has wrong ranks")
+    }
+  }
+
   test("global shuffle: a permutation of 1..N, partition-invariant") {
     val n = docs.count()
     val a = CorpusOps.globalShuffle(docs, "doc_id")

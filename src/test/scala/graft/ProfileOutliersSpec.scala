@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Outliers, Profile}
+import graft.operators.{Outliers, Privacy, Profile}
 
 /** Column profiler (null/distinct/min/max semantics on hand-built data)
   * and robust MAD outliers (hand-computed z-scores, MAD=0 degeneracy).
@@ -84,6 +84,29 @@ class ProfileOutliersSpec extends SparkSpec {
     val v = graft.operators.Privacy.lDiversityViolations(df, Seq("qid"), "s", l = 2)
       .as[(String, Long, Long)].collect().toSeq
     assert(v == Seq(("a", 4L, 1L)))
+  }
+
+  test("tClosenessViolations: skewed group flagged with hand-computed TVD, balanced groups pass") {
+    // neutral group n: 10× each of x/y/z (dominates the global mix);
+    // group a mirrors the global mix (tiny TVD); group b is ALL x —
+    // 3 distinct-diverse? no (1 value), but the point is the skew:
+    // global q = (14/36, 11/36, 11/36), so
+    // TVD(b) = 0.5·((1 − 14/36) + 11/36 + 11/36) = 22/36 = 0.611111
+    val rows =
+      (1 to 10).flatMap(_ => Seq(("n", "x"), ("n", "y"), ("n", "z"))) ++
+        Seq(("a", "x"), ("a", "y"), ("a", "z")) ++
+        Seq(("b", "x"), ("b", "x"), ("b", "x"))
+    val df = rows.toDF("grp", "diag")
+    val out = Privacy.tClosenessViolations(df, Seq("grp"), "diag", t = 0.3)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("b", 3L, 0.611111)), out.toString)
+    // partition-invariance of the fixed-point TVD
+    val out32 = Privacy.tClosenessViolations(df.repartition(32), Seq("grp"),
+        "diag", t = 0.3)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out32 == out)
+    // t above every group's distance: empty report = compliant
+    assert(Privacy.tClosenessViolations(df, Seq("grp"), "diag", t = 0.7).isEmpty)
   }
 
   test("madOutliers: MAD=0 group is degenerate and emits nothing") {
