@@ -49,6 +49,15 @@ object AnnIndex {
     df.withColumn("cell_id", col("cell_id").cast("long"))
   }
 
+  /** Snapshot the per-cell occupancy of the persisted corpus into
+    * `dir/cell_stats` — the build-time baseline [[routingDrift]] reads.
+    * nlist-bounded rows; one aggregate over the cell_id column.
+    */
+  private def recordCellStats(spark: SparkSession, dir: String): Unit =
+    readCorpus(spark, dir)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_built"))
+      .write.mode("overwrite").parquet(s"$dir/cell_stats")
+
   /** Train and persist: `dir/centroids` (cell_id, pv float vector) and
     * `dir/corpus` partitioned by cell_id.
     */
@@ -64,6 +73,7 @@ object AnnIndex {
     Similarity.ivfRoute(corpus, centDf, vecCol, idCol)
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/corpus")
+    recordCellStats(spark, dir)
   }
 
   /** Incremental index maintenance: route NEW vectors with the
@@ -144,6 +154,7 @@ object AnnIndex {
       .withColumn("codes", pq_encode(col(vecCol), cb.cents))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/corpus")
+    recordCellStats(spark, dir)
   }
 
   /** Route + encode NEW vectors under the FROZEN pivots and codebooks and
@@ -200,6 +211,41 @@ object AnnIndex {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"))
     }
+  }
+
+  /** The drift-informed re-train policy made CONCRETE: per-cell occupancy
+    * of the index NOW vs the snapshot taken at build time — when new data
+    * stops distributing the way the quantizer was trained for, recall
+    * degrades (hot cells over-fill, probes miss), and the total-variation
+    * distance of the two occupancy distributions is the scalar to alert
+    * on (the warehouse_drift shape, applied to the index's own routing).
+    *
+    * Output: (cell_id, n_built, n_now, p_built, p_now, abs_diff), one
+    * row per cell ever observed — TVD = Σ abs_diff / 2. Cost: one
+    * aggregate over the corpus's cell_id column plus an nlist-sized
+    * join; nothing corpus-sized shuffles twice. The caller owns the
+    * threshold (rebuild when TVD exceeds it); AnnIndexSpec pins zero
+    * drift at build time, growth under a skewed append, and invariance
+    * across compaction.
+    */
+  def routingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val built = spark.read.parquet(s"$dir/cell_stats")
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_built"))
+    val now = readCorpus(spark, dir)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_now"))
+    built.join(now, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        coalesce(col("n_built"), lit(0L)).as("n_built"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("p_built",
+        col("n_built").cast("double") / sum(col("n_built")).over(w).cast("double"))
+      .withColumn("p_now",
+        col("n_now").cast("double") / sum(col("n_now")).over(w).cast("double"))
+      .select(col("cell_id"), col("n_built"), col("n_now"),
+        round(col("p_built"), 6).as("p_built"),
+        round(col("p_now"), 6).as("p_now"),
+        round(abs(col("p_built") - col("p_now")), 6).as("abs_diff"))
   }
 
   // ------------------------------------------------------------ compaction

@@ -129,6 +129,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(post.nonEmpty)
   }
 
+  test("routingDrift: zero at build, grows under a skewed append, unchanged by compaction") {
+    val (all, _) = fixture()
+    val base = all.filter(col("vec_id") % 3 =!= 0L)
+    val dir = tempDir("driftidx")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    def tvd: Double = AnnIndex.routingDrift(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("abs_diff")).head().getDouble(0) / 2.0
+    assert(tvd == 0.0, s"fresh index drifted: $tvd")
+    // skewed append: clones of ONE existing vector all route to one cell
+    val one = base.limit(1).select(col("embedding")).head().getSeq[Float](0)
+    import spark.implicits._
+    val skew = (100000L until 100300L).map(i => (i, one)).toDF("vec_id", "embedding")
+    AnnIndex.appendIvf(skew, "embedding", "vec_id", dir)
+    val drifted = tvd
+    assert(drifted > 0.05, s"skewed append should move occupancy: $drifted")
+    AnnIndex.compactIvf(spark, dir)
+    assert(tvd == drifted, "compaction must not change the drift readout")
+  }
+
   test("IVFADC probe scan prunes cell partitions") {
     val (all, qs) = fixture()
     val dir = tempDir("adcidx3")
