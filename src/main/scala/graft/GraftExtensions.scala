@@ -39,6 +39,8 @@ object GraftExtensions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "py_capitalize" -> one(PyCapitalize),
     "py_title" -> one(PyTitle),
+    "nfc_normalize" -> one(NfcNormalize),
+    "nfkc_normalize" -> one(NfkcNormalize),
     "cosine_similarity" -> two(CosineSimilarity),
     "dot_product" -> two(DotProduct),
     "vector_norm" -> one(VectorNorm),

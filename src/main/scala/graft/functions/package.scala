@@ -15,6 +15,12 @@ package object functions {
   /** Python `str.title` semantics (SURVEY.md F4). */
   def py_title(c: Column): Column = col(PyTitle(expr(c)))
 
+  /** Unicode NFC canonicalization (codegen; see [[UnicodeNorm]]). */
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
+
+  /** Unicode NFKC compatibility normalization (codegen). */
+  def nfkc_normalize(c: Column): Column = col(NfkcNormalize(expr(c)))
+
   /** Cosine similarity between two `array<float>` columns. */
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))

@@ -335,6 +335,20 @@ object PipelineQueries {
         "unique_ratio", "stopword_ratio", "mean_token_len", "quality_score")
       .orderBy("doc_id")
 
+  /** NFC canonicalization over the corpus (see
+    * [[graft.functions.UnicodeNorm]]) — the byte-canonicalization pass
+    * before any hash-keyed operator. Oracled against DuckDB's
+    * independent `nfc_normalize` (both implement UAX #15); the NFKC
+    * compatibility fold has no DuckDB twin and is pinned in
+    * UnicodeNormSpec instead.
+    */
+  def textNfc(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        graft.functions.nfc_normalize(col("text")).as("text_nfc"),
+        (graft.functions.nfc_normalize(col("text")) === col("text"))
+          .as("already_nfc"))
+      .orderBy("doc_id")
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
@@ -415,6 +429,24 @@ object PipelineQueries {
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", k = 8, minShared = 1, portable = true,
         broadcastBench = false)
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] answered from a PERSISTED benchmark artifact
+    * (shingle table + bloom, built once — see
+    * [[graft.operators.Decontam.buildBenchArtifact]]): identical output
+    * to the in-memory paths, so it shares their oracle verbatim; what
+    * changes is the lifecycle — the bench side is read, not recomputed.
+    */
+  def decontaminatePersisted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val art = java.nio.file.Files.createTempDirectory("graft_bench_art").toString
+    graft.operators.Decontam.buildBenchArtifact(
+      d.filter(col("doc_id") % 10 === 0), "text", "doc_id", art,
+      k = 8, portable = true)
+    graft.operators.Decontam.overlapPersisted(
+        d.filter(col("doc_id") % 10 =!= 0), art, "text", "doc_id",
+        k = 8, minShared = 1, portable = true)
       .orderBy("doc_id")
   }
 
@@ -2183,6 +2215,10 @@ ORDER BY doc_id""")
                     + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
          FROM f ORDER BY doc_id"""
     },
+    "text_nfc" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+                text = nfc_normalize(text) AS already_nfc
+         FROM documents ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
@@ -2290,6 +2326,7 @@ ORDER BY doc_id""")
     // false positives can't reach the output.
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
+    "decontaminate_persisted" -> decontaminateSql,
     "decontaminate_score" ->
       s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
           bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -2851,11 +2888,13 @@ ORDER BY doc_id""")
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_nfc" -> (textNfc _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_boilerplate" -> (textBoilerplate _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_persisted" -> (decontaminatePersisted _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_score" -> (decontaminateScore _),
     "corpus_vocab" -> (corpusVocab _),

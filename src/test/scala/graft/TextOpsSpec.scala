@@ -110,4 +110,26 @@ class TextOpsSpec extends SparkSpec {
       "text", "doc_id", k = 8)
     tiny.collect() // just runs
   }
+
+  test("persisted bench artifact: identical decontamination, reusable across runs") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" % 10 =!= 0)
+    val bench = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" % 10 === 0)
+    val plain = Decontam.overlap(corpus, bench, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val art = tempDir("benchart")
+    Decontam.buildBenchArtifact(bench, "text", "doc_id", art, k = 8)
+    // two independent query runs from the SAME artifact — the bench side
+    // is read, never recomputed, and results match the in-memory path
+    (1 to 2).foreach { run =>
+      val r = Decontam.overlapPersisted(corpus, art, "text", "doc_id", k = 8)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(r == plain, s"run $run diverged")
+    }
+    // the bloom probe is in the plan (map-side prefilter before the join)
+    val p = Decontam.overlapPersisted(corpus, art, "text", "doc_id", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(800))
+  }
 }
