@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** One-call corpus datasheet — the summary table a dataset release
+  * review reads first ("Datasheets for Datasets", Gebru et al. 2021 —
+  * public literature): volume, composition, duplication, quality and
+  * PII exposure as (metric, value) rows. Every number here is an
+  * already-shipped graft primitive; the operator's job is to make "what
+  * is this corpus" ONE call with ONE deterministic answer instead of a
+  * notebook of ad-hoc scans.
+  *
+  * Scale shape: two map-only featurize passes (quality features, PII
+  * counts) joined per-doc, then ONE aggregate — counts and long sums
+  * are exact and partial-aggregatable, the distinct counts plan through
+  * Expand, the one float mean rides the fixed-point qsum grid, and the
+  * result is 9 rows. No windows, no driver collects beyond the result.
+  */
+object CorpusReport {
+
+  private def qsum(term: Column): Column =
+    sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
+      .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
+
+  /** (metric, value) datasheet rows: n_docs, n_chars_total,
+    * n_tokens_total, n_langs, n_sources, exact_dup_rate, mean_quality,
+    * pii_doc_rate, mean_tokens_per_doc.
+    */
+  def datasheet(df: DataFrame, textCol: String, idCol: String,
+                langCol: String, sourceCol: String): DataFrame = {
+    val q = TextAnalysis.quality(df, textCol, idCol)
+      .select(col(idCol), col(langCol), col(sourceCol), col(textCol),
+        col("n_chars"), col("n_tokens"), col("quality_score"))
+    val pii = TextAnalysis.redactPii(df, textCol, idCol)
+      .select(col(idCol),
+        ((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
+          .cast("long").as("has_pii"))
+    val one = q.join(pii, Seq(idCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars_total"),
+      sum(col("n_tokens")).as("n_tokens_total"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(md5(col(textCol))).as("n_unique_texts"),
+      qsum(col("quality_score")).as("q_sum"),
+      sum(col("has_pii")).as("n_pii_docs"))
+    def m(name: String, v: Column) =
+      struct(lit(name).as("metric"), v.as("value"))
+    val nD = col("n_docs").cast("double")
+    one.select(explode(array(
+        m("n_docs", nD),
+        m("n_chars_total", col("n_chars_total").cast("double")),
+        m("n_tokens_total", col("n_tokens_total").cast("double")),
+        m("n_langs", col("n_langs").cast("double")),
+        m("n_sources", col("n_sources").cast("double")),
+        m("exact_dup_rate",
+          round(lit(1.0) - col("n_unique_texts").cast("double") / nD, 6)),
+        m("mean_quality", round(col("q_sum") / nD, 6)),
+        m("pii_doc_rate", round(col("n_pii_docs").cast("double") / nD, 6)),
+        m("mean_tokens_per_doc",
+          round(col("n_tokens_total").cast("double") / nD, 6))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+}

@@ -9,6 +9,10 @@ import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, Privacy, QualityModel, 
   * pipeline over the documents table — the flow a 100 TB pretraining crawl
   * actually runs, each stage the operator documented in its own module:
   *
+  *  0. Unicode NFC canonicalization (map-only) — composed vs decomposed
+  *     forms of the same text are different BYTES to every hash-keyed
+  *     stage below (content-hash dedup, shingles, minhash); canonicalize
+  *     once at the gate so they never diverge
   *  1. boilerplate line removal (per-source template df)
   *  2. quality filtering by the IRLS-TRAINED model (not the raw heuristic:
   *     featureize → train on the corpus itself → map-only score)
@@ -62,10 +66,15 @@ object CuratePipeline {
       mat
     }
 
+    // 0 — byte-canonicalize (map-only; count-preserving, so this stage
+    // also records the input volume)
+    val canon = record("canonicalize", raw.select(col("doc_id"),
+      graft.functions.nfc_normalize(col("text")).as("text"), col("source")))
+
     // 1 — strip per-source template lines (headers/footers/banners)
     val stripped = record("boilerplate", TextAnalysis
-      .removeBoilerplateLines(raw, "text", "doc_id", "source", minDf = 10)
-      .join(raw.select("doc_id", "source"), "doc_id")
+      .removeBoilerplateLines(canon, "text", "doc_id", "source", minDf = 10)
+      .join(canon.select("doc_id", "source"), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"), col("source"))
       .filter(length(col("text")) > 0))
 
@@ -91,7 +100,7 @@ object CuratePipeline {
 
     // 5 — decontamination: drop docs sharing 8-gram shingles with the
     // "benchmark" (stand-in: the 1% lowest-hash sample of the corpus)
-    val bench = CorpusOps.sampleByHash(raw, "doc_id", rate = 0.01)
+    val bench = CorpusOps.sampleByHash(canon, "doc_id", rate = 0.01)
     val dirty = Decontam.overlap(fuzzy, bench, "text", "doc_id", k = 8)
       .filter(col("doc_id").isNotNull).select("doc_id")
       .except(bench.select("doc_id")) // the bench docs themselves stay

@@ -349,6 +349,15 @@ object PipelineQueries {
           .as("already_nfc"))
       .orderBy("doc_id")
 
+  /** One-call corpus datasheet (see
+    * [[graft.operators.CorpusReport.datasheet]]): volume, composition,
+    * duplication, quality and PII exposure as 9 (metric, value) rows.
+    */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusReport.datasheet(docs(s, dir), "text", "doc_id",
+        "lang", "source")
+      .orderBy("metric")
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
@@ -2219,6 +2228,53 @@ ORDER BY doc_id""")
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
                 text = nfc_normalize(text) AS already_nfc
          FROM documents ORDER BY doc_id""",
+    "corpus_datasheet" -> {
+      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+           SELECT doc_id, lang, source, text,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stopwords
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, source, text, n_chars, n_tokens,
+                  round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                      + 0.3 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4, 1.0)
+                      + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
+                  CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                          + len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}'))
+                          + len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,}[0-9]')) > 0
+                       THEN 1 ELSE 0 END AS has_pii
+           FROM f),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+                  CAST(sum(CAST(floor(least(greatest(quality_score, -1.0e6), 1.0e6)
+                      * 1.0e12) AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS q_sum,
+                  CAST(sum(has_pii) AS BIGINT) AS n_pii_docs
+           FROM q)
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+           UNION ALL SELECT 'n_chars_total', CAST(n_chars_total AS DOUBLE) FROM a
+           UNION ALL SELECT 'n_tokens_total', CAST(n_tokens_total AS DOUBLE) FROM a
+           UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+           UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+           UNION ALL SELECT 'exact_dup_rate',
+             round(1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+           UNION ALL SELECT 'mean_quality',
+             round(q_sum / CAST(n_docs AS DOUBLE), 6) FROM a
+           UNION ALL SELECT 'pii_doc_rate',
+             round(CAST(n_pii_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a
+           UNION ALL SELECT 'mean_tokens_per_doc',
+             round(CAST(n_tokens_total AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM a)
+         ORDER BY metric"""
+    },
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
@@ -2889,6 +2945,7 @@ ORDER BY doc_id""")
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_nfc" -> (textNfc _),
+    "corpus_datasheet" -> (corpusDatasheet _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),

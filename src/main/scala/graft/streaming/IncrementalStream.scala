@@ -290,6 +290,69 @@ object IncrementalStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming DECONTAMINATION ingestion: every micro-batch is screened
+    * against a PERSISTED benchmark artifact
+    * ([[graft.operators.Decontam.buildBenchArtifact]] — shingle table +
+    * bloom, built once when the benchmark ships) and only clean docs
+    * commit. The bench side costs a bounded artifact read per batch, the
+    * batch side one map-only bloom probe + exact verification join — the
+    * eval-leakage firewall at the INGESTION boundary rather than as a
+    * corpus-wide sweep later.
+    *
+    * Same durability protocol as [[fuzzyDedupIngest]]: accepted docs
+    * write under `outDir/docs/ingest=<key>` with a `_commits` marker
+    * (unmarked orphans are invisible and self-heal on re-delivery — the
+    * deterministic batchId+content key overwrites in place), and an id
+    * already committed is dropped outright (exact re-delivery).
+    */
+  def decontamIngest(stream: DataFrame, artifactDir: String, outDir: String,
+                     checkpointDir: String, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 8,
+                     minShared: Long = 1,
+                     portable: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sp = batch0.sparkSession
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+        val committed: Seq[String] =
+          if (fs.exists(commitsDir))
+            fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+              .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+          else Nil
+        var pinned = List.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+        try {
+          val batch = pin(if (committed.nonEmpty)
+              batch0.select(col(idCol), col(textCol))
+                .join(sp.read.parquet(
+                    committed.map(key => s"$outDir/docs/ingest=$key"): _*)
+                  .select(col(idCol)), Seq(idCol), "left_anti")
+            else batch0.select(col(idCol), col(textCol)))
+          if (!batch.isEmpty) {
+            val dirty = graft.operators.Decontam.overlapPersisted(
+              batch, artifactDir, textCol, idCol, k, minShared, portable)
+              .select(col(idCol))
+            val accepted = pin(batch.join(dirty, Seq(idCol), "left_anti"))
+            if (!accepted.isEmpty) {
+              val contentHash = accepted
+                .agg(format_string("%016x",
+                  bit_xor(xxhash64(col(idCol).cast("string")))))
+                .head().getString(0).take(12)
+              val key = s"${batchId}_$contentHash"
+              accepted.write.mode("overwrite").parquet(s"$outDir/docs/ingest=$key")
+              fs.mkdirs(commitsDir)
+              fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+            }
+          }
+        } finally pinned.foreach(_.unpersist())
+        ()
+      }
+      .start()
+
   /** Streaming FUZZY dedup ingestion: every micro-batch is near-dup
     * checked against the corpus committed so far through its persisted
     * minhash state (`Dedup.minhashState` tables under `stateDir`), then

@@ -11,8 +11,8 @@ class CuratePipelineSpec extends SparkSpec {
   test("curation pipeline: stages filter monotonically; packed blocks exact") {
     val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001")
     val byName = stages.map(s => s.stage -> s.docs).toMap
-    assert(stages.map(_.stage) == Seq("boilerplate", "quality", "exact_dedup",
-      "fuzzy_dedup", "decontaminated", "mixture", "packed_blocks"))
+    assert(stages.map(_.stage) == Seq("canonicalize", "boilerplate", "quality",
+      "exact_dedup", "fuzzy_dedup", "decontaminated", "mixture", "packed_blocks"))
     val docCounts = stages.dropRight(1).map(_.docs)
     assert(docCounts.head > 0)
     assert(docCounts.sliding(2).forall { case Seq(a, b) => b <= a },

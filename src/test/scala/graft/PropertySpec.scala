@@ -123,6 +123,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratified split: partition of the corpus with exact quotas for random fractions") {
+    val fracGen = for {
+      a <- Gen.choose(1, 8); b <- Gen.choose(1, 8); c <- Gen.choose(1, 8)
+    } yield {
+      val s = (a + b + c).toDouble
+      // fractions as exact ratios of small ints; the op requires sum == 1
+      Seq("s1" -> (a / s), "s2" -> (b / s), "s3" -> (1.0 - a / s - b / s))
+    }
+    val rows = (1 to 400).map(i => (i.toLong, s"k${i % 5}"))
+    val df = rows.toDF("id", "stratum")
+    draws(fracGen, 4).foreach { fr =>
+      val out = graft.operators.CorpusOps
+        .splitStratified(df, "id", "stratum", fr)
+        .as[(Long, String, String)].collect()
+      assert(out.length == rows.length) // complete
+      assert(out.map(_._1).distinct.length == rows.length) // one label per row
+      out.groupBy(_._2).foreach { case (_, g) =>
+        val n = g.length.toDouble
+        val c = g.groupBy(_._3).view.mapValues(_.length).toMap.withDefaultValue(0)
+        val cum1 = fr(0)._2
+        val cum2 = fr(0)._2 + fr(1)._2
+        assert(c("s1") == math.ceil(cum1 * n).toLong, s"$fr -> $c of $n")
+        assert(c("s1") + c("s2") == math.ceil(cum2 * n).toLong, s"$fr -> $c of $n")
+      }
+    }
+  }
+
+  test("containment: C(a,b)=1 whenever a's token stream appears inside b, any random docs") {
+    val word = Gen.choose('a', 'z').map(_.toString)
+    val docGen = Gen.choose(9, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    draws(Gen.zip(docGen, docGen), 6).foreach { case (short, filler) =>
+      val df = Seq((1L, short), (2L, s"$filler $short"))
+        .toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .ngramContainment(df, "text", "doc_id", k = 8, threshold = 0.999)
+        .as[(Long, Long, Double)].collect()
+      // every 8-shingle of doc 1 exists in doc 2 by construction
+      assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0),
+        s"short='$short' out=${out.toSeq}")
+    }
+  }
+
   test("equi-depth buckets: sizes within one of n/b, monotone in value, for random data") {
     val values = draws(Gen.chooseNum(-1000L, 1000L), 400)
     val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

@@ -284,6 +284,43 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("streaming decontamination: contaminated docs blocked at ingest, clean docs commit") {
+    import spark.implicits._
+    val in = tempDir("dc_in")
+    val out = tempDir("dc_out")
+    val art = tempDir("dc_art")
+    // the benchmark ships once: 8-gram artifact persisted up front
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    graft.operators.Decontam.buildBenchArtifact(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "text", "doc_id", art, k = 8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def writeJson(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    def drain(ck: String): Unit =
+      IncrementalStream.decontamIngest(
+        spark.readStream.schema(schema).json(in), art, out, tempDir(ck))
+        .awaitTermination()
+    def committedDocs: Set[Long] = spark.read.parquet(s"$out/docs")
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch 1: doc 1 clean, doc 2 contains a bench 8-gram -> blocked
+    writeJson("b1.json", Seq(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> (benchText + " smuggled")))
+    drain("dc_ck1")
+    assert(committedDocs == Set(1L))
+
+    // batch 2: doc 1 re-delivered (dropped), doc 3 clean
+    writeJson("b2.json", Seq(
+      1L -> "one two three four five six seven eight nine ten",
+      3L -> "red orange yellow green blue indigo violet cyan magenta"))
+    drain("dc_ck2")
+    assert(committedDocs == Set(1L, 3L))
+  }
+
   test("file-stream incremental load is idempotent across re-delivery") {
     val in = tempDir("sin")
     val wh = new Warehouse(spark, tempDir("swh"))

@@ -111,6 +111,27 @@ class TextOpsSpec extends SparkSpec {
     tiny.collect() // just runs
   }
 
+  test("corpus datasheet: hand-computed metrics on a constructed corpus") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "en", "a"),
+      (2L, "the quick brown fox jumps", "en", "b"), // exact dup of 1
+      (3L, "contact me bob@x.io today", "en", "a"), // carries PII
+      (4L, "uno dos tres cuatro", "es", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = graft.operators.CorpusReport.datasheet(df, "text", "doc_id",
+        "lang", "source")
+      .as[(String, Double)].collect().toMap
+    assert(m.size == 9)
+    assert(m("n_docs") == 4.0)
+    assert(m("n_langs") == 2.0 && m("n_sources") == 3.0)
+    assert(m("exact_dup_rate") == 0.25) // one duplicated text of four
+    assert(m("pii_doc_rate") == 0.25)   // the email doc
+    assert(m("n_chars_total") == 94.0)
+    assert(m("n_tokens_total") == 18.0) // 5 + 5 + 4 + 4
+    assert(m("mean_tokens_per_doc") == 4.5)
+    assert(m("mean_quality") > 0.0 && m("mean_quality") <= 1.0)
+  }
+
   test("persisted bench artifact: identical decontamination, reusable across runs") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter($"doc_id" % 10 =!= 0)
