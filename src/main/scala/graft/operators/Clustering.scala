@@ -150,6 +150,40 @@ object Clustering {
     * conservatively KEPT — dedup may under-delete, never over-delete.
     * Emits one row per vector: (id, cell_id, kept).
     */
+  /** Per-cell PROTOTYPE selection — the coreset/distillation move: cover
+    * the embedding space with k-means cells, then keep each cell's `n`
+    * most-representative members (highest cosine to the cell's OWN
+    * centroid). Complements [[semanticDedup]] (which removes redundancy)
+    * by selecting FOR coverage: every region of the space contributes,
+    * no region dominates.
+    *
+    * Scale shape: Lloyd training is the [[kmeans]] bounded-artifact
+    * loop; assignment and the cosine-to-own-centroid score are ONE
+    * map-only projection (`element_at` into the k-bounded centroid
+    * literal — no join); per-cell top-n runs through the TopKPerKey
+    * bounded heaps (≤ n rows per cell per task reach the shuffle, never
+    * a corpus window sort). The final rank window touches ≤ k·n rows.
+    *
+    * Output: (idCol, cell_id, rank, centroid_cos), rank 1..n per cell.
+    */
+  def prototypes(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                 iters: Int, n: Int): DataFrame = {
+    val cents = kmeans(df, vecCol, idCol, k, iters)
+    val cl = centroidLiteral(cents)
+    val scored = df.select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), cl).as("cell_id"))
+      .withColumn("centroid_cos", graft.functions.cosine_similarity_fd(
+        col(vecCol), element_at(cl, col("cell_id").cast("int") + 1)("cv")))
+      .select(col(idCol), col("cell_id"), col("centroid_cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq(col("cell_id")),
+      Seq(col("centroid_cos").desc, col(idCol).asc), n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))
+      .orderBy(col("centroid_cos").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("cell_id"), col("rank"),
+        round(col("centroid_cos"), 6).as("centroid_cos"))
+  }
+
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
                     iters: Int, threshold: Double,
                     maxCluster: Int = 100000): DataFrame = {

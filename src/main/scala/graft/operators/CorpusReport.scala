@@ -12,11 +12,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * is this corpus" ONE call with ONE deterministic answer instead of a
   * notebook of ad-hoc scans.
   *
-  * Scale shape: two map-only featurize passes (quality features, PII
-  * counts) joined per-doc, then ONE aggregate — counts and long sums
-  * are exact and partial-aggregatable, the distinct counts plan through
-  * Expand, the one float mean rides the fixed-point qsum grid, and the
-  * result is 9 rows. No windows, no driver collects beyond the result.
+  * Scale shape: ONE corpus pass — the quality features and PII counts
+  * are both map-only projections, so they CHAIN over the same scan (no
+  * per-doc join, no shuffle before the aggregate); counts and long
+  * sums are exact and partial-aggregatable, the distinct counts plan
+  * through Expand, the one float mean rides the fixed-point qsum grid,
+  * and the result is 9 rows. No windows, no driver collects beyond the
+  * result.
   */
 object CorpusReport {
 
@@ -30,14 +32,12 @@ object CorpusReport {
     */
   def datasheet(df: DataFrame, textCol: String, idCol: String,
                 langCol: String, sourceCol: String): DataFrame = {
-    val q = TextAnalysis.quality(df, textCol, idCol)
-      .select(col(idCol), col(langCol), col(sourceCol), col(textCol),
-        col("n_chars"), col("n_tokens"), col("quality_score"))
-    val pii = TextAnalysis.redactPii(df, textCol, idCol)
-      .select(col(idCol),
-        ((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
-          .cast("long").as("has_pii"))
-    val one = q.join(pii, Seq(idCol)).agg(
+    // both featurizers are map-only withColumns — chained, they stay one
+    // projection over one scan (a per-doc join here would shuffle the
+    // corpus twice for nothing)
+    val per = TextAnalysis.redactPii(
+      TextAnalysis.quality(df, textCol, idCol), textCol, idCol)
+    val one = per.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("n_chars_total"),
       sum(col("n_tokens")).as("n_tokens_total"),
@@ -45,7 +45,8 @@ object CorpusReport {
       countDistinct(col(sourceCol)).as("n_sources"),
       countDistinct(md5(col(textCol))).as("n_unique_texts"),
       qsum(col("quality_score")).as("q_sum"),
-      sum(col("has_pii")).as("n_pii_docs"))
+      sum(((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
+        .cast("long")).as("n_pii_docs"))
     def m(name: String, v: Column) =
       struct(lit(name).as("metric"), v.as("value"))
     val nD = col("n_docs").cast("double")

@@ -299,6 +299,17 @@ object PipelineQueries {
         k = 8, iters = 2)
       .orderBy("cell_id", "dim")
 
+  /** Per-cell prototypes (see
+    * [[graft.operators.Clustering.prototypes]]): each k-means cell's 10
+    * most-representative vectors — diversity-preserving selection. Same
+    * (k=8, iters=2) training as sim_kmeans, so the oracle reuses those
+    * Lloyd CTEs verbatim.
+    */
+  def simPrototypes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.prototypes(embs(s, dir), "embedding", "vec_id",
+        k = 8, iters = 2, n = 10)
+      .orderBy("cell_id", "rank")
+
   /** SemDeDup-style semantic dedup: k-means cells (same training as
     * [[simKmeans]]), then within each cell drop vectors dominated by a
     * smaller-id cell-mate at cosine ≥ 0.35. One row per vector with its
@@ -2552,6 +2563,20 @@ ORDER BY doc_id""")
                 COALESCE(m.n_members, 0) AS n_members
          FROM flat f LEFT JOIN members m ON m.cell_id = f.cell_id
          ORDER BY f.cell_id, dim""",
+    "sim_prototypes" ->
+      s"""WITH $kmeansCtes,
+          scored AS (
+            SELECT a.vec_id, a.cell_id,
+                   ${cosSql("a.embedding", "c.cv")} AS cc
+            FROM assign3 a JOIN cent2 c ON c.c = a.cell_id),
+          r AS (
+            SELECT vec_id, cell_id, cc,
+                   row_number() OVER (PARTITION BY cell_id
+                     ORDER BY cc DESC, vec_id) AS rank
+            FROM scored)
+         SELECT vec_id, cell_id, CAST(rank AS BIGINT) AS rank,
+                round(cc, 6) AS centroid_cos
+         FROM r WHERE rank <= 10 ORDER BY cell_id, rank""",
     "dedup_semantic" ->
       s"""WITH $kmeansCtes,
           dom AS (
@@ -2940,6 +2965,7 @@ ORDER BY doc_id""")
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfadc" -> (simTopkIvfAdc _),
     "sim_kmeans" -> (simKmeans _),
+    "sim_prototypes" -> (simPrototypes _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),

@@ -82,6 +82,44 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.exists(!_)) // the planted clusters do contain near-dups
   }
 
+  test("prototypes: per-cell top-n by cosine to own centroid, brute-force checked") {
+    val df = planted(40).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val n = 3
+    val out = Clustering.prototypes(df, "embedding", "vec_id", k = 2,
+        iters = 3, n = n)
+      .as[(Long, Int, Long, Double)].collect()
+    val byCell = out.groupBy(_._2)
+    assert(byCell.size == 2)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length == n)
+      assert(rows.sortBy(_._3).map(_._4).toSeq.sliding(2)
+        .forall(p => p.head >= p.last), rows.toSeq) // rank order = cos desc
+    }
+    // brute-force: each cell's rank-1 prototype has the max cosine to its
+    // centroid among the cell's members
+    val cents = Clustering.kmeans(df, "embedding", "vec_id", k = 2, iters = 3)
+    val assigned = Clustering.assign(df, "embedding", "vec_id", cents)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect()
+    val vecs = df.as[(Long, Seq[Float])].collect().toMap
+    def cos(v: Seq[Float], c: Array[Double]): Double = {
+      val d = v.indices.map(i => v(i).toDouble * c(i)).sum
+      d / (math.sqrt(v.map(x => x.toDouble * x).sum) * math.sqrt(c.map(x => x * x).sum))
+    }
+    byCell.foreach { case (cell, rows) =>
+      val top = rows.minBy(_._3)
+      val best = assigned.filter(_._2 == cell)
+        .map { case (id, _) => id -> cos(vecs(id), cents(cell)) }
+        .maxBy { case (id, c) => (c, -id) }
+      assert(top._1 == best._1, s"cell $cell: ${top._1} vs ${best._1}")
+    }
+    // partition-invariant
+    val again = Clustering.prototypes(df.repartition(13), "embedding", "vec_id",
+        k = 2, iters = 3, n = n)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("semanticDedup keeps every vector of an over-cap cell (skew guard)") {
     val df = planted(20).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))

@@ -130,6 +130,11 @@ class TextOpsSpec extends SparkSpec {
     assert(m("n_tokens_total") == 18.0) // 5 + 5 + 4 + 4
     assert(m("mean_tokens_per_doc") == 4.5)
     assert(m("mean_quality") > 0.0 && m("mean_quality") <= 1.0)
+    // one corpus pass: both featurizers are map-only projections chained
+    // over one scan — no per-doc join anywhere in the plan
+    val plan = graft.operators.CorpusReport.datasheet(df, "text", "doc_id",
+      "lang", "source").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
   }
 
   test("persisted bench artifact: identical decontamination, reusable across runs") {
