@@ -144,6 +144,52 @@ object Multimodal {
         Array((mean / 255.0).toFloat, w / 64.0f, h / 64.0f, 1.0f))
     }
 
+    /** Nearest-neighbor resize of a 24-bpp BMP to (newW, newH) — REAL
+      * pixel math on the real container: parse with the same
+      * header/bounds checks as [[decodeBmp]], sample source pixels at
+      * floor-scaled coordinates, and re-emit a valid stride-padded BMP.
+      * None for anything decodeBmp would reject (corrupt blobs are data,
+      * not task failures).
+      */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+      if (newW <= 0 || newH <= 0 || newW > (1 << 12) || newH > (1 << 12)) return None
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || bpp != 24) return None
+      if (offset < 0) return None
+      val srcStrideL = (w.toLong * 3 + 3) / 4 * 4
+      if (offset.toLong + h.toLong * srcStrideL > bytes.length) return None
+      val srcStride = srcStrideL.toInt
+      val dstStride = (newW * 3 + 3) / 4 * 4
+      val size = 54 + newH * dstStride
+      val out = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+      i32(out, size); i32(out, 0); i32(out, 54)
+      i32(out, 40); i32(out, newW); i32(out, newH)
+      i16(out, 1); i16(out, 24)
+      i32(out, 0); i32(out, newH * dstStride)
+      i32(out, 2835); i32(out, 2835); i32(out, 0); i32(out, 0)
+      var r = 0
+      while (r < newH) {
+        val sr = (r.toLong * h / newH).toInt // floor-scaled source row
+        var c = 0
+        while (c < newW) {
+          val sc = (c.toLong * w / newW).toInt
+          val src = offset + sr * srcStride + sc * 3
+          out.put(bytes(src)).put(bytes(src + 1)).put(bytes(src + 2))
+          c += 1
+        }
+        var pad = newW * 3
+        while (pad < dstStride) { out.put(0.toByte); pad += 1 }
+        r += 1
+      }
+      Some(out.array())
+    }
+
     /** Parse a WAV by walking RIFF chunks to `fmt ` and `data`; f0 = mean
       * absolute sample amplitude.
       */
@@ -248,6 +294,36 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Partition-parallel image resize: every `image/bmp` payload is
+    * nearest-neighbor resized to (newW, newH) — the thumbnail/model-input
+    * normalization pass of a multimodal pipeline, with the pixel math
+    * REAL (see [[Codec.resizeBmp]]). Non-image rows pass through
+    * untouched (a mixed-modality corpus resizes in place); malformed
+    * image payloads come out with a null payload and byte_len 0 —
+    * corrupt blobs are data, not task failures. Streams rows, no driver
+    * collect.
+    */
+  def resizeImages(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type", "byte_len")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mt = r.getAs[String]("media_type")
+          if (mt != "image/bmp")
+            Row(r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"), mt,
+              r.getAs[Long]("byte_len"))
+          else Codec.resizeBmp(r.getAs[Array[Byte]]("payload"), newW, newH) match {
+            case Some(resized) =>
+              Row(r.getAs[Long]("doc_id"), resized, mt, resized.length.toLong)
+            case None =>
+              Row(r.getAs[Long]("doc_id"), null, mt, 0L)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Deterministic frame sampling for time-media: pick every `stride`-th

@@ -1104,6 +1104,23 @@ ORDER BY doc_id""")
         round(col("f0"), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Nearest-neighbor image resize verified END TO END through real
+    * bytes: synthesize real BMPs, resize to 8×6
+    * ([[graft.operators.Multimodal.resizeImages]] — real pixel
+    * sampling, real re-emitted container), decode the RESULT with the
+    * header-walking decoder, and hash-check dims/size/mean-pixel
+    * against the oracle's closed-form replay of the same floor-scaled
+    * sampling.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.resizeImages(
+        Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"),
+        newW = 8, newH = 6))
+      .filter(col("media_type") === "image/bmp")
+      .select(col("doc_id"), col("width"), col("height"), col("byte_len"),
+        round(col("f0"), 6).as("f0"))
+      .orderBy("doc_id")
+
   /** Frame sampling over binary payloads (every stride-th 32-byte chunk);
     * frames decode back to text slices, so the oracle recomputes them
     * with plain substr over the source column.
@@ -2716,6 +2733,24 @@ ORDER BY doc_id""")
                         i -> abs((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256))), 6) AS f0
            FROM wav)
          SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""",
+    // NN resize replay: flat index i over (row, col, channel) of the 8×6
+    // output; source byte = text[(floor(r·h/6)·w·3 + floor(c·w/8)·3 + ch)
+    // mod n] — the exact sampling resizeBmp performs, and the decoder's
+    // mean over the resized container equals the mean over these samples
+    "mm_resize" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         bmp AS (
+           SELECT doc_id, 4 + n % 29 AS w, CAST(4 + doc_id % 13 AS INTEGER) AS h, n, text
+           FROM base WHERE doc_id % 2 = 0)
+         SELECT doc_id,
+                CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+                CAST(54 + 6 * ((8 * 3 + 3) // 4 * 4) AS BIGINT) AS byte_len,
+                round(list_avg(list_transform(range(0, 6 * 8 * 3),
+                  i -> ascii(substr(text,
+                         CAST((((i // 24) * h // 6) * (w * 3)
+                              + ((i % 24) // 3) * w // 8 * 3
+                              + i % 3) % n AS INTEGER) + 1, 1)))), 6) AS f0
+         FROM bmp ORDER BY doc_id""",
     // BM25: same tokenization, Robertson idf, k1=1.2 b=0.75, decimal-
     // funneled score sum, (score DESC, doc_id) rank — mirrors
     // operators/Retrieval.scala term for term
@@ -3011,5 +3046,6 @@ ORDER BY doc_id""")
     "privacy_l_div" -> (privacyLDiv _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_resize" -> (mmResize _))
 }

@@ -97,6 +97,36 @@ class MultimodalSpec extends SparkSpec {
     assert(a.filter(_.getString(1) == "audio/wav").forall(r => !r.isNullAt(r.fieldIndex("sample_rate"))))
   }
 
+  test("resize: every image lands at the target dims; identity resize is byte-exact; audio untouched") {
+    val resized = Multimodal.resizeImages(synth.filter(col("doc_id") < 60), 8, 6)
+    val dims = Multimodal.decodeFeatures(resized)
+      .filter(col("media_type") === "image/bmp")
+      .select("width", "height").distinct()
+      .as[(Int, Int)].collect().toSet
+    assert(dims == Set((8, 6)), dims.toString)
+    // audio payloads pass through byte-identical
+    val wavIn = synth.filter(col("media_type") === "audio/wav")
+      .filter(col("doc_id") < 7)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    val wavOut = Multimodal.resizeImages(synth.filter(col("doc_id") < 60), 8, 6)
+      .filter(col("media_type") === "audio/wav")
+      .filter(col("doc_id") < 7)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    wavIn.foreach { case (id, b) => assert(wavOut(id).sameElements(b)) }
+    // identity resize: same dims in = byte-identical container out
+    // (headers regenerate to the same fields, NN sampling is 1:1)
+    val one = synth.filter(col("media_type") === "image/bmp").orderBy("doc_id").head()
+    val bytes = one.getAs[Array[Byte]]("payload")
+    val d = Multimodal.Codec.decodeBmp(bytes)
+    val same = Multimodal.Codec.resizeBmp(bytes, d.width.get, d.height.get).get
+    assert(same.sameElements(bytes))
+    // corrupt payload -> null payload + byte_len 0, not a task failure
+    val junk = Seq((999L, Array[Byte](1, 2, 3), "image/bmp", 3L))
+      .toDF("doc_id", "payload", "media_type", "byte_len")
+    val out = Multimodal.resizeImages(junk, 8, 6).head()
+    assert(out.isNullAt(1) && out.getLong(3) == 0L)
+  }
+
   test("frame sampling: frame count tracks payload size") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
     val perDoc = frames.groupBy("doc_id").count()
