@@ -299,6 +299,62 @@ object ScaleProbe {
     time("ann_index_query")(graft.operators.AnnIndex.queryIvf(
       spark, idxDir, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, nprobe = 2).count())
+    spark.catalog.clearCache()
+
+    // ---- round-6 operators at factor× ----
+    // containment: same df-capped inverted-index shape as jaccard — must
+    // scale like it (both directions emitted from ONE intersection count)
+    big.cache().count()
+    time("containment")(graft.operators.Dedup.ngramContainment(
+      big, "text", "doc_id", k = 8, threshold = 0.8).count())
+    // t-closeness over replicated quasi/sensitive columns: one
+    // (quasi × sensitive) aggregate + model-sized window/broadcast tail
+    val priv = big
+      .withColumn("source", concat(lit("s"), col("doc_id") % 997))
+      .withColumn("lang", concat(lit("l"), col("doc_id") % 7))
+    time("t_closeness")(graft.operators.Privacy.tClosenessViolations(
+      priv, Seq("source"), "lang", t = 0.05).count())
+    // split: exact quotas (one stratum shuffle) vs hash thresholds
+    // (map-only) — the anchor/scale-path cost gap, measured
+    val strat = big.withColumn("lang", concat(lit("l"), col("doc_id") % 5))
+    val fr = Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125)
+    time("split_exact")(graft.operators.CorpusOps.splitStratified(
+      strat, "doc_id", "lang", fr, exact = true).count())
+    time("split_hash")(graft.operators.CorpusOps.splitStratified(
+      strat, "doc_id", "lang", fr, exact = false).count())
+    // curriculum: per-source window + range-partitioned global rank
+    time("curriculum")(graft.operators.CorpusOps.curriculumOrder(
+      big.withColumn("source", concat(lit("s"), col("doc_id") % 997)),
+      "doc_id", "source", length(col("text")).cast("double")).count())
+    // datasheet: one corpus pass (chained map-only featurizers + one agg)
+    time("datasheet")(graft.operators.CorpusReport.datasheet(
+      priv, "text", "doc_id", "lang", "source").count())
+    // NFC canonicalization: map-only; the isNormalized fast path means
+    // ASCII-heavy corpora pay one char scan and zero allocation per row
+    time("nfc_normalize")(big.agg(sum(length(
+      graft.functions.nfc_normalize(col("text"))))).head().getLong(0))
+    spark.catalog.clearCache()
+    // persisted IVFADC: build scales with the corpus (train + encode +
+    // write), query with the probed cells' CODES only
+    bigV.cache().count()
+    val adcDir = java.nio.file.Files.createTempDirectory("graft_probe_adc").toString
+    time("ivfadc_index_build")({
+      graft.operators.AnnIndex.buildIvfAdc(bigV, "embedding", "vec_id",
+        adcDir, nlist = 16, m = 8, ksub = 16, iters = 2)
+      1L
+    })
+    time("ivfadc_index_query")(graft.operators.AnnIndex.queryIvfAdc(
+      spark, adcDir, bigV.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, nprobe = 2, shortlist = 25).count())
+    // prototypes: map-only scoring vs the centroid literal + TopKPerKey
+    time("prototypes")(graft.operators.Clustering.prototypes(
+      bigV, "embedding", "vec_id", k = 8, iters = 2, n = 10).count())
+    spark.catalog.clearCache()
+    // resize: partition-parallel pixel resampling over real containers
+    big.cache().count()
+    time("mm_resize")(graft.operators.Multimodal.resizeImages(
+      graft.operators.Multimodal.synthesizeMedia(big, "text", "doc_id"),
+      8, 6).count())
     spark.stop()
   }
 }
