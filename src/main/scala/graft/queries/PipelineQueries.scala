@@ -2903,6 +2903,36 @@ ORDER BY doc_id""")
     LanguageModel.pmiTopK(docs(s, dir), "text", "doc_id", minCount = 5L, k = 20)
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
 
+  /** SimHash dedup quality: precision/recall of the hamming≤6 SimHash
+    * pair set against the exact n-gram-Jaccard ground truth — the same
+    * measured-accuracy contract dedup_eval_lsh gives MinHash-LSH, now
+    * for the OTHER fuzzy approximation (SimHash approximates cosine of
+    * term vectors, so its agreement with the Jaccard ground truth is a
+    * property worth a number, not an assumption). Same
+    * union-tag-aggregate shape.
+    */
+  def dedupEvalSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.ngramJaccard(d, "text", "doc_id", k = 8,
+        threshold = 0.30, maxDf = 100, portable = true)
+      .select(col("id_a"), col("id_b"), lit(1).as("e"), lit(0).as("sh"))
+    val sim = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 6,
+        maxBucket = 1000, portable = true)
+      .select(col("id_a"), col("id_b"), lit(0).as("e"), lit(1).as("sh"))
+    exact.unionByName(sim)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("e")).as("e"), max(col("sh")).as("sh"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("sh")).as("n_simhash"),
+        sum(when(col("e") === 1 && col("sh") === 1, 1).otherwise(0)).as("n_both"))
+      .select(col("n_exact"), col("n_simhash"), col("n_both"),
+        when(col("n_simhash") > 0,
+          round(col("n_both").cast("double") / col("n_simhash").cast("double"), 6))
+          .as("prec"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
+          .as("rec"))
+  }
+
   /** LSH dedup quality: precision/recall of the MinHash-LSH pair set
     * against the exact n-gram-Jaccard ground truth at the same threshold
     * — the dedup counterpart of sim_eval_recall (an approximate
@@ -2966,6 +2996,26 @@ ORDER BY doc_id""")
                   CASE WHEN sum(e) > 0 THEN
                     round(CAST(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                           / CAST(sum(e) AS DOUBLE), 6) END AS rec
+           FROM per""") +
+      ("dedup_eval_simhash" ->
+        s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
+            sh AS (${oraclesBase("dedup_simhash")}),
+            tagged AS (
+              SELECT id_a, id_b, 1 AS e, 0 AS s FROM ex
+              UNION ALL
+              SELECT id_a, id_b, 0 AS e, 1 AS s FROM sh),
+            per AS (SELECT id_a, id_b, max(e) AS e, max(s) AS s
+                    FROM tagged GROUP BY id_a, id_b)
+           SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+                  CAST(sum(s) AS BIGINT) AS n_simhash,
+                  CAST(sum(CASE WHEN e = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_both,
+                  CASE WHEN sum(s) > 0 THEN
+                    round(CAST(sum(CASE WHEN e = 1 AND s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(sum(s) AS DOUBLE), 6) END AS prec,
+                  CASE WHEN sum(e) > 0 THEN
+                    round(CAST(sum(CASE WHEN e = 1 AND s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(sum(e) AS DOUBLE), 6) END AS rec
            FROM per""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2979,6 +3029,7 @@ ORDER BY doc_id""")
     "dedup_windows" -> (dedupWindows _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_eval_lsh" -> (dedupEvalLsh _),
+    "dedup_eval_simhash" -> (dedupEvalSimhash _),
     "dedup_cluster_reps" -> (dedupClusterReps _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
