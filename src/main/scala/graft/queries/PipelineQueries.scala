@@ -340,6 +340,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Measured accuracy of the n-gram-lexicon language-ID heuristic
+    * against the labeled `lang` column, per true language — the same
+    * approximation-carries-its-accuracy contract as dedup_eval_lsh /
+    * dedup_eval_simhash / sim_eval_recall, applied to langid (a
+    * heuristic is only trustworthy next to its measured error). One
+    * map-only scoring pass + one |langs|-sized aggregate.
+    */
+  def textLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val (pred, _) = TextAnalysis.langId(col("text"))
+    docs(s, dir)
+      .select(col("lang"),
+        (pred === col("lang")).cast("long").as("ok"),
+        (pred =!= lit("unknown")).cast("long").as("cov"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"),
+        round(sum(col("ok")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("accuracy"),
+        round(sum(col("cov")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("coverage"))
+      .orderBy("lang")
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(s, dir), "text", "doc_id")
       .select("doc_id", "n_chars", "n_tokens", "n_unique", "n_stopwords",
@@ -3016,7 +3038,19 @@ ORDER BY doc_id""")
                   CASE WHEN sum(e) > 0 THEN
                     round(CAST(sum(CASE WHEN e = 1 AND s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                           / CAST(sum(e) AS DOUBLE), 6) END AS rec
-           FROM per""")
+           FROM per""") +
+      ("text_langid_eval" ->
+        s"""WITH pr AS (${oraclesBase("text_langid")})
+           SELECT d.lang,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_correct,
+                  round(CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+                  round(CAST(sum(CASE WHEN p.lang_pred <> 'unknown' THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS coverage
+           FROM documents d JOIN pr p USING (doc_id)
+           GROUP BY d.lang ORDER BY d.lang""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
@@ -3054,6 +3088,7 @@ ORDER BY doc_id""")
     "sim_prototypes" -> (simPrototypes _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_langid" -> (textLangid _),
+    "text_langid_eval" -> (textLangidEval _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_nfc" -> (textNfc _),

@@ -386,6 +386,27 @@ object ReferenceQueries {
         round(col("z"), 6).as("z"))
       .orderBy("event_type", "event_id")
 
+  /** Event-RATE anomaly detection — the "alert on traffic spikes"
+    * composition: events bucket into per-(type, hour) counts (one
+    * partial-aggregatable pass), then the robust MAD gate
+    * ([[graft.operators.Outliers.madOutliers]]) flags hours whose
+    * volume is an outlier WITHIN ITS TYPE. Same quantile_cont parity
+    * and per-row IEEE z as ev_outliers; the outlier input is the
+    * bucket table (|types|·|hours| rows), never the raw corpus.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val buckets = ev
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(3.6e9)).cast("long").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    graft.operators.Outliers.madOutliers(buckets, "event_type", "hour", "n",
+        threshold = 3.5)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
   /** As-of join: each click enriched with the user's most recent prior
     * view (event-time lookup). Oracled against DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantics.
@@ -1484,6 +1505,28 @@ object ReferenceQueries {
     // robust MAD outliers: quantile_cont parity for both percentile
     // passes; the z expression is written in the same association order
     // Spark evaluates ((0.6745 * dev) / mad)
+    // per-(type, hour) volume buckets through the same MAD gate as
+    // ev_outliers — associations/casts mirror madOutliers exactly
+    "ev_anomaly" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 3.6e9) AS BIGINT) AS hour,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY event_type, 2),
+         med AS (
+           SELECT event_type, quantile_cont(n, 0.5) AS med
+           FROM b GROUP BY event_type),
+         d AS (
+           SELECT b.event_type, b.hour, b.n, b.n - m.med AS dev
+           FROM b JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad
+           FROM d GROUP BY event_type)
+         SELECT d.event_type, d.hour, d.n,
+                round(0.6745 * d.dev / m.mad, 6) AS z
+         FROM d JOIN mad m USING (event_type)
+         WHERE m.mad > 0 AND abs(0.6745 * d.dev / m.mad) > 3.5
+         ORDER BY d.event_type, d.hour""",
     "ev_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
@@ -1615,6 +1658,7 @@ object ReferenceQueries {
     "ev_markov" -> (eventsMarkov _),
     "ev_pagerank" -> (eventsPageRank _),
     "ev_outliers" -> (eventsOutliers _),
+    "ev_anomaly" -> (eventsAnomaly _),
     "j6_salted_join" -> (saltedJoinAgg _),
     "ev_histogram" -> (eventsHistogram _),
     "ev_decay" -> (eventsDecay _),
