@@ -322,10 +322,24 @@ object ScaleProbe {
       strat, "doc_id", "lang", fr, exact = true).count())
     time("split_hash")(graft.operators.CorpusOps.splitStratified(
       strat, "doc_id", "lang", fr, exact = false).count())
-    // curriculum: per-source window + range-partitioned global rank
+    // curriculum: range-partitioned per-source + global ranks
     time("curriculum")(graft.operators.CorpusOps.curriculumOrder(
       big.withColumn("source", concat(lit("s"), col("doc_id") % 997)),
       "doc_id", "source", length(col("text")).cast("double")).count())
+    // curriculum under EXTREME source skew (one source = 90% of rows):
+    // the r6-flagged Window.partitionBy(source) row_number funnels the
+    // mega-source through ONE task's sort; the range-partitioned per-key
+    // rank spreads it across the cluster. Output identical
+    // (CorpusOpsSpec pins it) — this A/B measures the funnel fix itself.
+    val skewSrc = big.withColumn("source",
+      when(col("doc_id") % 10 =!= 0, lit("mega"))
+        .otherwise(concat(lit("s"), col("doc_id") % 97)))
+    time("curriculum_skew_window")(graft.operators.CorpusOps.curriculumOrder(
+      skewSrc, "doc_id", "source", length(col("text")).cast("double"),
+      rangeRank = false).count())
+    time("curriculum_skew_range")(graft.operators.CorpusOps.curriculumOrder(
+      skewSrc, "doc_id", "source", length(col("text")).cast("double"),
+      rangeRank = true).count())
     // datasheet: one corpus pass (chained map-only featurizers + one agg)
     time("datasheet")(graft.operators.CorpusReport.datasheet(
       priv, "text", "doc_id", "lang", "source").count())

@@ -43,9 +43,21 @@ object AnnIndex {
     * for small ids) — the explicit cast keeps the isin prune and every
     * downstream join comparing identical types regardless of inference
     * settings.
+    *
+    * Startup recovery for a [[compactIvf]] crashed mid-swap: the swap is
+    * two renames, and a crash between them leaves the index parked at
+    * `corpus__old` with no `corpus` directory — if that state is
+    * observed, the old directory is renamed back before reading (the
+    * pre-compaction contents are complete and correct by construction;
+    * the half-written `corpus__compact` temp is ignored and overwritten
+    * by the next compaction).
     */
   private def readCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/corpus")
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus__old")
+    if (!fs.exists(corpusPath) && fs.exists(old)) fs.rename(old, corpusPath)
+    val df = spark.read.parquet(corpusPath.toString)
     df.withColumn("cell_id", col("cell_id").cast("long"))
   }
 
@@ -255,9 +267,14 @@ object AnnIndex {
     * file per touched cell per batch; this rewrites the corpus with each
     * cell hash-routed to exactly one task — ONE file per cell partition —
     * through a temp-then-swap (write `corpus__compact`, swap directories,
-    * drop the old), so a concurrent reader never sees a half-compacted
-    * index. Partition layout and row contents are preserved exactly;
-    * returns (filesBefore, filesAfter).
+    * drop the old). A concurrent reader sees either the old or the new
+    * contents, never a MIX — but the swap is two non-atomic renames, so
+    * there is a brief window in which `corpus` is absent entirely (a
+    * reader in that instant fails its listing), and a crash inside the
+    * window leaves the index parked at `corpus__old`; [[readCorpus]]
+    * recovers that state on the next open by renaming it back.
+    * Partition layout and row contents are preserved exactly; returns
+    * (filesBefore, filesAfter).
     */
   def compactIvf(spark: SparkSession, dir: String): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -188,21 +188,36 @@ object CorpusOps {
     * the next block each source's second best, and so on (sources
     * exhaust as they run out). The standard "good data first, balanced
     * across domains" read order for curriculum training, computed
-    * WITHOUT a single-partition global window: one per-source window
-    * ranks by (score desc, id), then the total order over
-    * (src_rank, source) comes from the range-partitioned gap-free
-    * ranker ([[globalShuffle]]'s machinery).
+    * WITHOUT any single-task sort: the per-source rank comes from the
+    * range-partitioned per-key ranker ([[rankByRangePerKey]] — a
+    * production corpus has FEW, HUGE sources, so a
+    * `Window.partitionBy(source)` row_number would funnel each source's
+    * billions of rows through one task's sort; range partitioning by
+    * (source, score desc, id) spreads every source across many tasks
+    * and stitches ranks with per-(partition, source) prefix offsets),
+    * then the total order over (src_rank, source) comes from the same
+    * gap-free range ranker ([[globalShuffle]]'s machinery).
+    *
+    * `rangeRank = false` keeps the single-task-per-source window
+    * formulation as the measurable baseline for the ScaleProbe skew A/B
+    * (identical output — the ordering is the same either way).
     *
     * Output: (idCol, keyCol, src_rank, position) — reading in
     * `position` order IS the curriculum.
     */
   def curriculumOrder(df: DataFrame, idCol: String, keyCol: String,
-                      scoreCol: Column): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__score").desc, col(idCol))
-    val ranked = df.withColumn("__score", scoreCol)
+                      scoreCol: Column, rangeRank: Boolean = true): DataFrame = {
+    val base = df.withColumn("__score", scoreCol)
       .select(col(idCol), col(keyCol), col("__score"))
-      .withColumn("src_rank", row_number().over(w).cast("long"))
+    val ranked =
+      if (rangeRank)
+        rankByRangePerKey(base, col(keyCol),
+          Seq(col("__score").desc, col(idCol).asc), "src_rank")
+      else {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("__score").desc, col(idCol))
+        base.withColumn("src_rank", row_number().over(w).cast("long"))
+      }
     val (pos, _) = rankByRange(ranked,
       Seq(col("src_rank"), col(keyCol)), "position")
     pos.select(col(idCol), col(keyCol), col("src_rank"), col("position"))
@@ -233,6 +248,49 @@ object CorpusOps {
       .withColumn(rankCol, row_number().over(w).cast("long") + prefixUdf(col("__pid")))
       .drop("__pid"),
       counts.map(_._2).sum)
+  }
+
+  /** Gap-free 1-based rank WITHIN each key group by `orderCols`, WITHOUT
+    * a per-key single-task sort: range partition by (key, orderCols) —
+    * every key group spans a contiguous RUN of partitions, however huge —
+    * local sort, then per-(partition, key) counts (a bounded collect:
+    * ≤ #partitions + #distinct-keys − 1 rows, since each key's run of
+    * partitions is contiguous; the key domain here is corpus SOURCES,
+    * few by construction) turn into per-key prefix offsets, and the rank
+    * is a per-(partition, key) window plus the offset. The per-key twin
+    * of [[rankByRange]]; the layout is pinned (localCheckpoint) so the
+    * counts job and the rank job read one partitioning.
+    *
+    * The offset lookup keys on the STRING rendering of the key column —
+    * distinct key values of one column type never collide as strings for
+    * the string/integral types sources use (the Cdc.rowHash contract).
+    */
+  private def rankByRangePerKey(df: DataFrame, keyCol: Column,
+                                orderCols: Seq[Column],
+                                rankCol: String): DataFrame = {
+    val all = keyCol.asc +: orderCols
+    val sorted = df.repartitionByRange(all: _*)
+      .sortWithinPartitions(all: _*)
+    val withPart = sorted.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = withPart
+      .groupBy(col("__pid"), keyCol.cast("string").as("__k"))
+      .count().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val prefix: Map[(Int, String), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._3).scanLeft(0L)(_ + _).zip(byPid).map {
+          case (start, (pid, _, _)) => (pid, k) -> start
+        }
+      }.toMap
+    val prefixUdf = udf((pid: Int, k: String) => prefix((pid, k)))
+    val w = Window.partitionBy(col("__pid"), keyCol)
+      .orderBy(orderCols: _*)
+    withPart
+      .withColumn(rankCol, row_number().over(w).cast("long")
+        + prefixUdf(col("__pid"), keyCol.cast("string")))
+      .drop("__pid")
   }
 
   /** Distributed EXACT equi-depth bucketing: every bucket holds ⌊n/b⌋ or

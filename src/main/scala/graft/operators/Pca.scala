@@ -66,9 +66,18 @@ object Pca {
     *    the d²-per-row materialization is the wrong CONSTANT at
     *    production widths — ~10⁶ InternalRows per vector at d = 1024.
     */
-  private def covariance(df: DataFrame, vecCol: String, idCol: String,
+  private def covariance(df0: DataFrame, vecCol: String, idCol: String,
                          nD: Column, dim: Int,
                          gramian: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    // both covariance paths must agree on MALFORMED input too: GramianAgg
+    // requires length == dim, so the relational path gets the same guard
+    // here — a ragged vector fails the job loudly on either path instead
+    // of one path silently computing over partial products
+    val df = df0.select(col(idCol),
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit("pca: vector length "), size(col(vecCol)).cast("string"),
+          lit(s" != dim $dim")))).as(vecCol))
     val flat = df
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("i0", "xf")))
       .select(col(idCol), (col("i0") + 1).cast("long").as("i"),

@@ -72,17 +72,21 @@ object Privacy {
     * metric, the paper's categorical instantiation, and the same TVD
     * the drift monitor uses).
     *
-    * Scale shape: one (quasi × sensitive) aggregate over the corpus
-    * (partial-aggregatable), two group-sized rollups, and a broadcast
-    * of the |values|-sized global distribution — nothing corpus-sized
-    * shuffles twice, no row content leaves the executors. The absent-
-    * value mass is folded in algebraically (TVD = ½(1 + Σ_present
-    * (|p−q| − q))), so the join touches only OBSERVED (group, value)
-    * pairs — never the dense group×vocabulary grid. The global-count
-    * anchor is a 1-row bounded collect (the ev_decay precedent).
-    * Sensitive values must be non-null (null rows would silently drop
-    * at the distribution join — same non-null contract as l-diversity's
-    * distinct count).
+    * Scale shape: ONE corpus scan. The (quasi × sensitive) contingency
+    * table `gv` is the sufficient statistic — the global distribution q
+    * is gv rolled up over the quasi columns and the grand total is its
+    * grand sum — so gv is aggregated once (partial-aggregatable),
+    * eagerly checkpointed (it is model-sized: observed groups × values),
+    * and every downstream consumer reads the aggregate, never the
+    * corpus. Remaining work: two group-sized rollups and a broadcast of
+    * the |values|-sized global distribution. The absent-value mass is
+    * folded in algebraically (TVD = ½(1 + Σ_present (|p−q| − q))), so
+    * the join touches only OBSERVED (group, value) pairs — never the
+    * dense group×vocabulary grid. The global-count anchor is a 1-row
+    * bounded collect off gv (the ev_decay precedent). Null sensitive
+    * values are EXCLUDED up front: they carry no distributional
+    * information, and counting them into the total would silently
+    * denormalize q (Σq < 1 skews every group's TVD instead of failing).
     *
     * Output: (quasiCols…, n, tvd) for groups with tvd > t (strict —
     * a group AT t is compliant, matching the paper's "at most t").
@@ -91,11 +95,19 @@ object Privacy {
                            sensitiveCol: String, t: Double): DataFrame = {
     require(quasiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
     require(t >= 0.0 && t < 1.0, "t must be in [0, 1)")
-    val nTotal = df.count().toDouble // bounded anchor: one scalar
-    val q = df.groupBy(col(sensitiveCol))
-      .agg((count(lit(1)).cast("double") / lit(nTotal)).as("__qv"))
-    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+    val gv = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__n_vs"))
+      .localCheckpoint(true) // the one corpus scan happens here
+    // both rollups below produce the SAME integers the raw-corpus
+    // aggregates did, so every double division — and the oracle hash —
+    // is unchanged
+    val nTotal = gv.agg(sum(col("__n_vs"))).collect()(0) match { // 1-row anchor
+      case r if r.isNullAt(0) => 0.0 // empty input: result is empty anyway
+      case r => r.getLong(0).toDouble
+    }
+    val q = gv.groupBy(col(sensitiveCol))
+      .agg((sum(col("__n_vs")).cast("double") / lit(nTotal)).as("__qv"))
     // group totals as a whole-partition window over the ALREADY
     // aggregated (quasi × sensitive) table — one exchange by quasi on
     // model-sized rows, no join, and no broadcast of a table whose

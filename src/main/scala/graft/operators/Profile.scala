@@ -34,16 +34,27 @@ object Profile {
     * explode over typed structs — a name carrying spaces, dots, quotes
     * or backticks profiles like any other (no expression injection into
     * the plan).
+    *
+    * `exact = true` (default, the oracle anchor) computes exact distinct
+    * counts — the k-way Expand is k× the input through the PARTIAL
+    * aggregate, and the per-column hash tables it feeds are
+    * cardinality-sized. `exact = false` is the 100 TB first-contact
+    * path: HLL++ `approx_count_distinct` at rsd 0.01 replaces each
+    * distinct hash table with a fixed-size register set — no Expand, one
+    * bounded sketch per column per partition, error ~1% (spec-pinned
+    * within 2% of the exact anchor). Same anchor/scale split as the
+    * percentile consumers (Funnel/Outliers `exact` parameters).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
     def ref(c: String) = col(s"`${c.replace("`", "``")}`")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val s = ref(c).cast("string")
+      val nd = if (exact) countDistinct(s) else approx_count_distinct(s, rsd = 0.01)
       Seq(count(s).as(s"__cnt_$i"),
-        countDistinct(s).as(s"__nd_$i"),
+        nd.as(s"__nd_$i"),
         min(s).as(s"__min_$i"),
         max(s).as(s"__max_$i"))
     } :+ count(lit(1)).as("__n_rows")

@@ -223,22 +223,40 @@ object IncrementalStream {
           } else {
             var out = List.empty[ClosedSession]
             var st = state.getOption.orNull
+            // late in-watermark events can predate the open session's
+            // start (cross-batch arrival order). Two regimes, both
+            // matching the batch sessionizer (which would have sorted
+            // them first): within a gap of the start, the event folds in
+            // by extending the session BACKWARD; MORE than a gap before
+            // the start (reachable whenever watermarkDelay > gap·period),
+            // it belongs to a separate earlier session — accumulated in
+            // `late` with its own gap splitting, closed at batch end.
+            // (`late` can never merge with the open session: its last
+            // event is < start − gap by construction. And since events
+            // are ascending, backward extension can't create new
+            // lateness: t₂ < min(s0,t₁) − gap ≤ t₁ − gap implies t₂ < t₁.)
+            var late: SessState = null
             batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
               val t = e.ts.getTime
               st match {
                 case null => st = SessState(t, t, 1L)
+                case SessState(s0, _, _) if t < s0 - gapMs =>
+                  late match {
+                    case null => late = SessState(t, t, 1L)
+                    case SessState(ls, ll, ln) if t - ll > gapMs =>
+                      out ::= close(SessState(ls, ll, ln))
+                      late = SessState(t, t, 1L)
+                    case SessState(ls, ll, ln) =>
+                      late = SessState(ls, math.max(ll, t), ln + 1L)
+                  }
                 case SessState(s0, l, n) if t - l > gapMs =>
                   out ::= close(SessState(s0, l, n))
                   st = SessState(t, t, 1L)
                 case SessState(s0, l, n) =>
-                  // a late in-watermark event can predate the open
-                  // session's start (cross-batch arrival order); it never
-                  // trips the gap test (t − l < 0), so fold it in by
-                  // extending the session BACKWARD — matching the batch
-                  // sessionizer, which would have sorted it first
                   st = SessState(math.min(s0, t), math.max(l, t), n + 1L)
               }
             }
+            if (late != null) out ::= close(late)
             state.update(st)
             state.setTimeoutTimestamp(st.last + gapMs)
             out.reverse.iterator

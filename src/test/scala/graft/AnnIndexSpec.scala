@@ -148,6 +148,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(tvd == drifted, "compaction must not change the drift readout")
   }
 
+  test("crashed compaction (index parked at corpus__old) recovers on next read") {
+    val (all, qs) = fixture()
+    val dir = tempDir("annidx6")
+    AnnIndex.buildIvf(all, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    val pre = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // simulate a crash between compactIvf's two renames: corpus is gone,
+    // the complete pre-compaction index sits at corpus__old, and a
+    // half-written temp is lying around
+    val conf = spark.sparkContext.hadoopConfiguration
+    val corpus = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = corpus.getFileSystem(conf)
+    fs.rename(corpus, new org.apache.hadoop.fs.Path(s"$dir/corpus__old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/corpus__compact/cell_id=0"))
+    val post = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(post == pre)
+    assert(fs.exists(corpus), "recovery must restore the corpus directory")
+  }
+
   test("IVFADC probe scan prunes cell partitions") {
     val (all, qs) = fixture()
     val dir = tempDir("adcidx3")

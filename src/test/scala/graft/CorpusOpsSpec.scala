@@ -171,6 +171,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: range-partitioned per-source rank ≡ window formulation, skew included") {
+    // one mega-source (90% of rows) + a thin tail — the skew profile the
+    // range rank exists for. Both paths must produce identical
+    // (src_rank, position) for every doc, under any input partitioning.
+    val skewed = docs.withColumn("source",
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(concat(lit("s"), col("doc_id") % 7)))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("score"))
+    def run(rangeRank: Boolean, parts: Int) =
+      CorpusOps.curriculumOrder(skewed.repartition(parts), "doc_id", "source",
+          col("score"), rangeRank = rangeRank)
+        .select("doc_id", "src_rank", "position")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val range = run(rangeRank = true, parts = 32)
+    assert(range == run(rangeRank = false, parts = 32))
+    assert(range == run(rangeRank = true, parts = 5)) // partition-invariant
+  }
+
   test("global shuffle: a permutation of 1..N, partition-invariant") {
     val n = docs.count()
     val a = CorpusOps.globalShuffle(docs, "doc_id")

@@ -56,6 +56,23 @@ class PcaSpec extends SparkSpec {
     assert(agg == join)
   }
 
+  test("ragged vector fails the job loudly on BOTH covariance paths") {
+    // the substitutability contract must hold on malformed input too:
+    // neither path may silently compute over a wrong-length vector
+    val ragged = Seq(
+      (1L, Array(1f, 2f, 3f)), (2L, Array(4f, 5f, 6f)), (3L, Array(7f, 8f)))
+      .toDF("vec_id", "embedding")
+    Seq(true, false).foreach { g =>
+      val e = intercept[Exception] {
+        Pca.powerIterationPc1(ragged, "embedding", "vec_id", dim = 3,
+          iters = 2, gramian = g).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("!= dim")), s"gramian=$g: $e")
+    }
+  }
+
   test("bit-identical across partitionings") {
     val pts = (1 to 100).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * (j + 3)) % 17 - 8).toFloat)))

@@ -37,6 +37,25 @@ class ProfileOutliersSpec extends SparkSpec {
     assert(e.getMessage.contains("no such column"))
   }
 
+  test("profile: approx-distinct path tracks the exact anchor within 2% at sf0.01") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def byCol(exact: Boolean) = Profile.profile(docs, cols, exact = exact)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val e = byCol(exact = true)
+    val a = byCol(exact = false)
+    cols.foreach { c =>
+      // counts, nulls, min/max are exact on both paths
+      assert(a(c)._1 == e(c)._1 && a(c)._2 == e(c)._2)
+      assert(a(c)._4 == e(c)._4 && a(c)._5 == e(c)._5)
+      // HLL++ at rsd 0.01: distinct within 2% of the exact anchor
+      val (ed, ad) = (e(c)._3.toDouble, a(c)._3.toDouble)
+      assert(math.abs(ad - ed) <= math.max(1.0, 0.02 * ed),
+        s"$c: approx $ad vs exact $ed")
+    }
+  }
+
   test("madOutliers: hand-computed modified z, only outliers emitted") {
     // group g: values 1..9 plus a 1000 spike. median=5.5, MAD=2.5
     // z(1000) = 0.6745*(1000-5.5)/2.5 = 268.30989
@@ -107,6 +126,34 @@ class ProfileOutliersSpec extends SparkSpec {
     assert(out32 == out)
     // t above every group's distance: empty report = compliant
     assert(Privacy.tClosenessViolations(df, Seq("grp"), "diag", t = 0.7).isEmpty)
+  }
+
+  test("tClosenessViolations: null sensitive rows are excluded, not silently denormalizing") {
+    // group b is all-x among NON-NULL rows; the nulls would otherwise
+    // inflate nTotal so q stops summing to 1 and every TVD skews
+    val rows =
+      (1 to 10).flatMap(_ => Seq(("n", Some("x")), ("n", Some("y")), ("n", Some("z")))) ++
+        Seq(("a", Some("x")), ("a", Some("y")), ("a", Some("z"))) ++
+        Seq(("b", Some("x")), ("b", Some("x")), ("b", Some("x")),
+          ("b", None), ("n", None))
+    val withNulls = rows.toDF("grp", "diag")
+    val noNulls = rows.filter(_._2.isDefined).toDF("grp", "diag")
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      Privacy.tClosenessViolations(df, Seq("grp"), "diag", t = 0.3)
+        .as[(String, Long, Double)].collect().toSet
+    assert(audit(withNulls) == audit(noNulls))
+    assert(audit(withNulls) == Set(("b", 3L, 0.611111)))
+  }
+
+  test("tClosenessViolations: one corpus scan — result plan reads only the checkpointed aggregate") {
+    // the corpus is read exactly once, in gv's eager-checkpoint job; the
+    // returned plan must contain NO file scan (q, nTotal, and the TVD
+    // tail are all rollups of the materialized contingency table)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Privacy.tClosenessViolations(docs, Seq("source"), "lang", t = 0.15)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan.take(800))
+    assert(out.count() >= 0)
   }
 
   test("madOutliers: MAD=0 group is degenerate and emits nothing") {

@@ -405,4 +405,43 @@ class StreamingSpec extends SparkSpec {
       .filter(_._1 == 1L).toSet
     assert(rows == Set((1L, ts(2, 50), ts(3, 0), 2L)), rows.toString)
   }
+
+  test("streaming sessionize: late event more than a gap before the start closes separately") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    // watermarkDelay (4h) > gap (30min): a late in-watermark event can
+    // predate the open session's start by MORE than the gap. The batch
+    // sessionizer would emit it as its own earlier session — merging it
+    // backward would weld two sessions across a 2-hour silence. Two late
+    // stragglers within a gap of each other must form ONE late session.
+    val sess = graft.streaming.IncrementalStream.streamingSessionize(
+      input.toDF().toDF("ts", "user_id"), gapMin = 30,
+      watermarkDelay = "4 hours")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess_straggler_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(3, 0), 1L))
+    q.processAllAvailable()
+    // both 1:00 and 1:10 are in-watermark but > gap before the 3:00 start
+    input.addData((ts(1, 0), 1L), (ts(1, 10), 1L))
+    q.processAllAvailable()
+    // the straggler session closes at batch end, before any timeout
+    def rows() = spark.table("sess_straggler_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(rows() == Set((1L, ts(1, 0), ts(1, 10), 2L)), rows().toString)
+    // far-future other-user events close the open 3:00 session by timeout
+    input.addData((ts(12, 0), 2L))
+    q.processAllAvailable()
+    input.addData((ts(12, 1), 2L))
+    q.processAllAvailable()
+    q.stop()
+    // batch parity: separate (1:00,1:10) and (3:00,3:00) sessions —
+    // exactly what Funnel.sessionize would emit for this event set
+    assert(rows() == Set(
+      (1L, ts(1, 0), ts(1, 10), 2L),
+      (1L, ts(3, 0), ts(3, 0), 1L)), rows().toString)
+  }
 }
