@@ -230,8 +230,97 @@ object Multimodal {
         Array((mean / 32768.0).toFloat, rate / 16000.0f, ns / 256.0f, 0.5f))
     }
 
+    /** Deterministic PNG/JPEG synthesis via the JDK's ImageIO (offline,
+      * no new dependency): pixel (x, y) channel c = closed form of
+      * (docId, x, y, c), so a spec can replay the expected image without
+      * re-encoding. PNG is lossless — decode-back is exact; JPEG is
+      * lossy — specs compare within a tolerance.
+      */
+    def synthImageIO(docId: Long, w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((docId + x * 7 + y * 13) % 256).toInt
+          val g = ((docId * 3 + x * 5 + y * 11) % 256).toInt
+          val b = ((docId * 7 + x * 3 + y * 17) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+
+    /** Decode a PNG/JPEG through `javax.imageio` (pure-JVM, headless,
+      * works offline) and compute the SAME statistics the BMP path
+      * reports: f0 = mean channel byte over R,G,B — so a pipeline
+      * profiling a mixed BMP/PNG/JPEG corpus gets one comparable metric.
+      * Anything ImageIO rejects (corrupt bytes, truncated stream, an
+      * unsupported container) → [[failed]], never a task failure.
+      */
+    def decodeImageIO(bytes: Array[Byte]): Decoded = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null } // corrupt blobs are data
+      if (img == null) return failed
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return failed
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum.toDouble / (w.toLong * 3 * h)
+      Decoded(Some(w), Some(h), None, None, Some(mean),
+        Array((mean / 255.0).toFloat, w / 64.0f, h / 64.0f, 1.0f))
+    }
+
+    /** Nearest-neighbor resize of a PNG/JPEG with EXACTLY the BMP path's
+      * sampling rule — out(r, c) = src(⌊r·h/newH⌋, ⌊c·w/newW⌋), explicit
+      * pixel loops rather than Graphics2D interpolation so the resize is
+      * bit-deterministic across JVMs — re-encoded in the SAME container
+      * (`format` = "png" | "jpg"). None for anything ImageIO rejects.
+      */
+    def resizeImageIO(bytes: Array[Byte], newW: Int, newH: Int,
+                      format: String): Option[Array[Byte]] = {
+      if (newW <= 0 || newH <= 0 || newW > (1 << 12) || newH > (1 << 12)) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+      val out = new java.awt.image.BufferedImage(
+        newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var r = 0
+      while (r < newH) {
+        val sr = (r.toLong * h / newH).toInt
+        var c = 0
+        while (c < newW) {
+          out.setRGB(c, r, img.getRGB((c.toLong * w / newW).toInt, sr) & 0xFFFFFF)
+          c += 1
+        }
+        r += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(out, format, bos)) None
+      else Some(bos.toByteArray)
+    }
+
     def decode(mediaType: String, bytes: Array[Byte]): Decoded = mediaType match {
       case "image/bmp" => decodeBmp(bytes)
+      case "image/png" | "image/jpeg" => decodeImageIO(bytes)
       case "audio/wav" => decodeWav(bytes)
       case _ => failed
     }
@@ -296,14 +385,15 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
-  /** Partition-parallel image resize: every `image/bmp` payload is
-    * nearest-neighbor resized to (newW, newH) — the thumbnail/model-input
-    * normalization pass of a multimodal pipeline, with the pixel math
-    * REAL (see [[Codec.resizeBmp]]). Non-image rows pass through
-    * untouched (a mixed-modality corpus resizes in place); malformed
-    * image payloads come out with a null payload and byte_len 0 —
-    * corrupt blobs are data, not task failures. Streams rows, no driver
-    * collect.
+  /** Partition-parallel image resize: every image payload (BMP via the
+    * hand-rolled parser, PNG/JPEG via ImageIO — same floor-scaled
+    * nearest-neighbor sampling rule on all three) is resized to
+    * (newW, newH) and re-emitted in its own container — the
+    * thumbnail/model-input normalization pass of a multimodal pipeline.
+    * Non-image rows pass through untouched (a mixed-modality corpus
+    * resizes in place); malformed image payloads come out with a null
+    * payload and byte_len 0 — corrupt blobs are data, not task
+    * failures. Streams rows, no driver collect.
     */
   def resizeImages(media: DataFrame, newW: Int, newH: Int): DataFrame = {
     val spark = media.sparkSession
@@ -312,13 +402,22 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val mt = r.getAs[String]("media_type")
-          if (mt != "image/bmp")
-            Row(r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"), mt,
-              r.getAs[Long]("byte_len"))
-          else Codec.resizeBmp(r.getAs[Array[Byte]]("payload"), newW, newH) match {
-            case Some(resized) =>
-              Row(r.getAs[Long]("doc_id"), resized, mt, resized.length.toLong)
+          val resized: Option[Option[Array[Byte]]] = mt match {
+            case "image/bmp" =>
+              Some(Codec.resizeBmp(r.getAs[Array[Byte]]("payload"), newW, newH))
+            case "image/png" =>
+              Some(Codec.resizeImageIO(r.getAs[Array[Byte]]("payload"), newW, newH, "png"))
+            case "image/jpeg" =>
+              Some(Codec.resizeImageIO(r.getAs[Array[Byte]]("payload"), newW, newH, "jpg"))
+            case _ => None // not an image: pass through untouched
+          }
+          resized match {
             case None =>
+              Row(r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"), mt,
+                r.getAs[Long]("byte_len"))
+            case Some(Some(bytes)) =>
+              Row(r.getAs[Long]("doc_id"), bytes, mt, bytes.length.toLong)
+            case Some(None) =>
               Row(r.getAs[Long]("doc_id"), null, mt, 0L)
           }
         }

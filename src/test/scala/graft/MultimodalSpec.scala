@@ -127,6 +127,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(1) && out.getLong(3) == 0L)
   }
 
+  test("PNG round-trip: ImageIO decode matches the closed-form synthesis exactly") {
+    // PNG is lossless — the decoded mean must equal the synthesis
+    // closed form exactly, and dims must survive the container
+    val (id, w, h) = (42L, 11, 7)
+    val png = Multimodal.Codec.synthImageIO(id, w, h, "png")
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val d = Multimodal.Codec.decode("image/png", png)
+    assert(d.width.contains(w) && d.height.contains(h))
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield
+      ((id + x * 7 + y * 13) % 256) + ((id * 3 + x * 5 + y * 11) % 256) +
+        ((id * 7 + x * 3 + y * 17) % 256)).sum.toDouble / (w * 3 * h)
+    assert(math.abs(d.f0.get - expected) < 1e-12)
+  }
+
+  test("JPEG round-trip: dims survive, mean within lossy tolerance, corrupt bytes are data") {
+    val (id, w, h) = (7L, 16, 12)
+    val jpg = Multimodal.Codec.synthImageIO(id, w, h, "jpg")
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8) // SOI marker
+    val d = Multimodal.Codec.decode("image/jpeg", jpg)
+    assert(d.width.contains(w) && d.height.contains(h))
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield
+      ((id + x * 7 + y * 13) % 256) + ((id * 3 + x * 5 + y * 11) % 256) +
+        ((id * 7 + x * 3 + y * 17) % 256)).sum.toDouble / (w * 3 * h)
+    assert(math.abs(d.f0.get - expected) < 16.0, s"${d.f0.get} vs $expected")
+    // corrupt/truncated payloads: nulls, not failures — on both codecs
+    assert(Multimodal.Codec.decode("image/png", "not a png".getBytes).width.isEmpty)
+    assert(Multimodal.Codec.decode("image/jpeg", jpg.take(20)).width.isEmpty)
+  }
+
+  test("PNG/JPEG resize through resizeImages: floor-scaled NN, per-container re-encode") {
+    // closed-form replay: resized PNG pixel (r,c) must equal source pixel
+    // (floor(r*h/newH), floor(c*w/newW)) — same sampling rule as BMP
+    val rows = Seq(
+      (1L, Multimodal.Codec.synthImageIO(1L, 20, 14, "png"), "image/png"),
+      (2L, Multimodal.Codec.synthImageIO(2L, 20, 14, "jpg"), "image/jpeg"),
+      (3L, Array[Byte](9, 9, 9), "image/png")) // corrupt
+      .map { case (i, p, m) => (i, p, m, p.length.toLong) }
+      .toDF("doc_id", "payload", "media_type", "byte_len")
+    val out = Multimodal.resizeImages(rows, 8, 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corrupt png -> null payload, byte_len 0
+    assert(out(3L).isNullAt(1) && out(3L).getLong(3) == 0L)
+    // png: lossless, so verify every pixel against the closed-form replay
+    val rPng = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]]("payload")))
+    assert(rPng.getWidth == 8 && rPng.getHeight == 6)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.Codec.synthImageIO(1L, 20, 14, "png")))
+    for (r <- 0 until 6; c <- 0 until 8)
+      assert((rPng.getRGB(c, r) & 0xFFFFFF) ==
+        (src.getRGB(c * 20 / 8, r * 14 / 6) & 0xFFFFFF), s"pixel ($c,$r)")
+    // jpeg: container + dims survive (lossy pixels); media_type preserved
+    assert(out(2L).getString(2) == "image/jpeg")
+    val rJpg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(2L).getAs[Array[Byte]]("payload")))
+    assert((out(2L).getAs[Array[Byte]]("payload")(0) & 0xFF) == 0xFF)
+    assert(rJpg.getWidth == 8 && rJpg.getHeight == 6)
+  }
+
   test("frame sampling: frame count tracks payload size") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
     val perDoc = frames.groupBy("doc_id").count()
