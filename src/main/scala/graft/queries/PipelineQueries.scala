@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, Pq, QualityModel, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Dedup, LanguageModel, Multimodal, Pq, QualityModel, Retrieval, Similarity, Sketches, TextAnalysis, UnigramLm}
 
 /** LLM-training-data pipeline operators as oracle-checkable queries over
   * the `documents` and `embeddings` tables. Exact/brute-force variants
@@ -680,6 +680,23 @@ ORDER BY doc_id""")
   def corpusBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Bpe.encode(d, "text", "doc_id", Bpe.train(d, "text", numMerges = 8))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM training: the Viterbi-EM piece table (piece, n, score) —
+    * all exact integers, so the driver hash check is byte-stable (see
+    * [[graft.operators.UnigramLm]] for the fixed-point contract).
+    */
+  def corpusUnigramLm(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainTable(docs(s, dir), "text").orderBy("piece")
+
+  /** Unigram-LM encoding: per-doc (n_words, n_pieces) under the trained
+    * pieces — train once, broadcast the scores, one map-only Viterbi
+    * pass with a per-task word memo.
+    */
+  def corpusUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    UnigramLm.encode(d, "text", "doc_id", UnigramLm.train(d, "text"))
       .orderBy("doc_id")
   }
 
@@ -1685,6 +1702,151 @@ ORDER BY doc_id""")
               coalesce(e.n_subwords, CAST(0 AS BIGINT)) AS n_subwords
        FROM documents LEFT JOIN enc e USING (doc_id) ORDER BY doc_id"""
 
+  // ---- unigram-LM (SentencePiece-style) oracle ---------------------------
+
+  /** M-step scoring of a (piece, n) relation: Laplace-smoothed
+    * fixed-point log-probs — `floor(ln((n+1)/(T+K)) · 2²⁰)` as BIGINT,
+    * `UnigramLm.rescore`'s SQL mirror (integer inputs → one double ln →
+    * floor at 2⁻²⁰, the PQ-codebook fixed-point discipline).
+    */
+  private def uniScoreSql(src: String): String =
+    s"""SELECT piece, n,
+          CAST(floor(ln(CAST(n + 1 AS DOUBLE) / CAST(t.t + t.k AS DOUBLE))
+               * 1048576) AS BIGINT) AS score
+        FROM $src, (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS k FROM $src) t"""
+
+  /** Seed CTEs shared by every unigram chain: the weighted distinct-word
+    * table (words ≤ MaxWordLen — `UnigramLm.wordTable`), every substring
+    * occurrence of length 1..maxPieceLen, weighted substring counts, and
+    * the seed vocabulary (ALL single chars + top-`seedMulti` multi-char,
+    * ties count desc / piece asc) scored with [[uniScoreSql]].
+    */
+  private def uniSeedCtes(maxPieceLen: Int, seedMulti: Int,
+                          maxWordLen: Int): String =
+    s"""uwords AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS w
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+      WHERE length(word) > 0 AND length(word) <= $maxWordLen
+      GROUP BY word),
+    uwsubs AS MATERIALIZED (
+      SELECT word, s, e, substr(word, s, e - s + 1) AS sub FROM (
+        SELECT word, CAST(ss.range AS INTEGER) AS s, CAST(ee.range AS INTEGER) AS e
+        FROM uwords, range(1, ${maxWordLen + 1}) ss, range(1, ${maxWordLen + 1}) ee
+        WHERE ss.range <= length(word) AND ee.range >= ss.range
+          AND ee.range <= least(length(word), ss.range + $maxPieceLen - 1))),
+    usubcnt AS MATERIALIZED (
+      SELECT ws.sub AS piece, CAST(sum(w.w) AS BIGINT) AS n
+      FROM uwsubs ws JOIN uwords w USING (word) GROUP BY ws.sub),
+    useed AS (
+      SELECT piece, n FROM usubcnt WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM (
+        SELECT piece, n FROM usubcnt WHERE length(piece) >= 2
+        ORDER BY n DESC, piece ASC LIMIT $seedMulti)),
+    upieces0 AS MATERIALIZED (${uniScoreSql("useed")})"""
+
+  /** One unrolled Viterbi DP over the word table under `upieces$r`:
+    * `maxWordLen` position stages, each an argmax (exact-integer score
+    * desc, piece-count asc, start asc — `UnigramLm.segment`'s
+    * tie-break) over matches ending at that position, the chosen path's
+    * piece list carried along. Defines `u${r}f(word, w, seg)` — the
+    * Viterbi-best segmentation of every word. No UNK branch: the chain
+    * trains and encodes over the SAME corpus, so every char is a seed
+    * piece and chars are never pruned (full coverage by construction;
+    * the Scala-side UNK fallback is spec-pinned instead).
+    */
+  private def uniDpCtes(r: Int, maxWordLen: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""u${r}m AS MATERIALIZED (
+      SELECT ws.word, ws.s, ws.e, p.score AS mscore
+      FROM uwsubs ws JOIN upieces$r p ON p.piece = ws.sub)"""
+    parts += s"""u${r}a0 AS (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np,
+             CAST([] AS VARCHAR[]) AS seg
+      FROM uwords)"""
+    (1 to maxWordLen).foreach { k =>
+      parts += s"""u${r}b$k AS (
+      SELECT word, pos, score, np, seg FROM (
+        SELECT m.word, m.e AS pos, b.score + m.mscore AS score,
+               b.np + 1 AS np,
+               list_append(b.seg, substr(m.word, m.s, m.e - m.s + 1)) AS seg,
+               row_number() OVER (PARTITION BY m.word
+                 ORDER BY b.score + m.mscore DESC, b.np + 1 ASC, m.s ASC) AS rn
+        FROM u${r}m m JOIN u${r}a${k - 1} b ON b.word = m.word AND b.pos = m.s - 1
+        WHERE m.e = $k)
+      WHERE rn = 1)"""
+      parts += s"""u${r}a$k AS MATERIALIZED (
+      SELECT * FROM u${r}a${k - 1} UNION ALL SELECT * FROM u${r}b$k)"""
+    }
+    parts += s"""u${r}f AS MATERIALIZED (
+      SELECT a.word, w.w, a.seg FROM u${r}a$maxWordLen a
+      JOIN uwords w USING (word) WHERE a.pos = length(a.word))"""
+    parts.result().mkString(",\n    ")
+  }
+
+  /** E-step count + prune + M-step rescore after DP round `r`: weighted
+    * per-occurrence piece counts from the Viterbi segmentations, chars
+    * always kept (count 0 if unused), multi-char pruned to `keepMulti`
+    * (zero-count dropped, ties count desc / piece asc) — defines
+    * `upieces${r+1}`.
+    */
+  private def uniRoundCtes(r: Int, keepMulti: Int): String =
+    s"""ucnt$r AS MATERIALIZED (
+      SELECT piece, CAST(sum(w) AS BIGINT) AS n FROM (
+        SELECT w, unnest(seg) AS piece FROM u${r}f)
+      GROUP BY piece),
+    ukeep$r AS (
+      SELECT p.piece, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+      FROM upieces$r p LEFT JOIN ucnt$r c USING (piece)
+      WHERE length(p.piece) = 1
+      UNION ALL
+      SELECT piece, n FROM (
+        SELECT piece, n FROM ucnt$r WHERE length(piece) >= 2 AND n > 0
+        ORDER BY n DESC, piece ASC LIMIT $keepMulti)),
+    upieces${r + 1} AS MATERIALIZED (${uniScoreSql(s"ukeep$r")})"""
+
+  /** The full training chain: seed + `iters` (DP, count/prune/rescore)
+    * rounds — mirrors `UnigramLm.train(maxPieceLen=6, seedMulti=50,
+    * keepMulti=30, iters=2)` generation for generation.
+    */
+  private def uniChainCtes(maxPieceLen: Int, seedMulti: Int, keepMulti: Int,
+                           iters: Int, maxWordLen: Int = 12): String = {
+    val parts = Seq.newBuilder[String]
+    parts += uniSeedCtes(maxPieceLen, seedMulti, maxWordLen)
+    (0 until iters).foreach { r =>
+      parts += uniDpCtes(r, maxWordLen)
+      parts += uniRoundCtes(r, keepMulti)
+    }
+    parts.result().mkString(",\n    ")
+  }
+
+  private def unigramTrainOracle(maxPieceLen: Int, seedMulti: Int,
+                                 keepMulti: Int, iters: Int): String =
+    s"""WITH ${uniChainCtes(maxPieceLen, seedMulti, keepMulti, iters)}
+       SELECT piece, n, score FROM upieces$iters ORDER BY piece"""
+
+  /** Encode oracle: one more DP round under the FINAL pieces, then
+    * per-doc word join — `UnigramLm.encode`'s (n_words, n_pieces). The
+    * LEFT-join/coalesce keeps empty docs at (0, 0) like the map-only
+    * Scala pass. Exact only while every document word is ≤ MaxWordLen
+    * (no char-fallback rows) — UnigramLmSpec's fixture guard pins that.
+    */
+  private def unigramEncodeOracle(maxPieceLen: Int, seedMulti: Int,
+                                  keepMulti: Int, iters: Int): String =
+    s"""WITH ${uniChainCtes(maxPieceLen, seedMulti, keepMulti, iters)},
+       ${uniDpCtes(iters, 12)},
+       udocw AS (
+         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+         FROM documents),
+       uenc AS (
+         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(f.seg)) AS BIGINT) AS n_pieces
+         FROM udocw d JOIN u${iters}f f USING (word)
+         WHERE length(d.word) > 0 GROUP BY d.doc_id)
+       SELECT doc_id, coalesce(e.n_words, CAST(0 AS BIGINT)) AS n_words,
+              coalesce(e.n_pieces, CAST(0 AS BIGINT)) AS n_pieces
+       FROM documents LEFT JOIN uenc e USING (doc_id) ORDER BY doc_id"""
+
   /** SQL replay of `corpusTokenizePack`: train `numMerges` merges on the
     * quarter sample (`doc_id % 4 = 0` — the w/b training chain), apply
     * them rank-ordered to the FULL corpus vocabulary (the v rewrite-only
@@ -1746,6 +1908,8 @@ ORDER BY doc_id""")
   private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
+    "corpus_unigram_lm" -> unigramTrainOracle(6, 50, 30, 2),
+    "corpus_unigram_encode" -> unigramEncodeOracle(6, 50, 30, 2),
     "corpus_tokenize_pack" -> tokenizePackOracle(8, blockSize = 512, blocks = 8),
     // SQL replay of Dsir.select(buckets=1024, k=150, salt="dsir",
     // temperature=1): hashed-bigram bucket counts, Laplace log-ratio
@@ -3104,6 +3268,8 @@ ORDER BY doc_id""")
     "corpus_vocab" -> (corpusVocab _),
     "corpus_vocab_cms" -> (corpusVocabCms _),
     "corpus_bpe" -> (corpusBpe _),
+    "corpus_unigram_lm" -> (corpusUnigramLm _),
+    "corpus_unigram_encode" -> (corpusUnigramEncode _),
     "text_quality_trained" -> (textQualityTrained _),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
     "corpus_tokenize_pack" -> (corpusTokenizePack _),
