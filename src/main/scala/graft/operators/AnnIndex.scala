@@ -128,6 +128,57 @@ object AnnIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Screen a NEW batch against the persisted corpus index — the
+    * embedding analog of the minhash incremental dedup
+    * ([[Dedup.minhashLshIncrementalFromState]]): route the batch under
+    * the FROZEN centroids, probe each vector's `nprobe` nearest cells,
+    * and verify exact cosine against only the corpus rows in those
+    * cells. Returns (id_a = batch id, id_b = corpus id, cosine) for
+    * every pair at or above `threshold`.
+    *
+    * Unlike [[queryIvf]] (top-k service; broadcast-sized query batch),
+    * the batch here is an INGESTION batch and can be arbitrarily large:
+    * probe assignment is map-only under the nlist-bounded centroid
+    * literal, candidates come from an equi-JOIN on cell_id (no
+    * broadcast of the batch), and the only collect is the probed-cell
+    * list (≤ nlist). Each corpus row lives in exactly one cell, so a
+    * pair can arise from at most one probe — no distinct needed.
+    */
+  def screenIvf(spark: SparkSession, dir: String, batch: DataFrame,
+                vecCol: String, idCol: String, threshold: Double,
+                nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qCells = Similarity.ivfProbeCells(batch, cents, vecCol, idCol, nprobe)
+    val probed = qCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: <= nlist
+    readCorpus(spark, dir)
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col(idCol).as("id_b"), col(vecCol).as("c_vec"), col("cell_id"))
+      .join(qCells.withColumnRenamed("query_id", "id_a"), Seq("cell_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Screen-then-append: flag the batch rows that duplicate the persisted
+    * corpus ([[screenIvf]]), append only the clean remainder under the
+    * frozen routing ([[appendIvf]]), return the duplicate pairs. The
+    * screen is EAGERLY materialized before the append mutates the index
+    * — a lazy screen re-evaluated afterwards would read the rows it just
+    * admitted and report batch-vs-batch pairs that were never screened
+    * against.
+    */
+  def ingestIvf(spark: SparkSession, dir: String, batch: DataFrame,
+                vecCol: String, idCol: String, threshold: Double,
+                nprobe: Int): DataFrame = {
+    val dupes = screenIvf(spark, dir, batch, vecCol, idCol, threshold, nprobe)
+      .localCheckpoint(true)
+    val clean = batch.join(
+      dupes.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    appendIvf(clean, vecCol, idCol, dir)
+    dupes
+  }
+
   // ---------------------------------------------------------------- IVFADC
 
   /** Reload persisted codebooks: m·ksub rows — bounded by construction. */

@@ -92,6 +92,25 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental embedding near-dup against a PERSISTED index — the
+    * embedding analog of [[dedupIncremental]]: the corpus slice
+    * (vec_id % 5 ≠ 0) is built into an IVF index once, then the batch
+    * slice screens against the written artifact (frozen-centroid
+    * routing, nprobe cells, exact-cosine verify) before it would be
+    * ingested. Same kmeans parameters as sim_topk_ivf_kmeans, so the
+    * oracle composes that query's trained-centroid chain over the
+    * corpus slice.
+    */
+  def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_incr").toString
+    graft.operators.AnnIndex.buildIvf(all.filter(col("vec_id") % 5 =!= 0),
+      "embedding", "vec_id", idx, nlist = 8, iters = 5)
+    graft.operators.AnnIndex.screenIvf(s, idx, all.filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", threshold = 0.35, nprobe = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     // Threshold tuned to the synthetic corpus (max pairwise cosine ~0.46;
     // real near-dup corpora would use ~0.9 with more bits per table).
@@ -1261,13 +1280,14 @@ ORDER BY doc_id""")
     * must expose (c, cv)), cosine ties toward the lowest cell id — exactly
     * [[graft.operators.Clustering.assign]].
     */
-  private def kmAssignSql(i: Int, prev: String, mat: Boolean = false): String =
+  private def kmAssignSql(i: Int, prev: String, mat: Boolean = false,
+                          src: String = "embeddings"): String =
     s"""assign$i AS ${kmMat(mat)}(
           SELECT vec_id, embedding, c AS cell_id FROM (
             SELECT e.vec_id, e.embedding, s.c,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSql("e.embedding", "s.cv")} DESC, s.c) AS rn
-            FROM embeddings e CROSS JOIN $prev s)
+            FROM $src e CROSS JOIN $prev s)
           WHERE rn = 1)"""
 
   /** Centroid-update CTEs of one Lloyd round: per-(cell, dim) BIGINT sums
@@ -1304,13 +1324,14 @@ ORDER BY doc_id""")
     */
   private def kmMat(mat: Boolean): String = if (mat) "MATERIALIZED " else ""
 
-  private def kmSeedSql(k: Int, mat: Boolean = false): String =
+  private def kmSeedSql(k: Int, mat: Boolean = false,
+                        src: String = "embeddings"): String =
     s"""seeds AS ${kmMat(mat)}(
          SELECT CAST(row_number() OVER (
                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
                            vec_id) AS INT) - 1 AS c,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         FROM embeddings
+         FROM $src
          QUALIFY row_number() OVER (
                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT),
                            vec_id) <= $k)"""
@@ -1327,10 +1348,11 @@ ORDER BY doc_id""")
     * the generated text — a name/spacing drift can no longer silently
     * strip the keyword and hand DuckDB an exponential re-evaluation.
     */
-  private def kmChainCtes(k: Int, iters: Int, materialize: Boolean = false): String =
-    (Seq(kmSeedSql(k, materialize)) ++ (1 to iters).flatMap { i =>
+  private def kmChainCtes(k: Int, iters: Int, materialize: Boolean = false,
+                          src: String = "embeddings"): String =
+    (Seq(kmSeedSql(k, materialize, src)) ++ (1 to iters).flatMap { i =>
       val prev = if (i == 1) "seeds" else s"cent${i - 1}"
-      Seq(kmAssignSql(i, prev, materialize), kmUpdateSql(i, prev, materialize))
+      Seq(kmAssignSql(i, prev, materialize, src), kmUpdateSql(i, prev, materialize))
     }).mkString(",\n")
 
   /** Seed + 2 Lloyd rounds + final assignment (`assign3` against `cent2`)
@@ -1910,6 +1932,36 @@ ORDER BY doc_id""")
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "corpus_unigram_lm" -> unigramTrainOracle(6, 50, 30, 2),
     "corpus_unigram_encode" -> unigramEncodeOracle(6, 50, 30, 2),
+    // SQL replay of AnnIndex.buildIvf(corpus slice) + screenIvf(batch):
+    // the sim_topk_ivf_kmeans centroid chain trained over icorp, the
+    // persisted float round-trip (centf), frozen-centroid routing of the
+    // corpus AND the batch probes, then exact cosine over probed cells
+    "dedup_embedding_incremental" ->
+      s"""WITH icorp AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+          ${kmChainCtes(8, 5, materialize = true, src = "icorp")},
+          centf AS MATERIALIZED (
+            SELECT c, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cvf
+            FROM cent5),
+          iassign AS MATERIALIZED (
+            SELECT vec_id, embedding, c AS cell_id FROM (
+              SELECT e.vec_id, e.embedding, s.c,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "s.cvf")} DESC, s.c) AS rn
+              FROM icorp e CROSS JOIN centf s)
+            WHERE rn = 1),
+          iprobe AS (
+            SELECT vec_id AS id_a, embedding AS q_vec, c AS cell_id FROM (
+              SELECT e.vec_id, e.embedding, s.c,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cosSql("e.embedding", "s.cvf")} DESC, s.c) AS rn
+              FROM embeddings e CROSS JOIN centf s WHERE e.vec_id % 5 = 0)
+            WHERE rn <= 2)
+          SELECT p.id_a, a.vec_id AS id_b,
+                 round(${cosSql("p.q_vec", "a.embedding")}, 6) AS cosine
+          FROM iprobe p JOIN iassign a USING (cell_id)
+          WHERE ${cosSql("p.q_vec", "a.embedding")} >= 0.35
+          ORDER BY id_a, id_b""",
     "corpus_tokenize_pack" -> tokenizePackOracle(8, blockSize = 512, blocks = 8),
     // SQL replay of Dsir.select(buckets=1024, k=150, salt="dsir",
     // temperature=1): hashed-bigram bucket counts, Laplace log-ratio
@@ -3230,6 +3282,7 @@ ORDER BY doc_id""")
     "dedup_eval_simhash" -> (dedupEvalSimhash _),
     "dedup_cluster_reps" -> (dedupClusterReps _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),

@@ -55,6 +55,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(appended.nonEmpty)
   }
 
+  test("screen-then-append: dupes flagged against the persisted corpus, clean rows ingested") {
+    val (all, _) = fixture()
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    val dir = tempDir("annidx7")
+    AnnIndex.buildIvf(corpus, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    val before = spark.read.parquet(s"$dir/corpus").count()
+
+    // reference screen: probe assignment + exact cosine, computed locally
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qCells = Similarity.ivfProbeCells(batch, cents, "embedding", "vec_id", 2)
+      .select("query_id", "cell_id").as[(Long, Long)].collect().toSet
+    val routed = Similarity.ivfRoute(corpus, cents, "embedding", "vec_id")
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val vecs = all.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    // routed.toSeq: yielding tuples while iterating the Map directly
+    // would rebuild a Map keyed by q and silently collapse the pairs
+    val expected = (for {
+      (q, cell) <- qCells.toSeq
+      (c, ccell) <- routed.toSeq if ccell == cell
+      s = cos(vecs(q), vecs(c)) if s >= 0.35
+    } yield (q, c)).toSet
+
+    val dupes = AnnIndex.ingestIvf(spark, dir, batch, "embedding", "vec_id",
+      threshold = 0.35, nprobe = 2)
+    val got = dupes.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty, "fixture should produce at least one near-dup pair")
+    // dupes stay stable after the append mutated the index (eager screen)
+    assert(dupes.select("id_a", "id_b").as[(Long, Long)].collect().toSet == got)
+    // exactly the clean batch rows were appended, under frozen routing
+    val after = spark.read.parquet(s"$dir/corpus")
+    val dupIds = got.map(_._1)
+    assert(after.count() == before + batch.count() - dupIds.size)
+    val appendedIds = after.select("vec_id").as[Long].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(appendedIds == routed.keySet ++ (batchIds -- dupIds))
+    // the ingested rows are queryable through the same index
+    val cleanId = (batchIds -- dupIds).head
+    val q = all.filter(col("vec_id") === cleanId)
+    val res = AnnIndex.queryIvf(spark, dir, q, "embedding", "vec_id",
+        k = 3, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(res.nonEmpty && res.forall(_._1 == cleanId))
+  }
+
   test("persisted IVFADC query == in-memory ivfAdcTopK, bit for bit") {
     val (all, qs) = fixture()
     val dir = tempDir("adcidx")
