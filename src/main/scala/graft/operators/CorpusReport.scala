@@ -22,9 +22,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object CorpusReport {
 
-  private def qsum(term: Column): Column =
+  /** Fixed-point quality sum as DECIMAL(38,0) — exact, and exactly
+    * MERGEABLE: per-drop partial sums add without any float
+    * re-association, so the merged mean is bit-identical to the
+    * whole-corpus one.
+    */
+  private def qsumFx(term: Column): Column =
     sum(floor(least(greatest(term, lit(-1.0e6)), lit(1.0e6)) * lit(1.0e12))
-      .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12)
+      .cast(DecimalType(38, 0)))
+
+  private def qsum(term: Column): Column =
+    qsumFx(term).cast("double") / lit(1.0e12)
 
   /** (metric, value) datasheet rows: n_docs, n_chars_total,
     * n_tokens_total, n_langs, n_sources, exact_dup_rate, mean_quality,
@@ -47,6 +55,67 @@ object CorpusReport {
       qsum(col("quality_score")).as("q_sum"),
       sum(((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
         .cast("long")).as("n_pii_docs"))
+    def m(name: String, v: Column) =
+      struct(lit(name).as("metric"), v.as("value"))
+    val nD = col("n_docs").cast("double")
+    one.select(explode(array(
+        m("n_docs", nD),
+        m("n_chars_total", col("n_chars_total").cast("double")),
+        m("n_tokens_total", col("n_tokens_total").cast("double")),
+        m("n_langs", col("n_langs").cast("double")),
+        m("n_sources", col("n_sources").cast("double")),
+        m("exact_dup_rate",
+          round(lit(1.0) - col("n_unique_texts").cast("double") / nD, 6)),
+        m("mean_quality", round(col("q_sum") / nD, 6)),
+        m("pii_doc_rate", round(col("n_pii_docs").cast("double") / nD, 6)),
+        m("mean_tokens_per_doc",
+          round(col("n_tokens_total").cast("double") / nD, 6))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
+  /** MERGEABLE per-drop datasheet partial — ONE row per drop holding the
+    * sufficient statistics of [[datasheet]]: exact counts and the exact
+    * fixed-point quality sum, plus DataSketches HLL register sets
+    * (BINARY) for the three distinct counts (langs, sources, unique
+    * texts). Persist one row per ingested drop (plain parquet); the
+    * corpus-wide datasheet after the Nth drop is then
+    * [[datasheetFromSketches]] over N rows — a model-sized merge, never
+    * a re-scan. Same one-pass chained-featurizer scan as [[datasheet]].
+    */
+  def datasheetSketch(df: DataFrame, textCol: String, idCol: String,
+                      langCol: String, sourceCol: String): DataFrame = {
+    val per = TextAnalysis.redactPii(
+      TextAnalysis.quality(df, textCol, idCol), textCol, idCol)
+    per.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars_total"),
+      sum(col("n_tokens")).as("n_tokens_total"),
+      hll_sketch_agg(col(langCol).cast("string")).as("langs_hll"),
+      hll_sketch_agg(col(sourceCol).cast("string")).as("sources_hll"),
+      hll_sketch_agg(md5(col(textCol))).as("texts_hll"),
+      qsumFx(col("quality_score")).as("q_sum_fx"),
+      sum(((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
+        .cast("long")).as("n_pii_docs"))
+  }
+
+  /** Merge [[datasheetSketch]] partials into the [[datasheet]] output
+    * shape. Counts, sums, rates and the quality mean merge EXACTLY (the
+    * fixed-point decimal sum re-associates without error); the three
+    * distinct-backed metrics (n_langs, n_sources, exact_dup_rate) are
+    * HLL-union estimates — CorpusReportSpec pins merged-drops ≡
+    * whole-corpus within the sketch tolerance, exactly elsewhere.
+    */
+  def datasheetFromSketches(partials: DataFrame): DataFrame = {
+    val one = partials.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_chars_total")).as("n_chars_total"),
+      sum(col("n_tokens_total")).as("n_tokens_total"),
+      hll_sketch_estimate(hll_union_agg(col("langs_hll"))).as("n_langs"),
+      hll_sketch_estimate(hll_union_agg(col("sources_hll"))).as("n_sources"),
+      hll_sketch_estimate(hll_union_agg(col("texts_hll"))).as("n_unique_texts"),
+      (sum(col("q_sum_fx")).cast("double") / lit(1.0e12)).as("q_sum"),
+      sum(col("n_pii_docs")).as("n_pii_docs"))
     def m(name: String, v: Column) =
       struct(lit(name).as("metric"), v.as("value"))
     val nD = col("n_docs").cast("double")

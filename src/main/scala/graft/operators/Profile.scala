@@ -70,4 +70,59 @@ object Profile {
       .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
+
+  /** MERGEABLE per-drop profile sketch — the incremental twin of
+    * [[profile]]: one row per column holding the partial-aggregatable
+    * state (value/row counts, min/max, and a DataSketches HLL register
+    * set as BINARY) instead of finished numbers. Persist one sketch
+    * table per ingested drop (plain parquet — the binary column
+    * round-trips), and "profile the whole corpus after the Nth drop"
+    * becomes [[mergeSketches]] over N model-sized rows-per-column —
+    * never a re-scan of 100 TB of already-profiled data.
+    *
+    * Output: (col_name, n_rows, n_vals, sketch, min_val, max_val).
+    * Same one-scan shape and column-name-as-data hygiene as [[profile]].
+    */
+  def sketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "sketch needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"sketch: no such column(s): ${missing.mkString(", ")}")
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val s = ref(c).cast("string")
+      Seq(count(s).as(s"__cnt_$i"),
+        hll_sketch_agg(s).as(s"__hll_$i"),
+        min(s).as(s"__min_$i"),
+        max(s).as(s"__max_$i"))
+    } :+ count(lit(1)).as("__n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        col(s"__cnt_$i").as("n_vals"),
+        col(s"__hll_$i").as("sketch"),
+        col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
+    one.select(col("__n_rows").as("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_vals"),
+        col("p.sketch"), col("p.min_val"), col("p.max_val"))
+  }
+
+  /** Merge any number of [[sketch]] tables (unioned, one or many drops)
+    * into the [[profile]] output shape. Counts/min/max merge exactly;
+    * n_distinct is the HLL union's estimate (ProfileOutliersSpec pins
+    * union-of-drops ≡ whole-corpus within the sketch tolerance). The
+    * input is rows-per-column × drops — model-sized; the merge never
+    * touches corpus data.
+    */
+  def mergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("col_name").agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_vals")).as("n_vals"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_vals")).as("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Outliers, Privacy, Profile}
 
 /** Column profiler (null/distinct/min/max semantics on hand-built data)
@@ -54,6 +56,37 @@ class ProfileOutliersSpec extends SparkSpec {
       assert(math.abs(ad - ed) <= math.max(1.0, 0.02 * ed),
         s"$c: approx $ad vs exact $ed")
     }
+  }
+
+  test("profile sketches: per-drop persist + merge ≡ whole-corpus profile (sketch tolerance)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val cols = Seq("doc_id", "text", "lang", "source")
+    val drop1 = docs.filter(col("doc_id") % 3 === 0)
+    val drop2 = docs.filter(col("doc_id") % 3 =!= 0)
+    // the production lifecycle: one sketch table persisted per drop,
+    // merged at read — the binary HLL column must round-trip parquet
+    val store = tempDir("profsketch")
+    Profile.sketch(drop1, cols).write.parquet(s"$store/drop=1")
+    Profile.sketch(drop2, cols).write.parquet(s"$store/drop=2")
+    val merged = Profile.mergeSketches(spark.read.parquet(s"$store/drop=1")
+        .unionByName(spark.read.parquet(s"$store/drop=2")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val whole = Profile.profile(docs, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    cols.foreach { c =>
+      // counts, nulls, min, max merge EXACTLY
+      assert(merged(c)._1 == whole(c)._1 && merged(c)._2 == whole(c)._2, c)
+      assert(merged(c)._4 == whole(c)._4 && merged(c)._5 == whole(c)._5, c)
+      // distinct: HLL union estimate within 2% of the exact anchor
+      val (ed, md) = (whole(c)._3.toDouble, merged(c)._3.toDouble)
+      assert(math.abs(md - ed) <= math.max(1.0, 0.02 * ed), s"$c: merged $md vs exact $ed")
+    }
+    // merging a single drop's sketch == sketching that drop alone
+    val solo = Profile.mergeSketches(spark.read.parquet(s"$store/drop=1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(solo("doc_id") == drop1.count())
   }
 
   test("madOutliers: hand-computed modified z, only outliers emitted") {

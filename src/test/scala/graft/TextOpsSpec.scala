@@ -137,6 +137,37 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("datasheet sketches: per-drop persist + merge ≡ whole-corpus datasheet") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val drops = Seq(
+      docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1),
+      docs.filter($"doc_id" % 3 === 2))
+    val store = tempDir("dssketch")
+    drops.zipWithIndex.foreach { case (d, i) =>
+      graft.operators.CorpusReport.datasheetSketch(d, "text", "doc_id",
+        "lang", "source").write.parquet(s"$store/drop=$i")
+    }
+    val partials = (0 until 3).map(i => spark.read.parquet(s"$store/drop=$i"))
+      .reduce(_ unionByName _)
+    val merged = graft.operators.CorpusReport.datasheetFromSketches(partials)
+      .as[(String, Double)].collect().toMap
+    val whole = graft.operators.CorpusReport.datasheet(docs, "text", "doc_id",
+        "lang", "source")
+      .as[(String, Double)].collect().toMap
+    assert(merged.keySet == whole.keySet)
+    // exact-mergeable metrics are BIT-equal — including mean_quality,
+    // whose fixed-point decimal sum re-associates without float error
+    for (k <- Seq("n_docs", "n_chars_total", "n_tokens_total",
+        "mean_quality", "pii_doc_rate", "mean_tokens_per_doc"))
+      assert(merged(k) == whole(k), s"$k: ${merged(k)} vs ${whole(k)}")
+    // distinct-backed metrics: HLL estimates within 2% (tiny
+    // cardinalities here are exact in the sketch's sparse mode)
+    for (k <- Seq("n_langs", "n_sources", "exact_dup_rate"))
+      assert(math.abs(merged(k) - whole(k)) <= 0.02 * math.max(1.0, whole(k)),
+        s"$k: ${merged(k)} vs ${whole(k)}")
+  }
+
   test("persisted bench artifact: identical decontamination, reusable across runs") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter($"doc_id" % 10 =!= 0)
