@@ -330,15 +330,25 @@ object ScaleProbe {
     // the r6-flagged Window.partitionBy(source) row_number funnels the
     // mega-source through ONE task's sort; the range-partitioned per-key
     // rank spreads it across the cluster. Output identical
-    // (CorpusOpsSpec pins it) — this A/B measures the funnel fix itself.
-    val skewSrc = big.withColumn("source",
-      when(col("doc_id") % 10 =!= 0, lit("mega"))
-        .otherwise(concat(lit("s"), col("doc_id") % 97)))
+    // (CorpusOpsSpec pins it) — this A/B measures the funnel fix itself,
+    // so the corpus is the scale-limiting shape: ~20M NARROW rows
+    // (id, source, score) fanned out from the docs fixture — a
+    // production corpus has few, huge sources, and the sort payload is
+    // exactly these three columns after curriculumOrder's projection.
+    val skewSrc = big
+      .withColumn("__rep2", explode(sequence(lit(0), lit(499))))
+      .select((col("doc_id") * 500 + col("__rep2")).as("doc_id"),
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(concat(lit("s"), col("doc_id") % 97)).as("source"),
+        (length(col("text")) * 1000 + col("__rep2")).cast("double").as("score"))
+      .localCheckpoint(true) // pin: both paths read identical input
+    println(s"skew corpus: ${skewSrc.count()} rows, " +
+      s"${skewSrc.filter(col("source") === "mega").count()} in the mega source")
     time("curriculum_skew_window")(graft.operators.CorpusOps.curriculumOrder(
-      skewSrc, "doc_id", "source", length(col("text")).cast("double"),
+      skewSrc, "doc_id", "source", col("score"),
       rangeRank = false).count())
     time("curriculum_skew_range")(graft.operators.CorpusOps.curriculumOrder(
-      skewSrc, "doc_id", "source", length(col("text")).cast("double"),
+      skewSrc, "doc_id", "source", col("score"),
       rangeRank = true).count())
     // datasheet: one corpus pass (chained map-only featurizers + one agg)
     time("datasheet")(graft.operators.CorpusReport.datasheet(

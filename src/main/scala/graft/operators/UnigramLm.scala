@@ -198,6 +198,49 @@ object UnigramLm {
       .map(p => (p.piece, p.n, p.score)).toDF("piece", "n", "score")
   }
 
+  /** Encode to TOKEN ID SEQUENCES — the artifact a training run reads
+    * ([[Bpe.encodeIds]]'s unigram twin). Two map-only passes over a
+    * pinned segment encoding: the first derives the vocabulary
+    * (distinct emitted pieces — the trained pieces that actually occur,
+    * plus any UNK-fallback chars the training sample never saw; bounded
+    * by pieces + alphabet, a driver-sized collect), the second maps
+    * pieces to ids. Ids are sorted-piece order: deterministic under any
+    * partitioning. Returns (idCol, token_ids) plus the vocabulary.
+    */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+                pieces: Seq[Piece], maxPieceLen: Int = 6): (DataFrame, Array[String]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bScores = spark.sparkContext.broadcast(
+      pieces.map(p => p.piece -> p.score).toMap)
+    val segs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = collection.mutable.HashMap.empty[String, Seq[String]]
+        rows.map { case (id, text) =>
+          val words = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+          val out = Seq.newBuilder[String]
+          words.foreach { w =>
+            out ++= memo.getOrElseUpdate(w, segment(w, bScores.value, maxPieceLen))
+          }
+          (id, out.result())
+        }
+      }
+      .toDF("id", "segs")
+      // eager localCheckpoint, not cache: the returned ids frame is a
+      // lazy view over segs, so no unpersist site exists (Bpe.encodeIds'
+      // discipline)
+      .localCheckpoint(true)
+    val vocab = segs.select(explode(col("segs")).as("p")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded: pieces + alphabet
+    val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    val ids = segs.as[(Long, Seq[String])]
+      .map { case (id, ss) => (id, ss.map(bIdx.value)) }
+      .toDF(idCol, "token_ids")
+    (ids, vocab)
+  }
+
   /** Encode: per-doc (n_words, n_pieces) under a trained piece table —
     * map-only with the scores broadcast, a per-partition memo so each
     * distinct word per task runs Viterbi once. Mirrors [[Bpe.encode]]'s

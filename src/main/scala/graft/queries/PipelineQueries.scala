@@ -846,6 +846,24 @@ ORDER BY doc_id""")
       .orderBy("block", "bin_id")
   }
 
+  /** Unigram-LM tokenize + pack: pieces trained on the quarter sample,
+    * full corpus Viterbi-encoded to ids (UNK fallback live for chars the
+    * sample never saw), packed into fixed-size blocks — the unigram twin
+    * of [[corpusTokenizePack]], sharing `CorpusOps.packTokens` and the
+    * digest convention verbatim.
+    */
+  def corpusUnigramPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pieces = UnigramLm.train(d.filter(col("doc_id") % 4 === 0), "text")
+    val (ids, _) = UnigramLm.encodeIds(d, "text", "doc_id", pieces)
+    graft.operators.CorpusOps.packTokens(ids, "doc_id", "token_ids",
+        blockSize = 512, blocks = 8)
+      .select(col("block"), col("bin_id"), col("n_tokens"),
+        md5(array_join(transform(col("token_ids"), _.cast("string")), ","))
+          .as("token_digest"))
+      .orderBy("block", "bin_id")
+  }
+
   /** Per-dimension z-score standardization, exploded to (vec_id, dim,
     * zval) for the cell-exact oracle.
     */
@@ -1737,28 +1755,38 @@ ORDER BY doc_id""")
                * 1048576) AS BIGINT) AS score
         FROM $src, (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS k FROM $src) t"""
 
-  /** Seed CTEs shared by every unigram chain: the weighted distinct-word
-    * table (words ≤ MaxWordLen — `UnigramLm.wordTable`), every substring
-    * occurrence of length 1..maxPieceLen, weighted substring counts, and
-    * the seed vocabulary (ALL single chars + top-`seedMulti` multi-char,
-    * ties count desc / piece asc) scored with [[uniScoreSql]].
+  /** Weighted distinct-word table (words ≤ maxWordLen —
+    * `UnigramLm.wordTable`) + every substring occurrence of length
+    * 1..maxPieceLen, from a source relation exposing `text` — defines
+    * `${p}words` and `${p}subs`. Shared by the training seed, every DP
+    * round, and the pack chain's full-corpus encode.
     */
-  private def uniSeedCtes(maxPieceLen: Int, seedMulti: Int,
+  private def uniWordCtes(p: String, src: String, maxPieceLen: Int,
                           maxWordLen: Int): String =
-    s"""uwords AS MATERIALIZED (
+    s"""${p}words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS w
-      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM $src)
       WHERE length(word) > 0 AND length(word) <= $maxWordLen
       GROUP BY word),
-    uwsubs AS MATERIALIZED (
+    ${p}subs AS MATERIALIZED (
       SELECT word, s, e, substr(word, s, e - s + 1) AS sub FROM (
         SELECT word, CAST(ss.range AS INTEGER) AS s, CAST(ee.range AS INTEGER) AS e
-        FROM uwords, range(1, ${maxWordLen + 1}) ss, range(1, ${maxWordLen + 1}) ee
+        FROM ${p}words, range(1, ${maxWordLen + 1}) ss, range(1, ${maxWordLen + 1}) ee
         WHERE ss.range <= length(word) AND ee.range >= ss.range
-          AND ee.range <= least(length(word), ss.range + $maxPieceLen - 1))),
+          AND ee.range <= least(length(word), ss.range + $maxPieceLen - 1)))"""
+
+  /** Seed CTEs of a unigram training chain: the word/substring tables
+    * over `src`, weighted substring counts, and the seed vocabulary
+    * (ALL single chars + top-`seedMulti` multi-char, ties count desc /
+    * piece asc) scored with [[uniScoreSql]].
+    */
+  private def uniSeedCtes(maxPieceLen: Int, seedMulti: Int,
+                          maxWordLen: Int,
+                          src: String = "documents"): String =
+    s"""${uniWordCtes("u", src, maxPieceLen, maxWordLen)},
     usubcnt AS MATERIALIZED (
       SELECT ws.sub AS piece, CAST(sum(w.w) AS BIGINT) AS n
-      FROM uwsubs ws JOIN uwords w USING (word) GROUP BY ws.sub),
+      FROM usubs ws JOIN uwords w USING (word) GROUP BY ws.sub),
     useed AS (
       SELECT piece, n FROM usubcnt WHERE length(piece) = 1
       UNION ALL
@@ -1767,42 +1795,54 @@ ORDER BY doc_id""")
         ORDER BY n DESC, piece ASC LIMIT $seedMulti)),
     upieces0 AS MATERIALIZED (${uniScoreSql("useed")})"""
 
-  /** One unrolled Viterbi DP over the word table under `upieces$r`:
+  /** One unrolled Viterbi DP over the `${p}words` table under `pieces`:
     * `maxWordLen` position stages, each an argmax (exact-integer score
     * desc, piece-count asc, start asc — `UnigramLm.segment`'s
     * tie-break) over matches ending at that position, the chosen path's
-    * piece list carried along. Defines `u${r}f(word, w, seg)` — the
-    * Viterbi-best segmentation of every word. No UNK branch: the chain
-    * trains and encodes over the SAME corpus, so every char is a seed
-    * piece and chars are never pruned (full coverage by construction;
-    * the Scala-side UNK fallback is spec-pinned instead).
+    * piece list carried along. Defines `$p${r}f(word, w, seg)` — the
+    * Viterbi-best segmentation of every word.
+    *
+    * `unk = false` for training chains: they train over their own seed
+    * chars, so coverage is total by construction. `unk = true` for an
+    * encode chain over a DIFFERENT corpus (the pack oracle's full-corpus
+    * pass under sample-trained pieces): single chars the training sample
+    * never saw match at `UnigramLm.UnkScore`, exactly the Scala
+    * fallback.
     */
-  private def uniDpCtes(r: Int, maxWordLen: Int): String = {
+  private def uniDpCtes(r: Int, maxWordLen: Int, p: String = "u",
+                        piecesRel: String = "", unk: Boolean = false): String = {
+    val pieces = if (piecesRel.nonEmpty) piecesRel else s"upieces$r"
     val parts = Seq.newBuilder[String]
-    parts += s"""u${r}m AS MATERIALIZED (
-      SELECT ws.word, ws.s, ws.e, p.score AS mscore
-      FROM uwsubs ws JOIN upieces$r p ON p.piece = ws.sub)"""
-    parts += s"""u${r}a0 AS (
+    val unkSql = if (!unk) "" else s"""
+      UNION ALL
+      SELECT ws.word, ws.s, ws.e, CAST(${graft.operators.UnigramLm.UnkScore} AS BIGINT) AS mscore
+      FROM ${p}subs ws
+      WHERE ws.e = ws.s
+        AND NOT EXISTS (SELECT 1 FROM $pieces pc WHERE pc.piece = ws.sub)"""
+    parts += s"""$p${r}m AS MATERIALIZED (
+      SELECT ws.word, ws.s, ws.e, pc.score AS mscore
+      FROM ${p}subs ws JOIN $pieces pc ON pc.piece = ws.sub$unkSql)"""
+    parts += s"""$p${r}a0 AS (
       SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np,
              CAST([] AS VARCHAR[]) AS seg
-      FROM uwords)"""
+      FROM ${p}words)"""
     (1 to maxWordLen).foreach { k =>
-      parts += s"""u${r}b$k AS (
+      parts += s"""$p${r}b$k AS (
       SELECT word, pos, score, np, seg FROM (
         SELECT m.word, m.e AS pos, b.score + m.mscore AS score,
                b.np + 1 AS np,
                list_append(b.seg, substr(m.word, m.s, m.e - m.s + 1)) AS seg,
                row_number() OVER (PARTITION BY m.word
                  ORDER BY b.score + m.mscore DESC, b.np + 1 ASC, m.s ASC) AS rn
-        FROM u${r}m m JOIN u${r}a${k - 1} b ON b.word = m.word AND b.pos = m.s - 1
+        FROM $p${r}m m JOIN $p${r}a${k - 1} b ON b.word = m.word AND b.pos = m.s - 1
         WHERE m.e = $k)
       WHERE rn = 1)"""
-      parts += s"""u${r}a$k AS MATERIALIZED (
-      SELECT * FROM u${r}a${k - 1} UNION ALL SELECT * FROM u${r}b$k)"""
+      parts += s"""$p${r}a$k AS MATERIALIZED (
+      SELECT * FROM $p${r}a${k - 1} UNION ALL SELECT * FROM $p${r}b$k)"""
     }
-    parts += s"""u${r}f AS MATERIALIZED (
-      SELECT a.word, w.w, a.seg FROM u${r}a$maxWordLen a
-      JOIN uwords w USING (word) WHERE a.pos = length(a.word))"""
+    parts += s"""$p${r}f AS MATERIALIZED (
+      SELECT a.word, w.w, a.seg FROM $p${r}a$maxWordLen a
+      JOIN ${p}words w USING (word) WHERE a.pos = length(a.word))"""
     parts.result().mkString(",\n    ")
   }
 
@@ -1832,15 +1872,76 @@ ORDER BY doc_id""")
     * keepMulti=30, iters=2)` generation for generation.
     */
   private def uniChainCtes(maxPieceLen: Int, seedMulti: Int, keepMulti: Int,
-                           iters: Int, maxWordLen: Int = 12): String = {
+                           iters: Int, maxWordLen: Int = 12,
+                           src: String = "documents"): String = {
     val parts = Seq.newBuilder[String]
-    parts += uniSeedCtes(maxPieceLen, seedMulti, maxWordLen)
+    parts += uniSeedCtes(maxPieceLen, seedMulti, maxWordLen, src)
     (0 until iters).foreach { r =>
       parts += uniDpCtes(r, maxWordLen)
       parts += uniRoundCtes(r, keepMulti)
     }
     parts.result().mkString(",\n    ")
   }
+
+  /** SQL replay of `corpusUnigramPack`: train the unigram pieces on the
+    * quarter sample (`doc_id % 4 = 0`), Viterbi-encode the FULL corpus
+    * under the trained pieces (the `v` DP chain, UNK fallback live —
+    * the sample-trained tokenizer must encode chars it never saw),
+    * derive token ids as sorted-piece order (`UnigramLm.encodeIds`
+    * vocabulary; ASCII fixture), then the `CorpusOps.packTokens` replay
+    * verbatim from the BPE pack oracle: md5-hash docs into `blocks`
+    * streams, per-stream prefix positions in doc-id order, cut every
+    * `blockSize` tokens, digest each block's id stream.
+    */
+  private def unigramPackOracle(maxPieceLen: Int, seedMulti: Int,
+                                keepMulti: Int, iters: Int,
+                                blockSize: Int, blocks: Int): String =
+    s"""WITH ${uniChainCtes(maxPieceLen, seedMulti, keepMulti, iters,
+        src = "(SELECT text FROM documents WHERE doc_id % 4 = 0)")},
+       ${uniWordCtes("v", "documents", maxPieceLen, 12)},
+       ${uniDpCtes(iters, 12, p = "v", piecesRel = s"upieces$iters", unk = true)},
+       vocab AS MATERIALIZED (
+         SELECT p, CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS tid
+         FROM (SELECT DISTINCT unnest(seg) AS p FROM v${iters}f)),
+       docw0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+                  i -> {'wp': i, 'word': ws[CAST(i AS INTEGER)]})) AS u
+         FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)),
+       docw AS (
+         SELECT doc_id, u.wp AS wp, u.word AS word FROM docw0
+         WHERE length(u.word) > 0),
+       subs0 AS (
+         SELECT d.doc_id, d.wp, unnest(list_transform(range(1, len(v.seg) + 1),
+                  i -> {'sp': i, 'sym': v.seg[CAST(i AS INTEGER)]})) AS u
+         FROM docw d JOIN v${iters}f v USING (word)),
+       subs AS (
+         SELECT s0.doc_id, s0.wp, u.sp AS sp, vc.tid AS tid
+         FROM subs0 s0 JOIN vocab vc ON vc.p = u.sym),
+       dstream AS MATERIALIZED (
+         SELECT doc_id, list(tid ORDER BY wp, sp) AS ids
+         FROM subs GROUP BY doc_id),
+       dmeta AS (
+         SELECT d.doc_id,
+                CAST(('0x' || substr(md5('b:' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  % $blocks AS block,
+                coalesce(len(s.ids), 0) AS n
+         FROM documents d LEFT JOIN dstream s USING (doc_id)),
+       doffs AS (
+         SELECT doc_id, block,
+                CAST(sum(n) OVER (PARTITION BY block ORDER BY doc_id) - n AS BIGINT)
+                  AS stream_start
+         FROM dmeta),
+       tok0 AS (
+         SELECT o.block, o.stream_start, unnest(list_transform(range(1, len(s.ids) + 1),
+                  i -> {'i': i, 'tok': s.ids[CAST(i AS INTEGER)]})) AS u
+         FROM doffs o JOIN dstream s USING (doc_id)),
+       tok AS (
+         SELECT block, stream_start + u.i - 1 AS pos, u.tok AS tok FROM tok0)
+       SELECT block, CAST(pos // $blockSize AS BIGINT) AS bin_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              md5(array_to_string(list(CAST(tok AS VARCHAR) ORDER BY pos), ',')) AS token_digest
+       FROM tok GROUP BY block, bin_id
+       ORDER BY block, bin_id"""
 
   private def unigramTrainOracle(maxPieceLen: Int, seedMulti: Int,
                                  keepMulti: Int, iters: Int): String =
@@ -1932,6 +2033,7 @@ ORDER BY doc_id""")
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "corpus_unigram_lm" -> unigramTrainOracle(6, 50, 30, 2),
     "corpus_unigram_encode" -> unigramEncodeOracle(6, 50, 30, 2),
+    "corpus_unigram_pack" -> unigramPackOracle(6, 50, 30, 2, blockSize = 512, blocks = 8),
     // SQL replay of AnnIndex.buildIvf(corpus slice) + screenIvf(batch):
     // the sim_topk_ivf_kmeans centroid chain trained over icorp, the
     // persisted float round-trip (centf), frozen-centroid routing of the
@@ -3323,6 +3425,7 @@ ORDER BY doc_id""")
     "corpus_bpe" -> (corpusBpe _),
     "corpus_unigram_lm" -> (corpusUnigramLm _),
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
+    "corpus_unigram_pack" -> (corpusUnigramPack _),
     "text_quality_trained" -> (textQualityTrained _),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
     "corpus_tokenize_pack" -> (corpusTokenizePack _),

@@ -130,6 +130,33 @@ class UnigramLmSpec extends SparkSpec {
     assert(e.getLong(1) == 0L && e.getLong(2) == 0L)
   }
 
+  test("encodeIds: sorted vocab, in-range ids, decode round-trips the token stream") {
+    import spark.implicits._
+    val d = Tables.load(spark, sf, "documents")
+    // sample-trained pieces, full-corpus encode — the pack query's split
+    val pieces = UnigramLm.train(d.filter(col("doc_id") % 4 === 0), "text")
+    val (ids, vocab) = UnigramLm.encodeIds(d, "text", "doc_id", pieces)
+    assert(vocab.nonEmpty && vocab.sameElements(vocab.sorted))
+    val mx = ids.select(max(array_max(col("token_ids")))).head().getInt(0)
+    assert(mx < vocab.length)
+    // decode: per-doc id stream maps back to pieces whose concatenation
+    // equals the doc's normalized word stream
+    val back = ids.as[(Long, Seq[Int])].collect().toMap
+    d.select("doc_id", "text").collect().take(10).foreach { r =>
+      val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split(" ").filter(_.nonEmpty)
+      assert(back(r.getLong(0)).map(vocab).mkString == words.mkString,
+        s"doc ${r.getLong(0)}")
+    }
+    // a char the training sample never saw still encodes (UNK fallback
+    // char lands in the vocabulary as itself)
+    val odd = Seq((7777L, "zqф zz")).toDF("doc_id", "text")
+    val (ids2, vocab2) = UnigramLm.encodeIds(odd, "text", "doc_id", pieces)
+    val stream = ids2.as[(Long, Seq[Int])].head()._2.map(vocab2)
+    assert(stream.mkString == "zqфzz")
+    assert(vocab2.contains("ф"))
+  }
+
   test("fixture guard: no document word exceeds MaxWordLen (oracle exactness bound)") {
     for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = Tables.load(spark, s"/root/testdata/$sfDir", "documents")
