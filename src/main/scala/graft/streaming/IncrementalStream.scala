@@ -493,4 +493,65 @@ object IncrementalStream {
         ()
       }
       .start()
+
+  /** Streaming EMBEDDING near-dup ingestion: every micro-batch screens
+    * against the PERSISTED ANN index ([[graft.operators.AnnIndex
+    * .screenIvf]] — frozen-centroid routing, nprobe cells, exact-cosine
+    * verify), then the accepted vectors append into the index's own cell
+    * partitions ([[graft.operators.AnnIndex.appendIvf]]) — the embedding
+    * member of the ingest family next to [[fuzzyDedupIngest]] and
+    * [[decontamIngest]]. Per-batch cost tracks the batch (probed cells ×
+    * batch), never the corpus history.
+    *
+    * Policy (fuzzyDedupIngest parity): a batch vector near-dup of a
+    * committed one is dropped; within a batch, each near-dup cluster
+    * keeps its min-id representative (SRP-bucketed pairs →
+    * `Dedup.clusterReps`).
+    *
+    * Idempotency WITHOUT markers: the screen is its own re-delivery
+    * guard — a re-delivered vector whose copy is already in the index
+    * matches itself at cosine 1 ≥ threshold (its own cell is its first
+    * probe by construction) and drops, so replaying a committed batch
+    * leaves the index unchanged (spec-pinned). That makes the
+    * non-transactional parquet append safe under AvailableNow re-runs
+    * with no commit-marker machinery in the index layout; requires
+    * `threshold < 1`.
+    */
+  def embeddingDedupIngest(stream: DataFrame, indexDir: String,
+                           checkpointDir: String, vecCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           threshold: Double = 0.3, nprobe: Int = 2,
+                           bits: Int = 4, tables: Int = 12,
+                           maxBucket: Int = 200): StreamingQuery = {
+    require(threshold < 1.0,
+      "embeddingDedupIngest: threshold must be < 1 (cosine-1 self-match is the re-delivery guard)")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val sp = batch0.sparkSession
+        var pinned = List.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+        try {
+          val batch = pin(batch0.select(col(idCol), col(vecCol)))
+          if (!batch.isEmpty) {
+            val corpusDup = graft.operators.AnnIndex.screenIvf(
+                sp, indexDir, batch, vecCol, idCol, threshold, nprobe)
+              .select(col("id_a").as(idCol)).distinct()
+            val survivors = pin(batch.join(corpusDup, Seq(idCol), "left_anti"))
+            if (!survivors.isEmpty) {
+              val pairs = graft.operators.Dedup.embeddingNearDup(
+                survivors, vecCol, idCol, threshold, bits, tables, maxBucket)
+              val reps = graft.operators.Dedup.clusterReps(survivors, pairs, idCol)
+              val kept = survivors.join(
+                reps.filter(col("rep_id") === col(idCol)).select(col(idCol)),
+                Seq(idCol))
+              graft.operators.AnnIndex.appendIvf(kept, vecCol, idCol, indexDir)
+            }
+          }
+        } finally pinned.foreach(_.unpersist())
+        ()
+      }
+      .start()
+  }
 }

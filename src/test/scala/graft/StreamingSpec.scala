@@ -406,6 +406,71 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, ts(2, 50), ts(3, 0), 2L)), rows.toString)
   }
 
+  test("streaming embedding ingest: screen against persisted index, in-batch reps, re-delivery safe") {
+    import spark.implicits._
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idxDir = tempDir("emb_idx")
+    graft.operators.AnnIndex.buildIvf(all.filter($"vec_id" % 5 =!= 0),
+      "embedding", "vec_id", idxDir, nlist = 8, iters = 5)
+    def indexIds: Set[Long] = spark.read.parquet(s"$idxDir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    val corpusIds = indexIds
+
+    val in = tempDir("emb_in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def drain(ck: String): Unit =
+      IncrementalStream.embeddingDedupIngest(
+          spark.readStream.schema(schema).parquet(in), idxDir, tempDir(ck),
+          threshold = 0.35, nprobe = 2)
+        .awaitTermination()
+    // batch-mode replay of the ingest policy — the screen and pair math
+    // are independently oracle-verified; this pins the streaming WIRING
+    def keptOf(batch: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val dup = graft.operators.AnnIndex.screenIvf(spark, idxDir, batch,
+          "embedding", "vec_id", 0.35, 2)
+        .select("id_a").as[Long].collect().toSet
+      val survivors = batch.filter(!$"vec_id".isin(dup.toSeq: _*))
+      val reps = graft.operators.Dedup.clusterReps(survivors,
+        graft.operators.Dedup.embeddingNearDup(survivors, "embedding", "vec_id",
+          0.35, bits = 4, tables = 12, maxBucket = 200), "vec_id")
+      reps.filter($"rep_id" === $"vec_id").select("vec_id").as[Long].collect().toSet
+    }
+
+    val b1 = all.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val kept1 = keptOf(b1)
+    b1.write.mode("append").parquet(in)
+    drain("emb_ck1")
+    assert(indexIds == corpusIds ++ kept1)
+    assert(kept1.nonEmpty && (b1.select("vec_id").as[Long].collect().toSet -- kept1).nonEmpty,
+      "fixture should both keep and drop something")
+
+    // re-delivery: a FRESH checkpoint reprocesses every file; the
+    // cosine-1 self-match guard must leave the index unchanged
+    drain("emb_ck2")
+    assert(indexIds == corpusIds ++ kept1)
+
+    // next drop: fixture slice + a copy of an already-committed vector
+    // (screens off against the index) + an in-batch duplicate pair
+    // (min-id representative wins)
+    val committedVec = all.filter($"vec_id" === kept1.min).select("embedding")
+      .as[Seq[Float]].head()
+    val donor = all.filter($"vec_id" === 15).select("embedding")
+      .as[Seq[Float]].head()
+    val b2 = all.filter($"vec_id" % 10 === 5).select("vec_id", "embedding")
+      .unionByName(Seq((100001L, donor), (100002L, committedVec))
+        .toDF("vec_id", "embedding"))
+    val kept2 = keptOf(b2)
+    assert(!kept2.contains(100001L), "in-batch dup of id 15 must lose to the min id")
+    assert(!kept2.contains(100002L), "copy of a committed vector must screen off")
+    b2.write.mode("append").parquet(in)
+    drain("emb_ck3")
+    assert(indexIds == corpusIds ++ kept1 ++ kept2)
+  }
+
   test("streaming sessionize: late event more than a gap before the start closes separately") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
