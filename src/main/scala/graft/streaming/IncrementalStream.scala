@@ -517,6 +517,59 @@ object IncrementalStream {
     * with no commit-marker machinery in the index layout; requires
     * `threshold < 1`.
     */
+  /** Streaming PROFILE sketches: every micro-batch writes its own
+    * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
+    * counts, min/max, HLL registers) under `sketchDir/batch=<id>`;
+    * "profile everything ingested so far" is then
+    * `Profile.mergeSketches(spark.read.parquet(sketchDir))` — a
+    * model-sized merge at any point in the stream's life, never a
+    * re-scan of ingested data.
+    *
+    * Effectively-once: the write is OVERWRITE-BY-BATCHID, and Structured
+    * Streaming re-delivers a failed batch under the SAME id from the
+    * checkpoint, so recovery overwrites the partial partition in place.
+    * The checkpoint is the source of truth — discarding it (which
+    * renumbers batches over the same files) requires discarding
+    * `sketchDir` with it, the standard foreachBatch idempotency
+    * contract.
+    */
+  def profileSketchIngest(stream: DataFrame, cols: Seq[String],
+                          sketchDir: String,
+                          checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Profile.sketch(batch, cols)
+            .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Streaming DATASHEET partials — the corpus-release-review twin of
+    * [[profileSketchIngest]]: one
+    * [[graft.operators.CorpusReport.datasheetSketch]] row per
+    * micro-batch under `sketchDir/batch=<id>`, merged at read with
+    * `CorpusReport.datasheetFromSketches`. Same overwrite-by-batchId
+    * effectively-once contract.
+    */
+  def datasheetSketchIngest(stream: DataFrame, textCol: String, idCol: String,
+                            langCol: String, sourceCol: String,
+                            sketchDir: String,
+                            checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CorpusReport.datasheetSketch(
+              batch, textCol, idCol, langCol, sourceCol)
+            .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   def embeddingDedupIngest(stream: DataFrame, indexDir: String,
                            checkpointDir: String, vecCol: String = "embedding",
                            idCol: String = "vec_id",

@@ -406,6 +406,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, ts(2, 50), ts(3, 0), 2L)), rows.toString)
   }
 
+  test("streaming profile + datasheet sketches: per-batch partitions merge to the whole-corpus answer") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val in = tempDir("psk_in")
+    val profDir = tempDir("psk_prof")
+    val dsDir = tempDir("psk_ds")
+    val (ckP, ckD) = (tempDir("psk_ckp"), tempDir("psk_ckd"))
+    val cols = Seq("doc_id", "text", "lang", "source")
+    val schema = docs.select(cols.map(org.apache.spark.sql.functions.col): _*).schema
+    def drain(): Unit = {
+      IncrementalStream.profileSketchIngest(
+        spark.readStream.schema(schema).parquet(in), cols, profDir, ckP)
+        .awaitTermination()
+      IncrementalStream.datasheetSketchIngest(
+        spark.readStream.schema(schema).parquet(in), "text", "doc_id",
+        "lang", "source", dsDir, ckD)
+        .awaitTermination()
+    }
+    // two drops through the SAME checkpoint — each lands its own batch
+    // partition; merge-at-read equals the whole-corpus batch answer
+    docs.filter($"doc_id" % 2 === 0).select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").parquet(in)
+    drain()
+    docs.filter($"doc_id" % 2 =!= 0).select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").parquet(in)
+    drain()
+    val merged = graft.operators.Profile.mergeSketches(
+        spark.read.parquet(profDir))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val whole = graft.operators.Profile.profile(docs, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    cols.foreach { c =>
+      assert(merged(c)._1 == whole(c)._1 && merged(c)._2 == whole(c)._2, c)
+      assert(merged(c)._4 == whole(c)._4 && merged(c)._5 == whole(c)._5, c)
+      assert(math.abs(merged(c)._3.toDouble - whole(c)._3.toDouble) <=
+        math.max(1.0, 0.02 * whole(c)._3), c)
+    }
+    val ds = graft.operators.CorpusReport.datasheetFromSketches(
+        spark.read.parquet(dsDir))
+      .as[(String, Double)].collect().toMap
+    val dsWhole = graft.operators.CorpusReport.datasheet(docs, "text",
+        "doc_id", "lang", "source")
+      .as[(String, Double)].collect().toMap
+    for (k <- Seq("n_docs", "n_chars_total", "mean_quality", "pii_doc_rate"))
+      assert(ds(k) == dsWhole(k), s"$k: ${ds(k)} vs ${dsWhole(k)}")
+    // a failed-then-redelivered batch overwrites ITS OWN partition in
+    // place: rewriting an existing batch id must not change the merge
+    val batchDirs = new java.io.File(profDir).listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.length == 2, batchDirs.mkString(","))
+    graft.operators.Profile.sketch(
+        docs.filter($"doc_id" % 2 === 0).select(cols.map(org.apache.spark.sql.functions.col): _*), cols)
+      .write.mode("overwrite").parquet(s"$profDir/${batchDirs.min}")
+    val again = graft.operators.Profile.mergeSketches(
+        spark.read.parquet(profDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("doc_id") == whole("doc_id")._1)
+  }
+
   test("streaming embedding ingest: screen against persisted index, in-batch reps, re-delivery safe") {
     import spark.implicits._
     val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
