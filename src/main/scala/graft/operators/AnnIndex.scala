@@ -146,8 +146,25 @@ object AnnIndex {
     */
   def screenIvf(spark: SparkSession, dir: String, batch: DataFrame,
                 vecCol: String, idCol: String, threshold: Double,
-                nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+                nprobe: Int): DataFrame =
+    screenAgainst(spark, dir, "centroids", batch, vecCol, idCol, threshold, nprobe)
+
+  /** [[screenIvf]] for an IVFADC index ([[buildIvfAdc]] layout): the
+    * routing table is the frozen pivot set, and the exact-cosine verify
+    * reads the raw vectors that ride along in the code-carrying cell
+    * partitions — the screen never touches the PQ codes (a dedup
+    * decision needs the exact check anyway, and the probed partitions
+    * are already pruned).
+    */
+  def screenIvfAdc(spark: SparkSession, dir: String, batch: DataFrame,
+                   vecCol: String, idCol: String, threshold: Double,
+                   nprobe: Int): DataFrame =
+    screenAgainst(spark, dir, "pivots", batch, vecCol, idCol, threshold, nprobe)
+
+  private def screenAgainst(spark: SparkSession, dir: String, routing: String,
+                            batch: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/$routing")
     val qCells = Similarity.ivfProbeCells(batch, cents, vecCol, idCol, nprobe)
     val probed = qCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted // bounded: <= nlist
@@ -176,6 +193,22 @@ object AnnIndex {
     val clean = batch.join(
       dupes.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
     appendIvf(clean, vecCol, idCol, dir)
+    dupes
+  }
+
+  /** [[ingestIvf]] for an IVFADC index: screen under the frozen pivots
+    * ([[screenIvfAdc]]), then route + PQ-encode the clean remainder
+    * under the frozen model ([[appendIvfAdc]]). Same eager-screen-
+    * before-append discipline.
+    */
+  def ingestIvfAdc(spark: SparkSession, dir: String, batch: DataFrame,
+                   vecCol: String, idCol: String, threshold: Double,
+                   nprobe: Int): DataFrame = {
+    val dupes = screenIvfAdc(spark, dir, batch, vecCol, idCol, threshold, nprobe)
+      .localCheckpoint(true)
+    val clean = batch.join(
+      dupes.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    appendIvfAdc(clean, vecCol, idCol, dir)
     dupes
   }
 

@@ -719,6 +719,33 @@ ORDER BY doc_id""")
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-family comparison — the measured-tradeoff contract
+    * applied to the two trained tokenizers: per family, corpus totals
+    * and FERTILITY (subword units per word, the standard tokenizer
+    * quality metric — lower = fewer pieces per word = cheaper
+    * sequences). Both encodes are map-only passes under their broadcast
+    * models; the summary is two 1-row aggregates. (BPE counts include
+    * its end-of-word sentinel — each family is measured under its own
+    * unit definition, stated here so the numbers read correctly.)
+    */
+  def corpusTokenizerEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bpe = Bpe.encode(d, "text", "doc_id", Bpe.train(d, "text", numMerges = 8))
+    val uni = UnigramLm.encode(d, "text", "doc_id", UnigramLm.train(d, "text"))
+    def summarize(df: DataFrame, name: String, cnt: String) =
+      df.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col(cnt)).as("n_pieces"))
+        .select(lit(name).as("tokenizer"), col("n_docs"), col("n_words"),
+          col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"))
+    summarize(bpe, "bpe", "n_subwords")
+      .unionByName(summarize(uni, "unigram", "n_pieces"))
+      .orderBy("tokenizer")
+  }
+
   // ---- corpus assembly ---------------------------------------------------
 
   def corpusSampleHash(s: SparkSession, dir: String): DataFrame =
@@ -2034,6 +2061,35 @@ ORDER BY doc_id""")
     "corpus_unigram_lm" -> unigramTrainOracle(6, 50, 30, 2),
     "corpus_unigram_encode" -> unigramEncodeOracle(6, 50, 30, 2),
     "corpus_unigram_pack" -> unigramPackOracle(6, 50, 30, 2, blockSize = 512, blocks = 8),
+    // composes the BPE (w8) and unigram (u2f) encode chains over one
+    // shared tokenized stream; fertility = pieces per word per family
+    "corpus_tokenizer_eval" ->
+      s"""WITH ${bpeChainCtes(8)},
+         ${uniChainCtes(6, 50, 30, 2)},
+         ${uniDpCtes(2, 12)},
+         tdocw AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+           FROM documents),
+         tdocw2 AS (SELECT doc_id, word FROM tdocw WHERE length(word) > 0),
+         bstat AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(len(s.syms)) AS BIGINT) AS n_pieces
+           FROM tdocw2 d JOIN w8 s USING (word)),
+         ustat AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(len(f.seg)) AS BIGINT) AS n_pieces
+           FROM tdocw2 d JOIN u2f f USING (word)),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT 'bpe' AS tokenizer, nd.n_docs AS n_docs, b.n_words AS n_words,
+                b.n_pieces AS n_pieces,
+                round(CAST(b.n_pieces AS DOUBLE) / CAST(b.n_words AS DOUBLE), 6)
+                  AS fertility
+         FROM bstat b, nd
+         UNION ALL
+         SELECT 'unigram', nd.n_docs, u.n_words, u.n_pieces,
+                round(CAST(u.n_pieces AS DOUBLE) / CAST(u.n_words AS DOUBLE), 6)
+         FROM ustat u, nd
+         ORDER BY tokenizer""",
     // SQL replay of AnnIndex.buildIvf(corpus slice) + screenIvf(batch):
     // the sim_topk_ivf_kmeans centroid chain trained over icorp, the
     // persisted float round-trip (centf), frozen-centroid routing of the
@@ -3426,6 +3482,7 @@ ORDER BY doc_id""")
     "corpus_unigram_lm" -> (corpusUnigramLm _),
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
     "corpus_unigram_pack" -> (corpusUnigramPack _),
+    "corpus_tokenizer_eval" -> (corpusTokenizerEval _),
     "text_quality_trained" -> (textQualityTrained _),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
     "corpus_tokenize_pack" -> (corpusTokenizePack _),

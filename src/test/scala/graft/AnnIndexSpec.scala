@@ -107,6 +107,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(res.nonEmpty && res.forall(_._1 == cleanId))
   }
 
+  test("IVFADC screen-then-append: frozen-pivot screen, clean rows re-encoded under frozen codebooks") {
+    val (all, _) = fixture()
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    val dir = tempDir("adcidx7")
+    AnnIndex.buildIvfAdc(corpus, "embedding", "vec_id", dir,
+      nlist = 8, m = 8, ksub = 16, iters = 3)
+    val before = spark.read.parquet(s"$dir/corpus").count()
+    // reference screen: same replay as the IVF case, pivots as routing
+    val pivots = spark.read.parquet(s"$dir/pivots")
+    val qCells = Similarity.ivfProbeCells(batch, pivots, "embedding", "vec_id", 2)
+      .select("query_id", "cell_id").as[(Long, Long)].collect().toSet
+    val routed = Similarity.ivfRoute(corpus, pivots, "embedding", "vec_id")
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val vecs = all.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expected = (for {
+      (q, cell) <- qCells.toSeq
+      (c, ccell) <- routed.toSeq if ccell == cell
+      s = cos(vecs(q), vecs(c)) if s >= 0.35
+    } yield (q, c)).toSet
+    val dupes = AnnIndex.ingestIvfAdc(spark, dir, batch, "embedding", "vec_id",
+      threshold = 0.35, nprobe = 2)
+    val got = dupes.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // accounting + the appended rows carry codes under the FROZEN model:
+    // querying after ingest must still be answerable (codes present)
+    val after = spark.read.parquet(s"$dir/corpus")
+    val dupIds = got.map(_._1)
+    assert(after.count() == before + batch.count() - dupIds.size)
+    assert(after.filter(col("codes").isNull).count() == 0)
+    val cleanId = (batch.select("vec_id").as[Long].collect().toSet -- dupIds).head
+    val res = AnnIndex.queryIvfAdc(spark, dir,
+        all.filter(col("vec_id") === cleanId), "embedding", "vec_id",
+        k = 3, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(res.nonEmpty && res.forall(_._1 == cleanId))
+  }
+
   test("persisted IVFADC query == in-memory ivfAdcTopK, bit for bit") {
     val (all, qs) = fixture()
     val dir = tempDir("adcidx")
