@@ -128,6 +128,36 @@ object AnnIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Top-k per query against a persisted index for a LARGE query set —
+    * the bulk twin of [[queryIvf]]. queryIvf broadcasts the probe table
+    * (right for service-sized query batches; the corpus side never
+    * shuffles); this path makes the query side arbitrary-sized — kNN
+    * labeling an ENTIRE corpus against the index, bulk hard-negative
+    * mining, embedding-join ETL. Probe assignment is map-only under the
+    * nlist-bounded centroid literal, candidates come from an equi-JOIN
+    * on cell_id (both sides shuffle by cell — ≤ nlist keys, so size
+    * nlist ≫ cluster cores at production scale), and per-query top-k
+    * runs through TopKPerKey bounded heaps. The only collect is the
+    * probed-cell list (≤ nlist). Results are BIT-IDENTICAL to
+    * [[queryIvf]] at the same parameters (spec-pinned).
+    */
+  def queryIvfBulk(spark: SparkSession, dir: String, queries: DataFrame,
+                   vecCol: String, idCol: String, k: Int,
+                   nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qCells = Similarity.ivfProbeCells(queries, cents, vecCol, idCol, nprobe)
+    val probed = qCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: <= nlist
+    val scored = readCorpus(spark, dir)
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell_id"))
+      .join(qCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** Screen a NEW batch against the persisted corpus index — the
     * embedding analog of the minhash incremental dedup
     * ([[Dedup.minhashLshIncrementalFromState]]): route the batch under

@@ -30,6 +30,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("bulk query path == broadcast query path, bit for bit, whole corpus as queries") {
+    val (all, qs) = fixture()
+    val dir = tempDir("annidx8")
+    AnnIndex.buildIvf(all, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    // small query set: both paths agree
+    val small = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val smallBulk = AnnIndex.queryIvfBulk(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(smallBulk == small)
+    // the bulk case the broadcast path is NOT for: every corpus vector
+    // as a query (self-kNN) — ranks complete and self-matches excluded
+    val bulk = AnnIndex.queryIvfBulk(spark, dir, all, "embedding", "vec_id",
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(bulk.map(_._1).distinct.length == all.count())
+    assert(bulk.forall(r => r._1 != r._3))
+    assert(bulk.groupBy(_._1).values.forall(rs =>
+      rs.map(_._2).sorted.sameElements(1L to rs.length)))
+  }
+
   test("append routes with frozen centroids: index == rebuilt-from-union query surface") {
     val (all, qs) = fixture()
     val base = all.filter(col("vec_id") % 3 =!= 0L)
