@@ -379,6 +379,37 @@ object ScaleProbe {
     time("mm_resize")(graft.operators.Multimodal.resizeImages(
       graft.operators.Multimodal.synthesizeMedia(big, "text", "doc_id"),
       8, 6).count())
+
+    // ---- round-7 operators at factor× ----
+    // unigram train: per-EM-round cost is ONE map-only Viterbi pass +
+    // one vocab-bounded count shuffle over the DISTINCT-WORD table —
+    // a duplicate-stacked corpus multiplies word WEIGHTS, not rows, so
+    // train should be near-flat in factor; encode is map-only per doc
+    var uniPieces: Seq[graft.operators.UnigramLm.Piece] = null
+    time("unigram_train")({
+      uniPieces = graft.operators.UnigramLm.train(big, "text")
+      uniPieces.length.toLong
+    })
+    time("unigram_encode")(graft.operators.UnigramLm.encode(
+      big, "text", "doc_id", uniPieces).count())
+    spark.catalog.clearCache()
+    // persisted-index screen + bulk query: both make the QUERY side
+    // arbitrary-sized (equi-join on cell_id, no broadcast); self-kNN of
+    // the whole corpus is the bulk shape the broadcast path cannot run
+    bigV.cache().count()
+    time("ann_screen_batch")(graft.operators.AnnIndex.screenIvf(
+      spark, idxDir, bigV.filter(col("vec_id") % 4 === 0), "embedding",
+      "vec_id", threshold = 0.35, nprobe = 2).count())
+    time("ann_bulk_selfknn")(graft.operators.AnnIndex.queryIvfBulk(
+      spark, idxDir, bigV, "embedding", "vec_id", k = 3, nprobe = 2).count())
+    // mergeable sketches: the per-drop sketch is one scan; the MERGE is
+    // model-sized — the number that matters for drops 2..N
+    time("profile_sketch_drop")(graft.operators.Profile.sketch(
+      big, Seq("doc_id", "text")).count())
+    val sk1 = graft.operators.Profile.sketch(big, Seq("doc_id", "text"))
+      .localCheckpoint(true)
+    time("profile_sketch_merge")(graft.operators.Profile.mergeSketches(
+      sk1.unionByName(sk1)).count())
     spark.stop()
   }
 }

@@ -123,6 +123,59 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Score `docs` with INTERPOLATED KNESER-NEY smoothing (Kneser & Ney
+    * 1995, in the Chen & Goodman 1998 interpolated form at bigram order,
+    * fixed discount D) — the smoothing real LM-quality filters actually
+    * use: add-one treats every unseen bigram alike, KN backs off to how
+    * PROMISCUOUSLY a word continues contexts (the "San Francisco"
+    * effect: "francisco" is frequent but follows almost nothing, so its
+    * continuation probability is tiny).
+    *
+    *   seen prefix:   p(w2|w1) = max(c2−D, 0)/c1 + D·n1p(w1)/c1 · pcont(w2)
+    *   unseen prefix: p(w2|w1) = pcont(w2)
+    *   pcont(w2) = (n1c(w2) + 1) / (T + V + 1)
+    *
+    * n1p(w1) = distinct continuations of w1, n1c(w2) = distinct contexts
+    * preceding w2, T = distinct bigram types; the continuation
+    * distribution is Laplace-smoothed over V+1 outcomes so OOV suffixes
+    * get positive mass (and the discount identity Σ max(c2−D,0)/c1 =
+    * 1 − D·n1p/c1 keeps each context's mass ≈1 over the extended
+    * vocabulary). EVERYTHING derives from the one cached bigram
+    * aggregate — n1p/n1c/T are vocabulary-sized rollups of c2, never a
+    * corpus pass; T and V are bounded 1-row collects; the score join
+    * rides the same shuffle shape as [[scoreBigram]]. Output columns
+    * identical to scoreBigram (same rounding contract).
+    */
+  def scoreBigramKN(docs: DataFrame, textCol: String, idCol: String,
+                    c2: DataFrame, c1: DataFrame, vocab: DataFrame,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    val v = vocab.head().getLong(0)
+    val t = c2.agg(count(lit(1))).head().getLong(0) // bounded: one scalar
+    val n1p = c2.groupBy("w1").agg(count(lit(1)).as("n1p"))
+    val n1c = c2.groupBy("w2").agg(count(lit(1)).as("n1c"))
+    val d = lit(discount)
+    bigrams(docs, textCol, idCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1p, Seq("w1"), "left")
+      .join(n1c, Seq("w2"), "left")
+      .withColumn("pcont",
+        (coalesce(col("n1c"), lit(0L)) + lit(1.0)) / lit(t + v + 1.0))
+      .withColumn("lp", log(
+        when(col("c1").isNull, col("pcont"))
+          .otherwise(
+            greatest(coalesce(col("c2"), lit(0L)) - d, lit(0.0)) / col("c1") +
+              d * col("n1p") / col("c1") * col("pcont"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1))).as("nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("nll"), 6).as("avg_nll"),
+        round(exp(col("nll")), 4).as("perplexity"))
+  }
+
   /** Score `docs` against trained counts with add-one (Laplace) smoothing:
     * p(w2|w1) = (c2 + 1) / (c1 + V), with c2 = 0 for unseen bigrams and
     * c1 = 0 for unseen prefixes. Returns one row per document that has at

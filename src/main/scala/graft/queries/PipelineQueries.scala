@@ -3255,6 +3255,51 @@ ORDER BY doc_id""")
            FROM lp GROUP BY doc_id)
        SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll,
               round(exp(nll), 4) AS perplexity
+       FROM agg ORDER BY doc_id""") +
+    // interpolated Kneser-Ney at bigram order: the lm_perplexity chain
+    // plus the three c2 rollups (n1p/n1c/T); expression order mirrors
+    // LanguageModel.scoreBigramKN term for term (double determinism)
+    ("lm_perplexity_kn" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         ttoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM train),
+         tb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM ttoks, unnest(range(1, len(w))) AS t(i)),
+         c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+         n1p AS (SELECT w1, count(*) AS n1p FROM c2 GROUP BY w1),
+         n1c AS (SELECT w2, count(*) AS n1c FROM c2 GROUP BY w2),
+         tt AS (SELECT count(*) AS t FROM c2),
+         v AS (
+           SELECT count(DISTINCT token) AS v FROM (
+             SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+             FROM train)),
+         stoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM sd),
+         sb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM stoks, unnest(range(1, len(w))) AS t(i)),
+         lp AS (
+           SELECT sb.doc_id,
+                  ln(CASE WHEN c1.c1 IS NULL
+                     THEN (coalesce(n1c.n1c, 0) + 1.0) / (tt.t + v.v + 1.0)
+                     ELSE greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / c1.c1
+                          + 0.75 * n1p.n1p / c1.c1
+                            * ((coalesce(n1c.n1c, 0) + 1.0) / (tt.t + v.v + 1.0))
+                     END) AS lp
+           FROM sb LEFT JOIN c2 ON sb.w1 = c2.w1 AND sb.w2 = c2.w2
+                   LEFT JOIN c1 ON sb.w1 = c1.w1
+                   LEFT JOIN n1p ON sb.w1 = n1p.w1
+                   LEFT JOIN n1c ON sb.w2 = n1c.w2
+                   CROSS JOIN v CROSS JOIN tt),
+         agg AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  -CAST(sum(CAST(lp AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS nll
+           FROM lp GROUP BY doc_id)
+       SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll,
+              round(exp(nll), 4) AS perplexity
        FROM agg ORDER BY doc_id""")
 
   // ---- retrieval & LM quality scoring ------------------------------------
@@ -3283,6 +3328,18 @@ ORDER BY doc_id""")
     val (c2, c1, v) = LanguageModel.trainBigram(
       d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
     LanguageModel.scoreBigram(d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", c2, c1, v)
+      .orderBy("doc_id")
+  }
+
+  /** Kneser-Ney-smoothed perplexity over the same train/score split as
+    * [[lmPerplexity]] (see [[LanguageModel.scoreBigramKN]]).
+    */
+  def lmPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (c2, c1, v) = LanguageModel.trainBigram(
+      d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    LanguageModel.scoreBigramKN(d.filter(col("doc_id") % 4 === 0),
         "text", "doc_id", c2, c1, v)
       .orderBy("doc_id")
   }
@@ -3429,6 +3486,7 @@ ORDER BY doc_id""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
     "lm_perplexity" -> (lmPerplexity _),
+    "lm_perplexity_kn" -> (lmPerplexityKn _),
     "lm_next_token" -> (lmNextToken _),
     "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),

@@ -63,6 +63,31 @@ class RetrievalLmSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("Kneser-Ney bigram: hand-computed interpolated probabilities, mass ≈ 1") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val (c2, c1, v) = LanguageModel.trainBigram(train, "text", "doc_id")
+    // c2(a,b)=2 c2(b,a)=1; c1(a)=2 c1(b)=1; V=2
+    // rollups: n1p(a)=n1p(b)=1; n1c(a)=n1c(b)=1; T=2
+    // pcont(seen)=(1+1)/(2+2+1)=0.4, pcont(OOV)=1/5=0.2
+    // "a b c": p(b|a)=max(2-.75,0)/2 + .75*1/2*.4 = 0.625+0.15 = 0.775
+    //          p(c|b)=0 + .75*1/1*.2 = 0.15
+    // "c d":   unseen prefix -> p = pcont(d) = 0.2 -> perplexity 5
+    val score = Seq((10L, "a b c"), (11L, "c d")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreBigramKN(score, "text", "doc_id", c2, c1, v)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val expectedPpl = math.exp(-(math.log(0.775) + math.log(0.15)) / 2.0)
+    assert(math.abs(out(0).getDouble(3) - expectedPpl) < 5e-4, out(0).toString)
+    assert(out(1).getDouble(3) == 5.0, out(1).toString)
+    // the discount identity: mass over {a, b, OOV} for context `a` is
+    // exactly 1 — p(b|a)=0.775, p(a|a)=0+0.375*0.4=0.15, OOV=0.375*0.2
+    assert(math.abs(0.775 + 0.15 + 0.075 - 1.0) < 1e-12)
+    // KN orders docs differently from add-one where continuation
+    // promiscuity differs — here both smoothers must at least agree that
+    // a doc of seen bigrams beats a doc of unseen ones
+    assert(out(0).getDouble(3) < out(1).getDouble(3))
+  }
+
   test("next-token table: hand-computed argmax, probabilities, context top-k") {
     // "a b a b": bigrams (a,b),(b,a),(a,b); "a c": (a,c)
     // c2: (a,b)=2, (b,a)=1, (a,c)=1; c1: a=3, b=1
