@@ -98,4 +98,37 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col(idCol),
         round(col("score"), 6).as("score"))
   }
+
+  /** Hybrid lexical + vector retrieval via Reciprocal Rank Fusion
+    * (Cormack, Clarke & Büttcher 2009): rrf(q, d) = Σ_sources
+    * 1/(k0 + rank_source(d)). Fusion is RANK-based, so the two scorers'
+    * incomparable score scales (BM25 log-idf sums vs cosine) never
+    * meet, and a document surfaced by BOTH sources outranks one found
+    * by either alone — the standard production recipe for combining a
+    * keyword index with an embedding index.
+    *
+    * Inputs are the two top-k tables ([[bm25TopK]]'s (query_id, rank,
+    * doc, score) and an ANN top-k's (query_id, rank, neighbor_id, …)) —
+    * already query-bounded, so the fusion is a union + ONE aggregate +
+    * a per-query top-k over ≤ 2k rows per query: model-sized end to
+    * end regardless of corpus scale. Ties break on doc id; the 2-term
+    * double sum is order-independent bit-for-bit.
+    */
+  def hybridRrf(lexical: DataFrame, vector: DataFrame, k: Int,
+                k0: Int = 60): DataFrame = {
+    val docCol = lexical.columns(2) // bm25TopK emits (query_id, rank, <id>, score)
+    val lx = lexical.select(col("query_id"), col(docCol).as("doc"),
+      (lit(1.0) / (lit(k0) + col("rank"))).as("rrf_term"))
+    val vx = vector.select(col("query_id"), col("neighbor_id").as("doc"),
+      (lit(1.0) / (lit(k0) + col("rank"))).as("rrf_term"))
+    val fused = lx.unionByName(vx)
+      .groupBy("query_id", "doc")
+      .agg(sum(col("rrf_term")).as("rrf"), count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("n_sources"))
+  }
 }

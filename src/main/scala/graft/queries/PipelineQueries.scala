@@ -1250,8 +1250,8 @@ ORDER BY doc_id""")
   /** Exact brute-force top-5 oracle — also the ground-truth CTE of
     * `sim_eval_recall`.
     */
-  private lazy val bruteforceTopkSql: String =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+  private def bruteforceTopkSql(maxQ: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $maxQ),
               scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        list_sum(list_transform(range(1, len(qv)+1),
@@ -1268,7 +1268,7 @@ ORDER BY doc_id""")
                                           ORDER BY cos_exact DESC, neighbor_id) AS rank
                 FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos_exact, 6) AS cosine
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** Hash-pivot IVF top-5 oracle — also the approximate CTE of
     * `sim_eval_recall`.
@@ -2055,6 +2055,45 @@ ORDER BY doc_id""")
        FROM tok GROUP BY block, bin_id
        ORDER BY block, bin_id"""
 
+  /** BM25 top-10 oracle — shared by retrieval_bm25 and the hybrid
+    * RRF fusion (no-fork rule).
+    */
+  private lazy val bm25TopkSql: String =
+    """WITH q(query_id, term) AS (VALUES
+             (0, 'hash'), (0, 'join'), (0, 'merge'),
+             (1, 'stream'), (1, 'window'), (1, 'batch'),
+             (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'sort')),
+         toks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+           FROM documents),
+         post AS (
+           SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         stats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl),
+         dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+         scored AS (
+           SELECT q.query_id, p.doc_id,
+                  sum(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                      AS DECIMAL(38, 12))) AS sd
+           FROM post p JOIN q ON p.token = q.term
+           JOIN dl d ON d.doc_id = p.doc_id
+           JOIN dfreq f ON f.token = p.token
+           CROSS JOIN stats s
+           GROUP BY q.query_id, p.doc_id),
+         ranked AS (
+           SELECT query_id, doc_id, CAST(sd AS DOUBLE) AS score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY CAST(sd AS DOUBLE) DESC, doc_id) AS rank
+           FROM scored)
+       SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+              round(score, 6) AS score
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
@@ -2509,13 +2548,13 @@ ORDER BY doc_id""")
                 FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
          WHERE c >= 0.35 ORDER BY id_a, id_b""",
-    "sim_topk_bruteforce" -> bruteforceTopkSql,
+    "sim_topk_bruteforce" -> bruteforceTopkSql(),
     "sim_topk_ivf" -> ivfTopkSql,
     // recall@5 of the IVF index vs the exact scan: both sides are the
     // already-oracled topk queries embedded as CTEs (their inner WITHs
     // are subquery-scoped), joined on (query_id, neighbor_id)
     "sim_eval_recall" ->
-      s"""WITH bf AS ($bruteforceTopkSql),
+      s"""WITH bf AS (${bruteforceTopkSql()}),
           iv AS ($ivfTopkSql),
           hits AS (
             SELECT bf.query_id, count(*) AS n_hits
@@ -2554,7 +2593,7 @@ ORDER BY doc_id""")
     // kNN majority vote over the exact top-5: modal neighbor label,
     // ties to the smallest label — integer votes, nothing float-borne
     "sim_label_knn" ->
-      s"""WITH bf AS ($bruteforceTopkSql),
+      s"""WITH bf AS (${bruteforceTopkSql()}),
           votes AS (
             SELECT bf.query_id, e.label, count(*) AS n_votes
             FROM bf JOIN embeddings e ON bf.neighbor_id = e.vec_id
@@ -3150,40 +3189,26 @@ ORDER BY doc_id""")
     // BM25: same tokenization, Robertson idf, k1=1.2 b=0.75, decimal-
     // funneled score sum, (score DESC, doc_id) rank — mirrors
     // operators/Retrieval.scala term for term
-    "retrieval_bm25" ->
-      """WITH q(query_id, term) AS (VALUES
-             (0, 'hash'), (0, 'join'), (0, 'merge'),
-             (1, 'stream'), (1, 'window'), (1, 'batch'),
-             (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'sort')),
-         toks AS (
-           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-           FROM documents),
-         post AS (
-           SELECT doc_id, token, count(*) AS tf FROM toks
-           WHERE token <> '' GROUP BY doc_id, token),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
-         stats AS (
-           SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-           FROM dl),
-         dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
-         scored AS (
-           SELECT q.query_id, p.doc_id,
-                  sum(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-                           * (p.tf * 2.2)
-                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
-                      AS DECIMAL(38, 12))) AS sd
-           FROM post p JOIN q ON p.token = q.term
-           JOIN dl d ON d.doc_id = p.doc_id
-           JOIN dfreq f ON f.token = p.token
-           CROSS JOIN stats s
-           GROUP BY q.query_id, p.doc_id),
+    "retrieval_bm25" -> bm25TopkSql,
+    // RRF fusion of the two already-oracled top-k chains over the shared
+    // id space; 1/(60+rank) terms, 2-element double sums, doc-id ties
+    "retrieval_hybrid_rrf" ->
+      s"""WITH lx AS ($bm25TopkSql),
+         vx AS (${bruteforceTopkSql(3, 10)}),
+         u AS (
+           SELECT query_id, doc_id AS doc, 1.0 / (60 + rank) AS rrf_term FROM lx
+           UNION ALL
+           SELECT query_id, neighbor_id AS doc, 1.0 / (60 + rank) AS rrf_term FROM vx),
+         fused AS (
+           SELECT query_id, doc, sum(rrf_term) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_sources
+           FROM u GROUP BY query_id, doc),
          ranked AS (
-           SELECT query_id, doc_id, CAST(sd AS DOUBLE) AS score,
+           SELECT query_id, doc, rrf, n_sources,
                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY CAST(sd AS DOUBLE) DESC, doc_id) AS rank
-           FROM scored)
-       SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-              round(score, 6) AS score
+                                     ORDER BY rrf DESC, doc) AS rank
+           FROM fused)
+       SELECT query_id, rank, doc AS doc_id, round(rrf, 6) AS rrf, n_sources
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // bigram LM with add-one smoothing: train on doc_id % 4 <> 0, score
     // the held-out quarter — mirrors operators/LanguageModel.scala
@@ -3330,6 +3355,21 @@ ORDER BY doc_id""")
     LanguageModel.scoreBigram(d.filter(col("doc_id") % 4 === 0),
         "text", "doc_id", c2, c1, v)
       .orderBy("doc_id")
+  }
+
+  /** Hybrid retrieval: BM25 top-10 (the literal query-term sets) fused
+    * with the exact vector top-10 of the SAME query ids (documents and
+    * embeddings share the id space) by reciprocal-rank fusion — see
+    * [[Retrieval.hybridRrf]].
+    */
+  def retrievalHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = bm25QueryTerms.toDF("query_id", "term")
+    val lex = Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", terms, k = 10)
+    val e = embs(s, dir)
+    val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 10)
+    Retrieval.hybridRrf(lex, vec, k = 10).orderBy("query_id", "rank")
   }
 
   /** Kneser-Ney-smoothed perplexity over the same train/score split as
@@ -3485,6 +3525,7 @@ ORDER BY doc_id""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
+    "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),
     "lm_next_token" -> (lmNextToken _),

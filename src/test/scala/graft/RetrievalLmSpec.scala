@@ -42,6 +42,22 @@ class RetrievalLmSpec extends SparkSpec {
     assert(out(0).getDouble(3) > out(1).getDouble(3)) // two matched terms beat one
   }
 
+  test("hybrid RRF: both-source docs outrank single-source; hand-computed terms") {
+    val lex = Seq((0L, 1L, 100L, 5.0), (0L, 2L, 200L, 3.0))
+      .toDF("query_id", "rank", "doc_id", "score")
+    val vec = Seq((0L, 1L, 200L, 0.9), (0L, 2L, 300L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val out = Retrieval.hybridRrf(lex, vec, k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Double, Long)].collect().toSeq
+    // doc 200: lex rank 2 + vec rank 1 -> 1/62 + 1/61; beats both
+    // single-source docs despite never ranking first on the lexical side
+    val r = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (0L, 1L, 200L, r(1.0 / 62 + 1.0 / 61), 2L),
+      (0L, 2L, 100L, r(1.0 / 61), 1L),
+      (0L, 3L, 300L, r(1.0 / 62), 1L)))
+  }
+
   test("bigram LM: add-one smoothing, hand-computed perplexity") {
     val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val (c2, c1, v) = LanguageModel.trainBigram(train, "text", "doc_id")
