@@ -26,9 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     // compositions OVER the brute-force baseline inherit its declared
     // broadcast-nested-loop (corpus streamed once against broadcast
     // queries — linear in the corpus):
-    "sim_eval_recall",    // ground-truth side of the recall metric
-    "sim_label_knn",      // votes over the exact top-5
-    "sim_hard_negatives") // same scan with the label predicate added
+    "sim_eval_recall",     // ground-truth side of the recall metric
+    "sim_label_knn",       // votes over the exact top-5
+    "sim_hard_negatives",  // same scan with the label predicate added
+    "retrieval_hybrid_rrf") // vector side is the brute-force baseline
 
   test("no registered query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
