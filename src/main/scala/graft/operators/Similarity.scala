@@ -210,6 +210,47 @@ object Similarity {
                idCol: String): DataFrame =
     assignCells(corpus, pivotLiteral(pivots), vecCol, idCol)
 
+  /** Deterministic TEXT → EMBEDDING bridge: signed feature hashing
+    * (Weinberger et al. 2009) — token t adds sign(t) ∈ {±1} to
+    * component bucket(t) of a `dim`-wide vector, which is then
+    * L2-normalized. Both hash and sign come from the portable md5
+    * formula, so the construction is exactly reproducible in SQL and
+    * NEEDS NO MODEL: the bridge that lets the entire embedding stack
+    * (ANN indexes, screen/ingest, semantic dedup, k-means, PCA) run on
+    * corpora that ship no embedding column. Not a learned semantic
+    * space — cosine here measures weighted token overlap (a bag-of-
+    * words kernel), which is exactly what lexical near-dup and
+    * clustering pipelines want as a first pass.
+    *
+    * Scale shape: one token explode → (id, bucket) partial-aggregated
+    * weight sums (≤ dim rows per doc) → one per-id dense-array build.
+    * Docs with no tokens emit no row (the bigram-table convention).
+    */
+  def hashEmbed(df: DataFrame, textCol: String, idCol: String, dim: Int = 64,
+                salt: String = "he"): DataFrame = {
+    require(dim >= 2 && dim <= 4096, "dim in [2, 4096]")
+    val toks = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val bucket = conv(substring(md5(concat(lit(s"he:$salt:"), col("token"))),
+      1, 6), 16, 10).cast("long") % dim
+    val sgn = when(conv(substring(md5(concat(lit(s"hs:$salt:"), col("token"))),
+      1, 1), 16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val cells = toks
+      .select(col(idCol), bucket.as("bucket"), sgn.as("s"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("s")).as("w"))
+    val dense = cells.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("w")))).as("m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("raw"))
+    val norm = sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x))
+    dense.select(col(idCol),
+      when(norm === 0.0, col("raw")) // fully cancelled: zero vector stays
+        .otherwise(transform(col("raw"), x => x / norm))
+        .cast("array<float>").as("embedding"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
     * round(x_i/scale). The standard 4× storage/bandwidth compression for
     * an embedding store at corpus scale — map-only, exactly invertible to

@@ -3190,6 +3190,45 @@ ORDER BY doc_id""")
     // funneled score sum, (score DESC, doc_id) rank — mirrors
     // operators/Retrieval.scala term for term
     "retrieval_bm25" -> bm25TopkSql,
+    // signed feature hashing (dim 32): portable md5 bucket + sign,
+    // dense grid by left join, L2 norm as an ordered list fold, float
+    // round-trip mirrored before rounding
+    "text_hash_embed" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         cells AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('he:r7:' || token), 1, 6)) AS BIGINT) % 32
+                    AS bucket,
+                  sum(CASE WHEN CAST(('0x' || substr(md5('hs:r7:' || token), 1, 1))
+                             AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS w
+           FROM tk GROUP BY doc_id, bucket),
+         grid AS (
+           SELECT d.doc_id, CAST(r.range AS BIGINT) AS i
+           FROM (SELECT DISTINCT doc_id FROM cells) d, range(32) r),
+         dvec AS (
+           SELECT g.doc_id, g.i, CAST(coalesce(c.w, 0) AS DOUBLE) AS x
+           FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.bucket = g.i),
+         dense AS (
+           SELECT doc_id, list(x ORDER BY i) AS raw FROM dvec GROUP BY doc_id),
+         normed AS (
+           SELECT doc_id, raw,
+                  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+           FROM dense),
+         vec AS (
+           SELECT doc_id,
+                  CASE WHEN nrm = 0.0 THEN raw
+                       ELSE list_transform(raw, x -> x / nrm) END AS v
+           FROM normed)
+         SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS dim_idx,
+                round(CAST(CAST(u.x AS FLOAT) AS DOUBLE), 6) AS weight
+         FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(v) + 1),
+                    i -> {'i': i, 'x': v[CAST(i AS INTEGER)]})) AS u
+           FROM vec)
+         ORDER BY doc_id, dim_idx""",
     // RRF fusion of the two already-oracled top-k chains over the shared
     // id space; 1/(60+rank) terms, 2-element double sums, doc-id ties
     "retrieval_hybrid_rrf" ->
@@ -3356,6 +3395,17 @@ ORDER BY doc_id""")
         "text", "doc_id", c2, c1, v)
       .orderBy("doc_id")
   }
+
+  /** Text → embedding via signed feature hashing (dim 32), exploded to
+    * cell-exact rows — see [[Similarity.hashEmbed]].
+    */
+  def textHashEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.hashEmbed(docs(s, dir), "text", "doc_id", dim = 32, salt = "r7")
+      .select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "weight")))
+      .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"),
+        round(col("weight").cast("double"), 6).as("weight"))
+      .orderBy("doc_id", "dim_idx")
 
   /** Hybrid retrieval: BM25 top-10 (the literal query-term sets) fused
     * with the exact vector top-10 of the SAME query ids (documents and
@@ -3525,6 +3575,7 @@ ORDER BY doc_id""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
+    "text_hash_embed" -> (textHashEmbed _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),

@@ -308,4 +308,44 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (bf intersect ann).size.toDouble / bf.size
     assert(recall >= 0.5, s"ANN recall $recall") // 4-bit buckets, 8 tables
   }
+
+  test("hashEmbed: unit norm, hand-checked bucket/sign, chains into the ANN index") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.operators.Similarity.hashEmbed(docs, "text", "doc_id",
+      dim = 32, salt = "t")
+    // every non-cancelled vector is unit-norm; dims fixed
+    val norms = emb.select(
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5 || n == 0.0))
+    assert(emb.select(size(col("embedding"))).distinct().as[Int].collect().toSeq == Seq(32))
+    // determinism across partitionings
+    val a = emb.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = graft.operators.Similarity.hashEmbed(docs.repartition(13), "text",
+      "doc_id", dim = 32, salt = "t").orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+    // hand-check one single-token doc against the md5 formula
+    val one = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val v = graft.operators.Similarity.hashEmbed(one, "text", "doc_id", 32, "t")
+      .select("embedding").as[Seq[Float]].head()
+    val h = java.security.MessageDigest.getInstance("MD5")
+    def hex(prefix: String) = h.digest(s"$prefix:t:alpha".getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(hex("he"), 16) % 32).toInt
+    val sign = if (java.lang.Long.parseLong(hex("hs").take(1), 16) % 2 == 0) 1f else -1f
+    assert(v(bucket) == sign && v.count(_ != 0f) == 1)
+    // empty docs emit no row
+    assert(graft.operators.Similarity.hashEmbed(
+      Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id", 32, "t").count() == 0)
+    // the bridge composes: build + query a persisted ANN index on the
+    // hashed embeddings of raw text
+    val dir = tempDir("hashembidx")
+    graft.operators.AnnIndex.buildIvf(emb, "embedding", "doc_id", dir,
+      nlist = 8, iters = 3)
+    val res = graft.operators.AnnIndex.queryIvf(spark, dir,
+        emb.filter(col("doc_id") < 3), "embedding", "doc_id", k = 3, nprobe = 2)
+      .collect()
+    assert(res.nonEmpty)
+  }
 }
