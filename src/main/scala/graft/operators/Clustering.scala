@@ -184,6 +184,46 @@ object Clustering {
         round(col("centroid_cos"), 6).as("centroid_cos"))
   }
 
+  /** Topic discovery over RAW TEXT — the unsupervised "what is in this
+    * corpus" view, model-free end to end: k-means over hashed
+    * embeddings ([[Similarity.hashEmbed]] — the deterministic
+    * text→vector bridge), each cluster labeled by its top-`topn` tokens
+    * by WITHIN-CLUSTER document frequency (ties token asc). Not LDA —
+    * a bag-of-words clustering whose labels are exact corpus
+    * statistics, which is what makes it oracle-checkable and cheap: one
+    * token explode for the embeddings, the k-means loop on the
+    * doc-count-sized hashed table, one distinct-token pass joined to
+    * the nlist-bounded assignment, TopKPerKey bounded heaps.
+    *
+    * Output: (cell_id, rank, token, df) — the reading sheet of a
+    * corpus nobody has labeled.
+    */
+  def textTopics(docs: DataFrame, textCol: String, idCol: String,
+                 dim: Int, k: Int, iters: Int, topn: Int,
+                 salt: String): DataFrame = {
+    // hashed vectors feed BOTH the training loop and the final
+    // assignment — pin them once (eager; blocks reclaimed with the
+    // lazy result by the ContextCleaner)
+    val emb = Similarity.hashEmbed(docs, textCol, idCol, dim, salt)
+      .localCheckpoint(true)
+    val cents = kmeans(emb, "embedding", idCol, k, iters)
+    val cl = centroidLiteral(cents)
+    val assigned = emb.select(col(idCol),
+      nearestCell(col("embedding"), cl).as("cell_id"))
+    val toks = graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct() // document frequency, not occurrence count
+    val counts = toks.join(assigned, Seq(idCol))
+      .groupBy(col("cell_id"), col("token")).agg(count(lit(1)).as("df"))
+    val top = graft.plans.TopK.perKey(counts, Seq(col("cell_id")),
+      Seq(col("df").desc, col("token").asc), topn)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))
+      .orderBy(col("df").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("cell_id"), col("rank"), col("token"), col("df"))
+  }
+
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
                     iters: Int, threshold: Double,
                     maxCluster: Int = 100000): DataFrame = {

@@ -2094,6 +2094,66 @@ ORDER BY doc_id""")
               round(score, 6) AS score
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Signed-feature-hashing CTE chain (mirrors `Similarity.hashEmbed`):
+    * defines `tk` (per-doc nonempty tokens), `vec` (doc_id, normalized
+    * double list) and `hvec` (doc_id, the FLOAT-cast vector — the exact
+    * array<float> the Spark side emits). Shared by text_hash_embed and
+    * every oracle composing over hashed embeddings (no-fork rule).
+    */
+  private def hashEmbedCtes(dim: Int, salt: String): String =
+    s"""htoks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM htoks WHERE token <> ''),
+         hcells AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('he:$salt:' || token), 1, 6)) AS BIGINT) % $dim
+                    AS bucket,
+                  sum(CASE WHEN CAST(('0x' || substr(md5('hs:$salt:' || token), 1, 1))
+                             AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS w
+           FROM tk GROUP BY doc_id, bucket),
+         hgrid AS (
+           SELECT d.doc_id, CAST(r.range AS BIGINT) AS i
+           FROM (SELECT DISTINCT doc_id FROM hcells) d, range($dim) r),
+         hdvec AS (
+           SELECT g.doc_id, g.i, CAST(coalesce(c.w, 0) AS DOUBLE) AS x
+           FROM hgrid g LEFT JOIN hcells c ON c.doc_id = g.doc_id AND c.bucket = g.i),
+         hdense AS (
+           SELECT doc_id, list(x ORDER BY i) AS raw FROM hdvec GROUP BY doc_id),
+         hnormed AS (
+           SELECT doc_id, raw,
+                  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+           FROM hdense),
+         vec AS (
+           SELECT doc_id,
+                  CASE WHEN nrm = 0.0 THEN raw
+                       ELSE list_transform(raw, x -> x / nrm) END AS v
+           FROM hnormed),
+         hvec AS (
+           SELECT doc_id, list_transform(v, x -> CAST(x AS FLOAT)) AS fv FROM vec)"""
+
+  /** text_topics oracle: the hashed-embedding chain, the kmeans chain
+    * retargeted at it (src param), final assignment against the trained
+    * centroids, and within-cluster token document frequencies.
+    */
+  private lazy val textTopicsSql: String =
+    s"""WITH ${hashEmbedCtes(32, "r7")},
+       hv AS MATERIALIZED (SELECT doc_id AS vec_id, fv AS embedding FROM hvec),
+       ${kmChainCtes(4, 2, materialize = true, src = "hv")},
+       ${kmAssignSql(3, "cent2", mat = true, src = "hv")},
+       ttk AS (SELECT DISTINCT doc_id, token FROM tk),
+       tcnt AS (
+         SELECT a.cell_id, t.token, CAST(count(*) AS BIGINT) AS df
+         FROM ttk t JOIN assign3 a ON a.vec_id = t.doc_id
+         GROUP BY a.cell_id, t.token),
+       tranked AS (
+         SELECT cell_id, token, df,
+                row_number() OVER (PARTITION BY cell_id
+                                   ORDER BY df DESC, token) AS rank
+         FROM tcnt)
+       SELECT cell_id, rank, token, df FROM tranked
+       WHERE rank <= 5 ORDER BY cell_id, rank"""
+
   private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
@@ -3190,44 +3250,18 @@ ORDER BY doc_id""")
     // funneled score sum, (score DESC, doc_id) rank — mirrors
     // operators/Retrieval.scala term for term
     "retrieval_bm25" -> bm25TopkSql,
+    "text_topics" -> textTopicsSql,
     // signed feature hashing (dim 32): portable md5 bucket + sign,
     // dense grid by left join, L2 norm as an ordered list fold, float
     // round-trip mirrored before rounding
     "text_hash_embed" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-           FROM documents),
-         tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-         cells AS (
-           SELECT doc_id,
-                  CAST(('0x' || substr(md5('he:r7:' || token), 1, 6)) AS BIGINT) % 32
-                    AS bucket,
-                  sum(CASE WHEN CAST(('0x' || substr(md5('hs:r7:' || token), 1, 1))
-                             AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS w
-           FROM tk GROUP BY doc_id, bucket),
-         grid AS (
-           SELECT d.doc_id, CAST(r.range AS BIGINT) AS i
-           FROM (SELECT DISTINCT doc_id FROM cells) d, range(32) r),
-         dvec AS (
-           SELECT g.doc_id, g.i, CAST(coalesce(c.w, 0) AS DOUBLE) AS x
-           FROM grid g LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.bucket = g.i),
-         dense AS (
-           SELECT doc_id, list(x ORDER BY i) AS raw FROM dvec GROUP BY doc_id),
-         normed AS (
-           SELECT doc_id, raw,
-                  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
-           FROM dense),
-         vec AS (
-           SELECT doc_id,
-                  CASE WHEN nrm = 0.0 THEN raw
-                       ELSE list_transform(raw, x -> x / nrm) END AS v
-           FROM normed)
+      s"""WITH ${hashEmbedCtes(32, "r7")}
          SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS dim_idx,
-                round(CAST(CAST(u.x AS FLOAT) AS DOUBLE), 6) AS weight
+                round(CAST(u.x AS DOUBLE), 6) AS weight
          FROM (
-           SELECT doc_id, unnest(list_transform(range(1, len(v) + 1),
-                    i -> {'i': i, 'x': v[CAST(i AS INTEGER)]})) AS u
-           FROM vec)
+           SELECT doc_id, unnest(list_transform(range(1, len(fv) + 1),
+                    i -> {'i': i, 'x': fv[CAST(i AS INTEGER)]})) AS u
+           FROM hvec)
          ORDER BY doc_id, dim_idx""",
     // RRF fusion of the two already-oracled top-k chains over the shared
     // id space; 1/(60+rank) terms, 2-element double sums, doc-id ties
@@ -3407,6 +3441,16 @@ ORDER BY doc_id""")
         round(col("weight").cast("double"), 6).as("weight"))
       .orderBy("doc_id", "dim_idx")
 
+  /** Model-free topic discovery: k-means over the hashed text
+    * embeddings (same dim/salt as text_hash_embed), clusters labeled by
+    * top-5 within-cluster document-frequency tokens — see
+    * [[graft.operators.Clustering.textTopics]].
+    */
+  def textTopics(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.textTopics(docs(s, dir), "text", "doc_id",
+        dim = 32, k = 4, iters = 2, topn = 5, salt = "r7")
+      .orderBy("cell_id", "rank")
+
   /** Hybrid retrieval: BM25 top-10 (the literal query-term sets) fused
     * with the exact vector top-10 of the SAME query ids (documents and
     * embeddings share the id space) by reciprocal-rank fusion — see
@@ -3576,6 +3620,7 @@ ORDER BY doc_id""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (retrievalBm25 _),
     "text_hash_embed" -> (textHashEmbed _),
+    "text_topics" -> (textTopics _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),

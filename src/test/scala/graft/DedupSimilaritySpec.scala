@@ -348,4 +348,37 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect()
     assert(res.nonEmpty)
   }
+
+  test("textTopics: separated vocabularies yield pure clusters; deterministic") {
+    import org.apache.spark.sql.functions._
+    val zoo = Seq("cat", "dog", "bird", "fish", "horse")
+    val db = Seq("sql", "query", "index", "join", "scan")
+    // two disjoint-vocabulary groups; a unique token per doc keeps the
+    // hashed vectors distinct so seeding cannot degenerate
+    val docs = ((0 until 8).map(i => (i.toLong, s"${zoo.mkString(" ")} u$i")) ++
+      (8 until 16).map(i => (i.toLong, s"${db.mkString(" ")} u$i")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Clustering.textTopics(docs, "text", "doc_id",
+        dim = 32, k = 2, iters = 3, topn = 5, salt = "t")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byCell = out.groupBy(_._1)
+    // ranks contiguous from 1, df bounded by the group size
+    byCell.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+      assert(rows.forall(_._4 <= 8L))
+    }
+    // each cluster's label tokens come from ONE group's vocabulary
+    byCell.values.foreach { rows =>
+      val toks = rows.map(_._3).toSet
+      assert(toks.subsetOf(zoo.toSet ++ (0 until 8).map("u" + _)) ||
+        toks.subsetOf(db.toSet ++ (8 until 16).map("u" + _)), rows.mkString(","))
+    }
+    // both groups surface (the corpus separated)
+    assert(byCell.size == 2)
+    // deterministic across partitionings
+    val again = graft.operators.Clustering.textTopics(docs.repartition(7),
+        "text", "doc_id", dim = 32, k = 2, iters = 3, topn = 5, salt = "t")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
