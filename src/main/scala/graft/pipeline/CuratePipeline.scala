@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, Privacy, QualityModel, TextAnalysis}
+import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, Privacy, QualityModel, TextAnalysis, UnigramLm}
 
 /** End-to-end training-data curation: the whole engine chained into ONE
   * pipeline over the documents table — the flow a 100 TB pretraining crawl
@@ -25,7 +25,9 @@ import graft.operators.{Bpe, CorpusOps, Decontam, Dedup, Privacy, QualityModel, 
   *     before any shard ships (PII redaction upstream handles direct
   *     identifiers; this is the re-identification half, see
   *     [[graft.operators.Privacy]])
-  *  8. BPE tokenization (sample-trained merges) + exact fixed-length packing
+  *  8. tokenization (sample-trained; `tokenizer = "bpe"` — merges — or
+  *     `"unigram"` — Viterbi-EM pieces, see
+  *     [[graft.operators.UnigramLm]]) + exact fixed-length packing
   *
   * Every stage is declarative and shuffle-bounded; the driver touches only
   * bounded artifacts (model weights, merge list, stage counts). Returns
@@ -53,7 +55,10 @@ object CuratePipeline {
 
   def run(spark: SparkSession, sfDir: String,
           quotaPerSource: Int = Int.MaxValue,
-          privacyGate: Option[PrivacyGate] = None): (Seq[Stage], DataFrame) = {
+          privacyGate: Option[PrivacyGate] = None,
+          tokenizer: String = "bpe"): (Seq[Stage], DataFrame) = {
+    require(tokenizer == "bpe" || tokenizer == "unigram",
+      s"tokenizer must be bpe|unigram, got $tokenizer")
     val raw = graft.Tables.load(spark, sfDir, "documents")
     val stages = Seq.newBuilder[Stage]
     def record(name: String, df: DataFrame): DataFrame = {
@@ -128,9 +133,16 @@ object CuratePipeline {
             s"${g.quasiCols.mkString(",")} — release blocked")
     }
 
-    // 8 — tokenize (merges trained on a quarter sample) and pack
-    val merges = Bpe.train(mixed.filter(col("doc_id") % 4 === 0), "text", numMerges = 8)
-    val (ids, _) = Bpe.encodeIds(mixed, "text", "doc_id", merges)
+    // 8 — tokenize (model trained on a quarter sample; both families
+    // share the encode-ids + pack surface) and pack
+    val sample = mixed.filter(col("doc_id") % 4 === 0)
+    val (ids, _) =
+      if (tokenizer == "bpe")
+        Bpe.encodeIds(mixed, "text", "doc_id",
+          Bpe.train(sample, "text", numMerges = 8))
+      else
+        UnigramLm.encodeIds(mixed, "text", "doc_id",
+          UnigramLm.train(sample, "text"))
     val packed = CorpusOps.packTokens(ids, "doc_id", "token_ids",
       blockSize = 512, blocks = 8)
     stages += Stage("packed_blocks", packed.count())

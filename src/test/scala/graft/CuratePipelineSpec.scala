@@ -26,6 +26,27 @@ class CuratePipelineSpec extends SparkSpec {
     }
   }
 
+  test("unigram tokenizer option: same chain, valid blocks, different token economy") {
+    val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
+      tokenizer = "unigram")
+    val byName = stages.map(s => s.stage -> s.docs).toMap
+    assert(byName("packed_blocks") > 0)
+    // every non-final block of a stream holds exactly blockSize tokens
+    packed.collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(r => assert(r.getLong(2) == 512L, r))
+    }
+    // the two tokenizers' block counts differ (different piece economy) —
+    // proof the option actually switches the model, not just a label
+    val (bpeStages, _) = CuratePipeline.run(spark, "/root/testdata/sf0.001")
+    assert(byName("packed_blocks") !=
+      bpeStages.map(s => s.stage -> s.docs).toMap.apply("packed_blocks"))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, "/root/testdata/sf0.001", tokenizer = "nope")
+    }
+    assert(e.getMessage.contains("bpe|unigram"))
+  }
+
   test("privacy gate: clean corpus ships, violating corpus is blocked before packing") {
     // clean: every source carries far more than 2 docs — zero violations,
     // the gate stage records 0 and the pipeline completes
