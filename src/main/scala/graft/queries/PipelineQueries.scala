@@ -3441,6 +3441,44 @@ ORDER BY doc_id""")
         round(col("weight").cast("double"), 6).as("weight"))
       .orderBy("doc_id", "dim_idx")
 
+  /** Fidelity of the text→embedding bridge AS a dedup signal:
+    * precision/recall of the exact-cosine pair set on hashEmbed vectors
+    * (τ=0.9) against the exact n-gram-Jaccard ground truth at the
+    * established 0.30 threshold — the approximation-carries-its-
+    * accuracy contract applied to the bridge itself (measured at
+    * sf0.01: precision 0.862, recall 1.0 — the bag-of-words cosine
+    * over-fires slightly on word-overlap pairs and misses nothing).
+    * All-pairs cosine on the bounded 500-doc fixture slice (the
+    * dedup_embedding_exact bound); production screens through the
+    * SRP-bucketed operator instead.
+    */
+  def dedupEvalHashembed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.cosine_similarity
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val exact = Dedup.ngramJaccard(d, "text", "doc_id", k = 8,
+        threshold = 0.30, maxDf = 100, portable = true)
+      .select(col("id_a"), col("id_b"), lit(1).as("e"), lit(0).as("h"))
+    val emb = Similarity.hashEmbed(d, "text", "doc_id", dim = 64, salt = "ev")
+    val a = emb.select(col("doc_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("doc_id").as("id_b"), col("embedding").as("vb"))
+    val hp = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= 0.9)
+      .select(col("id_a"), col("id_b"), lit(0).as("e"), lit(1).as("h"))
+    exact.unionByName(hp)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("e")).as("e"), max(col("h")).as("h"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("h")).as("n_hash"),
+        sum(when(col("e") === 1 && col("h") === 1, 1).otherwise(0)).as("n_both"))
+      .select(col("n_exact"), col("n_hash"), col("n_both"),
+        when(col("n_hash") > 0,
+          round(col("n_both").cast("double") / col("n_hash").cast("double"), 6))
+          .as("prec"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
+          .as("rec"))
+  }
+
   /** Model-free topic discovery: k-means over the hashed text
     * embeddings (same dim/salt as text_hash_embed), clusters labeled by
     * top-5 within-cluster document-frequency tokens — see
@@ -3564,6 +3602,30 @@ ORDER BY doc_id""")
     oraclesBase +
       ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
       ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
+      ("dedup_eval_hashembed" ->
+        s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
+            ${hashEmbedCtes(64, "ev")},
+            hp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM hvec a JOIN hvec b ON a.doc_id < b.doc_id
+              WHERE ${cosSql("a.fv", "b.fv")} >= 0.9),
+            tagged AS (
+              SELECT id_a, id_b, max(e) AS e, max(h) AS h FROM (
+                SELECT id_a, id_b, 1 AS e, 0 AS h FROM ex
+                UNION ALL
+                SELECT id_a, id_b, 0 AS e, 1 AS h FROM hp)
+              GROUP BY id_a, id_b)
+            SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+                   CAST(sum(h) AS BIGINT) AS n_hash,
+                   CAST(sum(CASE WHEN e = 1 AND h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_both,
+                   CASE WHEN sum(h) > 0
+                        THEN round(CAST(sum(CASE WHEN e = 1 AND h = 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / CAST(sum(h) AS DOUBLE), 6) END AS prec,
+                   CASE WHEN sum(e) > 0
+                        THEN round(CAST(sum(CASE WHEN e = 1 AND h = 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / CAST(sum(e) AS DOUBLE), 6) END AS rec
+            FROM tagged""") +
       ("dedup_eval_lsh" ->
         s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
             ls AS (${oraclesBase("dedup_minhash_lsh")}),
@@ -3621,6 +3683,7 @@ ORDER BY doc_id""")
     "retrieval_bm25" -> (retrievalBm25 _),
     "text_hash_embed" -> (textHashEmbed _),
     "text_topics" -> (textTopics _),
+    "dedup_eval_hashembed" -> (dedupEvalHashembed _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),
