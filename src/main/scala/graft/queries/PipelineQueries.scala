@@ -1483,6 +1483,21 @@ ORDER BY doc_id""")
     */
   private val shingleCte = "WITH " + shingleChainCtes("", "documents", Some(100))
 
+  /** The jaccard pair selection over `kept`/`sizes` — shared by the
+    * full-corpus oracle and the bounded-subset fidelity eval (no-fork).
+    */
+  private val jaccardPairsTail: String = """
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(count(*) AS DOUBLE)
+                      / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
+         FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         JOIN sizes sa ON sa.doc_id = a.doc_id
+         JOIN sizes sb ON sb.doc_id = b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING CAST(count(*) AS DOUBLE)
+                / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
+         ORDER BY id_a, id_b"""
+
   /** Banded-minhash candidate + verified-pair CTEs, appended to
     * [[shingleCte]] (ends in a `pairs` CTE both minhash oracles share).
     */
@@ -2100,10 +2115,11 @@ ORDER BY doc_id""")
     * array<float> the Spark side emits). Shared by text_hash_embed and
     * every oracle composing over hashed embeddings (no-fork rule).
     */
-  private def hashEmbedCtes(dim: Int, salt: String): String =
+  private def hashEmbedCtes(dim: Int, salt: String,
+                            src: String = "documents"): String =
     s"""htoks AS (
            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-           FROM documents),
+           FROM $src),
          tk AS (SELECT doc_id, token FROM htoks WHERE token <> ''),
          hcells AS (
            SELECT doc_id,
@@ -2488,18 +2504,7 @@ ORDER BY doc_id""")
          SELECT contained_id, container_id, round(containment, 6) AS containment
          FROM dirpairs WHERE containment >= 0.8
          ORDER BY contained_id, container_id"""),
-    "dedup_ngram_jaccard" -> (shingleCte +
-      """
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(CAST(count(*) AS DOUBLE)
-                      / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
-         FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         JOIN sizes sa ON sa.doc_id = a.doc_id
-         JOIN sizes sb ON sb.doc_id = b.doc_id
-         GROUP BY a.doc_id, b.doc_id
-         HAVING CAST(count(*) AS DOUBLE)
-                / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.30
-         ORDER BY id_a, id_b"""),
+    "dedup_ngram_jaccard" -> (shingleCte + jaccardPairsTail),
     // portable SRP-LSH near-dup: md5 hyperplanes, bucket cap 200, exact
     // cosine verify — mirrors Dedup.embeddingNearDup(portable = true)
     "dedup_embedding" ->
@@ -3603,8 +3608,13 @@ ORDER BY doc_id""")
       ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
       ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
       ("dedup_eval_hashembed" ->
-        s"""WITH ex AS (${oraclesBase("dedup_ngram_jaccard")}),
-            ${hashEmbedCtes(64, "ev")},
+        // both chains bounded to the SAME 500-doc slice the Spark side
+        // uses (df caps are side-local, so the exact pairs must be
+        // computed WITHIN the slice, not filtered from the full corpus)
+        s"""WITH ex AS (WITH ${shingleChainCtes("",
+              "(SELECT * FROM documents WHERE doc_id < 500)", Some(100))}
+              $jaccardPairsTail),
+            ${hashEmbedCtes(64, "ev", "(SELECT * FROM documents WHERE doc_id < 500)")},
             hp AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM hvec a JOIN hvec b ON a.doc_id < b.doc_id
