@@ -410,6 +410,23 @@ object ScaleProbe {
       .localCheckpoint(true)
     time("profile_sketch_merge")(graft.operators.Profile.mergeSketches(
       sk1.unionByName(sk1)).count())
+    // text→embedding bridge + topic discovery: hashEmbed is one token
+    // explode + bounded-width aggregates (linear); textTopics adds the
+    // Lloyd loop on the doc-count-sized hashed table + one DF pass
+    big.cache().count()
+    time("hash_embed")(graft.operators.Similarity.hashEmbed(
+      big, "text", "doc_id", dim = 64, salt = "p").count())
+    time("text_topics")(graft.operators.Clustering.textTopics(
+      big, "text", "doc_id", dim = 32, k = 8, iters = 2, topn = 5,
+      salt = "p").count())
+    // KN scoring: same join shape as the add-one scorer plus three
+    // vocabulary-sized rollups — must track lm scoring, not the corpus
+    time("lm_score_kn")({
+      val (c2, c1, v) = graft.operators.LanguageModel.trainBigram(
+        big.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+      graft.operators.LanguageModel.scoreBigramKN(
+        big.filter(col("doc_id") % 4 === 0), "text", "doc_id", c2, c1, v).count()
+    })
     spark.stop()
   }
 }

@@ -582,27 +582,80 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val sp = batch0.sparkSession
-        var pinned = List.empty[DataFrame]
-        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
-        try {
-          val batch = pin(batch0.select(col(idCol), col(vecCol)))
-          if (!batch.isEmpty) {
-            val corpusDup = graft.operators.AnnIndex.screenIvf(
-                sp, indexDir, batch, vecCol, idCol, threshold, nprobe)
-              .select(col("id_a").as(idCol)).distinct()
-            val survivors = pin(batch.join(corpusDup, Seq(idCol), "left_anti"))
-            if (!survivors.isEmpty) {
-              val pairs = graft.operators.Dedup.embeddingNearDup(
-                survivors, vecCol, idCol, threshold, bits, tables, maxBucket)
-              val reps = graft.operators.Dedup.clusterReps(survivors, pairs, idCol)
-              val kept = survivors.join(
-                reps.filter(col("rep_id") === col(idCol)).select(col(idCol)),
-                Seq(idCol))
-              graft.operators.AnnIndex.appendIvf(kept, vecCol, idCol, indexDir)
-            }
-          }
-        } finally pinned.foreach(_.unpersist())
+        screenAndAppend(batch0.select(col(idCol), col(vecCol)), indexDir,
+          vecCol, idCol, threshold, nprobe, bits, tables, maxBucket)
+        ()
+      }
+      .start()
+  }
+
+  /** One ingest round of the embedding dedup policy (shared by
+    * [[embeddingDedupIngest]] and [[textDedupIngest]]): screen against
+    * the persisted index, keep min-id reps within the batch, append the
+    * clean remainder under frozen routing.
+    */
+  private def screenAndAppend(batch0: DataFrame, indexDir: String,
+                              vecCol: String, idCol: String,
+                              threshold: Double, nprobe: Int, bits: Int,
+                              tables: Int, maxBucket: Int): Unit = {
+    val sp = batch0.sparkSession
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+    try {
+      val batch = pin(batch0)
+      if (!batch.isEmpty) {
+        val corpusDup = graft.operators.AnnIndex.screenIvf(
+            sp, indexDir, batch, vecCol, idCol, threshold, nprobe)
+          .select(col("id_a").as(idCol)).distinct()
+        val survivors = pin(batch.join(corpusDup, Seq(idCol), "left_anti"))
+        if (!survivors.isEmpty) {
+          val pairs = graft.operators.Dedup.embeddingNearDup(
+            survivors, vecCol, idCol, threshold, bits, tables, maxBucket)
+          val reps = graft.operators.Dedup.clusterReps(survivors, pairs, idCol)
+          val kept = survivors.join(
+            reps.filter(col("rep_id") === col(idCol)).select(col(idCol)),
+            Seq(idCol))
+          graft.operators.AnnIndex.appendIvf(kept, vecCol, idCol, indexDir)
+        }
+      }
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** Streaming SEMANTIC TEXT dedup ingestion — no model required: each
+    * micro-batch of raw documents enters the vector stack through the
+    * deterministic hashEmbed bridge
+    * ([[graft.operators.Similarity.hashEmbed]] — a doc's vector depends
+    * only on its own text, so embeddings are consistent across batches
+    * and sessions by construction), then runs the
+    * [[embeddingDedupIngest]] policy against a persisted index BUILT ON
+    * HASHED EMBEDDINGS of the committed corpus: screen (frozen-centroid
+    * probes + exact cosine), in-batch min-id reps, append clean rows
+    * into the index's cell partitions. Same marker-free idempotency —
+    * a re-delivered doc hashes to the identical vector and self-matches
+    * at cosine 1.
+    *
+    * `dim`/`salt` MUST match the ones the index was built with (the
+    * bridge is the routing contract's input); `threshold` is a hashed-
+    * cosine threshold — calibrate against exact Jaccard with the
+    * `dedup_eval_hashembed` query (0.9 ≈ precision 0.86 / recall 1.0 on
+    * the fixture corpus).
+    */
+  def textDedupIngest(stream: DataFrame, indexDir: String,
+                      checkpointDir: String, textCol: String = "text",
+                      idCol: String = "doc_id", dim: Int = 64,
+                      salt: String = "he", threshold: Double = 0.9,
+                      nprobe: Int = 2, bits: Int = 4, tables: Int = 12,
+                      maxBucket: Int = 200): StreamingQuery = {
+    require(threshold < 1.0,
+      "textDedupIngest: threshold must be < 1 (cosine-1 self-match is the re-delivery guard)")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        screenAndAppend(
+          graft.operators.Similarity.hashEmbed(
+            batch0.select(col(idCol), col(textCol)), textCol, idCol, dim, salt),
+          indexDir, "embedding", idCol, threshold, nprobe, bits, tables, maxBucket)
         ()
       }
       .start()

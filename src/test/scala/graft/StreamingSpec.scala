@@ -532,6 +532,50 @@ class StreamingSpec extends SparkSpec {
     assert(indexIds == corpusIds ++ kept1 ++ kept2)
   }
 
+  test("streaming text dedup: raw docs screen through the hashEmbed bridge, re-delivery safe") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val idxDir = tempDir("txt_idx")
+    graft.operators.AnnIndex.buildIvf(
+      graft.operators.Similarity.hashEmbed(corpus, "text", "doc_id", 64, "td"),
+      "embedding", "doc_id", idxDir, nlist = 8, iters = 3)
+    def indexIds: Set[Long] = spark.read.parquet(s"$idxDir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    val corpusIds = indexIds
+
+    val in = tempDir("txt_in")
+    val schema = docs.schema
+    def drain(ck: String): Unit =
+      IncrementalStream.textDedupIngest(
+          spark.readStream.schema(schema).parquet(in), idxDir, tempDir(ck),
+          dim = 64, salt = "td", threshold = 0.9, nprobe = 2)
+        .awaitTermination()
+
+    // batch: a verbatim copy of a committed doc's text (new id — the
+    // EXACT dup a real crawl re-collects), one fresh doc, and an
+    // in-batch identical pair
+    val committedText = corpus.filter($"doc_id" === 0).select("text")
+      .as[String].head()
+    val fresh = docs.filter($"doc_id" === 1).select("text").as[String].head()
+    Seq((9001L, committedText), (9002L, fresh + " unseen suffix tokens"),
+        (9003L, fresh + " other tail entirely"), (9004L, fresh + " unseen suffix tokens"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain("txt_ck1")
+    val after1 = indexIds
+    // 9001 screened off (cosine 1 vs committed doc 0); 9002/9003 are
+    // near-identical texts -> the in-batch cluster keeps the min id
+    assert(!after1.contains(9001L), "verbatim copy must screen off")
+    assert(after1.contains(9002L))
+    assert(!after1.contains(9004L), "in-batch identical text loses to the min id")
+    assert((after1 -- corpusIds).subsetOf(Set(9002L, 9003L)))
+    // full re-delivery (fresh checkpoint): the index must not change —
+    // identical text hashes to the identical vector and self-matches
+    drain("txt_ck2")
+    assert(indexIds == after1)
+  }
+
   test("streaming sessionize: late event more than a gap before the start closes separately") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
