@@ -123,6 +123,104 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Consecutive token trigrams per document: (id, w1, w2, w3). */
+  def trigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    graft.Tables.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(when(size(toks) < 3,
+            array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 3),
+            i => struct(element_at(toks, i + 1).as("w1"),
+                        element_at(toks, i + 2).as("w2"),
+                        element_at(toks, i + 3).as("w3"))))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+  }
+
+  /** TRIGRAM language model with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the web-scale
+    * smoothing built for exactly this engine's regime: no discounting,
+    * no normalization, just count ratios with a fixed backoff factor,
+    * which is why it trains on trillions of tokens where KN's
+    * type-count bookkeeping becomes the bottleneck. Per scored trigram
+    * (α = 0.4, the paper's constant):
+    *
+    *   S(w3|w1w2) = c3/c2(w1,w2)            if c3 > 0
+    *              = α · c2(w2,w3)/c1(w2)    else if c2(w2,w3) > 0
+    *              = α² · c1(w3)/N           else if c1(w3) > 0
+    *              = α² / N                  else (OOV floor)
+    *
+    * S is a SCORE, not a probability (the paper's point) — the
+    * "perplexity" column is exp of the mean negative log score, the
+    * same monotone quality signal. Training is three partial-
+    * aggregatable count tables (trigram/bigram/unigram) off ONE pinned
+    * token-array pass; scoring joins the candidate trigram stream
+    * against the vocabulary-sized tables (c3 is trigram-TYPE-sized —
+    * large at corpus scale but partial-aggregated and persistable, the
+    * same artifact shape KenLM ships). Same rounding contract as the
+    * bigram scorers.
+    */
+  def scoreTrigramStupidBackoff(train: DataFrame, score: DataFrame,
+                                textCol: String, idCol: String,
+                                alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0, 1)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one corpus pass pins the token arrays; all three count tables
+    // derive from it (eager localCheckpoint — lazy consumers, no
+    // unpersist site, ContextCleaner reclaims)
+    val arrs = graft.Tables.fanOut(train.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("w")).localCheckpoint(true)
+    val uni = arrs.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true) // N derives from it; scoring reads it twice
+    val bi = arrs
+      .select(explode(when(size(col("w")) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("a"),
+                      element_at(col("w"), i + 2).as("b"))))).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // joined twice (context and backoff legs)
+    val tri = arrs
+      .select(explode(when(size(col("w")) < 3,
+          array().cast("array<struct<a:string,b:string,c:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("w")) - 3),
+          i => struct(element_at(col("w"), i + 1).as("a"),
+                      element_at(col("w"), i + 2).as("b"),
+                      element_at(col("w"), i + 3).as("c"))))).as("tg"))
+      .groupBy(col("tg.a").as("a"), col("tg.b").as("b"), col("tg.c").as("c"))
+      .agg(count(lit(1)).as("c3"))
+    val n = uni.agg(sum(col("c1"))).head().getLong(0) // bounded: one scalar
+    val al = lit(alpha)
+    val sb = trigrams(score, textCol, idCol)
+      .join(tri.select(col("a").as("w1"), col("b").as("w2"), col("c").as("w3"),
+        col("c3")), Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("a").as("w1"), col("b").as("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("a").as("w2"), col("b").as("w3"), col("c2").as("c2bak")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("t").as("w2"), col("c1").as("c1mid")), Seq("w2"), "left")
+      .join(uni.select(col("t").as("w3"), col("c1").as("c1last")), Seq("w3"), "left")
+      .withColumn("s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2ctx").cast("double"))
+        .otherwise(when(col("c2bak").isNotNull,
+          al * (col("c2bak").cast("double") / col("c1mid").cast("double")))
+        .otherwise(when(col("c1last").isNotNull,
+          al * al * (col("c1last").cast("double") / lit(n.toDouble)))
+        .otherwise(al * al / lit(n.toDouble)))))
+      .withColumn("lp", log(col("s")))
+    sb.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-sum(col("lp").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1))).as("nll"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("nll"), 6).as("avg_nll"),
+        round(exp(col("nll")), 4).as("perplexity"))
+  }
+
   /** Score `docs` with INTERPOLATED KNESER-NEY smoothing (Kneser & Ney
     * 1995, in the Chen & Goodman 1998 interpolated form at bigram order,
     * fixed discount D) — the smoothing real LM-quality filters actually

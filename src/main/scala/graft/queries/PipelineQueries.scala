@@ -3359,6 +3359,50 @@ ORDER BY doc_id""")
        SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll,
               round(exp(nll), 4) AS perplexity
        FROM agg ORDER BY doc_id""") +
+    // stupid backoff (Brants 2007) at trigram order: count ratios with
+    // a fixed alpha; branch order and arithmetic mirrored term for term
+    ("lm_perplexity_trigram" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         ttoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM train),
+         uni AS MATERIALIZED (
+           SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM ttoks) GROUP BY t),
+         bi AS MATERIALIZED (
+           SELECT w[i] AS a, w[i + 1] AS b, count(*) AS c2
+           FROM ttoks, unnest(range(1, len(w))) AS t(i) GROUP BY a, b),
+         tri AS MATERIALIZED (
+           SELECT w[i] AS a, w[i + 1] AS b, w[i + 2] AS c, count(*) AS c3
+           FROM ttoks, unnest(range(1, len(w) - 1)) AS t(i) GROUP BY a, b, c),
+         nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         stoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM sd),
+         st AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+           FROM stoks, unnest(range(1, len(w) - 1)) AS t(i)),
+         lp AS (
+           SELECT st.doc_id,
+                  ln(CASE
+                     WHEN t.c3 IS NOT NULL
+                       THEN CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+                     WHEN bb.c2 IS NOT NULL
+                       THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(um.c1 AS DOUBLE))
+                     WHEN ul.c1 IS NOT NULL
+                       THEN 0.4 * 0.4 * (CAST(ul.c1 AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                     ELSE 0.4 * 0.4 / CAST(nn.n AS DOUBLE) END) AS lp
+           FROM st LEFT JOIN tri t ON st.w1 = t.a AND st.w2 = t.b AND st.w3 = t.c
+                   LEFT JOIN bi bc ON st.w1 = bc.a AND st.w2 = bc.b
+                   LEFT JOIN bi bb ON st.w2 = bb.a AND st.w3 = bb.b
+                   LEFT JOIN uni um ON st.w2 = um.t
+                   LEFT JOIN uni ul ON st.w3 = ul.t
+                   CROSS JOIN nn),
+         agg AS (
+           SELECT doc_id, count(*) AS n_trigrams,
+                  -CAST(sum(CAST(lp AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS nll
+           FROM lp GROUP BY doc_id)
+       SELECT doc_id, n_trigrams, round(nll, 6) AS avg_nll,
+              round(exp(nll), 4) AS perplexity
+       FROM agg ORDER BY doc_id""") +
     // interpolated Kneser-Ney at bigram order: the lm_perplexity chain
     // plus the three c2 rollups (n1p/n1c/T); expression order mirrors
     // LanguageModel.scoreBigramKN term for term (double determinism)
@@ -3518,6 +3562,17 @@ ORDER BY doc_id""")
       d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
     LanguageModel.scoreBigramKN(d.filter(col("doc_id") % 4 === 0),
         "text", "doc_id", c2, c1, v)
+      .orderBy("doc_id")
+  }
+
+  /** Stupid-backoff trigram perplexity over the same train/score split
+    * (see [[LanguageModel.scoreTrigramStupidBackoff]]).
+    */
+  def lmPerplexityTrigram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LanguageModel.scoreTrigramStupidBackoff(
+        d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id")
       .orderBy("doc_id")
   }
 
@@ -3697,6 +3752,7 @@ ORDER BY doc_id""")
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),
+    "lm_perplexity_trigram" -> (lmPerplexityTrigram _),
     "lm_next_token" -> (lmNextToken _),
     "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),

@@ -104,6 +104,31 @@ class RetrievalLmSpec extends SparkSpec {
     assert(out(0).getDouble(3) < out(1).getDouble(3))
   }
 
+  test("stupid-backoff trigram: every backoff leg hand-computed") {
+    // train "a b c a b d": N=6, c1: a2 b2 c1 d1;
+    // c2: (a,b)2 (b,c)1 (c,a)1 (b,d)1; c3: each observed trigram once
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"), // trigram hit: 1 / c2(a,b)=2 -> 0.5
+      (11L, "b b c"), // backoff bigram: 0.4 * c2(b,c)/c1(b) = 0.4*(1/2)
+      (12L, "x y d"), // backoff unigram: 0.4*0.4 * c1(d)/N = 0.16*(1/6)
+      (13L, "x y z") // OOV floor: 0.4*0.4/6
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.scoreTrigramStupidBackoff(train, score,
+        "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    def ppl(s: Double) = math.rint(math.exp(-math.log(s)) * 1e4) / 1e4
+    assert(out(10L) == ((1L, ppl(0.5))))
+    assert(out(11L) == ((1L, ppl(0.4 * (1.0 / 2.0)))))
+    assert(out(12L) == ((1L, ppl(0.4 * 0.4 * (1.0 / 6.0)))))
+    assert(out(13L) == ((1L, ppl(0.4 * 0.4 / 6.0))))
+    // <3-token docs score no trigrams -> no row
+    val short = LanguageModel.scoreTrigramStupidBackoff(train,
+      Seq((20L, "a b"), (21L, "")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(short.count() == 0)
+  }
+
   test("next-token table: hand-computed argmax, probabilities, context top-k") {
     // "a b a b": bigrams (a,b),(b,a),(a,b); "a c": (a,c)
     // c2: (a,b)=2, (b,a)=1, (a,c)=1; c1: a=3, b=1
