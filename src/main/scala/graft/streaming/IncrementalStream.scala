@@ -638,7 +638,9 @@ object IncrementalStream {
     * bridge is the routing contract's input); `threshold` is a hashed-
     * cosine threshold — calibrate against exact Jaccard with the
     * `dedup_eval_hashembed` query (0.9 ≈ precision 0.86 / recall 1.0 on
-    * the fixture corpus).
+    * the fixture corpus). Token-less documents have no hashed vector
+    * (the hashEmbed no-row contract) and are DROPPED at this gate —
+    * route empties elsewhere upstream if they must be retained.
     */
   def textDedupIngest(stream: DataFrame, indexDir: String,
                       checkpointDir: String, textCol: String = "text",

@@ -89,6 +89,20 @@ class ProfileOutliersSpec extends SparkSpec {
     assert(solo("doc_id") == drop1.count())
   }
 
+  test("profile sketches: an all-null column in one drop merges cleanly (null HLL skipped)") {
+    import spark.implicits._
+    val d1 = Seq((1L, Option.empty[String]), (2L, None)).toDF("k", "s")
+    val d2 = Seq((3L, Some("x")), (4L, Some("y"))).toDF("k", "s")
+    val merged = Profile.mergeSketches(
+        Profile.sketch(d1, Seq("k", "s")).unionByName(Profile.sketch(d2, Seq("k", "s"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // drop 1 contributed a NULL sketch for s (no non-null values) — the
+    // union must skip it, not fail; counts and nulls still merge exactly
+    assert(merged("s") == ((4L, 2L, 2L, "x", "y")))
+    assert(merged("k")._3 == 4L)
+  }
+
   test("madOutliers: hand-computed modified z, only outliers emitted") {
     // group g: values 1..9 plus a 1000 spike. median=5.5, MAD=2.5
     // z(1000) = 0.6745*(1000-5.5)/2.5 = 268.30989
