@@ -504,18 +504,37 @@ object IncrementalStream {
     * batch), never the corpus history.
     *
     * Policy (fuzzyDedupIngest parity): a batch vector near-dup of a
-    * committed one is dropped; within a batch, each near-dup cluster
-    * keeps its min-id representative (SRP-bucketed pairs →
-    * `Dedup.clusterReps`).
+    * committed one is dropped; within a MICRO-BATCH, each near-dup
+    * cluster keeps its min-id representative (SRP-bucketed pairs →
+    * `Dedup.clusterReps`). Rep selection is per-micro-batch: when the
+    * source splits one logical drop across micro-batches, a cluster
+    * split across them admits its first-arriving member (later members
+    * screen off against it pairwise), so dedup still holds for
+    * direct near-dups but the surviving id may not be the global min,
+    * and transitive-only cluster mates in different micro-batches are
+    * not linked. Batch one drop per micro-batch when exact batch
+    * semantics matter.
     *
     * Idempotency WITHOUT markers: the screen is its own re-delivery
     * guard — a re-delivered vector whose copy is already in the index
     * matches itself at cosine 1 ≥ threshold (its own cell is its first
-    * probe by construction) and drops, so replaying a committed batch
-    * leaves the index unchanged (spec-pinned). That makes the
-    * non-transactional parquet append safe under AvailableNow re-runs
-    * with no commit-marker machinery in the index layout; requires
-    * `threshold < 1`.
+    * probe by construction) and drops, so ADMITTED rows never
+    * duplicate under replay (spec-pinned). The one soft spot is a row
+    * the first pass DROPPED as an in-batch cluster member: on replay it
+    * has no committed copy to self-match, and whether it screens off
+    * against its admitted representative depends on the probe set —
+    * with `nprobe < nlist` the rep's cell may not be probed and the
+    * row is admitted after all (once; its own copy guards every later
+    * replay). That is the same bounded recall miss any nprobe-screened
+    * lookup has, not an unbounded duplication: run with
+    * `nprobe = nlist` where replay-exactness matters (the screen is
+    * then exhaustive within the threshold, spec-pinned for the IVFADC
+    * family). Non-transactional parquet appends therefore need no
+    * commit-marker machinery in the index layout; requires
+    * `threshold < 1`. `adc = true` runs the same policy against an
+    * IVFADC index (frozen-pivot screen on the raw vectors riding in
+    * the code-carrying partitions, appends re-encoded under the frozen
+    * codebooks).
     */
   /** Streaming PROFILE sketches: every micro-batch writes its own
     * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
@@ -575,7 +594,8 @@ object IncrementalStream {
                            idCol: String = "vec_id",
                            threshold: Double = 0.3, nprobe: Int = 2,
                            bits: Int = 4, tables: Int = 12,
-                           maxBucket: Int = 200): StreamingQuery = {
+                           maxBucket: Int = 200,
+                           adc: Boolean = false): StreamingQuery = {
     require(threshold < 1.0,
       "embeddingDedupIngest: threshold must be < 1 (cosine-1 self-match is the re-delivery guard)")
     stream.writeStream
@@ -583,7 +603,7 @@ object IncrementalStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         screenAndAppend(batch0.select(col(idCol), col(vecCol)), indexDir,
-          vecCol, idCol, threshold, nprobe, bits, tables, maxBucket)
+          vecCol, idCol, threshold, nprobe, bits, tables, maxBucket, adc)
         ()
       }
       .start()
@@ -597,15 +617,20 @@ object IncrementalStream {
   private def screenAndAppend(batch0: DataFrame, indexDir: String,
                               vecCol: String, idCol: String,
                               threshold: Double, nprobe: Int, bits: Int,
-                              tables: Int, maxBucket: Int): Unit = {
+                              tables: Int, maxBucket: Int,
+                              adc: Boolean = false): Unit = {
     val sp = batch0.sparkSession
     var pinned = List.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
     try {
       val batch = pin(batch0)
       if (!batch.isEmpty) {
-        val corpusDup = graft.operators.AnnIndex.screenIvf(
-            sp, indexDir, batch, vecCol, idCol, threshold, nprobe)
+        val corpusDup = (if (adc)
+            graft.operators.AnnIndex.screenIvfAdc(
+              sp, indexDir, batch, vecCol, idCol, threshold, nprobe)
+          else
+            graft.operators.AnnIndex.screenIvf(
+              sp, indexDir, batch, vecCol, idCol, threshold, nprobe))
           .select(col("id_a").as(idCol)).distinct()
         val survivors = pin(batch.join(corpusDup, Seq(idCol), "left_anti"))
         if (!survivors.isEmpty) {
@@ -615,7 +640,8 @@ object IncrementalStream {
           val kept = survivors.join(
             reps.filter(col("rep_id") === col(idCol)).select(col(idCol)),
             Seq(idCol))
-          graft.operators.AnnIndex.appendIvf(kept, vecCol, idCol, indexDir)
+          if (adc) graft.operators.AnnIndex.appendIvfAdc(kept, vecCol, idCol, indexDir)
+          else graft.operators.AnnIndex.appendIvf(kept, vecCol, idCol, indexDir)
         }
       }
     } finally pinned.foreach(_.unpersist())

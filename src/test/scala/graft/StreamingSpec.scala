@@ -532,6 +532,54 @@ class StreamingSpec extends SparkSpec {
     assert(indexIds == corpusIds ++ kept1 ++ kept2)
   }
 
+  test("streaming embedding ingest, IVFADC family: frozen-model screen/append, re-delivery safe") {
+    import spark.implicits._
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idxDir = tempDir("emb_adc_idx")
+    graft.operators.AnnIndex.buildIvfAdc(all.filter($"vec_id" % 5 =!= 0),
+      "embedding", "vec_id", idxDir, nlist = 8, m = 8, ksub = 16, iters = 3)
+    def indexIds: Set[Long] = spark.read.parquet(s"$idxDir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    val corpusIds = indexIds
+    val in = tempDir("emb_adc_in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    // nprobe = nlist: the screen is exhaustive within the threshold, so
+    // re-delivery invariance holds even for rows the first pass dropped
+    // as in-batch cluster members (see embeddingDedupIngest scaladoc)
+    def drain(ck: String): Unit =
+      IncrementalStream.embeddingDedupIngest(
+          spark.readStream.schema(schema).parquet(in), idxDir, tempDir(ck),
+          threshold = 0.35, nprobe = 8, adc = true)
+        .awaitTermination()
+    val batch = all.filter($"vec_id" % 5 === 0).select("vec_id", "embedding")
+    // batch-mode replay of the policy with the ADC screen
+    val dup = graft.operators.AnnIndex.screenIvfAdc(spark, idxDir, batch,
+        "embedding", "vec_id", 0.35, 8)
+      .select("id_a").as[Long].collect().toSet
+    val survivors = batch.filter(!$"vec_id".isin(dup.toSeq: _*))
+    val reps = graft.operators.Dedup.clusterReps(survivors,
+      graft.operators.Dedup.embeddingNearDup(survivors, "embedding", "vec_id",
+        0.35, bits = 4, tables = 12, maxBucket = 200), "vec_id")
+    val kept = reps.filter($"rep_id" === $"vec_id").select("vec_id")
+      .as[Long].collect().toSet
+    // one file -> one micro-batch: the replay models single-batch
+    // semantics (cross-micro-batch cluster splits admit the first
+    // arrival, not necessarily the min id - documented in the operator)
+    batch.coalesce(1).write.mode("append").parquet(in)
+    drain("emb_adc_ck1")
+    assert(indexIds == corpusIds ++ kept)
+    // appended rows carry codes under the frozen model
+    assert(spark.read.parquet(s"$idxDir/corpus")
+      .filter(org.apache.spark.sql.functions.col("codes").isNull).count() == 0)
+    // re-delivery: fresh checkpoint replays everything; index unchanged
+    drain("emb_adc_ck2")
+    assert(indexIds == corpusIds ++ kept)
+  }
+
   test("streaming text dedup: raw docs screen through the hashEmbed bridge, re-delivery safe") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
