@@ -483,16 +483,18 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    // nprobe = nlist: exhaustive screen, so re-delivery invariance also
+    // covers rows dropped as in-batch cluster members (see scaladoc)
     def drain(ck: String): Unit =
       IncrementalStream.embeddingDedupIngest(
           spark.readStream.schema(schema).parquet(in), idxDir, tempDir(ck),
-          threshold = 0.35, nprobe = 2)
+          threshold = 0.35, nprobe = 8)
         .awaitTermination()
     // batch-mode replay of the ingest policy — the screen and pair math
     // are independently oracle-verified; this pins the streaming WIRING
     def keptOf(batch: org.apache.spark.sql.DataFrame): Set[Long] = {
       val dup = graft.operators.AnnIndex.screenIvf(spark, idxDir, batch,
-          "embedding", "vec_id", 0.35, 2)
+          "embedding", "vec_id", 0.35, 8)
         .select("id_a").as[Long].collect().toSet
       val survivors = batch.filter(!$"vec_id".isin(dup.toSeq: _*))
       val reps = graft.operators.Dedup.clusterReps(survivors,
