@@ -3359,6 +3359,51 @@ ORDER BY doc_id""")
        SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll,
               round(exp(nll), 4) AS perplexity
        FROM agg ORDER BY doc_id""") +
+    // the KN perplexity chain + one exact-percentile boundary + the
+    // map-only keep decision (quantile_cont parity, the a6/ev_rfm pattern)
+    ("corpus_filter_perplexity" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         ttoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM train),
+         tb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM ttoks, unnest(range(1, len(w))) AS t(i)),
+         c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+         n1p AS (SELECT w1, count(*) AS n1p FROM c2 GROUP BY w1),
+         n1c AS (SELECT w2, count(*) AS n1c FROM c2 GROUP BY w2),
+         tt AS (SELECT count(*) AS t FROM c2),
+         v AS (
+           SELECT count(DISTINCT token) AS v FROM (
+             SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+             FROM train)),
+         stoks AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM sd),
+         sb AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM stoks, unnest(range(1, len(w))) AS t(i)),
+         lp AS (
+           SELECT sb.doc_id,
+                  ln(CASE WHEN c1.c1 IS NULL
+                     THEN (coalesce(n1c.n1c, 0) + 1.0) / (tt.t + v.v + 1.0)
+                     ELSE greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / c1.c1
+                          + 0.75 * n1p.n1p / c1.c1
+                            * ((coalesce(n1c.n1c, 0) + 1.0) / (tt.t + v.v + 1.0))
+                     END) AS lp
+           FROM sb LEFT JOIN c2 ON sb.w1 = c2.w1 AND sb.w2 = c2.w2
+                   LEFT JOIN c1 ON sb.w1 = c1.w1
+                   LEFT JOIN n1p ON sb.w1 = n1p.w1
+                   LEFT JOIN n1c ON sb.w2 = n1c.w2
+                   CROSS JOIN v CROSS JOIN tt),
+         scored AS MATERIALIZED (
+           SELECT doc_id,
+                  round(exp(-CAST(sum(CAST(lp AS DECIMAL(38, 12))) AS DOUBLE)
+                        / count(*)), 4) AS perplexity
+           FROM lp GROUP BY doc_id),
+         bound AS (SELECT quantile_cont(perplexity, 0.75) AS p75 FROM scored)
+       SELECT doc_id, perplexity, perplexity <= bound.p75 AS kept
+       FROM scored, bound ORDER BY doc_id""") +
     // stupid backoff (Brants 2007) at trigram order: count ratios with
     // a fixed alpha; branch order and arithmetic mirrored term for term
     ("lm_perplexity_trigram" ->
@@ -3576,6 +3621,30 @@ ORDER BY doc_id""")
       .orderBy("doc_id")
   }
 
+  /** The CCNet loop CLOSED: the KN-perplexity filter actually
+    * filtering — held-out docs kept iff their perplexity is at or under
+    * the scored set's exact 75th percentile (Wenzek et al. 2020 keep
+    * the head/middle of the perplexity distribution; this is that gate
+    * at one threshold). The boundary is ONE exact-percentile aggregate
+    * over the already-model-sized score table (a 1-row bounded collect
+    * — the ev_rfm pattern; `approx_percentile` is the documented scale
+    * path for the boundary, same a6 anchor/sketch split), and the keep
+    * decision is a map-only comparison against the literal.
+    */
+  def corpusFilterPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (c2, c1, v) = LanguageModel.trainBigram(
+      d.filter(col("doc_id") % 4 =!= 0), "text", "doc_id")
+    val scored = LanguageModel.scoreBigramKN(d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", c2, c1, v)
+      .localCheckpoint(true) // boundary + keep list read it once each
+    val p75 = scored.agg(percentile(col("perplexity"), lit(0.75)))
+      .head().getDouble(0) // bounded: one scalar
+    scored.select(col("doc_id"), col("perplexity"),
+        (col("perplexity") <= lit(p75)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy next-token table of the bigram LM over the 10 most frequent
     * contexts (see [[LanguageModel.nextTokenTopK]]).
     */
@@ -3753,6 +3822,7 @@ ORDER BY doc_id""")
     "lm_perplexity" -> (lmPerplexity _),
     "lm_perplexity_kn" -> (lmPerplexityKn _),
     "lm_perplexity_trigram" -> (lmPerplexityTrigram _),
+    "corpus_filter_perplexity" -> (corpusFilterPerplexity _),
     "lm_next_token" -> (lmNextToken _),
     "text_pmi" -> (textPmi _),
     "dedup_exact" -> (dedupExact _),
