@@ -157,6 +157,14 @@ class UnigramLmSpec extends SparkSpec {
     assert(vocab2.contains("ф"))
   }
 
+  test("encode plan is map-only: no Exchange between the scan and the result") {
+    val d = Tables.load(spark, sf, "documents")
+    val pieces = UnigramLm.train(d, "text", iters = 1)
+    val plan = UnigramLm.encode(d, "text", "doc_id", pieces)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
   test("fixture guard: no document word exceeds MaxWordLen (oracle exactness bound)") {
     for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = Tables.load(spark, s"/root/testdata/$sfDir", "documents")
