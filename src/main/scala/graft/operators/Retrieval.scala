@@ -115,8 +115,22 @@ object Retrieval {
     * double sum is order-independent bit-for-bit.
     */
   def hybridRrf(lexical: DataFrame, vector: DataFrame, k: Int,
-                k0: Int = 60): DataFrame = {
-    val docCol = lexical.columns(2) // bm25TopK emits (query_id, rank, <id>, score)
+                k0: Int = 60, lexDocCol: String = ""): DataFrame = {
+    // the lexical doc-id column is the only non-fixed name in the two
+    // top-k contracts ([[bm25TopK]] emits it under the caller's idCol);
+    // default = the bm25TopK convention (3rd column), but only when the
+    // frame actually has its (query_id, rank, <id>, score) shape — a
+    // differently-shaped frame must name the column explicitly rather
+    // than silently fuse whatever sits third
+    val docCol =
+      if (lexDocCol.nonEmpty) lexDocCol
+      else {
+        require(lexical.columns.length == 4 &&
+          lexical.columns(0) == "query_id" && lexical.columns(1) == "rank",
+          s"hybridRrf: lexical frame (${lexical.columns.mkString(", ")}) is not " +
+            "the bm25TopK shape (query_id, rank, <doc id>, score) — pass lexDocCol")
+        lexical.columns(2)
+      }
     val lx = lexical.select(col("query_id"), col(docCol).as("doc"),
       (lit(1.0) / (lit(k0) + col("rank"))).as("rrf_term"))
     val vx = vector.select(col("query_id"), col("neighbor_id").as("doc"),

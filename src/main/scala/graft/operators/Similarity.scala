@@ -224,7 +224,10 @@ object Similarity {
     *
     * Scale shape: one token explode → (id, bucket) partial-aggregated
     * weight sums (≤ dim rows per doc) → one per-id dense-array build.
-    * Docs with no tokens emit no row (the bigram-table convention).
+    * Docs with no tokens emit no row (the bigram-table convention), and
+    * so do fully-cancelled docs whose signed sums all reach 0 — a
+    * zero-norm vector has no direction, so every cosine consumer
+    * (dedup screens above all) would mishandle it.
     */
   def hashEmbed(df: DataFrame, textCol: String, idCol: String, dim: Int = 64,
                 salt: String = "he"): DataFrame = {
@@ -245,10 +248,14 @@ object Similarity {
       .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
         i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("raw"))
     val norm = sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x))
-    dense.select(col(idCol),
-      when(norm === 0.0, col("raw")) // fully cancelled: zero vector stays
-        .otherwise(transform(col("raw"), x => x / norm))
-        .cast("array<float>").as("embedding"))
+    // fully-cancelled docs (every bucket's signed sum is 0) emit NO row,
+    // like token-less docs: a zero vector has no cosine direction, so it
+    // can never self-match — keeping it would silently break the
+    // marker-free replay-idempotency contract of the dedup ingest paths
+    // (a re-delivered zero-vector doc re-admits on every replay)
+    dense.filter(norm > 0.0)
+      .select(col(idCol),
+        transform(col("raw"), x => x / norm).cast("array<float>").as("embedding"))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =

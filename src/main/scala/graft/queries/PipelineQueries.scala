@@ -2141,10 +2141,8 @@ ORDER BY doc_id""")
                   sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
            FROM hdense),
          vec AS (
-           SELECT doc_id,
-                  CASE WHEN nrm = 0.0 THEN raw
-                       ELSE list_transform(raw, x -> x / nrm) END AS v
-           FROM hnormed),
+           SELECT doc_id, list_transform(raw, x -> x / nrm) AS v
+           FROM hnormed WHERE nrm > 0.0),
          hvec AS (
            SELECT doc_id, list_transform(v, x -> CAST(x AS FLOAT)) AS fv FROM vec)"""
 

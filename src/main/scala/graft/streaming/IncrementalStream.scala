@@ -229,12 +229,21 @@ object IncrementalStream {
             // them first): within a gap of the start, the event folds in
             // by extending the session BACKWARD; MORE than a gap before
             // the start (reachable whenever watermarkDelay > gap·period),
-            // it belongs to a separate earlier session — accumulated in
-            // `late` with its own gap splitting, closed at batch end.
-            // (`late` can never merge with the open session: its last
-            // event is < start − gap by construction. And since events
-            // are ascending, backward extension can't create new
-            // lateness: t₂ < min(s0,t₁) − gap ≤ t₁ − gap implies t₂ < t₁.)
+            // it goes to a separate earlier chain — accumulated in `late`
+            // with its own gap splitting. The late-vs-open routing is
+            // judged against the start AT THAT MOMENT, and a later
+            // in-batch event can backward-extend the open session into
+            // gap range of the late chain (gap 30m, state start 3:00,
+            // batch [2:20, 2:40]: 2:20 routes late, 2:40 folds in and
+            // moves the start to 2:40, and now 2:40 − 2:20 ≤ gap) — so
+            // at batch end the FINAL late chain re-checks against the
+            // FINAL start and merges instead of closing when it reaches
+            // it; only a chain still > gap away closes as its own
+            // session. Earlier late chains stay closed correctly: chains
+            // ascend with > gap between them, so only the last can reach
+            // the extended start. Ascending processing also means
+            // backward extension can't create new lateness mid-batch:
+            // t₂ < min(s0,t₁) − gap ≤ t₁ − gap implies t₂ < t₁.
             var late: SessState = null
             batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
               val t = e.ts.getTime
@@ -256,7 +265,11 @@ object IncrementalStream {
                   st = SessState(math.min(s0, t), math.max(l, t), n + 1L)
               }
             }
-            if (late != null) out ::= close(late)
+            if (late != null) {
+              if (st != null && st.start - late.last <= gapMs)
+                st = SessState(late.start, st.last, st.n + late.n)
+              else out ::= close(late)
+            }
             state.update(st)
             state.setTimeoutTimestamp(st.last + gapMs)
             out.reverse.iterator
@@ -494,48 +507,6 @@ object IncrementalStream {
       }
       .start()
 
-  /** Streaming EMBEDDING near-dup ingestion: every micro-batch screens
-    * against the PERSISTED ANN index ([[graft.operators.AnnIndex
-    * .screenIvf]] — frozen-centroid routing, nprobe cells, exact-cosine
-    * verify), then the accepted vectors append into the index's own cell
-    * partitions ([[graft.operators.AnnIndex.appendIvf]]) — the embedding
-    * member of the ingest family next to [[fuzzyDedupIngest]] and
-    * [[decontamIngest]]. Per-batch cost tracks the batch (probed cells ×
-    * batch), never the corpus history.
-    *
-    * Policy (fuzzyDedupIngest parity): a batch vector near-dup of a
-    * committed one is dropped; within a MICRO-BATCH, each near-dup
-    * cluster keeps its min-id representative (SRP-bucketed pairs →
-    * `Dedup.clusterReps`). Rep selection is per-micro-batch: when the
-    * source splits one logical drop across micro-batches, a cluster
-    * split across them admits its first-arriving member (later members
-    * screen off against it pairwise), so dedup still holds for
-    * direct near-dups but the surviving id may not be the global min,
-    * and transitive-only cluster mates in different micro-batches are
-    * not linked. Batch one drop per micro-batch when exact batch
-    * semantics matter.
-    *
-    * Idempotency WITHOUT markers: the screen is its own re-delivery
-    * guard — a re-delivered vector whose copy is already in the index
-    * matches itself at cosine 1 ≥ threshold (its own cell is its first
-    * probe by construction) and drops, so ADMITTED rows never
-    * duplicate under replay (spec-pinned). The one soft spot is a row
-    * the first pass DROPPED as an in-batch cluster member: on replay it
-    * has no committed copy to self-match, and whether it screens off
-    * against its admitted representative depends on the probe set —
-    * with `nprobe < nlist` the rep's cell may not be probed and the
-    * row is admitted after all (once; its own copy guards every later
-    * replay). That is the same bounded recall miss any nprobe-screened
-    * lookup has, not an unbounded duplication: run with
-    * `nprobe = nlist` where replay-exactness matters (the screen is
-    * then exhaustive within the threshold, spec-pinned for the IVFADC
-    * family). Non-transactional parquet appends therefore need no
-    * commit-marker machinery in the index layout; requires
-    * `threshold < 1`. `adc = true` runs the same policy against an
-    * IVFADC index (frozen-pivot screen on the raw vectors riding in
-    * the code-carrying partitions, appends re-encoded under the frozen
-    * codebooks).
-    */
   /** Streaming PROFILE sketches: every micro-batch writes its own
     * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
     * counts, min/max, HLL registers) under `sketchDir/batch=<id>`;
@@ -589,6 +560,48 @@ object IncrementalStream {
       }
       .start()
 
+  /** Streaming EMBEDDING near-dup ingestion: every micro-batch screens
+    * against the PERSISTED ANN index ([[graft.operators.AnnIndex
+    * .screenIvf]] — frozen-centroid routing, nprobe cells, exact-cosine
+    * verify), then the accepted vectors append into the index's own cell
+    * partitions ([[graft.operators.AnnIndex.appendIvf]]) — the embedding
+    * member of the ingest family next to [[fuzzyDedupIngest]] and
+    * [[decontamIngest]]. Per-batch cost tracks the batch (probed cells ×
+    * batch), never the corpus history.
+    *
+    * Policy (fuzzyDedupIngest parity): a batch vector near-dup of a
+    * committed one is dropped; within a MICRO-BATCH, each near-dup
+    * cluster keeps its min-id representative (SRP-bucketed pairs →
+    * `Dedup.clusterReps`). Rep selection is per-micro-batch: when the
+    * source splits one logical drop across micro-batches, a cluster
+    * split across them admits its first-arriving member (later members
+    * screen off against it pairwise), so dedup still holds for
+    * direct near-dups but the surviving id may not be the global min,
+    * and transitive-only cluster mates in different micro-batches are
+    * not linked. Batch one drop per micro-batch when exact batch
+    * semantics matter.
+    *
+    * Idempotency WITHOUT markers: the screen is its own re-delivery
+    * guard — a re-delivered vector whose copy is already in the index
+    * matches itself at cosine 1 ≥ threshold (its own cell is its first
+    * probe by construction) and drops, so ADMITTED rows never
+    * duplicate under replay (spec-pinned). The one soft spot is a row
+    * the first pass DROPPED as an in-batch cluster member: on replay it
+    * has no committed copy to self-match, and whether it screens off
+    * against its admitted representative depends on the probe set —
+    * with `nprobe < nlist` the rep's cell may not be probed and the
+    * row is admitted after all (once; its own copy guards every later
+    * replay). That is the same bounded recall miss any nprobe-screened
+    * lookup has, not an unbounded duplication: run with
+    * `nprobe = nlist` where replay-exactness matters (the screen is
+    * then exhaustive within the threshold, spec-pinned for the IVFADC
+    * family). Non-transactional parquet appends therefore need no
+    * commit-marker machinery in the index layout; requires
+    * `threshold < 1`. `adc = true` runs the same policy against an
+    * IVFADC index (frozen-pivot screen on the raw vectors riding in
+    * the code-carrying partitions, appends re-encoded under the frozen
+    * codebooks).
+    */
   def embeddingDedupIngest(stream: DataFrame, indexDir: String,
                            checkpointDir: String, vecCol: String = "embedding",
                            idCol: String = "vec_id",
@@ -665,7 +678,10 @@ object IncrementalStream {
     * cosine threshold — calibrate against exact Jaccard with the
     * `dedup_eval_hashembed` query (0.9 ≈ precision 0.86 / recall 1.0 on
     * the fixture corpus). Token-less documents have no hashed vector
-    * (the hashEmbed no-row contract) and are DROPPED at this gate —
+    * (the hashEmbed no-row contract) and are DROPPED at this gate — as
+    * are the (vanishingly rare) fully-sign-cancelled docs, whose
+    * zero-norm vector hashEmbed also refuses to emit precisely because
+    * it could never self-match and would re-admit on every replay;
     * route empties elsewhere upstream if they must be retained.
     */
   def textDedupIngest(stream: DataFrame, indexDir: String,

@@ -338,6 +338,25 @@ class DedupSimilaritySpec extends SparkSpec {
     // empty docs emit no row
     assert(graft.operators.Similarity.hashEmbed(
       Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id", 32, "t").count() == 0)
+    // fully-sign-cancelled docs emit no row either (a zero-norm vector
+    // can never self-match, which would break replay idempotency in the
+    // dedup ingest paths): construct one from two tokens sharing a
+    // bucket with opposite signs under this salt
+    def bs(tok: String): (Long, Int) = {
+      def hx(prefix: String) = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$prefix:t:$tok".getBytes("UTF-8"))
+          .take(3).map("%02x".format(_)).mkString, 16)
+      // sign = first hex char of md5 mod 2 = bits 20-23 of the 6-char parse
+      (hx("he") % 32, if ((hx("hs") >> 20) % 2 == 0) 1 else -1)
+    }
+    val toks = (0 until 400).map(i => s"w$i")
+    val cancelPair = toks.combinations(2).collectFirst {
+      case Seq(x, y) if bs(x)._1 == bs(y)._1 && bs(x)._2 != bs(y)._2 => (x, y)
+    }.get
+    assert(graft.operators.Similarity.hashEmbed(
+      Seq((10L, s"${cancelPair._1} ${cancelPair._2}")).toDF("doc_id", "text"),
+      "text", "doc_id", 32, "t").count() == 0)
     // the bridge composes: build + query a persisted ANN index on the
     // hashed embeddings of raw text
     val dir = tempDir("hashembidx")

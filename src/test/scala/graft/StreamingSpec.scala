@@ -664,4 +664,38 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(1, 0), ts(1, 10), 2L),
       (1L, ts(3, 0), ts(3, 0), 1L)), rows().toString)
   }
+
+  test("streaming sessionize: late chain merges when a later event backward-extends the start into gap range") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sess = graft.streaming.IncrementalStream.streamingSessionize(
+      input.toDF().toDF("ts", "user_id"), gapMin = 30,
+      watermarkDelay = "4 hours")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess_backext_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(3, 0), 1L))
+    q.processAllAvailable()
+    // 2:20 is > gap before the 3:00 start AT THE MOMENT IT IS PROCESSED
+    // (routes to the late chain), but 2:40 then folds in and backward-
+    // extends the start to 2:40 — now 2:40 − 2:20 ≤ gap, so the batch
+    // sessionizer would chain all three into ONE session (2:20→2:40→3:00,
+    // consecutive gaps of 20 min). The late chain must merge at batch
+    // end, not close as its own session.
+    input.addData((ts(2, 20), 1L), (ts(2, 40), 1L))
+    q.processAllAvailable()
+    def rows() = spark.table("sess_backext_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(rows().isEmpty, s"nothing closes mid-chain: ${rows()}")
+    // far-future other-user events advance the watermark past the timeout
+    input.addData((ts(12, 0), 2L))
+    q.processAllAvailable()
+    input.addData((ts(12, 1), 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, ts(2, 20), ts(3, 0), 3L)), rows().toString)
+  }
 }
