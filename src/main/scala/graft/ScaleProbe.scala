@@ -402,6 +402,43 @@ object ScaleProbe {
       "vec_id", threshold = 0.35, nprobe = 2).count())
     time("ann_bulk_selfknn")(graft.operators.AnnIndex.queryIvfBulk(
       spark, idxDir, bigV, "embedding", "vec_id", k = 3, nprobe = 2).count())
+
+    // ---- round-8: drifted-index hot-cell A/B ----
+    // The cell_id equi-join's adversarial case: append a mass of
+    // near-identical vectors (deterministic per-row jitter keeps them
+    // distinct; all route to ONE cell under the frozen centroids), then
+    // bulk-query with probes into that cell. The unsplit join funnels
+    // |hot cell| × |probes| cosine evaluations through one task; the
+    // occupancy-derived sub-split spreads the same work across
+    // ⌈|cell| / maxCellRows⌉ tasks — output identical (AnnIndexSpec
+    // pins it), this measures the funnel fix itself.
+    val v0 = embs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val hot = spark.range(10000000L, 10000000L + 100000L).select(
+        col("id").as("vec_id"),
+        transform(typedLit(v0), (x, i) =>
+          (x.cast("double") + pmod(col("id") + i * 7, lit(101)).cast("double") / 1e4)
+            .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    graft.operators.AnnIndex.appendIvf(hot, "embedding", "vec_id", idxDir)
+    val drift = graft.operators.AnnIndex.routingDrift(spark, idxDir)
+      .agg(sum(col("abs_diff")) / 2).head().getDouble(0)
+    println(f"  drifted index TVD: $drift%.3f")
+    val hotQs = hot.filter(col("vec_id") % 333 === 0).localCheckpoint(true)
+    // emulate the bulk contract's SHUFFLE regime: a production probe side
+    // is corpus-sized and never broadcasts — the fixture's would, hiding
+    // the reducer funnel this A/B measures (the broadcast regime is
+    // scan-parallel and needs no splitting; see AnnIndex.cellCandidates)
+    val bcSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("ann_bulk_drifted_nosplit")(graft.operators.AnnIndex.queryIvfBulk(
+      spark, idxDir, hotQs, "embedding", "vec_id", k = 3, nprobe = 1,
+      maxCellRows = Long.MaxValue).count())
+    time("ann_bulk_drifted_split")(graft.operators.AnnIndex.queryIvfBulk(
+      spark, idxDir, hotQs, "embedding", "vec_id", k = 3, nprobe = 1,
+      maxCellRows = 1L << 14).count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcSaved)
+    spark.catalog.clearCache()
     // mergeable sketches: the per-drop sketch is one scan; the MERGE is
     // model-sized — the number that matters for drops 2..N
     time("profile_sketch_drop")(graft.operators.Profile.sketch(

@@ -61,6 +61,97 @@ object AnnIndex {
     df.withColumn("cell_id", col("cell_id").cast("long"))
   }
 
+  /** Candidate join of pruned index rows against probe rows for the
+    * ARBITRARY-SIZED query paths ([[queryIvfBulk]], the screen/ingest
+    * family). Two regimes, split on the same statistic the planner
+    * uses for its broadcast decision:
+    *
+    *   - BROADCAST regime (probe side under the autoBroadcast
+    *     threshold): the join runs map-side over the pruned SCAN, whose
+    *     parallelism is byte-proportional (parquet splits by
+    *     maxPartitionBytes, row-group-splittable even for a compacted
+    *     one-file cell) — and since join-output work per scan split is
+    *     rows × probes with probes bounded by the broadcast, work is
+    *     even across splits. No reducer exists, so there is no funnel
+    *     and nothing to salt: the plain single-key join is optimal.
+    *
+    *   - SHUFFLE regime (probe side too big to broadcast — the actual
+    *     bulk/ingest contract): the equi-join shuffles BOTH sides by
+    *     `cell_id`, a ≤ nlist-key, drift-skewable column — parallelism
+    *     caps at nlist regardless of cluster size, and a hot cell (the
+    *     thing [[routingDrift]] exists to detect) funnels
+    *     |cell| × |probes| cosine evaluations through ONE reducer.
+    *     Here hot cells sub-split deterministically (the
+    *     [[Skew.saltedEquiJoin]] move, keyed on CURRENT occupancy
+    *     rather than a fixed bucket count): the corpus side gets
+    *     `split = xxhash64(row id) % nsplit(cell)` — task retries
+    *     re-produce the routing — each probe row replicates across its
+    *     cell's splits, and the join key becomes (cell_id, split), so
+    *     a hot cell's work spreads over nsplit reducers.
+    *
+    * nsplit(cell) = ceil(n / maxCellRows) (bounded corpus rows per
+    * reducer), floored at the cluster's core count for any cell that
+    * splits at all: byte-derived sizing — AQE coalescing above all —
+    * cannot see that join-output work is rows × probes, so a hot
+    * cell's row count must translate into cluster-wide parallelism
+    * even when its bytes look small. For the same reason the corpus
+    * side's partition count is pinned with an EXPLICIT-N repartition
+    * on the join keys: the corpus shuffles here regardless (the join
+    * requires it), the explicit N is exempt from AQE coalescing,
+    * satisfies the join's distribution requirement as-is, and forces
+    * the co-partitioned probe side to the same layout.
+    *
+    * Occupancy comes from a per-cell count over the PRUNED corpus
+    * (≤ nlist rows collected; the aggregate touches only the partition
+    * column, so the scan is footer-cheap) — occupancy NOW, not the
+    * build-time `cell_stats` snapshot, because the hot cell is
+    * precisely the one that drifted hot through appends after the
+    * snapshot. When no cell exceeds `maxCellRows` the plain join is
+    * returned unchanged (the fixture-scale fast path). Probe rows for
+    * cells the corpus doesn’t hold drop out of the explode
+    * (element_at misses → null sequence) — the plain join produced
+    * nothing for them either. Output rows are identical across all
+    * paths: splitting partitions the corpus side of each cell, it
+    * never adds or removes a pair (spec-pinned).
+    */
+  private def cellCandidates(corpus: DataFrame, probes: DataFrame,
+                             corpusIdCol: String,
+                             maxCellRows: Long): DataFrame = {
+    require(maxCellRows >= 1, "maxCellRows must be >= 1")
+    val spark = corpus.sparkSession
+    // the planner's own broadcast statistic for the probe side: under
+    // the threshold the join is map-side over the scan — no reducer,
+    // no funnel, salting would only add a corpus shuffle
+    val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val bcThreshold = // "-1"/plain numbers parse directly; "10MB" forms via JavaUtils
+      try bcConf.trim.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcConf) }
+    val probeBytes = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bcThreshold > 0 && probeBytes <= bcThreshold)
+      return corpus.join(probes, Seq("cell_id"))
+    val minSplits = spark.sparkContext.defaultParallelism
+    val occ = corpus.groupBy("cell_id").count().collect() // bounded: <= nlist
+      // ceil(n / maxCellRows) in the overflow-safe form (n >= 1 here)
+      .map { r =>
+        val base = (((r.getLong(1) - 1) / maxCellRows) + 1).toInt
+        r.getLong(0) -> (if (base <= 1) 1 else base.max(minSplits))
+      }
+      .toMap
+    if (occ.isEmpty || occ.valuesIterator.max <= 1)
+      corpus.join(probes, Seq("cell_id"))
+    else {
+      val nsplit = element_at(typedLit(occ), col("cell_id")).cast("long")
+      val parts = occ.valuesIterator.map(_.toLong).sum.min(1 << 16).toInt
+      val c = corpus.withColumn("__split",
+          pmod(xxhash64(col(corpusIdCol)), nsplit))
+        .repartition(parts, col("cell_id"), col("__split"))
+      val q = probes.withColumn("__split",
+        explode(sequence(lit(0L), nsplit - 1)))
+      c.join(q, Seq("cell_id", "__split")).drop("__split")
+    }
+  }
+
   /** Snapshot the per-cell occupancy of the persisted corpus into
     * `dir/cell_stats` — the build-time baseline [[routingDrift]] reads.
     * nlist-bounded rows; one aggregate over the cell_id column.
@@ -135,23 +226,26 @@ object AnnIndex {
     * labeling an ENTIRE corpus against the index, bulk hard-negative
     * mining, embedding-join ETL. Probe assignment is map-only under the
     * nlist-bounded centroid literal, candidates come from an equi-JOIN
-    * on cell_id (both sides shuffle by cell — ≤ nlist keys, so size
-    * nlist ≫ cluster cores at production scale), and per-query top-k
-    * runs through TopKPerKey bounded heaps. The only collect is the
-    * probed-cell list (≤ nlist). Results are BIT-IDENTICAL to
-    * [[queryIvf]] at the same parameters (spec-pinned).
+    * on (cell_id, split) with hot cells sub-split across
+    * ⌈|cell| / maxCellRows⌉ tasks (see [[cellCandidates]] — parallelism
+    * is no longer capped at nlist keys, and a drift-hot cell cannot
+    * funnel through one task), and per-query top-k runs through
+    * TopKPerKey bounded heaps. The collects are the probed-cell list
+    * and the per-cell occupancy (each ≤ nlist). Results are
+    * BIT-IDENTICAL to [[queryIvf]] at the same parameters, split or
+    * not (spec-pinned).
     */
   def queryIvfBulk(spark: SparkSession, dir: String, queries: DataFrame,
                    vecCol: String, idCol: String, k: Int,
-                   nprobe: Int): DataFrame = {
+                   nprobe: Int, maxCellRows: Long = 1L << 18): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val qCells = Similarity.ivfProbeCells(queries, cents, vecCol, idCol, nprobe)
     val probed = qCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted // bounded: <= nlist
-    val scored = readCorpus(spark, dir)
+    val pruned = readCorpus(spark, dir)
       .filter(col("cell_id").isin(probed: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell_id"))
-      .join(qCells, Seq("cell_id"))
+    val scored = cellCandidates(pruned, qCells, "neighbor_id", maxCellRows)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -169,15 +263,19 @@ object AnnIndex {
     * Unlike [[queryIvf]] (top-k service; broadcast-sized query batch),
     * the batch here is an INGESTION batch and can be arbitrarily large:
     * probe assignment is map-only under the nlist-bounded centroid
-    * literal, candidates come from an equi-JOIN on cell_id (no
-    * broadcast of the batch), and the only collect is the probed-cell
-    * list (≤ nlist). Each corpus row lives in exactly one cell, so a
-    * pair can arise from at most one probe — no distinct needed.
+    * literal, candidates come from an equi-JOIN on (cell_id, split)
+    * with hot cells sub-split across ⌈|cell| / maxCellRows⌉ tasks (no
+    * broadcast of the batch; see [[cellCandidates]] for the skew
+    * contract), and the collects are the probed-cell list and the
+    * per-cell occupancy (each ≤ nlist). Each corpus row lives in
+    * exactly one cell and one split, so a pair can arise from at most
+    * one probe — no distinct needed.
     */
   def screenIvf(spark: SparkSession, dir: String, batch: DataFrame,
                 vecCol: String, idCol: String, threshold: Double,
-                nprobe: Int): DataFrame =
-    screenAgainst(spark, dir, "centroids", batch, vecCol, idCol, threshold, nprobe)
+                nprobe: Int, maxCellRows: Long = 1L << 18): DataFrame =
+    screenAgainst(spark, dir, "centroids", batch, vecCol, idCol, threshold,
+      nprobe, maxCellRows)
 
   /** [[screenIvf]] for an IVFADC index ([[buildIvfAdc]] layout): the
     * routing table is the frozen pivot set, and the exact-cosine verify
@@ -188,20 +286,23 @@ object AnnIndex {
     */
   def screenIvfAdc(spark: SparkSession, dir: String, batch: DataFrame,
                    vecCol: String, idCol: String, threshold: Double,
-                   nprobe: Int): DataFrame =
-    screenAgainst(spark, dir, "pivots", batch, vecCol, idCol, threshold, nprobe)
+                   nprobe: Int, maxCellRows: Long = 1L << 18): DataFrame =
+    screenAgainst(spark, dir, "pivots", batch, vecCol, idCol, threshold,
+      nprobe, maxCellRows)
 
   private def screenAgainst(spark: SparkSession, dir: String, routing: String,
                             batch: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double, nprobe: Int): DataFrame = {
+                            threshold: Double, nprobe: Int,
+                            maxCellRows: Long): DataFrame = {
     val cents = spark.read.parquet(s"$dir/$routing")
     val qCells = Similarity.ivfProbeCells(batch, cents, vecCol, idCol, nprobe)
     val probed = qCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted // bounded: <= nlist
-    readCorpus(spark, dir)
+    val pruned = readCorpus(spark, dir)
       .filter(col("cell_id").isin(probed: _*))
       .select(col(idCol).as("id_b"), col(vecCol).as("c_vec"), col("cell_id"))
-      .join(qCells.withColumnRenamed("query_id", "id_a"), Seq("cell_id"))
+    cellCandidates(pruned, qCells.withColumnRenamed("query_id", "id_a"),
+        "id_b", maxCellRows)
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("c_vec")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -217,8 +318,9 @@ object AnnIndex {
     */
   def ingestIvf(spark: SparkSession, dir: String, batch: DataFrame,
                 vecCol: String, idCol: String, threshold: Double,
-                nprobe: Int): DataFrame = {
-    val dupes = screenIvf(spark, dir, batch, vecCol, idCol, threshold, nprobe)
+                nprobe: Int, maxCellRows: Long = 1L << 18): DataFrame = {
+    val dupes = screenIvf(spark, dir, batch, vecCol, idCol, threshold, nprobe,
+        maxCellRows)
       .localCheckpoint(true)
     val clean = batch.join(
       dupes.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -233,8 +335,9 @@ object AnnIndex {
     */
   def ingestIvfAdc(spark: SparkSession, dir: String, batch: DataFrame,
                    vecCol: String, idCol: String, threshold: Double,
-                   nprobe: Int): DataFrame = {
-    val dupes = screenIvfAdc(spark, dir, batch, vecCol, idCol, threshold, nprobe)
+                   nprobe: Int, maxCellRows: Long = 1L << 18): DataFrame = {
+    val dupes = screenIvfAdc(spark, dir, batch, vecCol, idCol, threshold,
+        nprobe, maxCellRows)
       .localCheckpoint(true)
     val clean = batch.join(
       dupes.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")

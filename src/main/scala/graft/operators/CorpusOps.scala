@@ -264,18 +264,35 @@ object CorpusOps {
     * The offset lookup keys on the STRING rendering of the key column —
     * distinct key values of one column type never collide as strings for
     * the string/integral types sources use (the Cdc.rowHash contract).
+    *
+    * The prefix-offset map collects to the driver and rides to executors
+    * in a udf closure, so its size is the helper's cardinality contract:
+    * ≤ #partitions + #distinct-keys − 1 entries (each key's partition
+    * run is contiguous). Curriculum SOURCES are few by construction, but
+    * the helper is generic — a high-cardinality keyCol would silently
+    * build a multi-million-entry driver map, so the group count is
+    * checked BEFORE anything collects (the Sketches.heavyHitters
+    * maxGroups discipline) and fails fast naming the fallback.
     */
-  private def rankByRangePerKey(df: DataFrame, keyCol: Column,
-                                orderCols: Seq[Column],
-                                rankCol: String): DataFrame = {
+  private[graft] def rankByRangePerKey(df: DataFrame, keyCol: Column,
+                                       orderCols: Seq[Column],
+                                       rankCol: String,
+                                       maxOffsets: Int = 100000): DataFrame = {
     val all = keyCol.asc +: orderCols
     val sorted = df.repartitionByRange(all: _*)
       .sortWithinPartitions(all: _*)
     val withPart = sorted.withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = withPart
+    val grouped = withPart
       .groupBy(col("__pid"), keyCol.cast("string").as("__k"))
-      .count().collect()
+      .count()
+    val nGroups = grouped.count() // cheap re-agg over the pinned layout
+    require(nGroups <= maxOffsets,
+      s"rankByRangePerKey: $nGroups (partition, key) offset entries exceed " +
+        s"maxOffsets=$maxOffsets — the key column is too high-cardinality for " +
+        "the driver-side prefix map; use the window formulation " +
+        "(curriculumOrder(rangeRank = false)) or rank within coarser keys")
+    val counts = grouped.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val prefix: Map[(Int, String), Long] =
       counts.groupBy(_._2).iterator.flatMap { case (k, rows) =>

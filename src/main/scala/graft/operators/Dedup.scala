@@ -200,14 +200,18 @@ object Dedup {
     * Returns (idCol, n_windows, n_kept, clean_text), one row per input
     * document (clean_text = "" when every window was a repeat).
     *
-    * Scale shape: two shuffles — a partial-aggregatable groupBy(window)
+    * Scale shape: two shuffles — a partial-aggregatable groupBy(digest)
     * taking the global min occurrence, then a hash join of windows
     * against that (unique-keyed) table; a hot window (the 100 TB norm:
     * one licence header over millions of docs) costs one combiner cell
     * map-side, never a quadratic join. The per-doc reconstruction
-    * collect_list is bounded by the document's own window count. Windows
-    * join on their text at test scale; at corpus scale swap the join key
-    * for a 128-bit digest of the window to keep shuffle rows narrow.
+    * collect_list is bounded by the document's own window count. Both
+    * the aggregate and the join key on a 128-bit md5 DIGEST of the
+    * window, never the window text — a 32-token window is ~200 bytes of
+    * shuffle key per occurrence at corpus scale, the digest is 16; the
+    * text stays side-local on the occurrence rows for reconstruction.
+    * (Equal digests ⇔ equal windows up to md5 collision — the same
+    * declared fingerprinting semantics every fuzzy path here uses.)
     */
   def windowDedup(df: DataFrame, textCol: String, idCol: String,
                   windowTokens: Int = 16): DataFrame = {
@@ -217,11 +221,12 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i * windowTokens + 1, lit(windowTokens))))
     val wins = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(winArr).as(Seq("widx", "wtext")))
-    // first global occurrence of each distinct window text, ordered by
+      .withColumn("wdig", unhex(md5(col("wtext"))))
+    // first global occurrence of each distinct window, ordered by
     // (doc id, window position) — struct min compares lexicographically
-    val keeper = wins.groupBy("wtext")
+    val keeper = wins.groupBy("wdig")
       .agg(min(struct(col(idCol), col("widx"))).as("keeper"))
-    wins.join(keeper, Seq("wtext"))
+    wins.join(keeper, Seq("wdig"))
       .withColumn("kept", struct(col(idCol), col("widx")) === col("keeper"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),

@@ -31,7 +31,24 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  /** Startup recovery for an [[overwrite]] crashed mid-swap (the
+    * AnnIndex.readCorpus discipline): the swap is two moves, and a crash
+    * between them leaves the table parked at `<table>__old` with no
+    * `<table>` directory — if that state is observed, the old directory
+    * is moved back before any read (its contents are the complete
+    * pre-overwrite table by construction; the orphaned `__tmp` is
+    * ignored and overwritten by the next write). Single-writer contract:
+    * recovery only fires when the live path is ABSENT, which during a
+    * healthy overwrite never coincides with a reader in this process.
+    */
+  private def recoverStranded(table: String): Unit = {
+    val dst = Paths.get(path(table))
+    val old = Paths.get(path(table) + "__old")
+    if (!Files.exists(dst) && Files.exists(old)) Files.move(old, dst)
+  }
+
   def exists(table: String): Boolean = {
+    recoverStranded(table)
     val p = Paths.get(path(table))
     if (!Files.exists(p)) false
     else {
@@ -40,7 +57,10 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    recoverStranded(table)
+    spark.read.parquet(path(table))
+  }
 
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
@@ -49,9 +69,11 @@ class Warehouse(val spark: SparkSession, val root: String) {
     // Write to a temp dir then swap: a reader sees either the old or the
     // new table — never a half-written one — but there IS a brief window
     // between the two moves where the path is absent, and a crash inside
-    // it leaves the data stranded in __old (recoverable by hand). A plain
-    // filesystem cannot do better; production deployments should sit this
-    // behind a table format with an atomic commit protocol.
+    // it leaves the data stranded in __old; [[recoverStranded]] renames
+    // it back on the next read/exists/overwrite. A plain filesystem
+    // cannot do better; production deployments should sit this behind a
+    // table format with an atomic commit protocol.
+    recoverStranded(table) // a stranded __old must not outlive this write
     val tmp = path(table) + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
     val dst = Paths.get(path(table))

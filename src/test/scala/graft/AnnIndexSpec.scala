@@ -53,6 +53,39 @@ class AnnIndexSpec extends SparkSpec {
       rs.map(_._2).sorted.sameElements(1L to rs.length)))
   }
 
+  test("hot-cell sub-split: bulk query and screen results identical under forced splitting") {
+    val (all, _) = fixture()
+    val dir = tempDir("annidx_split")
+    AnnIndex.buildIvf(all, "embedding", "vec_id", dir, nlist = 4, iters = 3)
+    // the sub-split engages only in the SHUFFLE regime (a broadcast-
+    // sized probe side needs no splitting — the join is scan-parallel);
+    // the fixture probe tables would broadcast, so force the regime
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // maxCellRows = 2 forces every fixture cell into many sub-splits;
+      // the huge bound keeps the plain single-key join — output sets
+      // must be bit-identical (splitting only partitions the corpus side)
+      val plain = AnnIndex.queryIvfBulk(spark, dir, all, "embedding", "vec_id",
+          k = 3, nprobe = 2, maxCellRows = Long.MaxValue)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val split = AnnIndex.queryIvfBulk(spark, dir, all, "embedding", "vec_id",
+          k = 3, nprobe = 2, maxCellRows = 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(split == plain)
+      assert(split.nonEmpty)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      val screenPlain = AnnIndex.screenIvf(spark, dir, batch, "embedding",
+          "vec_id", threshold = 0.35, nprobe = 2, maxCellRows = Long.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      val screenSplit = AnnIndex.screenIvf(spark, dir, batch, "embedding",
+          "vec_id", threshold = 0.35, nprobe = 2, maxCellRows = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(screenSplit == screenPlain)
+      assert(screenSplit.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("append routes with frozen centroids: index == rebuilt-from-union query surface") {
     val (all, qs) = fixture()
     val base = all.filter(col("vec_id") % 3 =!= 0L)

@@ -190,6 +190,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(range == run(rangeRank = true, parts = 5)) // partition-invariant
   }
 
+  test("rankByRangePerKey fails fast when the offset map would exceed maxOffsets") {
+    // per-doc key = maximal cardinality: the (partition, key) group count
+    // is ~|docs|, far past the tiny bound — the guard must fire BEFORE
+    // anything collects, and its message must name the window fallback
+    val perDoc = docs.select(col("doc_id"),
+      concat(lit("k"), col("doc_id")).as("k"),
+      length(col("text")).cast("double").as("score"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.rankByRangePerKey(perDoc, col("k"),
+        Seq(col("score").desc, col("doc_id").asc), "r", maxOffsets = 10)
+    }
+    assert(e.getMessage.contains("rangeRank = false"))
+    // the same call under the default bound succeeds (sanity: the guard
+    // measures cardinality, not data size)
+    val ok = CorpusOps.rankByRangePerKey(perDoc, col("k"),
+      Seq(col("score").desc, col("doc_id").asc), "r")
+    assert(ok.agg(max(col("r"))).head().getLong(0) == 1L) // every key unique
+  }
+
   test("global shuffle: a permutation of 1..N, partition-invariant") {
     val n = docs.count()
     val a = CorpusOps.globalShuffle(docs, "doc_id")

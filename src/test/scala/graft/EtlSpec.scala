@@ -122,6 +122,30 @@ class EtlSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")), out)
   }
 
+  test("overwrite crash window: a table stranded at __old recovers on the next open") {
+    val root = tempDir("wh")
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // simulate a crash between overwrite's two moves: the live directory
+    // has been parked at __old and the process died before the new data
+    // moved in (the new data's temp dir may or may not survive — model
+    // the worst case where it's gone entirely)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/t"),
+      java.nio.file.Paths.get(s"$root/t__old"))
+    assert(wh.exists("t"), "exists() must recover the stranded table")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t__old")))
+    val rows = wh.read("t").select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")), rows)
+    // a later overwrite on a still-stranded table must also recover
+    // first and then win cleanly
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/t"),
+      java.nio.file.Paths.get(s"$root/t__old"))
+    wh.overwrite("t", Seq((9L, "z")).toDF("k", "v"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t__old")))
+    val rows2 = wh.read("t").select("k", "v").as[(Long, String)].collect().toSeq
+    assert(rows2 == Seq((9L, "z")), rows2)
+  }
+
   test("scd2: incoming snapshot with duplicate keys opens ONE current version") {
     val wh = new Warehouse(spark, tempDir("wh"))
     wh.scd2Upsert("dim", Seq((1L, "NY", "r1"), (1L, "LA", "r2"), (2L, "SF", "r1"))
