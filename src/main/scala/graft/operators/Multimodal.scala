@@ -190,14 +190,16 @@ object Multimodal {
       Some(out.array())
     }
 
-    /** Parse a WAV by walking RIFF chunks to `fmt ` and `data`; f0 = mean
-      * absolute sample amplitude.
+    /** RIFF chunk walk shared by [[decodeWav]] and [[audioFeaturesOf]]:
+      * (sample rate, decoded 16-bit samples), or None for anything a
+      * corrupt blob can do to the container (bad magic, negative/huge
+      * chunk lengths, non-16-bit PCM, truncated data).
       */
-    def decodeWav(bytes: Array[Byte]): Decoded = {
-      if (bytes.length < 44) return failed
+    private def wavSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+      if (bytes.length < 44) return None
       val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-      if (tag(0) != "RIFF" || tag(8) != "WAVE") return failed
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var pos = 12
       var rate = -1
       var bits = -1
@@ -207,8 +209,8 @@ object Multimodal {
         val id = tag(pos)
         val len = buf.getInt(pos + 4)
         // a corrupt negative/huge chunk length must not loop forever,
-        // walk backwards, or overflow the cursor — bail to `failed`
-        if (len < 0 || len > bytes.length - pos - 8) return failed
+        // walk backwards, or overflow the cursor — bail out
+        if (len < 0 || len > bytes.length - pos - 8) return None
         if (id == "fmt " && len >= 16) {
           rate = buf.getInt(pos + 12)
           bits = buf.getShort(pos + 22).toInt
@@ -217,18 +219,106 @@ object Multimodal {
       }
       if (rate <= 0 || bits != 16 || dataOff < 0 ||
           dataOff.toLong + dataLen.toLong > bytes.length)
-        return failed
+        return None
       val ns = dataLen / 2
-      var sum = 0L
+      val samples = new Array[Int](ns)
       var i = 0
-      while (i < ns) {
-        sum += math.abs(buf.getShort(dataOff + i * 2).toInt)
-        i += 1
-      }
-      val mean = if (ns == 0) 0.0 else sum.toDouble / ns
-      Decoded(None, None, Some(rate), Some(ns.toLong), Some(mean),
-        Array((mean / 32768.0).toFloat, rate / 16000.0f, ns / 256.0f, 0.5f))
+      while (i < ns) { samples(i) = buf.getShort(dataOff + i * 2).toInt; i += 1 }
+      Some((rate, samples))
     }
+
+    /** Parse a WAV by walking RIFF chunks to `fmt ` and `data`; f0 = mean
+      * absolute sample amplitude.
+      */
+    def decodeWav(bytes: Array[Byte]): Decoded = wavSamples(bytes) match {
+      case None => failed
+      case Some((rate, samples)) =>
+        val ns = samples.length
+        var sum = 0L
+        var i = 0
+        while (i < ns) { sum += math.abs(samples(i)); i += 1 }
+        val mean = if (ns == 0) 0.0 else sum.toDouble / ns
+        Decoded(None, None, Some(rate), Some(ns.toLong), Some(mean),
+          Array((mean / 32768.0).toFloat, rate / 16000.0f, ns / 256.0f, 0.5f))
+    }
+
+    /** The audio SCREENING statistics a training-data pipeline filters
+      * on, computed from the decoded samples:
+      *
+      *   - `rms`: root-mean-square amplitude, normalized to [0, 1] by
+      *     the 16-bit full scale (the sum of squares is an exact long —
+      *     s² ≤ 2³⁰ and ns·2³⁰ fits — so the value is bit-deterministic
+      *     and SQL-replayable).
+      *   - `nZeroCross`: count of strict sign changes between adjacent
+      *     samples (zeros neither cross nor reset) — an exact integer;
+      *     high ZCR at low RMS is the classic noise signature.
+      *   - `centroidHz`: spectral centroid Σ f_k·|X_k| / Σ |X_k| over
+      *     the positive-frequency bins of a direct O(ns²) DFT (k = 1 ..
+      *     ns/2; DC excluded — it is offset, not pitch). Pure-JVM
+      *     double trig; screening clips are container-bounded, so the
+      *     quadratic transform stays per-row cheap and needs no FFT
+      *     dependency. Fixed-point funnel for cross-engine exactness
+      *     (the engine's decimal-funnel discipline): each magnitude
+      *     rounds to an integer, each frequency-weighted term rounds to
+      *     an integer, and the centroid is a ratio of two exact integer
+      *     sums — the only doubles that cross the engine boundary are
+      *     the DFT magnitudes themselves, whose ~1e-8 trig/summation
+      *     variance faces a 0.5 rounding boundary, so the SQL replay is
+      *     bit-deterministic.
+      *   - `isSilence`: rms < silenceRms (default 0.001 of full scale).
+      *   - `isClipped`: the fraction of samples at ≥ 99% of full scale
+      *     exceeds clipFrac (default 1%) — the saturation gate.
+      *
+      * None for anything [[wavSamples]] rejects — corrupt blobs are
+      * data, not task failures.
+      */
+    final case class AudioFeatures(sampleRate: Int, nSamples: Long,
+                                   rms: Double, nZeroCross: Long,
+                                   centroidHz: Double, isSilence: Boolean,
+                                   isClipped: Boolean)
+
+    def audioFeaturesOf(bytes: Array[Byte], silenceRms: Double = 0.001,
+                        clipFrac: Double = 0.01): Option[AudioFeatures] =
+      wavSamples(bytes).map { case (rate, s) =>
+        val ns = s.length
+        var sumSq = 0L
+        var zc = 0L
+        var clipped = 0L
+        var i = 0
+        while (i < ns) {
+          val v = s(i)
+          sumSq += v.toLong * v
+          if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+          if (math.abs(v) >= 32440) clipped += 1 // ceil(0.99 * 32767)
+          i += 1
+        }
+        val rms = if (ns == 0) 0.0 else math.sqrt(sumSq.toDouble / ns) / 32768.0
+        // direct DFT magnitudes over positive frequencies, integer-
+        // quantized (see scaladoc): num/den are exact longs, so the
+        // centroid has no summation-order dependence
+        var num = 0L
+        var den = 0L
+        var k = 1
+        while (k <= ns / 2) {
+          var re = 0.0
+          var im = 0.0
+          var j = 0
+          while (j < ns) {
+            val ang = 2.0 * math.Pi * k * j / ns
+            re += s(j) * math.cos(ang)
+            im -= s(j) * math.sin(ang)
+            j += 1
+          }
+          val magInt = math.floor(math.sqrt(re * re + im * im) + 0.5).toLong
+          num += math.floor(k.toDouble * rate / ns * magInt + 0.5).toLong
+          den += magInt
+          k += 1
+        }
+        val centroid = if (den == 0L) 0.0 else num.toDouble / den
+        AudioFeatures(rate, ns.toLong, rms, zc, centroid,
+          rms < silenceRms,
+          ns > 0 && clipped.toDouble / ns >= clipFrac)
+      }
 
     /** Deterministic PNG/JPEG synthesis via the JDK's ImageIO (offline,
       * no new dependency): pixel (x, y) channel c = closed form of
@@ -383,6 +473,49 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType),
+    StructField("n_zero_cross", LongType),
+    StructField("centroid_hz", DoubleType),
+    StructField("is_silence", BooleanType),
+    StructField("is_clipped", BooleanType)))
+
+  /** Partition-parallel audio feature extraction over WAV payloads —
+    * the screening metrics (silence / clipping / spectral shape) an
+    * audio corpus is actually filtered on, next to [[decodeFeatures]]'s
+    * container metadata. One row per input row: non-audio media types
+    * and corrupt payloads yield null feature columns, never task
+    * failures. Streams rows via mapPartitions (no driver collect) —
+    * the per-row DFT is the expensive stage, exactly the shape that
+    * fans across 1000 executors.
+    */
+  def audioFeatures(media: DataFrame, silenceRms: Double = 0.001,
+                    clipFrac: Double = 0.01): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val feats =
+            if (r.getAs[String]("media_type") != "audio/wav") None
+            else Codec.audioFeaturesOf(r.getAs[Array[Byte]]("payload"),
+              silenceRms, clipFrac)
+          feats match {
+            case Some(f) =>
+              Row(r.getAs[Long]("doc_id"), f.sampleRate, f.nSamples, f.rms,
+                f.nZeroCross, f.centroidHz, f.isSilence, f.isClipped)
+            case None =>
+              Row(r.getAs[Long]("doc_id"), null, null, null, null, null,
+                null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Partition-parallel image resize: every image payload (BMP via the

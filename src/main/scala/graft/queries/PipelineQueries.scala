@@ -1224,6 +1224,25 @@ ORDER BY doc_id""")
         round(col("f0"), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Audio screening features over real synthesized WAVs: RMS (exact —
+    * the squared sum is integer), zero-crossing count (exact integer),
+    * spectral centroid (integer-funneled DFT — see
+    * [[graft.operators.Multimodal.Codec.audioFeaturesOf]]), and the
+    * silence/clipping gates. The oracle replays every statistic in
+    * closed form from the source text (sample i = (ascii(char i mod n)
+    * − 64) · 256), including the O(ns²) DFT as nested list transforms —
+    * parity proves both the container parse and the transform.
+    */
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+        Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id"))
+      .filter(col("sample_rate").isNotNull)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        round(col("rms"), 6).as("rms"), col("n_zero_cross"),
+        round(col("centroid_hz"), 6).as("centroid_hz"),
+        col("is_silence"), col("is_clipped"))
+      .orderBy("doc_id")
+
   /** Frame sampling over binary payloads (every stride-th 32-byte chunk);
     * frames decode back to text slices, so the oracle recomputes them
     * with plain substr over the source column.
@@ -3231,6 +3250,60 @@ ORDER BY doc_id""")
                         i -> abs((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256))), 6) AS f0
            FROM wav)
          SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""",
+    // audio screening replay: samples from the synthWav closed form,
+    // RMS/ZCR exact, the DFT centroid as nested list transforms with
+    // the same integer funnel (magnitudes and frequency-weighted terms
+    // floor(x+0.5)-quantized, centroid = exact-integer-sum ratio)
+    "mm_audio_features" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE doc_id % 2 = 1),
+         w AS (
+           SELECT doc_id,
+                  CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS rate,
+                  50 + n % 200 AS ns,
+                  list_transform(range(0, 50 + n % 200),
+                    i -> (ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256)
+                    AS s
+           FROM base),
+         feat AS (
+           SELECT doc_id, rate, ns, s,
+                  sqrt(list_sum(list_transform(s,
+                    x -> CAST(x AS DOUBLE) * x)) / ns) / 32768.0 AS rms,
+                  CAST(coalesce(list_sum(list_transform(range(1, ns),
+                    i -> CASE WHEN s[CAST(i AS INTEGER)] * s[CAST(i + 1 AS INTEGER)] < 0
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_zero_cross,
+                  list_sum(list_transform(s,
+                    x -> CASE WHEN abs(x) >= 32440 THEN 1 ELSE 0 END)) AS n_clip
+           FROM w),
+         spec AS (
+           SELECT doc_id, rate, ns,
+                  list_transform(range(1, ns // 2 + 1), k ->
+                    CAST(floor(sqrt(
+                      pow(list_sum(list_transform(range(0, ns), j ->
+                        s[CAST(j + 1 AS INTEGER)]
+                          * cos(2 * pi() * k * j / ns))), 2)
+                    + pow(list_sum(list_transform(range(0, ns), j ->
+                        s[CAST(j + 1 AS INTEGER)]
+                          * sin(2 * pi() * k * j / ns))), 2)) + 0.5) AS BIGINT))
+                    AS mags
+           FROM w),
+         cent AS (
+           SELECT doc_id,
+                  CASE WHEN coalesce(list_sum(mags), 0) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(range(1, len(mags) + 1),
+                              k -> CAST(floor(CAST(k AS DOUBLE) * rate / ns
+                                     * mags[CAST(k AS INTEGER)] + 0.5) AS BIGINT)))
+                              AS DOUBLE)
+                            / list_sum(mags) END AS centroid_hz
+           FROM spec)
+         SELECT f.doc_id, f.rate AS sample_rate, CAST(f.ns AS BIGINT) AS n_samples,
+                round(f.rms, 6) AS rms, f.n_zero_cross,
+                round(c.centroid_hz, 6) AS centroid_hz,
+                f.rms < 0.001 AS is_silence,
+                f.ns > 0 AND CAST(f.n_clip AS DOUBLE) / f.ns >= 0.01 AS is_clipped
+         FROM feat f JOIN cent c USING (doc_id)
+         ORDER BY doc_id""",
     // NN resize replay: flat index i over (row, col, channel) of the 8×6
     // output; source byte = text[(floor(r·h/6)·w·3 + floor(c·w/8)·3 + ch)
     // mod n] — the exact sampling resizeBmp performs, and the decoder's
@@ -3904,5 +3977,6 @@ ORDER BY doc_id""")
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _),
+    "mm_audio_features" -> (mmAudioFeatures _),
     "mm_resize" -> (mmResize _))
 }

@@ -199,6 +199,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.getAs[Array[Byte]]("frame_bytes").length <= 32)
   }
 
+  test("audio features: hand-checked RMS/ZCR/centroid; silence and clipping gates; corrupt bytes are data") {
+    import Multimodal.Codec
+    // hand-built WAV via the synthesizer: samples (b-64)*256 over bytes
+    val text = "abcdef".getBytes
+    val wav = Codec.synthWav(text, docId = 3L)
+    val f = Codec.audioFeaturesOf(wav).get
+    val ns = 50 + text.length % 200
+    val s = (0 until ns).map(i => ((text(i % text.length) & 0xFF) - 64) * 256)
+    assert(f.sampleRate == 11000 && f.nSamples == ns)
+    // RMS: exact integer sum of squares
+    val rms = math.sqrt(s.map(x => x.toLong * x).sum.toDouble / ns) / 32768.0
+    assert(f.rms == rms)
+    // ZCR: strict sign changes (these ASCII samples are all positive -> 0)
+    assert(f.nZeroCross == s.sliding(2).count(p => p(0).toLong * p(1) < 0))
+    // centroid: replay the integer-funneled DFT independently
+    var (num, den) = (0L, 0L)
+    for (k <- 1 to ns / 2) {
+      val re = (0 until ns).map(j => s(j) * math.cos(2 * math.Pi * k * j / ns)).sum
+      val im = (0 until ns).map(j => -s(j) * math.sin(2 * math.Pi * k * j / ns)).sum
+      val m = math.floor(math.sqrt(re * re + im * im) + 0.5).toLong
+      num += math.floor(k.toDouble * f.sampleRate / ns * m + 0.5).toLong
+      den += m
+    }
+    assert(f.centroidHz == num.toDouble / den)
+    assert(f.centroidHz > 0 && f.centroidHz < f.sampleRate / 2.0)
+    assert(!f.isSilence && !f.isClipped)
+    // an alternating full-scale square wave: clipped, max ZCR, centroid
+    // at (or folding around) Nyquist
+    def pcm(samples: Seq[Int], rate: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(samples.length * 2)
+      samples.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    val sq = Codec.audioFeaturesOf(
+      pcm(Seq.tabulate(64)(i => if (i % 2 == 0) 32767 else -32767), 8000)).get
+    assert(sq.isClipped && !sq.isSilence && sq.nZeroCross == 63)
+    assert(sq.centroidHz == 4000.0) // all energy in the Nyquist bin
+    // near-zero samples: silent, no crossings (zeros don't cross)
+    val quiet = Codec.audioFeaturesOf(pcm(Seq.fill(64)(0), 8000)).get
+    assert(quiet.isSilence && quiet.nZeroCross == 0 && quiet.centroidHz == 0.0)
+    // corrupt bytes: null feature columns, not task failures
+    assert(Codec.audioFeaturesOf(Array.fill[Byte](100)(7)).isEmpty)
+    val mixed = Seq(
+      (1L, wav, "audio/wav"),
+      (2L, Array.fill[Byte](64)(9), "audio/wav"),
+      (3L, wav, "image/bmp")).toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.audioFeatures(mixed).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(!out(0).isNullAt(3) && out(1).isNullAt(3) && out(2).isNullAt(3))
+  }
+
   test("decoded features chain into cosine similarity search") {
     val feats = Multimodal.decodeFeatures(synth)
       .select(col("doc_id"), col("features"))
