@@ -53,10 +53,20 @@ object CuratePipeline {
                                tCloseness: Option[Double] = None,
                                failOnViolation: Boolean = true)
 
+  /** `tokenizerDir`: the persisted-artifact seam
+    * ([[graft.operators.TokenizerArtifact]]). None (default) keeps the
+    * in-run sample-trained tokenizer. Set, the pipeline LOADS the frozen
+    * artifact when one is committed there — no training job runs, and
+    * every invocation encodes under the exact same model (the production
+    * lifecycle: token ids must not drift across curation runs) — or, on
+    * first use, trains on the sample once and persists the artifact for
+    * every later run. The artifact's family must match `tokenizer`.
+    */
   def run(spark: SparkSession, sfDir: String,
           quotaPerSource: Int = Int.MaxValue,
           privacyGate: Option[PrivacyGate] = None,
-          tokenizer: String = "bpe"): (Seq[Stage], DataFrame) = {
+          tokenizer: String = "bpe",
+          tokenizerDir: Option[String] = None): (Seq[Stage], DataFrame) = {
     require(tokenizer == "bpe" || tokenizer == "unigram",
       s"tokenizer must be bpe|unigram, got $tokenizer")
     val raw = graft.Tables.load(spark, sfDir, "documents")
@@ -133,16 +143,27 @@ object CuratePipeline {
             s"${g.quasiCols.mkString(",")} — release blocked")
     }
 
-    // 8 — tokenize (model trained on a quarter sample; both families
-    // share the encode-ids + pack surface) and pack
+    // 8 — tokenize (model trained on a quarter sample, or reloaded
+    // frozen from tokenizerDir; both families share the encode-ids +
+    // pack surface) and pack
+    import graft.operators.TokenizerArtifact
     val sample = mixed.filter(col("doc_id") % 4 === 0)
-    val (ids, _) =
-      if (tokenizer == "bpe")
-        Bpe.encodeIds(mixed, "text", "doc_id",
-          Bpe.train(sample, "text", numMerges = 8))
-      else
-        UnigramLm.encodeIds(mixed, "text", "doc_id",
-          UnigramLm.train(sample, "text"))
+    val tok: TokenizerArtifact.Tokenizer = tokenizerDir match {
+      case Some(dir) if TokenizerArtifact.exists(spark, dir) =>
+        val loaded = TokenizerArtifact.load(spark, dir)
+        require(loaded.family == tokenizer,
+          s"tokenizerDir holds a ${loaded.family} artifact but tokenizer=$tokenizer")
+        loaded
+      case Some(dir) if tokenizer == "bpe" =>
+        TokenizerArtifact.trainBpe(sample, "text", dir, numMerges = 8)
+      case Some(dir) =>
+        TokenizerArtifact.trainUnigram(sample, "text", dir)
+      case None if tokenizer == "bpe" =>
+        TokenizerArtifact.BpeTokenizer(Bpe.train(sample, "text", numMerges = 8))
+      case None =>
+        TokenizerArtifact.UnigramTokenizer(UnigramLm.train(sample, "text"), 6)
+    }
+    val (ids, _) = tok.encodeIds(mixed, "text", "doc_id")
     val packed = CorpusOps.packTokens(ids, "doc_id", "token_ids",
       blockSize = 512, blocks = 8)
     stages += Stage("packed_blocks", packed.count())
