@@ -69,7 +69,18 @@ object Retrieval {
     // join; the sum of longs is exact, so the value is deterministic)
     val statsRow = docLen.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
-    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    scoreBm25(post, docLen, docFreq, statsRow.getLong(0),
+      statsRow.getDouble(1), idCol, queryTerms, k, k1, b)
+  }
+
+  /** The scoring tail shared by [[bm25TopK]] and [[bm25TopKFromIndex]]:
+    * prune to the query vocabulary, Robertson idf + tf saturation,
+    * decimal-funneled per-(query, doc) sums, TopKPerKey.
+    */
+  private def scoreBm25(post: DataFrame, docLen: DataFrame,
+                        docFreq: DataFrame, nDocs: Long, avgdl: Double,
+                        idCol: String, queryTerms: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
     val terms = queryTerms.select(col("query_id"), col("term")).distinct()
     // prune the index to the query vocabulary FIRST: at corpus scale this
     // keeps every downstream join proportional to the matched postings,
@@ -97,6 +108,58 @@ object Retrieval {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rank"), col(idCol),
         round(col("score"), 6).as("score"))
+  }
+
+  /** Persist the BM25 inverted index under `dir` — the lexical twin of
+    * [[AnnIndex.buildIvf]]: `postings` (id, token, tf), `doc_len`,
+    * `doc_freq`, and the 1-row `stats` (n_docs, avgdl, id_col) written
+    * LAST as the commit marker (the TokenizerArtifact discipline — a
+    * crashed build refuses to serve and the next build overwrites).
+    * Build cost is the two partial+final aggregates over the token
+    * explode, paid ONCE; every later query scores from the written
+    * tables.
+    */
+  def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
+                     dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(statsPath, true)
+    val post = postings(docs, textCol, idCol).localCheckpoint(true)
+    post.write.mode("overwrite").parquet(s"$dir/postings")
+    val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    docLen.write.mode("overwrite").parquet(s"$dir/doc_len")
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/doc_freq")
+    val statsRow = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
+    Seq((statsRow.getLong(0), statsRow.getDouble(1), idCol))
+      .toDF("n_docs", "avgdl", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** [[bm25TopK]] answered from a PERSISTED index ([[buildBm25Index]]):
+    * no corpus scan, no training aggregate — the matched-postings join
+    * prunes the written postings to the (broadcast) query vocabulary,
+    * so query cost tracks the matching postings lists, never the index.
+    * Results are bit-identical to the in-run operator at the same
+    * corpus and parameters (spec-pinned).
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queryTerms: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(statsPath),
+      s"bm25TopKFromIndex: no committed index at $dir (stats marker absent)")
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val idCol = stats.getString(2)
+    scoreBm25(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doc_len"),
+      spark.read.parquet(s"$dir/doc_freq"),
+      stats.getLong(0), stats.getDouble(1), idCol, queryTerms, k, k1, b)
   }
 
   /** Hybrid lexical + vector retrieval via Reciprocal Rank Fusion

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AnnIndex, CorpusOps, Retrieval, Similarity, TextAnalysis}
+
+/** End-to-end hybrid retrieval over a document corpus — the composition
+  * the individual operators exist for, as one runnable lifecycle (the
+  * [[CuratePipeline]] pattern applied to serving instead of curation):
+  *
+  * BUILD (once, corpus-scale):
+  *  1. chunk documents into fixed-token passages ([[CorpusOps.chunkDocs]])
+  *  2. persist the BM25 inverted index over the chunks
+  *     ([[Retrieval.buildBm25Index]])
+  *  3. hash-embed the chunks ([[Similarity.hashEmbed]] — model-free, so
+  *     the pipeline runs on corpora that ship no embedding column) and
+  *     persist the IVF ANN index over the vectors ([[AnnIndex.buildIvf]])
+  *  4. write `meta` LAST — dim/salt/chunk geometry are the QUERY side's
+  *     routing contract, and the marker's presence commits the build
+  *     (the TokenizerArtifact discipline)
+  *
+  * QUERY (every request, index-scale only): tokenize the query text for
+  * the lexical leg (pruned-postings BM25 from the persisted index — no
+  * corpus scan), hash-embed it under the FROZEN dim/salt for the vector
+  * leg (partition-pruned probes against the persisted IVF index — no
+  * brute-force scan, no training job), and fuse with reciprocal-rank
+  * fusion ([[Retrieval.hybridRrf]]). Nothing in the query path trains,
+  * scans the corpus, or mutates the indexes (spec-pinned: artifact
+  * bytes identical across queries, repeated queries bit-identical).
+  *
+  * Chunk ids pack (doc_id << 20) | chunk_idx so results carry both the
+  * passage and its parent document; query ids are internally sign-folded
+  * away from that id space so the ANN self-match guard can never collide
+  * a query with a chunk.
+  */
+object RetrievePipeline {
+
+  final case class Stage(stage: String, rows: Long)
+
+  private val ChunkBits = 20
+
+  /** Build every serving artifact under `dir`. Returns per-stage counts. */
+  def build(docs: DataFrame, textCol: String, idCol: String, dir: String,
+            chunkTokens: Int = 64, stride: Int = 48, dim: Int = 64,
+            salt: String = "rp", nlist: Int = 8, iters: Int = 3): Seq[Stage] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaPath, true)
+    val stages = Seq.newBuilder[Stage]
+    val chunks = CorpusOps.chunkDocs(docs, idCol, textCol, chunkTokens, stride)
+      .filter(length(col("chunk_text")) > 0)
+      .withColumn("chunk_id",
+        (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
+      .localCheckpoint(true) // feeds both index builds once
+    val maxIdx = chunks.agg(max(col("chunk_idx"))).head().getLong(0)
+    require(maxIdx < (1L << ChunkBits),
+      s"chunk_idx $maxIdx overflows the ${ChunkBits}-bit chunk id space — " +
+        "raise chunkTokens/stride or widen ChunkBits")
+    stages += Stage("chunks", chunks.count())
+    Retrieval.buildBm25Index(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
+    stages += Stage("bm25_postings",
+      spark.read.parquet(s"$dir/bm25/postings").count())
+    val emb = Similarity.hashEmbed(chunks, "chunk_text", "chunk_id", dim, salt)
+    AnnIndex.buildIvf(emb, "embedding", "chunk_id", s"$dir/ann", nlist, iters)
+    stages += Stage("ann_vectors",
+      spark.read.parquet(s"$dir/ann/corpus").count())
+    Seq((dim, salt, chunkTokens, stride))
+      .toDF("dim", "salt", "chunk_tokens", "stride")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    stages.result()
+  }
+
+  /** Hybrid top-k from the persisted artifacts. `queries` is
+    * (query_id: integral, text). Returns (query_id, rank, chunk_id,
+    * doc_id, rrf, n_sources), ≤ k rows per query.
+    */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+            k: Int = 10, nprobe: Int = 2, k0: Int = 60): DataFrame = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"RetrievePipeline: no committed build at $dir (meta marker absent)")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (dim, salt) = (meta.getInt(0), meta.getString(1))
+    val q = queries.select(col("query_id").cast("long").as("query_id"),
+      col("text"))
+    val terms = q.select(col("query_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val lexical = Retrieval.bm25TopKFromIndex(spark, s"$dir/bm25", terms, k)
+    // sign-fold query ids out of the chunk id space (chunk ids are >= 0,
+    // the fold is < 0) so queryIvf's self-match filter cannot collide;
+    // the query frame carries the INDEX's id column name (queryIvf's
+    // one-idCol contract for both sides)
+    val qVec = Similarity.hashEmbed(q, "text", "query_id", dim, salt)
+      .select((-col("query_id") - 1).as("chunk_id"), col("embedding"))
+    val vector = AnnIndex.queryIvf(spark, s"$dir/ann", qVec, "embedding",
+        "chunk_id", k, nprobe)
+      .select((-col("query_id") - 1).as("query_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+    Retrieval.hybridRrf(lexical, vector, k, k0)
+      .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
+        shiftright(col("doc_id"), ChunkBits).as("doc_id"),
+        col("rrf"), col("n_sources"))
+  }
+}

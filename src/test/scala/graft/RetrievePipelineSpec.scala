@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.RetrievePipeline
+
+/** End-to-end hybrid retrieval lifecycle: build once, query twice — the
+  * second query must answer purely from the persisted artifacts (bytes
+  * untouched, results bit-identical), both legs must contribute, and a
+  * verbatim passage must surface its own chunk.
+  */
+class RetrievePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build once, query twice: frozen artifacts, exact-passage recall, fused legs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tempDir("retrieve")
+    val stages = RetrievePipeline.build(docs, "text", "doc_id", dir,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    assert(stages.map(_.stage) == Seq("chunks", "bm25_postings", "ann_vectors"))
+    assert(stages.forall(_.rows > 0), stages.toString)
+
+    // queries: one verbatim chunk text (must surface its own chunk at
+    // rank 1 — both legs score it maximal), one paraphrase-ish fragment
+    val sampleChunk = graft.operators.CorpusOps.chunkDocs(
+        docs, "doc_id", "text", 32, 32)
+      .filter(col("chunk_idx") === 0 && col("doc_id") === 7)
+      .select(col("chunk_text")).as[String].head()
+    val queries = Seq((1L, sampleChunk),
+      (2L, sampleChunk.split(" ").take(5).mkString(" ")))
+      .toDF("query_id", "text")
+
+    def snapshot(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> (f.getLen + f.getModificationTime)
+      }
+      b.result()
+    }
+    val before = snapshot()
+    val r1 = RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val r2 = RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2, "repeated queries must be bit-identical")
+    assert(snapshot() == before,
+      "the query path must not write, retrain, or mutate any artifact")
+
+    val rows = RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    val top1 = rows.filter(r => r._1 == 1L && r._2 == 1L).head
+    assert(top1._4 == 7L, s"verbatim chunk query must return doc 7 first: $top1")
+    assert(top1._3 == (7L << 20), "and the chunk id must be doc 7's chunk 0")
+    assert(top1._6 == 2L, "the top hit must be surfaced by BOTH legs")
+    // chunk -> parent doc mapping holds on every row
+    assert(rows.forall(r => r._4 == (r._3 >> 20)))
+    // both queries answered
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25TopKFromIndex == in-run bm25TopK, bit for bit; uncommitted index refuses") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).localCheckpoint(true)
+    val dir = tempDir("bm25idx")
+    graft.operators.Retrieval.buildBm25Index(docs, "text", "doc_id", s"$dir/bm25")
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "spark"), (2L, "of"))
+      .toDF("query_id", "term")
+    val inRun = graft.operators.Retrieval.bm25TopK(docs, "text", "doc_id",
+        terms, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val persisted = graft.operators.Retrieval.bm25TopKFromIndex(spark,
+        s"$dir/bm25", terms, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(persisted == inRun)
+    assert(persisted.nonEmpty)
+    // crash window: stats marker missing -> clean refusal
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/bm25/stats")
+    statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(statsPath, true)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.bm25TopKFromIndex(spark, s"$dir/bm25", terms, 5)
+    }
+    assert(e.getMessage.contains("stats marker"))
+  }
+}
