@@ -181,6 +181,31 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The BULK (non-broadcast) query path against the same persisted
+    * index: identical build and parameters to sim_topk_ivf_persisted,
+    * answered through [[graft.operators.AnnIndex.queryIvfBulk]]'s
+    * (cell_id, split) equi-join with the broadcast shortcut disabled
+    * and splitting FORCED (maxCellRows = 2) — the driver board runs the
+    * hot-cell salted join end to end, and the oracle is shared VERBATIM
+    * with the broadcast twin (bit-identical results are the contract,
+    * split or not). The conf flip is driver-eager: cellCandidates makes
+    * its regime decision at construction time.
+    */
+  def simTopkIvfBulk(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_bulk").toString
+    graft.operators.AnnIndex.buildIvf(all, "embedding", "vec_id", idx,
+      nlist = 8, iters = 5)
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.AnnIndex.queryIvfBulk(s, idx,
+          all.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+          nprobe = 2, maxCellRows = 2)
+        .orderBy("query_id", "rank")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   /** The persisted IVFADC lifecycle: train + write pivots, PQ codebooks
     * and the code-carrying cell-partitioned corpus, then answer the query
     * batch FROM THE WRITTEN ARTIFACT — ADC scoring over partition-pruned
@@ -3339,6 +3364,119 @@ ORDER BY doc_id""")
                     i -> {'i': i, 'x': fv[CAST(i AS INTEGER)]})) AS u
            FROM hvec)
          ORDER BY doc_id, dim_idx""",
+    // the full persisted-index hybrid serving path: chunker -> BM25 over
+    // chunks -> hashEmbed over chunks AND queries (one union pass, query
+    // ids sign-folded) -> unrolled Lloyd chain -> float-cast centroid
+    // routing -> probe + exact-cosine top-k -> RRF fusion; every
+    // fragment reused from its already-oracled twin (no-fork rule)
+    "retrieval_pipeline" -> {
+      val rrfK = 10
+      s"""WITH rt AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+           FROM documents),
+         rc AS (
+           SELECT doc_id, w,
+                  unnest(range(0, CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 32) AS BIGINT) + 1 END))
+                    AS chunk_idx
+           FROM rt),
+         rchunks AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT doc_id * 1048576 + chunk_idx AS chunk_id,
+                    array_to_string(list_slice(w, CAST(chunk_idx * 32 + 1 AS INTEGER),
+                                                  CAST(chunk_idx * 32 + 32 AS INTEGER)), ' ')
+                      AS chunk_text
+             FROM rc)
+           WHERE chunk_text <> ''),
+         rqueries(query_id, qtext) AS (VALUES
+             (0, 'hash join merge'),
+             (1, 'stream window batch'),
+             (2, 'vector scan filter sort')),
+         rterms AS (
+           SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM rqueries),
+         rpost AS MATERIALIZED (
+           SELECT chunk_id, token, count(*) AS tf FROM (
+             SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+             FROM rchunks)
+           WHERE token <> '' GROUP BY chunk_id, token),
+         rdl AS (SELECT chunk_id, sum(tf) AS dl FROM rpost GROUP BY chunk_id),
+         rstats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM rdl),
+         rdfreq AS (SELECT token, count(*) AS df FROM rpost GROUP BY token),
+         rscored AS (
+           SELECT q.query_id, p.chunk_id,
+                  sum(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                      AS DECIMAL(38, 12))) AS sd
+           FROM rpost p JOIN rterms q ON p.token = q.term
+           JOIN rdl d ON d.chunk_id = p.chunk_id
+           JOIN rdfreq f ON f.token = p.token
+           CROSS JOIN rstats s
+           GROUP BY q.query_id, p.chunk_id),
+         rlex AS (
+           SELECT query_id, chunk_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(sd AS DOUBLE) DESC, chunk_id) AS rank
+           FROM rscored),
+         rembsrc AS (
+           SELECT chunk_id AS doc_id, chunk_text AS text FROM rchunks
+           UNION ALL
+           SELECT CAST(-query_id - 1 AS BIGINT), qtext FROM rqueries),
+         ${hashEmbedCtes(32, "rq", "rembsrc")},
+         remb AS MATERIALIZED (
+           SELECT doc_id AS vec_id, fv AS embedding FROM hvec WHERE doc_id >= 0),
+         ${kmChainCtes(4, 2, materialize = true, src = "remb")},
+         rcentf AS MATERIALIZED (
+           SELECT c, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cvf
+           FROM cent2),
+         rassigned AS MATERIALIZED (
+           SELECT vec_id, embedding, c AS cell_id FROM (
+             SELECT e.vec_id, e.embedding, s.c,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "s.cvf")} DESC, s.c) AS rn
+             FROM remb e CROSS JOIN rcentf s)
+           WHERE rn = 1),
+         rqvec AS (
+           SELECT -doc_id - 1 AS query_id, fv AS q_vec FROM hvec WHERE doc_id < 0),
+         rqprobe AS (
+           SELECT query_id, q_vec, cell_id FROM (
+             SELECT e.query_id, e.q_vec, s.c AS cell_id,
+                    row_number() OVER (PARTITION BY e.query_id
+                      ORDER BY ${cosSql("e.q_vec", "s.cvf")} DESC, s.c) AS rn
+             FROM rqvec e CROSS JOIN rcentf s)
+           WHERE rn <= 2),
+         rvscored AS (
+           SELECT q.query_id, a.vec_id AS chunk_id,
+                  ${cosSql("q.q_vec", "a.embedding")} AS c
+           FROM rqprobe q JOIN rassigned a ON a.cell_id = q.cell_id),
+         rvec AS (
+           SELECT query_id, chunk_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, chunk_id) AS rank
+           FROM rvscored),
+         ru AS (
+           SELECT query_id, chunk_id, 1.0 / (60 + rank) AS rrf_term
+           FROM rlex WHERE rank <= $rrfK
+           UNION ALL
+           SELECT query_id, chunk_id, 1.0 / (60 + rank) AS rrf_term
+           FROM rvec WHERE rank <= $rrfK),
+         rfused AS (
+           SELECT query_id, chunk_id, sum(rrf_term) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_sources
+           FROM ru GROUP BY query_id, chunk_id),
+         rranked AS (
+           SELECT query_id, chunk_id, rrf, n_sources,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, chunk_id) AS rank
+           FROM rfused)
+       SELECT CAST(query_id AS BIGINT) AS query_id, rank, chunk_id,
+              CAST(chunk_id // 1048576 AS BIGINT) AS doc_id,
+              round(rrf, 6) AS rrf, n_sources
+       FROM rranked WHERE rank <= $rrfK ORDER BY query_id, rank"""
+    },
     // RRF fusion of the two already-oracled top-k chains over the shared
     // id space; 1/(60+rank) terms, 2-element double sums, doc-id ties
     "retrieval_hybrid_rrf" ->
@@ -3582,6 +3720,51 @@ ORDER BY doc_id""")
       .orderBy("query_id", "rank")
   }
 
+  /** BM25 answered from the PERSISTED inverted index
+    * ([[graft.operators.Retrieval.buildBm25Index]]): postings, doc
+    * lengths, document frequencies and corpus scalars written once,
+    * every query scored from the written tables — same parameters as
+    * retrieval_bm25 and the same oracle VERBATIM (the
+    * persistence-boundary-invariance contract the ANN indexes
+    * established, applied to the lexical index).
+    */
+  def retrievalBm25Persisted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Retrieval.buildBm25Index(docs(s, dir), "text", "doc_id", s"$idx/bm25")
+    val terms = bm25QueryTerms.toDF("query_id", "term")
+    Retrieval.bm25TopKFromIndex(s, s"$idx/bm25", terms, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The full hybrid-retrieval serving lifecycle as ONE oracled query:
+    * [[graft.pipeline.RetrievePipeline.build]] (chunk → persisted BM25
+    * index → hashed embeddings → persisted IVF index → meta commit)
+    * then [[graft.pipeline.RetrievePipeline.query]] answering three
+    * fixed queries purely from the written artifacts — pruned-postings
+    * BM25 ⊕ partition-pruned ANN probes, RRF-fused, chunk ids carrying
+    * the parent doc. The oracle replays the ENTIRE composition: the
+    * chunker, BM25 over chunks, the hashEmbed bridge over chunks and
+    * queries (one union pass, query ids sign-folded exactly like the
+    * Spark side), the unrolled Lloyd chain, float-cast centroid
+    * routing, probe + exact cosine top-k, and the RRF fusion.
+    */
+  def retrievalPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_retrieve_q").toString
+    graft.pipeline.RetrievePipeline.build(docs(s, dir), "text", "doc_id", idx,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rq", nlist = 4,
+      iters = 2)
+    graft.pipeline.RetrievePipeline.query(s, idx,
+        retrievalPipelineQueries.toDF("query_id", "text"), k = 10, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val retrievalPipelineQueries: Seq[(Long, String)] = Seq(
+    (0L, "hash join merge"),
+    (1L, "stream window batch"),
+    (2L, "vector scan filter sort"))
+
   /** Train a bigram LM on 3/4 of the corpus, score the held-out quarter —
     * the CCNet-style perplexity quality filter as two aggregates + one
     * join (see operators/LanguageModel.scala).
@@ -3801,6 +3984,8 @@ ORDER BY doc_id""")
   val oracles: Map[String, String] =
     oraclesBase +
       ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
+      ("sim_topk_ivf_bulk" -> oraclesBase("sim_topk_ivf_kmeans")) +
+      ("retrieval_bm25_persisted" -> bm25TopkSql) +
       ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
       ("dedup_eval_hashembed" ->
         // both chains bounded to the SAME 500-doc slice the Spark side
@@ -3920,6 +4105,9 @@ ORDER BY doc_id""")
     "sim_label_knn" -> (simLabelKnn _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_topk_ivf_persisted" -> (simTopkIvfPersisted _),
+    "sim_topk_ivf_bulk" -> (simTopkIvfBulk _),
+    "retrieval_bm25_persisted" -> (retrievalBm25Persisted _),
+    "retrieval_pipeline" -> (retrievalPipeline _),
     "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
