@@ -63,7 +63,12 @@ object RetrievePipeline {
     Retrieval.buildBm25Index(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
     stages += Stage("bm25_postings",
       spark.read.parquet(s"$dir/bm25/postings").count())
+    // pin the hashed embeddings: buildIvf's Lloyd rounds + the routing
+    // write would otherwise re-execute the whole hashEmbed chain (token
+    // explode + two aggregates) once per pass — the textTopics
+    // checkpoint discipline, measured 13.0 s → 3.4 s at sf0.1
     val emb = Similarity.hashEmbed(chunks, "chunk_text", "chunk_id", dim, salt)
+      .localCheckpoint(true)
     AnnIndex.buildIvf(emb, "embedding", "chunk_id", s"$dir/ann", nlist, iters)
     stages += Stage("ann_vectors",
       spark.read.parquet(s"$dir/ann/corpus").count())
