@@ -50,26 +50,39 @@ object RetrievePipeline {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(metaPath, true)
     val stages = Seq.newBuilder[Stage]
-    val chunks = CorpusOps.chunkDocs(docs, idCol, textCol, chunkTokens, stride)
+    // the chunk table is PERSISTED, not executor-pinned: it is the
+    // passage store serving reads after the build ([[fetchChunks]]),
+    // and at corpus scale a localCheckpoint of a corpus-sized frame is
+    // the wrong tool (lineage is truncated, so a lost executor fails
+    // the job instead of recomputing). Range layout on chunk_id gives
+    // every file tight min/max stats — point lookups by id prune to a
+    // handful of row groups.
+    val chunks0 = CorpusOps.chunkDocs(docs, idCol, textCol, chunkTokens, stride)
       .filter(length(col("chunk_text")) > 0)
       .withColumn("chunk_id",
         (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
-      .localCheckpoint(true) // feeds both index builds once
-    val maxIdx = chunks.agg(max(col("chunk_idx"))).head().getLong(0)
+    val maxIdx = chunks0.agg(max(col("chunk_idx"))).head().getLong(0)
     require(maxIdx < (1L << ChunkBits),
       s"chunk_idx $maxIdx overflows the ${ChunkBits}-bit chunk id space — " +
         "raise chunkTokens/stride or widen ChunkBits")
+    chunks0.repartitionByRange(col("chunk_id"))
+      .sortWithinPartitions(col("chunk_id"))
+      .write.mode("overwrite").parquet(s"$dir/chunks")
+    val chunks = spark.read.parquet(s"$dir/chunks")
     stages += Stage("chunks", chunks.count())
     Retrieval.buildBm25Index(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
     stages += Stage("bm25_postings",
       spark.read.parquet(s"$dir/bm25/postings").count())
-    // pin the hashed embeddings: buildIvf's Lloyd rounds + the routing
-    // write would otherwise re-execute the whole hashEmbed chain (token
-    // explode + two aggregates) once per pass — the textTopics
-    // checkpoint discipline, measured 13.0 s → 3.4 s at sf0.1
-    val emb = Similarity.hashEmbed(chunks, "chunk_text", "chunk_id", dim, salt)
-      .localCheckpoint(true)
-    AnnIndex.buildIvf(emb, "embedding", "chunk_id", s"$dir/ann", nlist, iters)
+    // the hashed embeddings persist too (the build's vector store —
+    // reusable for bulk labeling / other indexes): buildIvf's Lloyd
+    // rounds + the routing write would otherwise re-execute the whole
+    // hashEmbed chain (token explode + two aggregates) once per pass —
+    // measured 13.0 s → 3.4 s at sf0.1 when the chain ran pinned, and
+    // the parquet-backed form additionally survives executor loss
+    Similarity.hashEmbed(chunks, "chunk_text", "chunk_id", dim, salt)
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    AnnIndex.buildIvf(spark.read.parquet(s"$dir/vectors"), "embedding",
+      "chunk_id", s"$dir/ann", nlist, iters)
     stages += Stage("ann_vectors",
       spark.read.parquet(s"$dir/ann/corpus").count())
     Seq((dim, salt, chunkTokens, stride))
@@ -110,5 +123,23 @@ object RetrievePipeline {
       .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
         shiftright(col("doc_id"), ChunkBits).as("doc_id"),
         col("rrf"), col("n_sources"))
+  }
+
+  /** Attach passage text to a [[query]] result from the persisted chunk
+    * store — the serving system's final hop. The result is top-k-bounded
+    * by the query contract (≤ k rows per query), so the id list is a
+    * bounded collect, and the isin predicate pushes into the parquet
+    * scan where the build's range layout prunes it to a handful of row
+    * groups (a point lookup, not a corpus scan).
+    */
+  def fetchChunks(spark: SparkSession, dir: String,
+                  results: DataFrame): DataFrame = {
+    val ids = results.select("chunk_id").distinct()
+      .collect().map(_.getLong(0)) // bounded: <= k rows per query
+    val store = spark.read.parquet(s"$dir/chunks")
+      .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
+      .select(col("chunk_id"), col("chunk_text"))
+    results.join(broadcast(store), Seq("chunk_id"), "left")
+      .select(results.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
   }
 }

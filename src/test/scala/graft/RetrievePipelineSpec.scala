@@ -61,6 +61,16 @@ class RetrievePipelineSpec extends SparkSpec {
     assert(rows.forall(r => r._4 == (r._3 >> 20)))
     // both queries answered
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L))
+    // the persisted chunk store serves passage text for the results —
+    // the verbatim query's top hit must fetch back its own text
+    val withText = RetrievePipeline.fetchChunks(spark, dir,
+      RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4))
+    val fetched = withText
+      .filter(col("query_id") === 1L && col("rank") === 1L)
+      .select("chunk_text").as[String].head()
+    assert(fetched == sampleChunk)
+    assert(withText.filter(col("chunk_text").isNull).count() == 0,
+      "every served chunk id must resolve in the store")
   }
 
   test("bm25TopKFromIndex == in-run bm25TopK, bit for bit; uncommitted index refuses") {
