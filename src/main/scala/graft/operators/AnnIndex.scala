@@ -477,6 +477,41 @@ object AnnIndex {
         round(abs(col("p_built") - col("p_now")), 6).as("abs_diff"))
   }
 
+  /** The drift-informed re-train policy made RUNNABLE: measure
+    * [[routingDrift]]'s total-variation distance, and when it exceeds
+    * `tvdThreshold` rebuild the IVF index from its OWN rows — fresh
+    * k-means centroids over the current corpus, every vector re-routed,
+    * `cell_stats` re-snapshotted (TVD returns to 0 by construction).
+    * The caller still owns the threshold and the schedule; this helper
+    * owns the mechanics. Returns (measured TVD, whether a rebuild ran).
+    *
+    * The corpus snapshots to `corpus__retrain` parquet before the
+    * rebuild (buildIvf overwrites `corpus` while the retrain input is
+    * still being read — and a disk-backed snapshot, unlike a
+    * localCheckpoint, survives executor loss during the corpus-scale
+    * rebuild); the temp is deleted after. IVFADC family: rebuild is
+    * [[buildIvfAdc]] from the same snapshot pattern — codebooks retrain
+    * with the pivots, so the caller triggers it explicitly when code
+    * drift (not just routing drift) warrants the cost.
+    */
+  def maintainIvf(spark: SparkSession, dir: String, vecCol: String,
+                  idCol: String, tvdThreshold: Double, nlist: Int,
+                  iters: Int): (Double, Boolean) = {
+    val tvd = routingDrift(spark, dir)
+      .agg(sum(col("abs_diff")) / 2).head().getDouble(0)
+    if (tvd <= tvdThreshold) (tvd, false)
+    else {
+      val snap = new org.apache.hadoop.fs.Path(s"$dir/corpus__retrain")
+      val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readCorpus(spark, dir).select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(snap.toString)
+      buildIvf(spark.read.parquet(snap.toString), vecCol, idCol, dir,
+        nlist, iters)
+      fs.delete(snap, true)
+      (tvd, true)
+    }
+  }
+
   // ------------------------------------------------------------ compaction
 
   /** Per-cell small-file compaction for a persisted index corpus (either

@@ -253,11 +253,17 @@ object Multimodal {
       *     samples (zeros neither cross nor reset) — an exact integer;
       *     high ZCR at low RMS is the classic noise signature.
       *   - `centroidHz`: spectral centroid Σ f_k·|X_k| / Σ |X_k| over
-      *     the positive-frequency bins of a direct O(ns²) DFT (k = 1 ..
-      *     ns/2; DC excluded — it is offset, not pitch). Pure-JVM
-      *     double trig; screening clips are container-bounded, so the
-      *     quadratic transform stays per-row cheap and needs no FFT
-      *     dependency. Fixed-point funnel for cross-engine exactness
+      *     the positive-frequency bins of a direct DFT (k = 1 .. n/2;
+      *     DC excluded — it is offset, not pitch), computed over the
+      *     first `min(ns, dftWindow)` samples: the direct transform is
+      *     O(n²), so an uncapped clip (a minute at 16 kHz is ~10¹²
+      *     multiply-adds) would turn one hot row into a task-killer —
+      *     the cap bounds per-row work at dftWindow²/2 regardless of
+      *     payload size (screening wants the spectral SHAPE, which a
+      *     fixed prefix window carries; frame-level analysis is the
+      *     caller's loop over [[sampleFrames]]). Pure-JVM double trig,
+      *     no FFT dependency. Fixed-point funnel for cross-engine
+      *     exactness
       *     (the engine's decimal-funnel discipline): each magnitude
       *     rounds to an integer, each frequency-weighted term rounds to
       *     an integer, and the centroid is a ratio of two exact integer
@@ -278,7 +284,8 @@ object Multimodal {
                                    isClipped: Boolean)
 
     def audioFeaturesOf(bytes: Array[Byte], silenceRms: Double = 0.001,
-                        clipFrac: Double = 0.01): Option[AudioFeatures] =
+                        clipFrac: Double = 0.01,
+                        dftWindow: Int = 4096): Option[AudioFeatures] =
       wavSamples(bytes).map { case (rate, s) =>
         val ns = s.length
         var sumSq = 0L
@@ -293,24 +300,26 @@ object Multimodal {
           i += 1
         }
         val rms = if (ns == 0) 0.0 else math.sqrt(sumSq.toDouble / ns) / 32768.0
-        // direct DFT magnitudes over positive frequencies, integer-
-        // quantized (see scaladoc): num/den are exact longs, so the
-        // centroid has no summation-order dependence
+        // direct DFT magnitudes over positive frequencies of the capped
+        // window (see scaladoc — per-row work bounded at dftWindow²/2),
+        // integer-quantized: num/den are exact longs, so the centroid
+        // has no summation-order dependence
+        val n = math.min(ns, dftWindow)
         var num = 0L
         var den = 0L
         var k = 1
-        while (k <= ns / 2) {
+        while (k <= n / 2) {
           var re = 0.0
           var im = 0.0
           var j = 0
-          while (j < ns) {
-            val ang = 2.0 * math.Pi * k * j / ns
+          while (j < n) {
+            val ang = 2.0 * math.Pi * k * j / n
             re += s(j) * math.cos(ang)
             im -= s(j) * math.sin(ang)
             j += 1
           }
           val magInt = math.floor(math.sqrt(re * re + im * im) + 0.5).toLong
-          num += math.floor(k.toDouble * rate / ns * magInt + 0.5).toLong
+          num += math.floor(k.toDouble * rate / n * magInt + 0.5).toLong
           den += magInt
           k += 1
         }
@@ -495,7 +504,7 @@ object Multimodal {
     * fans across 1000 executors.
     */
   def audioFeatures(media: DataFrame, silenceRms: Double = 0.001,
-                    clipFrac: Double = 0.01): DataFrame = {
+                    clipFrac: Double = 0.01, dftWindow: Int = 4096): DataFrame = {
     val spark = media.sparkSession
     val rdd = graft.Tables.fanOut(
         media.select("doc_id", "payload", "media_type")).rdd
@@ -504,7 +513,7 @@ object Multimodal {
           val feats =
             if (r.getAs[String]("media_type") != "audio/wav") None
             else Codec.audioFeaturesOf(r.getAs[Array[Byte]]("payload"),
-              silenceRms, clipFrac)
+              silenceRms, clipFrac, dftWindow)
           feats match {
             case Some(f) =>
               Row(r.getAs[Long]("doc_id"), f.sampleRate, f.nSamples, f.rms,

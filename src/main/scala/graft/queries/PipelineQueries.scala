@@ -718,6 +718,23 @@ ORDER BY doc_id""")
   def corpusBpe(s: SparkSession, dir: String): DataFrame =
     Bpe.trainTable(docs(s, dir), "text", numMerges = 16).orderBy("rank")
 
+  /** The BPE merge table round-tripped through the PERSISTED tokenizer
+    * artifact ([[graft.operators.TokenizerArtifact]]): train + save,
+    * reload the frozen model, emit the loaded merges — same oracle
+    * VERBATIM as corpus_bpe (the persistence-boundary-invariance
+    * contract applied to the tokenizer family).
+    */
+  def corpusBpePersisted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_tok_art").toString
+    graft.operators.TokenizerArtifact.trainBpe(docs(s, dir), "text", idx,
+      numMerges = 16)
+    val loaded = graft.operators.TokenizerArtifact.load(s, idx)
+      .asInstanceOf[graft.operators.TokenizerArtifact.BpeTokenizer]
+    loaded.merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count").orderBy("rank")
+  }
+
   /** BPE encoding: per-doc subword statistics under 8 learned merges —
     * train once, broadcast the merge list, one map-only encode pass.
     */
@@ -2214,6 +2231,7 @@ ORDER BY doc_id""")
 
   private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
+    "corpus_bpe_persisted" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
     "corpus_unigram_lm" -> unigramTrainOracle(6, 50, 30, 2),
     "corpus_unigram_encode" -> unigramEncodeOracle(6, 50, 30, 2),
@@ -4132,6 +4150,7 @@ ORDER BY doc_id""")
     "corpus_vocab" -> (corpusVocab _),
     "corpus_vocab_cms" -> (corpusVocabCms _),
     "corpus_bpe" -> (corpusBpe _),
+    "corpus_bpe_persisted" -> (corpusBpePersisted _),
     "corpus_unigram_lm" -> (corpusUnigramLm _),
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
     "corpus_unigram_pack" -> (corpusUnigramPack _),

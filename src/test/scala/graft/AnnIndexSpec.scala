@@ -86,6 +86,46 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("maintainIvf: below threshold is a no-op; drift past it rebuilds and re-zeros") {
+    val (all, qs) = fixture()
+    val base = all.filter(col("vec_id") % 2 === 0)
+    val dir = tempDir("annidx_maint")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", dir, nlist = 8, iters = 5)
+    // fresh index: zero drift -> no rebuild, index untouched
+    val (tvd0, ran0) = AnnIndex.maintainIvf(spark, dir, "embedding", "vec_id",
+      tvdThreshold = 0.05, nlist = 8, iters = 5)
+    assert(tvd0 == 0.0 && !ran0)
+    // a skewed append (every vector near one committed vector) drifts
+    // the occupancy; maintain must rebuild and re-zero the drift
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val hot = spark.range(500000L, 500400L).select(
+        col("id").as("vec_id"),
+        transform(typedLit(v0), (x, i) =>
+          (x.cast("double") + pmod(col("id") + i * 3, lit(17)).cast("double") / 1e3)
+            .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    AnnIndex.appendIvf(hot, "embedding", "vec_id", dir)
+    val (tvd1, ran1) = AnnIndex.maintainIvf(spark, dir, "embedding", "vec_id",
+      tvdThreshold = 0.05, nlist = 8, iters = 5)
+    assert(tvd1 > 0.05 && ran1, s"drifted TVD $tvd1 must trigger the rebuild")
+    val (tvd2, ran2) = AnnIndex.maintainIvf(spark, dir, "embedding", "vec_id",
+      tvdThreshold = 0.05, nlist = 8, iters = 5)
+    assert(tvd2 == 0.0 && !ran2, "rebuild re-snapshots cell_stats")
+    // the rebuilt index answers exactly like the in-memory trained
+    // operator over the same union corpus (the buildIvf contract)
+    val union = base.select("vec_id", "embedding")
+      .unionByName(hot.select("vec_id", "embedding"))
+    val persisted = AnnIndex.queryIvf(spark, dir, qs, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inMemory = Similarity.ivfTopKTrained(union, qs, "embedding", "vec_id",
+        k = 5, nlist = 8, iters = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+  }
+
   test("append routes with frozen centroids: index == rebuilt-from-union query surface") {
     val (all, qs) = fixture()
     val base = all.filter(col("vec_id") % 3 =!= 0L)

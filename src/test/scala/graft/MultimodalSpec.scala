@@ -244,6 +244,14 @@ class MultimodalSpec extends SparkSpec {
     // near-zero samples: silent, no crossings (zeros don't cross)
     val quiet = Codec.audioFeaturesOf(pcm(Seq.fill(64)(0), 8000)).get
     assert(quiet.isSilence && quiet.nZeroCross == 0 && quiet.centroidHz == 0.0)
+    // the DFT window cap bounds per-row work: a long clip's centroid is
+    // computed over the first dftWindow samples only (replay: the same
+    // alternating wave, analysed at window 16, still pins Nyquist)
+    val long0 = Codec.audioFeaturesOf(
+      pcm(Seq.tabulate(1000)(i => if (i % 2 == 0) 20000 else -20000), 8000),
+      dftWindow = 16).get
+    assert(long0.centroidHz == 4000.0 && long0.nSamples == 1000L,
+      s"capped-window centroid: $long0")
     // corrupt bytes: null feature columns, not task failures
     assert(Codec.audioFeaturesOf(Array.fill[Byte](100)(7)).isEmpty)
     val mixed = Seq(
