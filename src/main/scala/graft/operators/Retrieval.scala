@@ -126,15 +126,20 @@ object Retrieval {
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(statsPath, true)
-    val post = postings(docs, textCol, idCol).localCheckpoint(true)
-    post.write.mode("overwrite").parquet(s"$dir/postings")
-    val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true)
-    docLen.write.mode("overwrite").parquet(s"$dir/doc_len")
+    // each derived table builds from the one WRITTEN before it, never
+    // from an executor-pinned frame: a localCheckpoint of a corpus-sized
+    // postings table truncates lineage, so a lost executor would fail
+    // the build — the written parquet IS the reusable materialization
+    postings(docs, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+    post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doc_len")
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/doc_freq")
-    val statsRow = docLen.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
+    val statsRow = spark.read.parquet(s"$dir/doc_len")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
     Seq((statsRow.getLong(0), statsRow.getDouble(1), idCol))
       .toDF("n_docs", "avgdl", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")

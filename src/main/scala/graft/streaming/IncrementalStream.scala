@@ -523,6 +523,54 @@ object IncrementalStream {
     * `sketchDir` with it, the standard foreachBatch idempotency
     * contract.
     */
+  /** Streaming MEDIA screening ingestion — the valid/reject routing
+    * (P8) applied to the multimodal family: every micro-batch of media
+    * rows (doc_id, payload, media_type, byte_len) decodes partition-
+    * parallel, and each row routes on the screening verdicts —
+    * undecodable payloads (any media type), silent or clipped audio
+    * ([[graft.operators.Multimodal.audioFeatures]]' gates) land under
+    * `rejectDir` with a reason column; everything else appends under
+    * `acceptDir`. Both sides write partitioned by batch id
+    * (overwrite-by-batchId = the sketch-ingest effectively-once
+    * contract: a re-delivered batch overwrites its own partitions in
+    * place). Audio rows decode twice (metadata + features) — micro-
+    * batch-sized work, and the two passes keep the operators reusable
+    * instead of fused.
+    */
+  def mediaScreenIngest(stream: DataFrame, acceptDir: String,
+                        rejectDir: String, checkpointDir: String,
+                        silenceRms: Double = 0.001,
+                        clipFrac: Double = 0.01): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = batch0.localCheckpoint(true) // micro-batch-sized
+          val dec = graft.operators.Multimodal.decodeFeatures(batch)
+            .select(col("doc_id"), col("f0"))
+          val af = graft.operators.Multimodal
+            .audioFeatures(batch, silenceRms, clipFrac)
+            .select(col("doc_id"), col("is_silence"), col("is_clipped"))
+          val verdict = dec.join(af, Seq("doc_id"))
+            .select(col("doc_id"),
+              when(col("f0").isNull, "undecodable")
+                .when(col("is_silence"), "silence")
+                .when(col("is_clipped"), "clipped")
+                .as("reason"))
+          val routed = batch.join(verdict, Seq("doc_id"))
+            .localCheckpoint(true) // feeds both sinks once
+          routed.filter(col("reason").isNull).drop("reason")
+            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+          routed.filter(col("reason").isNotNull)
+            .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+          batch.unpersist()
+          routed.unpersist()
+        }
+        ()
+      }
+      .start()
+
   def profileSketchIngest(stream: DataFrame, cols: Seq[String],
                           sketchDir: String,
                           checkpointDir: String): StreamingQuery =

@@ -665,6 +665,56 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(3, 0), ts(3, 0), 1L)), rows().toString)
   }
 
+  test("media screening ingest: silent/clipped/corrupt rows route to reject; replay idempotent") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def pcm(samples: Seq[Int], rate: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(samples.length * 2)
+      samples.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    val good = Multimodal.synthesizeMedia(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 6), "text", "doc_id")
+    val bad = Seq(
+      (100L, Array.fill[Byte](64)(9), "audio/wav", 64L),          // corrupt
+      (101L, pcm(Seq.fill(64)(0), 8000), "audio/wav", 172L),      // silent
+      (102L, pcm(Seq.tabulate(64)(i => if (i % 2 == 0) 32767 else -32767),
+        8000), "audio/wav", 172L))                                // clipped
+    val badDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bad.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))),
+      Multimodal.mediaSchema)
+    val in = tempDir("media_in")
+    good.unionByName(badDf).write.mode("append").parquet(in)
+    val (acc, rej) = (tempDir("media_acc"), tempDir("media_rej"))
+    def drain(ck: String): Unit =
+      graft.streaming.IncrementalStream.mediaScreenIngest(
+          spark.readStream.schema(Multimodal.mediaSchema).parquet(in),
+          acc, rej, tempDir(ck))
+        .awaitTermination()
+    drain("media_ck1")
+    val accepted = spark.read.parquet(acc).select("doc_id")
+      .as[Long].collect().toSet
+    val rejected = spark.read.parquet(rej).select("doc_id", "reason")
+      .as[(Long, String)].collect().toMap
+    assert(rejected == Map(100L -> "undecodable", 101L -> "silence",
+      102L -> "clipped"), rejected.toString)
+    assert(accepted == (0L until 6L).toSet, accepted.toString)
+    // full re-delivery under a fresh checkpoint: same batch ids, same
+    // partitions overwritten in place — both sides unchanged
+    drain("media_ck2")
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+      == accepted)
+    assert(spark.read.parquet(rej).count() == 3)
+  }
+
   test("streaming sessionize: late chain merges when a later event backward-extends the start into gap range") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
