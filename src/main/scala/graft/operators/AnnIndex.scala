@@ -496,7 +496,27 @@ object AnnIndex {
     */
   def maintainIvf(spark: SparkSession, dir: String, vecCol: String,
                   idCol: String, tvdThreshold: Double, nlist: Int,
-                  iters: Int): (Double, Boolean) = {
+                  iters: Int): (Double, Boolean) =
+    maintain(spark, dir, tvdThreshold) { snapped =>
+      buildIvf(snapped, vecCol, idCol, dir, nlist, iters)
+    }(vecCol, idCol)
+
+  /** [[maintainIvf]] for an IVFADC index: the rebuild retrains pivots
+    * AND codebooks from the snapshot ([[buildIvfAdc]]) — routing drift
+    * is the trigger here too, but the caller should weigh the heavier
+    * cost (the PQ model retrains with the quantizer).
+    */
+  def maintainIvfAdc(spark: SparkSession, dir: String, vecCol: String,
+                     idCol: String, tvdThreshold: Double, nlist: Int,
+                     m: Int = 8, ksub: Int = 16,
+                     iters: Int = 3): (Double, Boolean) =
+    maintain(spark, dir, tvdThreshold) { snapped =>
+      buildIvfAdc(snapped, vecCol, idCol, dir, nlist, m, ksub, iters)
+    }(vecCol, idCol)
+
+  private def maintain(spark: SparkSession, dir: String,
+                       tvdThreshold: Double)(rebuild: DataFrame => Unit)(
+                       vecCol: String, idCol: String): (Double, Boolean) = {
     val tvd = routingDrift(spark, dir)
       .agg(sum(col("abs_diff")) / 2).head().getDouble(0)
     if (tvd <= tvdThreshold) (tvd, false)
@@ -505,8 +525,7 @@ object AnnIndex {
       val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
       readCorpus(spark, dir).select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(snap.toString)
-      buildIvf(spark.read.parquet(snap.toString), vecCol, idCol, dir,
-        nlist, iters)
+      rebuild(spark.read.parquet(snap.toString))
       fs.delete(snap, true)
       (tvd, true)
     }

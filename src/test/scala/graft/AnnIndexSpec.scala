@@ -124,6 +124,22 @@ class AnnIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(persisted == inMemory)
     assert(persisted.nonEmpty)
+    // the IVFADC twin: same trigger, rebuild retrains pivots+codebooks
+    val adcDir = tempDir("annidx_maint_adc")
+    AnnIndex.buildIvfAdc(base, "embedding", "vec_id", adcDir, nlist = 8,
+      m = 8, ksub = 16, iters = 2)
+    AnnIndex.appendIvfAdc(hot, "embedding", "vec_id", adcDir)
+    val (atvd, aran) = AnnIndex.maintainIvfAdc(spark, adcDir, "embedding",
+      "vec_id", tvdThreshold = 0.05, nlist = 8, m = 8, ksub = 16, iters = 2)
+    assert(atvd > 0.05 && aran)
+    val (atvd2, aran2) = AnnIndex.maintainIvfAdc(spark, adcDir, "embedding",
+      "vec_id", tvdThreshold = 0.05, nlist = 8, m = 8, ksub = 16, iters = 2)
+    assert(atvd2 == 0.0 && !aran2)
+    // the rebuilt ADC index still serves: complete ranks, non-empty
+    val adcRes = AnnIndex.queryIvfAdc(spark, adcDir, qs, "embedding",
+        "vec_id", k = 5, nprobe = 2, shortlist = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(adcRes.nonEmpty && adcRes.map(_._1).distinct.length == qs.count())
   }
 
   test("append routes with frozen centroids: index == rebuilt-from-union query surface") {
