@@ -417,6 +417,90 @@ object Multimodal {
       else Some(bos.toByteArray)
     }
 
+    /** Valid YUV4MPEG2 (Y4M) clip — the plain-header video container
+      * (mplayer/ffmpeg-compatible): `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1
+      * C420\n`, then per frame `FRAME\n` + planar 4:2:0 payload. Even
+      * dims w = 4 + 2·(n mod 4), h = 4 + 2·(id mod 3); 3 + n mod 5
+      * frames; luma byte j of frame f = text byte (f·w·h + j) mod n,
+      * chroma planes constant 128 — closed forms an oracle replays
+      * from the source text alone.
+      */
+    def synthY4m(text0: Array[Byte], docId: Long): Array[Byte] = {
+      val text = nonEmpty(text0)
+      val n = text.length
+      val w = 4 + 2 * (n % 4)
+      val h = (4 + 2 * (docId % 3)).toInt
+      val nf = 3 + n % 5
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val frameHdr = "FRAME\n".getBytes("US-ASCII")
+      val ySize = w * h
+      val cSize = ySize / 4
+      val out = java.nio.ByteBuffer.allocate(
+        header.length + nf * (frameHdr.length + ySize + 2 * cSize))
+      out.put(header)
+      var f = 0
+      while (f < nf) {
+        out.put(frameHdr)
+        var j = 0
+        while (j < ySize) { out.put(text((f * ySize + j) % n)); j += 1 }
+        var c = 0
+        while (c < 2 * cSize) { out.put(128.toByte); c += 1 }
+        f += 1
+      }
+      out.array()
+    }
+
+    /** Parse a Y4M clip by walking the real header and frame markers:
+      * (width, height, fps numerator, fps denominator, per-frame mean
+      * luma). Only C420 (the synthesized and overwhelmingly common
+      * layout) is decoded; anything malformed — bad magic, odd/missing
+      * dims, a truncated frame, a corrupt FRAME marker — returns None
+      * (corrupt blobs are data, not task failures).
+      */
+    def decodeY4m(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Double])] = {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 9) return None
+      val header = new String(bytes, 0, nl, "US-ASCII")
+      val parts = header.split(" ")
+      if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+      var (w, h, fn, fd) = (-1, -1, -1, -1)
+      var c420 = true
+      parts.drop(1).foreach { p =>
+        try p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val r = p.substring(1).split(":")
+            fn = r(0).toInt; fd = r(1).toInt
+          case 'C' => c420 = p.substring(1).startsWith("420")
+          case _ => ()
+        } catch { case _: Exception => return None }
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || fn <= 0 || fd <= 0 ||
+          w > (1 << 15) || h > (1 << 15) || !c420) return None
+      val ySize = w * h
+      val frameSize = ySize + ySize / 2
+      val lumas = Array.newBuilder[Double]
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        // FRAME marker, optional params, newline
+        if (pos + 6 > bytes.length ||
+            new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+        val fnl = {
+          var i = pos + 5
+          while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+          i
+        }
+        if (fnl >= bytes.length || fnl + 1 + frameSize > bytes.length) return None
+        var sum = 0L
+        var j = 0
+        while (j < ySize) { sum += (bytes(fnl + 1 + j) & 0xFF); j += 1 }
+        lumas += sum.toDouble / ySize
+        pos = fnl + 1 + frameSize
+      }
+      Some((w, h, fn, fd, lumas.result()))
+    }
+
     def decode(mediaType: String, bytes: Array[Byte]): Decoded = mediaType match {
       case "image/bmp" => decodeBmp(bytes)
       case "image/png" | "image/jpeg" => decodeImageIO(bytes)
@@ -482,6 +566,63 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Synthesize a Y4M video clip per document (the [[synthesizeMedia]]
+    * shape for the video modality) — partition-parallel mapPartitions.
+    */
+  def synthesizeVideos(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = graft.Tables.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val text = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+          val payload = Codec.synthY4m(text, r.getLong(0))
+          Row(r.getLong(0), payload, "video/y4m", payload.length.toLong)
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("fps_num", IntegerType),
+    StructField("fps_den", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("frame_idx", LongType),
+    StructField("luma", DoubleType)))
+
+  /** Partition-parallel Y4M frame walk: one row per DECODED frame with
+    * its mean luma (the screening statistic for black/flat-frame gates),
+    * plus the clip geometry on every row. Corrupt or non-video payloads
+    * emit one row with null frame columns — corrupt blobs are data. The
+    * per-frame explode happens executor-side inside the codec walk;
+    * nothing collects.
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("doc_id")
+          val parsed =
+            if (r.getAs[String]("media_type") != "video/y4m") None
+            else Codec.decodeY4m(r.getAs[Array[Byte]]("payload"))
+          parsed match {
+            case Some((w, h, fn, fd, lumas)) =>
+              lumas.iterator.zipWithIndex.map { case (l, i) =>
+                Row(id, w, h, fn, fd, lumas.length.toLong, i.toLong, l)
+              }
+            case None =>
+              Iterator.single(Row(id, null, null, null, null, null, null, null))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, videoFrameSchema)
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

@@ -1285,6 +1285,20 @@ ORDER BY doc_id""")
         col("is_silence"), col("is_clipped"))
       .orderBy("doc_id")
 
+  /** Real VIDEO containers end to end: synthesize a valid Y4M clip per
+    * document (plain YUV4MPEG2 header + FRAME-marked planar 4:2:0
+    * payloads), walk the real markers back, and emit one row per frame
+    * with its mean luma — the black/flat-frame screening statistic. The
+    * oracle replays geometry and per-frame luma in closed form from the
+    * source text (luma byte j of frame f = text[(f·w·h + j) mod n]).
+    */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrames(
+        Multimodal.synthesizeVideos(docs(s, dir), "text", "doc_id"))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("fps_num"), col("n_frames"), round(col("luma"), 6).as("luma"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Frame sampling over binary payloads (every stride-th 32-byte chunk);
     * frames decode back to text slices, so the oracle recomputes them
     * with plain substr over the source column.
@@ -3293,6 +3307,28 @@ ORDER BY doc_id""")
                         i -> abs((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 256))), 6) AS f0
            FROM wav)
          SELECT * FROM bmp_out UNION ALL SELECT * FROM wav_out ORDER BY doc_id""",
+    // Y4M roundtrip replay: geometry from the synth closed forms,
+    // per-frame mean luma over the text-derived Y plane
+    "mm_video_frames" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         p AS (
+           SELECT doc_id, text, n,
+                  4 + 2 * (n % 4) AS w,
+                  CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS h,
+                  3 + n % 5 AS nf
+           FROM base),
+         fr AS (
+           SELECT doc_id, text, n, w, h, nf,
+                  unnest(range(0, nf)) AS frame_idx
+           FROM p)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(w AS INTEGER) AS width, h AS height,
+                CAST(25 AS INTEGER) AS fps_num, CAST(nf AS BIGINT) AS n_frames,
+                round(list_avg(list_transform(range(0, w * h),
+                  j -> ascii(substr(text,
+                         CAST((frame_idx * w * h + j) % n AS INTEGER) + 1, 1)))), 6)
+                  AS luma
+         FROM fr ORDER BY doc_id, frame_idx""",
     // audio screening replay: samples from the synthWav closed form,
     // RMS/ZCR exact, the DFT centroid as nested list transforms with
     // the same integer funnel (magnitudes and frequency-weighted terms
@@ -4185,5 +4221,6 @@ ORDER BY doc_id""")
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _),
     "mm_audio_features" -> (mmAudioFeatures _),
+    "mm_video_frames" -> (mmVideoFrames _),
     "mm_resize" -> (mmResize _))
 }

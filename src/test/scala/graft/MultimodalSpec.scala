@@ -263,6 +263,38 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(0).isNullAt(3) && out(1).isNullAt(3) && out(2).isNullAt(3))
   }
 
+  test("video: Y4M synth/parse roundtrip, per-frame luma, corrupt bytes are data") {
+    import Multimodal.Codec
+    val text = "abcdefgh".getBytes // n=8: w = 4+2*(8%4) = 4, nf = 3+8%5 = 6
+    val clip = Codec.synthY4m(text, docId = 4L)   // h = 4+2*(4%3) = 6
+    // the header is real YUV4MPEG2
+    assert(new String(clip.take(9), "US-ASCII") == "YUV4MPEG2")
+    val Some((w, h, fn, fd, lumas)) = Codec.decodeY4m(clip)
+    assert((w, h, fn, fd) == (4, 6, 25, 1))
+    assert(lumas.length == 6)
+    // frame f mean luma = mean of text[(f*w*h + j) % n]
+    val expected = (0 until 6).map(f =>
+      (0 until w * h).map(j => text((f * w * h + j) % text.length) & 0xFF)
+        .sum.toDouble / (w * h))
+    assert(lumas.toSeq == expected)
+    // malformed clips: bad magic, truncated frame, odd dims
+    assert(Codec.decodeY4m("garbage\n".getBytes).isEmpty)
+    assert(Codec.decodeY4m(clip.dropRight(5)).isEmpty)
+    assert(Codec.decodeY4m("YUV4MPEG2 W5 H4 F25:1\nFRAME\n".getBytes).isEmpty)
+    // the frame-walk operator: real rows per frame, null row for corrupt
+    val media = Multimodal.synthesizeVideos(
+      Seq((1L, "abcdefgh"), (2L, "xyz")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, Array.fill[Byte](20)(3), "video/y4m", 20L))),
+      Multimodal.mediaSchema)
+    val frames = Multimodal.videoFrames(media.unionByName(corrupt))
+    assert(frames.filter(col("doc_id") === 1L).count() == 6)
+    assert(frames.filter(col("doc_id") === 9L).count() == 1)
+    assert(frames.filter(col("doc_id") === 9L).head().isNullAt(1))
+  }
+
   test("decoded features chain into cosine similarity search") {
     val feats = Multimodal.decodeFeatures(synth)
       .select(col("doc_id"), col("features"))
