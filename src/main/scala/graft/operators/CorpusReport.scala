@@ -106,6 +106,23 @@ object CorpusReport {
     * HLL-union estimates — CorpusReportSpec pins merged-drops ≡
     * whole-corpus within the sketch tolerance, exactly elsewhere.
     */
+  /** Merge [[datasheetSketch]] partials into ONE still-mergeable partial
+    * — the [[SketchStore.compact]] primitive for the datasheet family:
+    * exact sums (the fixed-point quality sum re-associates without
+    * error), register-wise HLL unions. Output schema =
+    * [[datasheetSketch]] output schema.
+    */
+  def mergeDatasheetPartials(partials: DataFrame): DataFrame =
+    partials.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_chars_total")).as("n_chars_total"),
+      sum(col("n_tokens_total")).as("n_tokens_total"),
+      hll_union_agg(col("langs_hll")).as("langs_hll"),
+      hll_union_agg(col("sources_hll")).as("sources_hll"),
+      hll_union_agg(col("texts_hll")).as("texts_hll"),
+      sum(col("q_sum_fx")).as("q_sum_fx"),
+      sum(col("n_pii_docs")).as("n_pii_docs"))
+
   def datasheetFromSketches(partials: DataFrame): DataFrame = {
     val one = partials.agg(
       sum(col("n_docs")).as("n_docs"),

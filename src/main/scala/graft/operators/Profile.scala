@@ -115,6 +115,24 @@ object Profile {
     * input is rows-per-column × drops — model-sized; the merge never
     * touches corpus data.
     */
+  /** Merge [[sketch]] partials into ONE still-mergeable sketch table —
+    * the [[SketchStore.compact]] primitive: counts and min/max fold
+    * exactly; HLL registers UNION into a sketch (not an estimate).
+    * Estimates read off a nested union can move within the sketch's
+    * error bound (the DataSketches union estimator is nesting-
+    * sensitive), exactly the tolerance every HLL readout carries.
+    * Output schema = [[sketch]] output schema.
+    */
+  def mergeSketchPartials(sketches: DataFrame): DataFrame =
+    sketches.groupBy("col_name").agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_vals")).as("n_vals"),
+        hll_union_agg(col("sketch")).as("sketch"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"))
+      .select(col("col_name"), col("n_rows"), col("n_vals"), col("sketch"),
+        col("min_val"), col("max_val"))
+
   def mergeSketches(sketches: DataFrame): DataFrame =
     sketches.groupBy("col_name").agg(
         sum(col("n_rows")).as("n_rows"),

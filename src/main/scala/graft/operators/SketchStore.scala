@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance for a streaming sketch directory
+  * ([[graft.streaming.IncrementalStream.profileSketchIngest]] /
+  * `datasheetSketchIngest` layouts): every micro-batch writes its own
+  * `batch=<id>` partition, so a long-lived stream accretes one
+  * model-sized partition per batch FOREVER — the "profile everything so
+  * far" merge stays model-sized per partition, but the partition COUNT
+  * (and the file-listing cost in front of every merge) grows with
+  * stream age. [[compact]] folds history down to a bounded layout:
+  *
+  *   - every partition EXCEPT the newest numeric batch merges into one
+  *     carried partition (`batch=c<newest>`), using the caller's
+  *     sketch-to-sketch merge: every exact statistic (counts, sums,
+  *     min/max, the fixed-point quality sum) re-associates without
+  *     error, so those readouts are unchanged bit for bit; the HLL
+  *     DISTINCT estimate may move within the sketch's own error bound
+  *     (the DataSketches union estimator is nesting-sensitive even
+  *     though the registers union exactly) — the same tolerance every
+  *     HLL readout already carries;
+  *   - the newest batch partition is carried AS-IS under its original
+  *     id, because it is the only batch Structured Streaming can
+  *     re-deliver (recovery re-runs the last uncommitted batch under
+  *     the SAME id and overwrites its partition in place; older ids
+  *     never re-fire once a newer batch commits) — after compaction a
+  *     replay still lands on its own partition;
+  *   - the rewrite is a whole-directory temp-then-swap (everything
+  *     here is model-sized, so rewriting it all costs nothing) with
+  *     the `__old` crash-recovery contract shared with
+  *     AnnIndex.readCorpus and Warehouse: a swap crashed between its
+  *     two renames is healed on the next [[read]].
+  *
+  * Between compactions the partition count is bounded by (compaction
+  * interval) new batches + 1 carried partition.
+  */
+object SketchStore {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read every sketch partition under `dir` (the input shape for
+    * `Profile.mergeSketches` / `CorpusReport.datasheetFromSketches`),
+    * healing a compaction crashed mid-swap first.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, path)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    spark.read.parquet(dir)
+  }
+
+  /** Compact `dir` with the family's sketch-to-sketch `merge`
+    * ([[Profile.mergeSketchPartials]] /
+    * [[CorpusReport.mergeDatasheetPartials]]). Returns (partitions
+    * before, partitions after); a directory already at ≤ 2 partitions
+    * is left untouched.
+    */
+  def compact(spark: SparkSession, dir: String,
+              merge: DataFrame => DataFrame): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, path)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val names = parts.map(_.getPath.getName.stripPrefix("batch="))
+    val numeric = names.filter(_.forall(_.isDigit)).map(_.toLong)
+    if (parts.length <= 2 || numeric.isEmpty) return (parts.length, parts.length)
+    val newest = numeric.max
+    val olderPaths = parts.map(_.getPath)
+      .filter(_.getName != s"batch=$newest").map(_.toString)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
+    fs.delete(tmp, true)
+    merge(spark.read.parquet(olderPaths.toIndexedSeq: _*))
+      .write.mode("overwrite").parquet(s"$tmp/batch=c$newest")
+    spark.read.parquet(s"$dir/batch=$newest")
+      .write.mode("overwrite").parquet(s"$tmp/batch=$newest")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new IllegalStateException(s"SketchStore.compact: cannot stage $path")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back — the store stays readable
+      throw new IllegalStateException(s"SketchStore.compact: swap failed for $path")
+    }
+    fs.delete(old, true)
+    (parts.length, 2)
+  }
+}

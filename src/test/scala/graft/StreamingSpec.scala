@@ -467,6 +467,63 @@ class StreamingSpec extends SparkSpec {
     assert(again("doc_id") == whole("doc_id")._1)
   }
 
+  test("sketch store compaction: bounded partitions, merged readout identical, replay contract intact") {
+    import spark.implicits._
+    import graft.operators.{Profile, SketchStore}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cols = Seq("doc_id", "lang")
+    val colRefs = cols.map(org.apache.spark.sql.functions.col)
+    val in = tempDir("skc_in")
+    val skDir = tempDir("skc_prof")
+    val ck = tempDir("skc_ck")
+    def drain(): Unit =
+      IncrementalStream.profileSketchIngest(
+          spark.readStream.schema(docs.schema).parquet(in), cols, skDir, ck)
+        .awaitTermination()
+    def drop(m: Int): Unit = {
+      docs.filter($"doc_id" % 3 === m).write.mode("append").parquet(in)
+      drain()
+    }
+    def partNames = new java.io.File(skDir).listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    // exact statistics (counts, nulls, min/max) compare bit-for-bit;
+    // the HLL distinct ESTIMATE is compared within the sketch's own
+    // tolerance — the DataSketches union estimator is nesting-sensitive
+    // even though the registers union exactly
+    def exact = Profile.mergeSketches(SketchStore.read(spark, skDir))
+      .drop("n_distinct").collect().map(_.toString).sorted.toSeq
+    def distinctOf(c: String) =
+      Profile.mergeSketches(SketchStore.read(spark, skDir))
+        .filter($"col_name" === c).head().getLong(3)
+    drop(0); drop(1); drop(2)
+    assert(partNames == Seq("batch=0", "batch=1", "batch=2"))
+    val before = exact
+    val beforeDistinct = distinctOf("doc_id")
+    val (b3, a3) = SketchStore.compact(spark, skDir, Profile.mergeSketchPartials)
+    assert((b3, a3) == (3, 2))
+    assert(partNames == Seq("batch=2", "batch=c2"))
+    assert(exact == before, "compaction must not change any exact readout")
+    assert(math.abs(distinctOf("doc_id") - beforeDistinct) <=
+      math.max(1.0, 0.02 * beforeDistinct))
+    // already bounded: a second compaction is a no-op
+    assert(SketchStore.compact(spark, skDir, Profile.mergeSketchPartials) == (2, 2))
+    // the replay contract survives: the newest batch id kept its own
+    // partition, so a re-delivered batch 2 overwrites in place
+    Profile.sketch(docs.filter($"doc_id" % 3 === 2).select(colRefs: _*), cols)
+      .write.mode("overwrite").parquet(s"$skDir/batch=2")
+    assert(exact == before)
+    // a later drop accretes batch=3; compacting again folds the carried
+    // partition with the now-old batch 2 and keeps 3 live
+    drop(0) // re-ingesting slice 0 under a NEW batch id — new data is new
+    assert(partNames == Seq("batch=2", "batch=3", "batch=c2"))
+    val (b4, a4) = SketchStore.compact(spark, skDir, Profile.mergeSketchPartials)
+    assert((b4, a4) == (3, 2))
+    assert(partNames == Seq("batch=3", "batch=c3"))
+    val n = Profile.mergeSketches(SketchStore.read(spark, skDir))
+      .filter($"col_name" === "doc_id").head().getLong(1)
+    assert(n == docs.count() + docs.filter($"doc_id" % 3 === 0).count())
+  }
+
   test("streaming embedding ingest: screen against persisted index, in-batch reps, re-delivery safe") {
     import spark.implicits._
     val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
