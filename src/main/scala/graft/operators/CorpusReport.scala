@@ -99,13 +99,6 @@ object CorpusReport {
         .cast("long")).as("n_pii_docs"))
   }
 
-  /** Merge [[datasheetSketch]] partials into the [[datasheet]] output
-    * shape. Counts, sums, rates and the quality mean merge EXACTLY (the
-    * fixed-point decimal sum re-associates without error); the three
-    * distinct-backed metrics (n_langs, n_sources, exact_dup_rate) are
-    * HLL-union estimates — CorpusReportSpec pins merged-drops ≡
-    * whole-corpus within the sketch tolerance, exactly elsewhere.
-    */
   /** Merge [[datasheetSketch]] partials into ONE still-mergeable partial
     * — the [[SketchStore.compact]] primitive for the datasheet family:
     * exact sums (the fixed-point quality sum re-associates without
@@ -123,6 +116,13 @@ object CorpusReport {
       sum(col("q_sum_fx")).as("q_sum_fx"),
       sum(col("n_pii_docs")).as("n_pii_docs"))
 
+  /** Merge [[datasheetSketch]] partials into the [[datasheet]] output
+    * shape. Counts, sums, rates and the quality mean merge EXACTLY (the
+    * fixed-point decimal sum re-associates without error); the three
+    * distinct-backed metrics (n_langs, n_sources, exact_dup_rate) are
+    * HLL-union estimates — CorpusReportSpec pins merged-drops ≡
+    * whole-corpus within the sketch tolerance, exactly elsewhere.
+    */
   def datasheetFromSketches(partials: DataFrame): DataFrame = {
     val one = partials.agg(
       sum(col("n_docs")).as("n_docs"),

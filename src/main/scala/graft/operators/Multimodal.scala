@@ -505,6 +505,17 @@ object Multimodal {
       case "image/bmp" => decodeBmp(bytes)
       case "image/png" | "image/jpeg" => decodeImageIO(bytes)
       case "audio/wav" => decodeWav(bytes)
+      case "video/y4m" => decodeY4m(bytes) match {
+        // video reports its geometry, frame count (as n_samples — the
+        // time-axis cardinality) and mean luma across frames as f0, so
+        // the generic decode/screen paths treat clips as first-class
+        // decodable media rather than rejecting them as corrupt
+        case Some((w, h, fn, _, lumas)) =>
+          val f0 = if (lumas.isEmpty) 0.0 else lumas.sum / lumas.length
+          Decoded(Some(w), Some(h), None, Some(lumas.length.toLong), Some(f0),
+            Array((f0 / 255.0).toFloat, w / 64.0f, h / 64.0f, fn / 30.0f))
+        case None => failed
+      }
       case _ => failed
     }
   }

@@ -108,13 +108,6 @@ object Profile {
         col("p.sketch"), col("p.min_val"), col("p.max_val"))
   }
 
-  /** Merge any number of [[sketch]] tables (unioned, one or many drops)
-    * into the [[profile]] output shape. Counts/min/max merge exactly;
-    * n_distinct is the HLL union's estimate (ProfileOutliersSpec pins
-    * union-of-drops ≡ whole-corpus within the sketch tolerance). The
-    * input is rows-per-column × drops — model-sized; the merge never
-    * touches corpus data.
-    */
   /** Merge [[sketch]] partials into ONE still-mergeable sketch table —
     * the [[SketchStore.compact]] primitive: counts and min/max fold
     * exactly; HLL registers UNION into a sketch (not an estimate).
@@ -133,6 +126,13 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_vals"), col("sketch"),
         col("min_val"), col("max_val"))
 
+  /** Merge any number of [[sketch]] tables (unioned, one or many drops)
+    * into the [[profile]] output shape. Counts/min/max merge exactly;
+    * n_distinct is the HLL union's estimate (ProfileOutliersSpec pins
+    * union-of-drops ≡ whole-corpus within the sketch tolerance). The
+    * input is rows-per-column × drops — model-sized; the merge never
+    * touches corpus data.
+    */
   def mergeSketches(sketches: DataFrame): DataFrame =
     sketches.groupBy("col_name").agg(
         sum(col("n_rows")).as("n_rows"),

@@ -35,6 +35,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Between compactions the partition count is bounded by (compaction
   * interval) new batches + 1 carried partition.
+  *
+  * SINGLE-WRITER contract (the Warehouse/AnnIndex discipline): run
+  * [[compact]] while the stream is quiescent — between AvailableNow
+  * drains, which is the lifecycle every graft ingest uses. The swap
+  * protects against CRASHES (the `__old` recovery), not against a
+  * concurrently-committing writer: a batch that lands between the
+  * listing and the swap would be swept away with the old directory.
   */
 object SketchStore {
 

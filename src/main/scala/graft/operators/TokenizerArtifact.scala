@@ -64,7 +64,8 @@ object TokenizerArtifact {
 
   /** Train a unigram-LM tokenizer on `df` and persist it under `dir`. */
   def trainUnigram(df: DataFrame, textCol: String, dir: String,
-                   maxPieceLen: Int = 6, seedMulti: Int = 50,
+                   maxPieceLen: Int = UnigramLm.DefaultMaxPieceLen,
+                   seedMulti: Int = 50,
                    keepMulti: Int = 30, iters: Int = 2): UnigramTokenizer = {
     val tok = UnigramTokenizer(
       UnigramLm.train(df, textCol, maxPieceLen, seedMulti, keepMulti, iters),

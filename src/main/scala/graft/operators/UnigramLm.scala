@@ -55,6 +55,12 @@ object UnigramLm {
     */
   val MaxWordLen = 12
 
+  /** The one source of truth for the default Viterbi piece-length
+    * window: train and every encode path MUST use the same value, or
+    * segmentations silently diverge between them.
+    */
+  val DefaultMaxPieceLen = 6
+
   final case class Piece(piece: String, n: Long, score: Long)
 
   private[graft] def fxLn(num: Long, den: Long): Long =
@@ -132,7 +138,7 @@ object UnigramLm {
     * then `iters` Viterbi-EM rounds as described in the object doc.
     * Returns pieces sorted by piece (the deterministic output order).
     */
-  def train(df: DataFrame, textCol: String, maxPieceLen: Int = 6,
+  def train(df: DataFrame, textCol: String, maxPieceLen: Int = DefaultMaxPieceLen,
             seedMulti: Int = 50, keepMulti: Int = 30,
             iters: Int = 2): Seq[Piece] = {
     val spark = df.sparkSession
@@ -189,7 +195,7 @@ object UnigramLm {
   /** Learned piece table as a DataFrame — the `corpus_unigram_lm` query
     * shape: (piece, n, score), all exact integers/strings.
     */
-  def trainTable(df: DataFrame, textCol: String, maxPieceLen: Int = 6,
+  def trainTable(df: DataFrame, textCol: String, maxPieceLen: Int = DefaultMaxPieceLen,
                  seedMulti: Int = 50, keepMulti: Int = 30,
                  iters: Int = 2): DataFrame = {
     val spark = df.sparkSession
@@ -208,7 +214,7 @@ object UnigramLm {
     * partitioning. Returns (idCol, token_ids) plus the vocabulary.
     */
   def encodeIds(df: DataFrame, textCol: String, idCol: String,
-                pieces: Seq[Piece], maxPieceLen: Int = 6): (DataFrame, Array[String]) = {
+                pieces: Seq[Piece], maxPieceLen: Int = DefaultMaxPieceLen): (DataFrame, Array[String]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val bScores = spark.sparkContext.broadcast(
@@ -247,7 +253,7 @@ object UnigramLm {
     * query surface.
     */
   def encode(df: DataFrame, textCol: String, idCol: String,
-             pieces: Seq[Piece], maxPieceLen: Int = 6): DataFrame = {
+             pieces: Seq[Piece], maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bScores = spark.sparkContext.broadcast(

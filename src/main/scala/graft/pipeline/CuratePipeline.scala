@@ -161,7 +161,8 @@ object CuratePipeline {
       case None if tokenizer == "bpe" =>
         TokenizerArtifact.BpeTokenizer(Bpe.train(sample, "text", numMerges = 8))
       case None =>
-        TokenizerArtifact.UnigramTokenizer(UnigramLm.train(sample, "text"), 6)
+        TokenizerArtifact.UnigramTokenizer(UnigramLm.train(sample, "text"),
+          UnigramLm.DefaultMaxPieceLen)
     }
     val (ids, _) = tok.encodeIds(mixed, "text", "doc_id")
     val packed = CorpusOps.packTokens(ids, "doc_id", "token_ids",

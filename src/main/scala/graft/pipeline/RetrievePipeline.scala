@@ -61,15 +61,28 @@ object RetrievePipeline {
       .filter(length(col("chunk_text")) > 0)
       .withColumn("chunk_id",
         (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
-    val maxIdx = chunks0.agg(max(col("chunk_idx"))).head().getLong(0)
-    require(maxIdx < (1L << ChunkBits),
-      s"chunk_idx $maxIdx overflows the ${ChunkBits}-bit chunk id space — " +
-        "raise chunkTokens/stride or widen ChunkBits")
     chunks0.repartitionByRange(col("chunk_id"))
       .sortWithinPartitions(col("chunk_id"))
       .write.mode("overwrite").parquet(s"$dir/chunks")
     val chunks = spark.read.parquet(s"$dir/chunks")
-    stages += Stage("chunks", chunks.count())
+    // id-space preconditions, checked off the WRITTEN table (one corpus
+    // pass total; a failure here leaves the build uncommitted — no meta
+    // marker — so nothing can serve from it): chunk ids must be
+    // non-negative and collision-free, because query() sign-folds query
+    // ids into the negative range and the packing multiply must not
+    // overflow
+    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx")),
+      min(col(idCol)), max(col(idCol))).head()
+    require(stats.getLong(0) > 0,
+      "RetrievePipeline.build: the corpus produced no non-empty chunks")
+    require(stats.getLong(1) < (1L << ChunkBits),
+      s"chunk_idx ${stats.getLong(1)} overflows the ${ChunkBits}-bit chunk " +
+        "id space — raise chunkTokens/stride or widen ChunkBits")
+    require(stats.getLong(2) >= 0 && stats.getLong(3) < (1L << (63 - ChunkBits)),
+      s"doc ids [${stats.getLong(2)}, ${stats.getLong(3)}] fall outside " +
+        s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +
+        "bounded doc ids")
+    stages += Stage("chunks", stats.getLong(0))
     Retrieval.buildBm25Index(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
     stages += Stage("bm25_postings",
       spark.read.parquet(s"$dir/bm25/postings").count())
@@ -134,12 +147,16 @@ object RetrievePipeline {
     */
   def fetchChunks(spark: SparkSession, dir: String,
                   results: DataFrame): DataFrame = {
-    val ids = results.select("chunk_id").distinct()
+    // pin the (top-k-bounded) result before it feeds the id collect AND
+    // the final join — the caller usually hands the un-materialized
+    // hybrid plan, which would otherwise execute twice
+    val pinned = results.localCheckpoint(true)
+    val ids = pinned.select("chunk_id").distinct()
       .collect().map(_.getLong(0)) // bounded: <= k rows per query
     val store = spark.read.parquet(s"$dir/chunks")
       .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
       .select(col("chunk_id"), col("chunk_text"))
-    results.join(broadcast(store), Seq("chunk_id"), "left")
-      .select(results.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
+    pinned.join(broadcast(store), Seq("chunk_id"), "left")
+      .select(pinned.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
   }
 }

@@ -507,30 +507,17 @@ object IncrementalStream {
       }
       .start()
 
-  /** Streaming PROFILE sketches: every micro-batch writes its own
-    * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
-    * counts, min/max, HLL registers) under `sketchDir/batch=<id>`;
-    * "profile everything ingested so far" is then
-    * `Profile.mergeSketches(spark.read.parquet(sketchDir))` — a
-    * model-sized merge at any point in the stream's life, never a
-    * re-scan of ingested data.
-    *
-    * Effectively-once: the write is OVERWRITE-BY-BATCHID, and Structured
-    * Streaming re-delivers a failed batch under the SAME id from the
-    * checkpoint, so recovery overwrites the partial partition in place.
-    * The checkpoint is the source of truth — discarding it (which
-    * renumbers batches over the same files) requires discarding
-    * `sketchDir` with it, the standard foreachBatch idempotency
-    * contract.
-    */
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media
     * rows (doc_id, payload, media_type, byte_len) decodes partition-
     * parallel, and each row routes on the screening verdicts —
-    * undecodable payloads (any media type), silent or clipped audio
+    * undecodable payloads (anything [[graft.operators.Multimodal.Codec
+    * .decode]] rejects: corrupt bytes, and media types outside the
+    * decodable families bmp/png/jpeg/wav/y4m — route text through the
+    * text pipeline, not this gate), silent or clipped audio
     * ([[graft.operators.Multimodal.audioFeatures]]' gates) land under
-    * `rejectDir` with a reason column; everything else appends under
-    * `acceptDir`. Both sides write partitioned by batch id
+    * `rejectDir` with a reason column; everything else — valid images
+    * and video included — appends under `acceptDir`. Both sides write partitioned by batch id
     * (overwrite-by-batchId = the sketch-ingest effectively-once
     * contract: a re-delivered batch overwrites its own partitions in
     * place). Audio rows decode twice (metadata + features) — micro-
@@ -571,6 +558,22 @@ object IncrementalStream {
       }
       .start()
 
+  /** Streaming PROFILE sketches: every micro-batch writes its own
+    * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
+    * counts, min/max, HLL registers) under `sketchDir/batch=<id>`;
+    * "profile everything ingested so far" is then
+    * `Profile.mergeSketches(spark.read.parquet(sketchDir))` — a
+    * model-sized merge at any point in the stream's life, never a
+    * re-scan of ingested data.
+    *
+    * Effectively-once: the write is OVERWRITE-BY-BATCHID, and Structured
+    * Streaming re-delivers a failed batch under the SAME id from the
+    * checkpoint, so recovery overwrites the partial partition in place.
+    * The checkpoint is the source of truth — discarding it (which
+    * renumbers batches over the same files) requires discarding
+    * `sketchDir` with it, the standard foreachBatch idempotency
+    * contract.
+    */
   def profileSketchIngest(stream: DataFrame, cols: Seq[String],
                           sketchDir: String,
                           checkpointDir: String): StreamingQuery =

@@ -38,8 +38,11 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * is moved back before any read (its contents are the complete
     * pre-overwrite table by construction; the orphaned `__tmp` is
     * ignored and overwritten by the next write). Single-writer contract:
-    * recovery only fires when the live path is ABSENT, which during a
-    * healthy overwrite never coincides with a reader in this process.
+    * recovery only fires when the live path is ABSENT. A reader racing
+    * a concurrent [[overwrite]]'s swap window can heal the OLD contents
+    * back mid-swap; the writer detects that (its final move hits an
+    * existing directory) and re-stages, so the writer's new table always
+    * lands — the reader at worst observed the old contents once more.
     */
   private def recoverStranded(table: String): Unit = {
     val dst = Paths.get(path(table))
@@ -81,7 +84,16 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val old = Paths.get(path(table) + "__old")
       deleteRecursively(old)
       Files.move(dst, old)
-      Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a concurrent reader's recoverStranded healed __old back to
+          // dst inside the swap window; the WRITER wins the race —
+          // re-stage the healed (old) contents and land the new table
+          deleteRecursively(old)
+          Files.move(dst, old)
+          Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       deleteRecursively(old)
     } else Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }

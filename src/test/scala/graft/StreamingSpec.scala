@@ -739,7 +739,9 @@ class StreamingSpec extends SparkSpec {
     val good = Multimodal.synthesizeMedia(
       Tables.load(spark, "/root/testdata/sf0.001", "documents")
         .filter(col("doc_id") < 6), "text", "doc_id")
+    val y4m = Multimodal.Codec.synthY4m("video payload text".getBytes, 50L)
     val bad = Seq(
+      (50L, y4m, "video/y4m", y4m.length.toLong),                 // VALID video
       (100L, Array.fill[Byte](64)(9), "audio/wav", 64L),          // corrupt
       (101L, pcm(Seq.fill(64)(0), 8000), "audio/wav", 172L),      // silent
       (102L, pcm(Seq.tabulate(64)(i => if (i % 2 == 0) 32767 else -32767),
@@ -763,7 +765,8 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(rejected == Map(100L -> "undecodable", 101L -> "silence",
       102L -> "clipped"), rejected.toString)
-    assert(accepted == (0L until 6L).toSet, accepted.toString)
+    // valid video decodes and is ACCEPTED (the codec's y4m case)
+    assert(accepted == (0L until 6L).toSet + 50L, accepted.toString)
     // full re-delivery under a fresh checkpoint: same batch ids, same
     // partitions overwritten in place — both sides unchanged
     drain("media_ck2")
