@@ -160,6 +160,98 @@ object TextAnalysis {
         x => x("line"))).as("clean_text"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, JMLR 21(140) §2.2) at line
+    * and page level: keep a line only if it ends in a terminal
+    * punctuation mark, has at least `minWordsPerLine` words, and
+    * mentions none of the `badLine` substrings (canonically
+    * "javascript"); flag the whole page for dropping when it contains a
+    * curly brace (code), any `badPage` phrase ("lorem ipsum"), or fewer
+    * than `minKeptLines` surviving lines.
+    *
+    * Entirely in-row (split → filter → concat on the line array): a
+    * map-only codegen stage — no shuffle, no UDF — that runs unchanged
+    * on streams and costs one pass over the bytes at any corpus size.
+    * Pass-through: input columns kept; `n_lines`, `n_kept`,
+    * `clean_text`, `keep_page` appended.
+    */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+                   minWordsPerLine: Int = 3,
+                   badLine: Seq[String] = Seq("javascript"),
+                   badPage: Seq[String] = Seq("lorem ipsum"),
+                   minKeptLines: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      val base = t.rlike("[.!?\"]$") && (size(split(t, " +")) >= minWordsPerLine)
+      badLine.foldLeft(base)((acc, b) => acc && !lower(t).contains(b))
+    }
+    val kept = filter(lines, lineOk _)
+    val pageBad = badPage.foldLeft(col(textCol).contains("{")) {
+      (acc, b) => acc || lower(col(textCol)).contains(b)
+    }
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("clean_text", concat_ws("\n", kept))
+      .withColumn("keep_page", !pageBad && col("n_kept") >= minKeptLines)
+  }
+
+  /** Per-document character-distribution statistics — the cheap
+    * gibberish / low-information screen (encoding junk, base64 blobs and
+    * key-mash text sit at the distribution extremes): distinct-character
+    * count, the share of the most frequent character, Simpson diversity
+    * 1 − Σp², and Shannon entropy in nats.
+    *
+    * Everything is computed IN-ROW over the sorted distinct-character
+    * array (alphabet-sized, ~10²) — map-only codegen, no explode, no
+    * shuffle — and because the per-row floating sums run in one fixed
+    * (sorted) order, the rounded values are identical on a laptop, a
+    * 1000-executor cluster, and the SQL oracle. Cost is
+    * O(|alphabet| · len) per row, the price of avoiding a corpus-sized
+    * (doc, char) exchange. Empty documents report zero entropy.
+    */
+  def charStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Java's split("", -1) keeps a trailing "" the SQL twin doesn't — drop it.
+    val chars = filter(split(col(textCol), ""), x => x =!= "")
+    val n = size(chars).cast("double")
+    val counts = transform(array_sort(array_distinct(chars)),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val simpson = lit(1.0) - aggregate(counts, lit(0.0),
+      (acc, c) => acc + (c / n) * (c / n))
+    val entropy = lit(0.0) - aggregate(counts, lit(0.0),
+      (acc, c) => acc + (c / n) * log(c / n))
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_distinct_chars", size(array_distinct(chars)).cast("long"))
+      .withColumn("top_char_frac",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(array_max(counts) / n, 6)))
+      .withColumn("char_simpson",
+        when(col("n_chars") === 0, lit(0.0)).otherwise(round(simpson, 6)))
+      .withColumn("char_entropy",
+        when(col("n_chars") === 0, lit(0.0)).otherwise(round(entropy, 6)))
+  }
+
+  /** HTML → text extraction (the step BEFORE any quality/dedup pass in a
+    * web-crawl pipeline): drop `<script>`/`<style>` blocks and comments,
+    * strip remaining tags, decode the six common entities (`&amp;` last,
+    * so double-escaped text stays escaped one level — standard
+    * single-pass semantics), collapse whitespace, trim. All patterns are
+    * RE2-compatible (non-greedy dotall, no lookarounds/backrefs) so the
+    * identical regexes replay in the SQL oracle; entity decoding uses
+    * literal `replace`, not regex. A chain of codegen'd passes —
+    * map-only at any corpus size.
+    */
+  def htmlToText(text: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(text) { (c, tag) =>
+      regexp_replace(c, s"(?s)<$tag[^>]*>.*?</$tag>", " ")
+    }
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical content fingerprint: md5 of the normalized token stream. */
   def canonicalFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

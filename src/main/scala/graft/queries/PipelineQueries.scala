@@ -491,6 +491,61 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 line+page cleaning rules over a deterministically seeded corpus:
+    * each doc gains a kept line (its text with terminal punctuation), a
+    * too-short line, and one rule-violating line by `doc_id % 4`
+    * (javascript mention / short-despite-punct / code braces / lorem
+    * ipsum), so every rule — line keep, word-count drop, bad-substring
+    * drop, punctuation drop, brace page-drop, bad-phrase page-drop — is
+    * exercised on real matches. The oracle replays seeding + rules.
+    */
+  def textC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(col("doc_id") % 4 === 0,
+        lit("please enable javascript to continue."))
+      .when(col("doc_id") % 4 === 1, lit("one two."))
+      .when(col("doc_id") % 4 === 2, lit("if (x) { return 0; }"))
+      .otherwise(lit("lorem ipsum dolor sit amet."))
+    val seeded = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n", concat(col("text"), lit(".")), lit("click here"), variant)
+        .as("text"))
+    TextAnalysis.c4LineFilter(seeded, "text", "doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text", "keep_page")
+      .orderBy("doc_id")
+  }
+
+  /** HTML → text extraction over a deterministically seeded wrap: every
+    * doc is embedded in a full page (head/title, a script block whose
+    * body contains a bare `<`, a style block, headings, an entity-laden
+    * div, a comment), then extracted back. The oracle replays the same
+    * construction and the same RE2 regex chain.
+    */
+  def textHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">var a=1; if(a<2){a=3;}" +
+        "</script><style>p { color: red; }</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div class=\"x\">Tom &amp; Jerry &lt;3 &quot;ok&quot; " +
+        "it&#39;s&nbsp;done</div><!-- hidden --></body></html>"))
+    docs(s, dir).select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_chars_raw"),
+        TextAnalysis.htmlToText(col("html")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-distribution screen (entropy / diversity) — see
+    * [[graft.operators.TextAnalysis.charStats]]; in-row sorted-order
+    * sums make the rounded doubles engine-portable.
+    */
+  def textCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charStats(docs(s, dir), "text", "doc_id")
+      .select("doc_id", "n_chars", "n_distinct_chars", "top_char_frac",
+        "char_simpson", "char_entropy")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: every tenth doc plays the eval set, the
     * rest the corpus; contaminated = sharing any portable 8-gram shingle.
     * The near-dup clusters the dedup operators find are exactly what this
@@ -835,6 +890,23 @@ ORDER BY doc_id""")
           .select("doc_id", "source", "quality_score"),
         "doc_id", "source", col("quality_score"))
       .orderBy("position")
+
+  /** DoReMi domain reweighting (see
+    * [[graft.operators.Doremi.domainWeights]]): per-source mixture weights
+    * after 5 linearized multiplicative-weights rounds on a
+    * deterministically seeded proxy/reference loss pair — pure modular
+    * arithmetic on (doc_id, n_chars), so both engines compute the exact
+    * same IEEE chain. The oracle unrolls the MW iteration as CTEs over
+    * the K-row domain table.
+    */
+  def corpusDoremi(s: SparkSession, dir: String): DataFrame = {
+    val proxy = (col("doc_id") % 7).cast("double") / lit(10.0) +
+      (col("n_chars") % 13).cast("double") / lit(100.0)
+    val ref = (col("doc_id") % 5).cast("double") / lit(10.0)
+    graft.operators.Doremi.domainWeights(docs(s, dir), "source", proxy, ref,
+        eta = 1.0, smooth = 0.01, rounds = 5)
+      .orderBy("domain")
+  }
 
   /** Deterministic global training-order permutation: (doc_id,
     * shuffle_pos) with positions 1..N in portable-md5-hash order.
@@ -2947,6 +3019,78 @@ ORDER BY doc_id""")
          LEFT JOIN hot h ON l.source = h.source AND l.line = h.line
          GROUP BY l.doc_id
          ORDER BY l.doc_id""",
+    "text_c4_filter" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  text || '.' || chr(10) || 'click here' || chr(10) ||
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'please enable javascript to continue.'
+                    WHEN 1 THEN 'one two.'
+                    WHEN 2 THEN 'if (x) { return 0; }'
+                    ELSE 'lorem ipsum dolor sit amet.' END AS text
+           FROM documents),
+         l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM seeded),
+         k AS (SELECT doc_id, text, len(ls) AS n_lines,
+                      list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(string_split_regex(trim(x), ' +')) >= 3
+                        AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+               FROM l)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                array_to_string(kept, chr(10)) AS clean_text,
+                (NOT (contains(text, '{') OR contains(lower(text), 'lorem ipsum')))
+                  AND len(kept) >= 1 AS keep_page
+         FROM k ORDER BY doc_id""",
+    "text_html_extract" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+                  '<html><head><title>' || source
+                  || '</title><script type="text/javascript">var a=1; if(a<2){a=3;}'
+                  || '</script><style>p { color: red; }</style></head><body><h1>Doc '
+                  || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                  || '</p><div class="x">Tom &amp; Jerry &lt;3 &quot;ok&quot; '
+                  || 'it&#39;s&nbsp;done</div><!-- hidden --></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, html,
+                       regexp_replace(regexp_replace(html,
+                         '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t
+                FROM seeded),
+         s2 AS (SELECT doc_id, html,
+                       regexp_replace(regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g') AS t
+                FROM s1),
+         s3 AS (SELECT doc_id, html,
+                       replace(replace(replace(replace(replace(replace(t,
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM s2)
+         SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_raw,
+                trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+                CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT)
+                  AS n_chars_clean
+         FROM s3 ORDER BY doc_id""",
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+                           string_split(text, '') AS cs
+                    FROM documents),
+         cnt AS (SELECT doc_id, n, cs,
+                        list_transform(list_sort(list_distinct(cs)),
+                          a -> CAST(len(list_filter(cs, x -> x = a)) AS DOUBLE)) AS counts
+                 FROM c)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(list_max(counts) / n, 6) END AS top_char_frac,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(1.0 - list_reduce(list_prepend(0.0,
+                            list_transform(counts, c -> (c / n) * (c / n))),
+                            (a, b) -> a + b), 6) END AS char_simpson,
+                CASE WHEN n = 0 THEN 0.0
+                     ELSE round(0.0 - list_reduce(list_prepend(0.0,
+                            list_transform(counts, c -> (c / n) * ln(c / n))),
+                            (a, b) -> a + b), 6) END AS char_entropy
+         FROM cnt ORDER BY doc_id""",
     "dedup_incremental" -> {
       // one capped-shingle + minhash + banding chain per side (the corpus
       // cap is fixed at state-build time; the batch caps within itself —
@@ -3082,6 +3226,35 @@ ORDER BY doc_id""")
          SELECT doc_id, source, src_rank,
                 CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS position
          FROM r ORDER BY position"""
+    },
+    "corpus_doremi" -> {
+      // the MW iteration unrolled: each round is the same two CTEs over
+      // the K-row domain table; every quantity sits on the 1e-12 integer
+      // grid (< 2^53), so double arithmetic replays Spark's longs exactly
+      val rounds = (1 to 5).map { i =>
+        s"""r${i}u AS (SELECT *, floor(alpha * (1.0 + 1.0 * excess)) AS u
+                FROM r${i - 1}),
+         r$i AS (SELECT domain, n_docs, excess, k,
+                       floor(((1.0 - 0.01) * u / (SUM(u) OVER ()) + 0.01 / k)
+                         * 1000000000000.0) AS alpha
+                FROM r${i}u)"""
+      }.mkString(",\n         ")
+      s"""WITH base AS (
+           SELECT CAST(source AS VARCHAR) AS domain, COUNT(*) AS n_docs,
+                  CAST(SUM(CAST(floor(least(greatest(
+                      ((doc_id % 7) / 10.0 + (n_chars % 13) / 100.0)
+                        - (doc_id % 5) / 10.0, 0.0), 1000.0)
+                      * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000000.0 AS esum
+           FROM documents GROUP BY source),
+         b2 AS (SELECT domain, n_docs, esum / n_docs AS excess,
+                       COUNT(*) OVER () AS k
+                FROM base),
+         r0 AS (SELECT *, floor(1000000000000.0 / k) AS alpha FROM b2),
+         $rounds
+         SELECT domain, n_docs, excess,
+                alpha / 1000000000000.0 AS weight
+         FROM r5 ORDER BY domain"""
     },
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang FROM (
@@ -4179,6 +4352,9 @@ ORDER BY doc_id""")
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_boilerplate" -> (textBoilerplate _),
+    "text_c4_filter" -> (textC4Filter _),
+    "text_html_extract" -> (textHtmlExtract _),
+    "text_char_entropy" -> (textCharEntropy _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_persisted" -> (decontaminatePersisted _),
     "decontaminate_bloom" -> (decontaminateBloom _),
@@ -4200,6 +4376,7 @@ ORDER BY doc_id""")
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_split" -> (corpusSplit _),
     "corpus_curriculum" -> (corpusCurriculum _),
+    "corpus_doremi" -> (corpusDoremi _),
     "corpus_mixture" -> (corpusMixture _),
     "corpus_mixture_temperature" -> (corpusMixtureTemperature _),
     "corpus_pack" -> (corpusPack _),

@@ -189,4 +189,56 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p.take(800))
   }
+
+  test("c4LineFilter: every rule exercised; page gates on brace/phrase/zero-kept") {
+    val df = Seq(
+      (1L, "good line with words.\nclick here\nanother proper line!"), // 2 kept
+      (2L, "please enable JavaScript to continue.\nfine line here."),  // js dropped (case-folded)
+      (3L, "if (x) { return 0; }\nreal sentence stays here."),         // brace -> page drop
+      (4L, "lorem ipsum dolor sit amet.\nok."),                        // phrase -> page drop; 'ok.' too short
+      (5L, "no terminal punctuation at all\nshort."),                  // nothing kept -> page drop
+      (6L, "")                                                         // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4LineFilter(df, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text", "keep_page")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 2L, "good line with words.\nanother proper line!", true),
+      (2L, 2L, 1L, "fine line here.", true),
+      (3L, 2L, 1L, "real sentence stays here.", false),
+      (4L, 2L, 1L, "lorem ipsum dolor sit amet.", false),
+      (5L, 2L, 0L, "", false),
+      (6L, 1L, 0L, "", false)))
+  }
+
+  test("htmlToText: blocks, comments, tags, entities, corrupt html are data") {
+    val df = Seq(
+      (1L, "<body><h1>Hi</h1><script>if(a<2){b=3}</script><p>x &amp; y</p></body>"),
+      (2L, "<div>double &amp;lt; stays escaped</div><!-- gone -->"),
+      (3L, "plain text, no markup at all"),
+      (4L, "<p>unclosed tag <b>bold text"), // corrupt html is data, not a failure
+      (5L, "a&nbsp;&quot;b&quot;&#39;c&#39; &lt;tag&gt;")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.htmlToText($"text").as("t"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, "Hi x & y"),
+      (2L, "double &lt; stays escaped"), // &amp; decoded LAST: one escape level only
+      (3L, "plain text, no markup at all"),
+      (4L, "unclosed tag bold text"),
+      (5L, "a \"b\"'c' <tag>")))
+  }
+
+  test("charStats: closed-form entropy/simpson/top-frac; empty text zeros") {
+    val df = Seq((1L, "aab"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.charStats(df, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "n_chars", "n_distinct_chars", "top_char_frac",
+        "char_simpson", "char_entropy")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // "aab": p=(2/3,1/3) -> top 0.666667, simpson 1-5/9=0.444444,
+    // H=-(2/3 ln 2/3 + 1/3 ln 1/3)=0.636514
+    assert(r(0) == ((1L, 3L, 2L, 0.666667, 0.444444, 0.636514)))
+    assert(r(1) == ((2L, 4L, 1L, 1.0, 0.0, 0.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
