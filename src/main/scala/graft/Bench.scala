@@ -81,7 +81,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH artifact keeps only a truncated log tail, which
+    // has repeatedly cost round-over-round comparisons most of their
+    // per-query numbers — also land the COMPLETE map as a flat file in
+    // the repo so every number survives (r8 advice item #7)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }
 }

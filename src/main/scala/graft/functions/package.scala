@@ -75,6 +75,12 @@ package object functions {
     col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       expr(bloomBytes), expr(value)))
 
+  /** One-pass character-distribution stats:
+    * struct<n_chars, n_distinct, top_frac, simpson, entropy> (raw,
+    * unrounded — see [[CharDistOps.stats]]).
+    */
+  def char_dist_stats(c: Column): Column = col(CharDistStats(expr(c)))
+
   /** Distinct portable (md5-poly) k-token shingle hashes of a text column. */
   def portable_shingles(c: Column, k: Int): Column = col(PortableShingles(expr(c), k))
 

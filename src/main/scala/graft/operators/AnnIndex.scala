@@ -114,6 +114,23 @@ object AnnIndex {
     * paths: splitting partitions the corpus side of each cell, it
     * never adds or removes a pair (spec-pinned).
     */
+  /** The planner's own broadcast regime test: does `df`'s optimized-plan
+    * size statistic fit under `spark.sql.autoBroadcastJoinThreshold`?
+    * Used by [[cellCandidates]] (and RetrievePipeline's serve-path
+    * regime switch) so graft's own broadcast/shuffle decisions agree
+    * with the decisions Catalyst would make on the same frame.
+    */
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
+    val spark = df.sparkSession
+    val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val bcThreshold = // "-1"/plain numbers parse directly; "10MB" forms via JavaUtils
+      try bcConf.trim.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcConf) }
+    bcThreshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= bcThreshold
+  }
+
   private def cellCandidates(corpus: DataFrame, probes: DataFrame,
                              corpusIdCol: String,
                              maxCellRows: Long): DataFrame = {
@@ -122,19 +139,17 @@ object AnnIndex {
     // the planner's own broadcast statistic for the probe side: under
     // the threshold the join is map-side over the scan — no reducer,
     // no funnel, salting would only add a corpus shuffle
-    val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val bcThreshold = // "-1"/plain numbers parse directly; "10MB" forms via JavaUtils
-      try bcConf.trim.toLong
-      catch { case _: NumberFormatException =>
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcConf) }
-    val probeBytes = probes.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bcThreshold > 0 && probeBytes <= bcThreshold)
+    if (fitsBroadcast(probes))
       return corpus.join(probes, Seq("cell_id"))
     val minSplits = spark.sparkContext.defaultParallelism
     val occ = corpus.groupBy("cell_id").count().collect() // bounded: <= nlist
-      // ceil(n / maxCellRows) in the overflow-safe form (n >= 1 here)
+      // ceil(n / maxCellRows), kept in Long and clamped to the 1<<16
+      // partition cap BEFORE the Int narrowing — a naive .toInt with a
+      // tiny maxCellRows would wrap negative and silently map the hottest
+      // cell to a single split, restoring the funnel this exists to kill
       .map { r =>
-        val base = (((r.getLong(1) - 1) / maxCellRows) + 1).toInt
+        val base = ((((r.getLong(1) - 1) / maxCellRows) + 1)
+          .min((1 << 16).toLong)).toInt
         r.getLong(0) -> (if (base <= 1) 1 else base.max(minSplits))
       }
       .toMap

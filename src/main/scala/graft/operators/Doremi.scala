@@ -57,7 +57,14 @@ object Doremi {
     // fixed-point mean (qsum pattern): floor-quantized 1e-12 units summed
     // as exact DECIMAL(38,0) — re-association-free across partitionings
     val term = greatest(proxyLoss - refLoss, lit(0.0))
+    // rows without a usable loss pair are excluded from BOTH the
+    // numerator and the denominator: a null loss would otherwise skip the
+    // sum but still count in n_docs (silently deflating the domain's
+    // excess), and a NaN would propagate through every MW round
+    val usable = proxyLoss.isNotNull && refLoss.isNotNull &&
+      !isnan(proxyLoss.cast("double")) && !isnan(refLoss.cast("double"))
     val base = df
+      .filter(usable)
       .groupBy(col(domainCol).cast("string").as("domain"))
       .agg(
         count(lit(1)).as("n_docs"),

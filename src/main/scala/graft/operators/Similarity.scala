@@ -247,15 +247,20 @@ object Similarity {
         struct(col("bucket").cast("int"), col("w")))).as("m"))
       .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
         i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("raw"))
-    val norm = sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x))
     // fully-cancelled docs (every bucket's signed sum is 0) emit NO row,
     // like token-less docs: a zero vector has no cosine direction, so it
     // can never self-match — keeping it would silently break the
     // marker-free replay-idempotency contract of the dedup ingest paths
-    // (a re-delivered zero-vector doc re-admits on every replay)
-    dense.filter(norm > 0.0)
+    // (a re-delivered zero-vector doc re-admits on every replay).
+    // The norm is materialized as a column FIRST: interpreted HOF lambdas
+    // get no subexpression caching, so dividing by the aggregate
+    // expression inside the transform would re-fold the whole vector per
+    // element — O(dim²) per row instead of O(dim).
+    dense.withColumn("n",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("n") > 0.0)
       .select(col(idCol),
-        transform(col("raw"), x => x / norm).cast("array<float>").as("embedding"))
+        transform(col("raw"), x => x / col("n")).cast("array<float>").as("embedding"))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =

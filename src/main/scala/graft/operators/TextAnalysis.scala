@@ -201,33 +201,33 @@ object TextAnalysis {
     * count, the share of the most frequent character, Simpson diversity
     * 1 − Σp², and Shannon entropy in nats.
     *
-    * Everything is computed IN-ROW over the sorted distinct-character
-    * array (alphabet-sized, ~10²) — map-only codegen, no explode, no
-    * shuffle — and because the per-row floating sums run in one fixed
-    * (sorted) order, the rounded values are identical on a laptop, a
-    * 1000-executor cluster, and the SQL oracle. Cost is
-    * O(|alphabet| · len) per row, the price of avoiding a corpus-sized
-    * (doc, char) exchange. Empty documents report zero entropy.
+    * Everything is computed IN-ROW by ONE native code-point pass
+    * ([[graft.functions.CharDistStats]], whole-stage codegen) — map-only,
+    * no explode, no shuffle, O(len) per row — and because the per-row
+    * floating sums fold in one fixed (ascending code point = UTF-8 byte
+    * sort) order, the rounded values are identical on a laptop, a
+    * 1000-executor cluster, and the SQL oracle (whose O(|alphabet| · len)
+    * list-lambda formulation folds the same terms in the same order).
+    * Empty documents report zero entropy.
     */
   def charStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // Java's split("", -1) keeps a trailing "" the SQL twin doesn't — drop it.
-    val chars = filter(split(col(textCol), ""), x => x =!= "")
-    val n = size(chars).cast("double")
-    val counts = transform(array_sort(array_distinct(chars)),
-      c => size(filter(chars, x => x === c)).cast("double"))
-    val simpson = lit(1.0) - aggregate(counts, lit(0.0),
-      (acc, c) => acc + (c / n) * (c / n))
-    val entropy = lit(0.0) - aggregate(counts, lit(0.0),
-      (acc, c) => acc + (c / n) * log(c / n))
-    df.withColumn("n_chars", length(col(textCol)).cast("long"))
-      .withColumn("n_distinct_chars", size(array_distinct(chars)).cast("long"))
+    // struct built once in its own projection; the field split stays a
+    // separate projection (CollapseProject leaves non-cheap expressions
+    // referenced more than once alone, so the pass runs once per row)
+    val stats = df.withColumn("_cs", graft.functions.char_dist_stats(col(textCol)))
+    stats
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_distinct_chars", col("_cs.n_distinct"))
       .withColumn("top_char_frac",
         when(col("n_chars") === 0, lit(0.0))
-          .otherwise(round(array_max(counts) / n, 6)))
+          .otherwise(round(col("_cs.top_frac"), 6)))
       .withColumn("char_simpson",
-        when(col("n_chars") === 0, lit(0.0)).otherwise(round(simpson, 6)))
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(col("_cs.simpson"), 6)))
       .withColumn("char_entropy",
-        when(col("n_chars") === 0, lit(0.0)).otherwise(round(entropy, 6)))
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(col("_cs.entropy"), 6)))
+      .drop("_cs")
   }
 
   /** HTML → text extraction (the step BEFORE any quality/dedup pass in a

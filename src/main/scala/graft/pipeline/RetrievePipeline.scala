@@ -105,11 +105,21 @@ object RetrievePipeline {
   }
 
   /** Hybrid top-k from the persisted artifacts. `queries` is
-    * (query_id: integral, text). Returns (query_id, rank, chunk_id,
-    * doc_id, rrf, n_sources), ≤ k rows per query.
+    * (query_id: non-negative integral, text). Returns (query_id, rank,
+    * chunk_id, doc_id, rrf, n_sources), ≤ k rows per query.
+    *
+    * `bulk` picks the vector leg's execution regime: `None` (default)
+    * decides from the planner's own broadcast statistic on the embedded
+    * query frame — service-sized batches take [[AnnIndex.queryIvf]]'s
+    * broadcast probe join, corpus-sized query sides (bulk kNN labeling
+    * against the store) take [[AnnIndex.queryIvfBulk]]'s shuffle join
+    * with hot-cell sub-splits. `Some(b)` forces a regime (spec hook —
+    * the two are bit-identical at the same parameters, pinned by
+    * AnnIndexSpec and RetrievePipelineSpec).
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int = 10, nprobe: Int = 2, k0: Int = 60): DataFrame = {
+            k: Int = 10, nprobe: Int = 2, k0: Int = 60,
+            bulk: Option[Boolean] = None): DataFrame = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
@@ -118,6 +128,14 @@ object RetrievePipeline {
     val (dim, salt) = (meta.getInt(0), meta.getString(1))
     val q = queries.select(col("query_id").cast("long").as("query_id"),
       col("text"))
+    // the sign-fold below maps [0, 2^63) onto the negative range; a
+    // NEGATIVE query id would fold INTO the non-negative chunk-id space
+    // and let the ANN self-match filter silently drop a true neighbor —
+    // mirror build()'s id-space guards and fail fast instead
+    val qMin = q.agg(min(col("query_id"))).head()
+    require(!qMin.isNullAt(0) && qMin.getLong(0) >= 0,
+      "RetrievePipeline.query: query ids must be non-negative " +
+        "(the sign-fold reserves the negative range for queries)")
     val terms = q.select(col("query_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -128,8 +146,15 @@ object RetrievePipeline {
     // one-idCol contract for both sides)
     val qVec = Similarity.hashEmbed(q, "text", "query_id", dim, salt)
       .select((-col("query_id") - 1).as("chunk_id"), col("embedding"))
-    val vector = AnnIndex.queryIvf(spark, s"$dir/ann", qVec, "embedding",
-        "chunk_id", k, nprobe)
+    val useBulk = bulk.getOrElse(!AnnIndex.fitsBroadcast(qVec))
+    val ann =
+      if (useBulk)
+        AnnIndex.queryIvfBulk(spark, s"$dir/ann", qVec, "embedding",
+          "chunk_id", k, nprobe)
+      else
+        AnnIndex.queryIvf(spark, s"$dir/ann", qVec, "embedding",
+          "chunk_id", k, nprobe)
+    val vector = ann
       .select((-col("query_id") - 1).as("query_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
     Retrieval.hybridRrf(lexical, vector, k, k0)

@@ -47,7 +47,18 @@ class Warehouse(val spark: SparkSession, val root: String) {
   private def recoverStranded(table: String): Unit = {
     val dst = Paths.get(path(table))
     val old = Paths.get(path(table) + "__old")
-    if (!Files.exists(dst) && Files.exists(old)) Files.move(old, dst)
+    if (!Files.exists(dst) && Files.exists(old)) {
+      // best-effort heal, not owed: between the exists checks and this
+      // move another reader may have healed first, or a concurrent
+      // overwrite may have landed tmp→dst (FileAlreadyExists) or
+      // re-staged __old itself (NoSuchFile) — every one of those races
+      // leaves a readable dst, so losing the move is success
+      try Files.move(old, dst)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+    }
   }
 
   def exists(table: String): Boolean = {
@@ -84,15 +95,21 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val old = Paths.get(path(table) + "__old")
       deleteRecursively(old)
       Files.move(dst, old)
-      try Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // a concurrent reader's recoverStranded healed __old back to
-          // dst inside the swap window; the WRITER wins the race —
-          // re-stage the healed (old) contents and land the new table
-          deleteRecursively(old)
-          Files.move(dst, old)
+      // a concurrent reader's recoverStranded can heal __old back to dst
+      // inside the swap window; the WRITER wins the race — re-stage the
+      // healed (old) contents and retry UNTIL the new table lands (each
+      // reader observation can heal at most once, but several readers can
+      // each heal inside one window, so a single retry is not enough)
+      var landed = false
+      while (!landed) {
+        try {
           Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          landed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(old)
+            Files.move(dst, old)
+        }
       }
       deleteRecursively(old)
     } else Files.move(Paths.get(tmp), dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)

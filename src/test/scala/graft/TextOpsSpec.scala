@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.{Decontam, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Repetition metrics, PII redaction, and benchmark decontamination on
   * hand-computed fixtures (the corpus-level checks live in the oracle).
@@ -240,5 +242,49 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0) == ((1L, 3L, 2L, 0.666667, 0.444444, 0.636514)))
     assert(r(1) == ((2L, 4L, 1L, 1.0, 0.0, 0.0)))
     assert(r(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("charStats: native one-pass expression is bit-identical to the " +
+    "O(alphabet x len) HOF formulation it replaced") {
+    // the old column formulation, verbatim (the r8 board's oracle-matched
+    // shape): per-distinct-char re-scan, folds in array_sort order —
+    // the native CharDistStats must reproduce every double bit-for-bit
+    def oldStats(df: DataFrame): DataFrame = {
+      val chars = filter(split($"text", ""), x => x =!= "")
+      val n = size(chars).cast("double")
+      val counts = transform(array_sort(array_distinct(chars)),
+        c => size(filter(chars, x => x === c)).cast("double"))
+      val simpson = lit(1.0) - aggregate(counts, lit(0.0),
+        (acc, c) => acc + (c / n) * (c / n))
+      val entropy = lit(0.0) - aggregate(counts, lit(0.0),
+        (acc, c) => acc + (c / n) * log(c / n))
+      df.withColumn("n_chars", length($"text").cast("long"))
+        .withColumn("n_distinct_chars", size(array_distinct(chars)).cast("long"))
+        .withColumn("top_char_frac",
+          when($"n_chars" === 0, lit(0.0)).otherwise(round(array_max(counts) / n, 6)))
+        .withColumn("char_simpson",
+          when($"n_chars" === 0, lit(0.0)).otherwise(round(simpson, 6)))
+        .withColumn("char_entropy",
+          when($"n_chars" === 0, lit(0.0)).otherwise(round(entropy, 6)))
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaabbbbcccdde"),
+      (3L, "naïve café — déjà vu; ünïcödé mix 123!?"),
+      (4L, "    \n\t whitespace   heavy \n\n doc   "),
+      (5L, "ABCabc!@#$%^&*()[]{};:'\",.<>/?\\|`~-_=+"),
+      (6L, ""),
+      (7L, "𝕏 astral 𝄞 plane 🚀 chars 𝕏𝕏"),
+      (8L, "base64ish QWxhZGRpbjpvcGVuIHNlc2FtZQ== blob"))
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_chars", "n_distinct_chars", "top_char_frac",
+      "char_simpson", "char_entropy")
+    val neu = TextAnalysis.charStats(docs, "text", "doc_id")
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val old = oldStats(docs)
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(neu == old)
   }
 }
