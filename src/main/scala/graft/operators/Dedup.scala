@@ -488,12 +488,7 @@ object Dedup {
       .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol)), portable).as("sig"))
     // block b covers bits [b*64/blocks, (b+1)*64/blocks) — widths differ by
     // at most one bit when 64 % blocks != 0
-    val blockKeys = array((0 until blocks).map { blk =>
-      val lo = blk * 64 / blocks
-      val hi = (blk + 1) * 64 / blocks
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      concat_ws(":", lit(blk), shiftrightunsigned(col("sig"), lo).bitwiseAND(mask))
-    }: _*)
+    val blockKeys = pigeonholeBlockKeys(col("sig"), blocks)
     // materialized like minhashLsh's banded side: both aliases of the
     // self-join (and the hot-key aggregate) would otherwise re-run the
     // per-row simhash over the whole corpus. Eager localCheckpoint so the
@@ -510,6 +505,117 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Perceptual (dHash) near-dup pairs over visual signatures — the
+    * multimodal twin of [[simhashPairs]], closing the dedup × media gap:
+    * `hashes` is [[graft.operators.Multimodal.visualHashes]] output (or
+    * any (id, grid: array<int>, dhash: long) frame — one row per image
+    * or sampled video frame; null-hash rows are skipped).
+    *
+    * Candidates come from the same pigeonhole banding as simhash (any
+    * pair within `maxHamming` agrees on one of maxHamming+1 signature
+    * blocks — full recall at the bound), with the same hot-bucket cap
+    * (a pile of identical flat images would otherwise make one bucket
+    * quadratic). Verification is two-stage: exact Hamming on the 64-bit
+    * signature, then EXACT PIXEL DISTANCE — mean absolute luma
+    * difference over the downscaled grids (`grid_l1`, in the 0..255000
+    * ITU-601×1000 cell units) — so two images with coincidentally equal
+    * gradient signs but different content cannot pair. Grids are
+    * gw·gh-bounded arrays, so the verify is map-side arithmetic on the
+    * candidate set, never a payload join.
+    */
+  /** Bit range of pigeonhole block `blk` of `blocks` over a 64-bit
+    * signature: (low bit, value mask). The single source of truth for
+    * the banding geometry — [[pigeonholeBlockKeys]] and
+    * [[MediaHashStore]]'s partition layout both derive from it.
+    */
+  private[operators] def blockMask(blk: Int, blocks: Int): (Int, Long) = {
+    val lo = blk * 64 / blocks
+    val hi = (blk + 1) * 64 / blocks
+    (lo, if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L)
+  }
+
+  /** The pigeonhole block keys of a 64-bit signature column: any pair
+    * within `blocks − 1` Hamming distance agrees on at least one whole
+    * block, so block-key collision has full recall at that bound.
+    * Shared by [[simhashPairs]], [[dhashPairs]] and [[dhashScreen]].
+    */
+  private def pigeonholeBlockKeys(sig: Column, blocks: Int): Column =
+    array((0 until blocks).map { blk =>
+      val (lo, mask) = blockMask(blk, blocks)
+      concat_ws(":", lit(blk), shiftrightunsigned(sig, lo).bitwiseAND(mask))
+    }: _*)
+
+  /** The two-stage dHash verify shared by [[dhashPairs]],
+    * [[dhashScreen]] and [[MediaHashStore.screenUnits]]: exact Hamming
+    * on the 64-bit signatures, then exact mean-absolute distance over
+    * the perceptual grids.
+    */
+  private[operators] def dhashVerify(cand: DataFrame, maxHamming: Int,
+                                     maxL1: Double): DataFrame =
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("grid_l1",
+        aggregate(zip_with(col("grid_a"), col("grid_b"),
+            (a, b) => abs(a - b).cast("long")),
+          lit(0L), (acc, d) => acc + d).cast("double") / size(col("grid_a")))
+      .filter(col("grid_l1") <= maxL1)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(col("grid_l1"), 6).as("grid_l1"))
+
+  def dhashPairs(hashes: DataFrame, idCol: String, maxHamming: Int = 3,
+                 maxL1: Double = 12750.0, maxBucket: Int = 1000): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks <= 64, "maxHamming must be < 64")
+    val sigs = hashes.filter(col("dhash").isNotNull)
+      .select(col(idCol), col("grid"), col("dhash").as("sig"))
+    val blockKeys = pigeonholeBlockKeys(col("sig"), blocks)
+    // materialized for the same reason as simhashPairs: both self-join
+    // aliases and the hot-key aggregate would otherwise re-run the
+    // upstream decode+hash codec pass over the whole corpus
+    val blocked = dropHotKeys(
+      sigs.select(col(idCol), col("sig"), col("grid"),
+        explode(blockKeys).as("block_key")),
+      "block_key", maxBucket).localCheckpoint(true)
+    val cand = blocked.alias("x").join(blocked.alias("y"), Seq("block_key"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"),
+        col("x.grid").as("grid_a"), col("y.grid").as("grid_b"))
+      .distinct()
+    dhashVerify(cand, maxHamming, maxL1)
+  }
+
+  /** Screen a BATCH of perceptual hashes against a COMMITTED store — the
+    * incremental twin of [[dhashPairs]] (the minhash-state /
+    * AnnIndex.screenIvf shape for media): returns (id_a = batch id,
+    * id_b = store id, hamming, grid_l1) for every batch unit within
+    * `maxHamming` AND `maxL1` of a committed one. The batch side is
+    * micro-batch-sized and BROADCAST, so the store never shuffles — the
+    * join is map-side over the store scan, per-batch cost tracks the
+    * batch, and (unlike the self-join) a hot store bucket is no funnel:
+    * its matches fan out across the store's own partitions. Banding is
+    * the same pigeonhole split, so recall at the Hamming bound is full —
+    * which is what makes the screen its own re-delivery guard (a
+    * re-delivered unit matches its committed copy at distance 0).
+    */
+  def dhashScreen(batch: DataFrame, store: DataFrame, idCol: String,
+                  maxHamming: Int = 3, maxL1: Double = 12750.0): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks <= 64, "maxHamming must be < 64")
+    def sided(df: DataFrame, side: String) =
+      df.filter(col("dhash").isNotNull)
+        .select(col(idCol).as(s"id_$side"), col("grid").as(s"grid_$side"),
+          col("dhash").as(s"sig_$side"))
+        .withColumn("block_key",
+          explode(pigeonholeBlockKeys(col(s"sig_$side"), blocks)))
+    val cand = sided(store, "b")
+      .join(broadcast(sided(batch, "a")), Seq("block_key"))
+      .drop("block_key").distinct()
+    dhashVerify(cand, maxHamming, maxL1)
   }
 
   /** Canonical representative per document from a near-dup PAIR set:

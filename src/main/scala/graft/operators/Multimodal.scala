@@ -501,6 +501,184 @@ object Multimodal {
       Some((w, h, fn, fd, lumas.result()))
     }
 
+    /** Nearest-neighbor gw×gh luma grid of a 24-bpp BMP, in DISPLAY
+      * orientation (BMPs store rows bottom-up; grid row gy samples file
+      * row h−1−⌊gy·h/gh⌋, so a BMP and a top-down decode of the same
+      * picture grid identically). Cell value = integer ITU-R 601 luma
+      * ×1000: 299·R + 587·G + 114·B (bytes are BGR in the file). Same
+      * header/bounds discipline as [[decodeBmp]]; None for anything it
+      * would reject.
+      *
+      * The floor-scaled NN sampling composes with [[resizeBmp]]'s: an
+      * exact k× NN upscale samples back to the SAME source pixels
+      * (⌊⌊k·x⌋/k⌋ = ⌊x⌋), so a scaled copy grids — and therefore
+      * dHashes — identically to its original (MultimodalSpec pins it).
+      */
+    def lumaGridBmp(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || bpp != 24) return None
+      if (offset < 0) return None
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      if (offset.toLong + h.toLong * strideL > bytes.length) return None
+      val stride = strideL.toInt
+      val grid = new Array[Int](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        val sr = h - 1 - (gy.toLong * h / gh).toInt // display-order row
+        var gx = 0
+        while (gx < gw) {
+          val sc = (gx.toLong * w / gw).toInt
+          val p = offset + sr * stride + sc * 3
+          grid(gy * gw + gx) = 299 * (bytes(p + 2) & 0xFF) +
+            587 * (bytes(p + 1) & 0xFF) + 114 * (bytes(p) & 0xFF)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(grid)
+    }
+
+    /** [[lumaGridBmp]] for PNG/JPEG via ImageIO (already top-down). */
+    def lumaGridImageIO(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val grid = new Array[Int](gw * gh)
+          var gy = 0
+          while (gy < gh) {
+            val sr = (gy.toLong * h / gh).toInt
+            var gx = 0
+            while (gx < gw) {
+              val sc = (gx.toLong * w / gw).toInt
+              val v = img.getRGB(sc, sr)
+              grid(gy * gw + gx) = 299 * ((v >> 16) & 0xFF) +
+                587 * ((v >> 8) & 0xFF) + 114 * (v & 0xFF)
+              gx += 1
+            }
+            gy += 1
+          }
+          Some(grid)
+        }
+      } catch { case _: Exception => None }
+
+    /** Per-frame luma grids of a Y4M clip (frames are top-down; the Y
+      * plane IS the luma, scaled ×1000 to share [[lumaGridBmp]]'s units
+      * so image and video signatures live in one distance space).
+      */
+    def lumaGridsY4m(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Array[Int]]] = {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 9) return None
+      val header = new String(bytes, 0, nl, "US-ASCII")
+      val parts = header.split(" ")
+      if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+      var (w, h) = (-1, -1)
+      var c420 = true
+      parts.drop(1).foreach { p =>
+        try p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => c420 = p.substring(1).startsWith("420")
+          case _ => ()
+        } catch { case _: Exception => return None }
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 ||
+          w > (1 << 15) || h > (1 << 15) || !c420) return None
+      val ySize = w * h
+      val frameSize = ySize + ySize / 2
+      val grids = Array.newBuilder[Array[Int]]
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        if (pos + 6 > bytes.length ||
+            new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+        val fnl = {
+          var i = pos + 5
+          while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+          i
+        }
+        if (fnl >= bytes.length || fnl + 1 + frameSize > bytes.length) return None
+        val grid = new Array[Int](gw * gh)
+        var gy = 0
+        while (gy < gh) {
+          val sr = (gy.toLong * h / gh).toInt
+          var gx = 0
+          while (gx < gw) {
+            val sc = (gx.toLong * w / gw).toInt
+            grid(gy * gw + gx) = 1000 * (bytes(fnl + 1 + sr * w + sc) & 0xFF)
+            gx += 1
+          }
+          gy += 1
+        }
+        grids += grid
+        pos = fnl + 1 + frameSize
+      }
+      Some(grids.result())
+    }
+
+    /** Loudness-envelope grid of a WAV — the audio member of the
+      * perceptual-signature family (images/video get luma grids): the
+      * sample stream splits into gw·gh floor-scaled windows, window
+      * energy = Σ|sample| (exact integer), and the grid is normalized
+      * to the images' 0..255000 unit scale by `E_i · 255000 / max(E)`
+      * (integer floor). Gradient SIGNS of the envelope — which is what
+      * [[dhashOf]] extracts — survive gain changes (positive scaling
+      * preserves ordering) and the normalization makes grid-L1
+      * distances comparable across modalities. None for anything the
+      * RIFF walk rejects.
+      */
+    def envelopeGridWav(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] =
+      wavSamples(bytes).map { case (_, samples) =>
+        val cells = gw * gh
+        val ns = samples.length
+        val e = new Array[Long](cells)
+        var i = 0
+        while (i < cells) {
+          val lo = (i.toLong * ns / cells).toInt
+          val hi = ((i + 1).toLong * ns / cells).toInt
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += math.abs(samples(j).toLong); j += 1 }
+          e(i) = s
+          i += 1
+        }
+        var maxE = 0L
+        i = 0
+        while (i < cells) { if (e(i) > maxE) maxE = e(i); i += 1 }
+        val grid = new Array[Int](cells)
+        if (maxE > 0) {
+          i = 0
+          while (i < cells) { grid(i) = (e(i) * 255000L / maxE).toInt; i += 1 }
+        }
+        grid
+      }
+
+    /** Difference hash over a luma grid: bit gy·(gw−1)+gx is set iff
+      * cell (gx+1, gy) > cell (gx, gy) — the classic dHash (gw=9, gh=8
+      * gives the canonical 64-bit signature). Gradient signs survive
+      * brightness/contrast shifts and lossy recompression, which is why
+      * every image training corpus perceptual-dedups on exactly this.
+      */
+    def dhashOf(grid: Array[Int], gw: Int, gh: Int): Long = {
+      var sig = 0L
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (grid(gy * gw + gx + 1) > grid(gy * gw + gx))
+            sig |= 1L << (gy * (gw - 1) + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+
     def decode(mediaType: String, bytes: Array[Byte]): Decoded = mediaType match {
       case "image/bmp" => decodeBmp(bytes)
       case "image/png" | "image/jpeg" => decodeImageIO(bytes)
@@ -717,6 +895,126 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Integer-factor nearest-neighbor upscale of every image payload —
+    * the per-image twin of [[resizeImages]] (which targets one fixed
+    * geometry): each image is re-emitted at (factor·w, factor·h) in its
+    * own container. Because the NN sampling rules compose exactly
+    * (⌊⌊k·x⌋/k⌋ = ⌊x⌋), an upscaled copy decodes to the same
+    * [[Codec.lumaGridBmp]] grid as its source — the closed-form
+    * duplicate generator the perceptual-dedup oracle replays.
+    * Non-images pass through; corrupt payloads emit null (data, not
+    * failures). Streams rows, no driver collect.
+    */
+  def upscaleImages(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1 && factor <= 8, "factor in [1, 8]")
+    val spark = media.sparkSession
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type", "byte_len")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mt = r.getAs[String]("media_type")
+          val bytes = r.getAs[Array[Byte]]("payload")
+          def dims(b: Array[Byte]): Option[(Int, Int)] = mt match {
+            case "image/bmp" =>
+              if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+              else {
+                val buf = java.nio.ByteBuffer.wrap(b)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                val (w, h) = (buf.getInt(18), buf.getInt(22))
+                if (w <= 0 || h <= 0) None else Some((w, h))
+              }
+            case "image/png" | "image/jpeg" =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b))
+                if (img == null) None else Some((img.getWidth, img.getHeight))
+              } catch { case _: Exception => None }
+            case _ => None
+          }
+          val scaled: Option[Option[Array[Byte]]] = mt match {
+            case "image/bmp" =>
+              Some(dims(bytes).flatMap { case (w, h) =>
+                Codec.resizeBmp(bytes, w * factor, h * factor) })
+            case "image/png" =>
+              Some(dims(bytes).flatMap { case (w, h) =>
+                Codec.resizeImageIO(bytes, w * factor, h * factor, "png") })
+            case "image/jpeg" =>
+              Some(dims(bytes).flatMap { case (w, h) =>
+                Codec.resizeImageIO(bytes, w * factor, h * factor, "jpg") })
+            case _ => None // not an image: pass through untouched
+          }
+          scaled match {
+            case None =>
+              Row(r.getAs[Long]("doc_id"), bytes, mt, r.getAs[Long]("byte_len"))
+            case Some(Some(b)) => Row(r.getAs[Long]("doc_id"), b, mt, b.length.toLong)
+            case Some(None) => Row(r.getAs[Long]("doc_id"), null, mt, 0L)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  val visualHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("grid", ArrayType(IntegerType, containsNull = false)),
+    StructField("dhash", LongType)))
+
+  /** Perceptual signature extraction — the decode→downscale→dHash stage
+    * every media training corpus runs BEFORE anything else: one row per
+    * image (frame_idx 0), one per sampled video frame (every
+    * `frameStride`-th), and one per audio clip (the normalized loudness
+    * envelope plays the luma grid's role — [[Codec.envelopeGridWav]]),
+    * each carrying the gw×gh grid and its 64-bit dHash
+    * ([[Codec.dhashOf]]). Non-media types and corrupt payloads emit one
+    * row with null grid/dhash — corrupt blobs are data, not task
+    * failures. Partition-parallel mapPartitions (the codec-work shape);
+    * nothing collects. Feed the result to [[Dedup.dhashPairs]] for
+    * banded Hamming near-dup candidates.
+    */
+  def visualHashes(media: DataFrame, gw: Int = 9, gh: Int = 8,
+                   frameStride: Int = 1): DataFrame = {
+    require(gw >= 2 && gh >= 1 && (gw - 1) * gh <= 64,
+      "dHash needs 2 <= gw, (gw-1)*gh <= 64 bits")
+    require(frameStride >= 1, "frameStride >= 1")
+    val spark = media.sparkSession
+    val nullRow = (id: Long) => Row(id, null, null, null)
+    val rdd = graft.Tables.fanOut(
+        media.select("doc_id", "payload", "media_type")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = r.getAs[Array[Byte]]("payload")
+          r.getAs[String]("media_type") match {
+            case _ if bytes == null => Iterator.single(nullRow(id))
+            case "image/bmp" =>
+              Iterator.single(Codec.lumaGridBmp(bytes, gw, gh)
+                .map(g => Row(id, 0L, g.toSeq, Codec.dhashOf(g, gw, gh)))
+                .getOrElse(nullRow(id)))
+            case "image/png" | "image/jpeg" =>
+              Iterator.single(Codec.lumaGridImageIO(bytes, gw, gh)
+                .map(g => Row(id, 0L, g.toSeq, Codec.dhashOf(g, gw, gh)))
+                .getOrElse(nullRow(id)))
+            case "audio/wav" =>
+              Iterator.single(Codec.envelopeGridWav(bytes, gw, gh)
+                .map(g => Row(id, 0L, g.toSeq, Codec.dhashOf(g, gw, gh)))
+                .getOrElse(nullRow(id)))
+            case "video/y4m" =>
+              Codec.lumaGridsY4m(bytes, gw, gh) match {
+                case Some(grids) if grids.nonEmpty =>
+                  grids.iterator.zipWithIndex
+                    .filter { case (_, i) => i % frameStride == 0 }
+                    .map { case (g, i) =>
+                      Row(id, i.toLong, g.toSeq, Codec.dhashOf(g, gw, gh)) }
+                case _ => Iterator.single(nullRow(id))
+              }
+            case _ => Iterator.single(nullRow(id))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, visualHashSchema)
   }
 
   /** Deterministic frame sampling for time-media: pick every `stride`-th

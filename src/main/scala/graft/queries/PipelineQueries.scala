@@ -1338,6 +1338,80 @@ ORDER BY doc_id""")
         round(col("f0"), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Perceptual-hash image dedup END TO END through real bytes — the
+    * dedup × multimodal intersection: synthesize real BMPs, make a real
+    * 2× nearest-neighbor upscaled COPY of each
+    * ([[graft.operators.Multimodal.upscaleImages]] — re-encoded
+    * container, different bytes, same picture), dHash every payload over
+    * the decoded 9×8 luma grid ([[Multimodal.visualHashes]]), and find
+    * near-dup pairs by banded Hamming LSH + exact grid-distance verify
+    * ([[Dedup.dhashPairs]]). Every original must pair with its scaled
+    * copy (the NN floor-sampling identity makes their grids EQUAL — the
+    * oracle replays the closed-form grid once and instantiates it under
+    * both ids), and unrelated images must not collide. Copy ids live at
+    * doc_id + 1e6, far above any fixture id.
+    */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val bmps = Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id")
+      .filter(col("media_type") === "image/bmp") // even ids
+    val copies = Multimodal.upscaleImages(bmps, 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val hashes = Multimodal.visualHashes(bmps.unionByName(copies))
+      .select("doc_id", "grid", "dhash")
+    Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Perceptual dedup of VIDEO FRAMES — the per-frame member of the
+    * media-dedup pair ([[mmDedup]] covers images): synthesize real Y4M
+    * clips, dHash every decoded frame ([[Multimodal.visualHashes]] emits
+    * one row per frame), and pair near-dup frames corpus-wide with the
+    * same banded-Hamming + grid-L1 machinery. The synthetic clips
+    * contain REAL duplicate frames by construction — frame f's luma
+    * stream is the text bytes rotated by f·w·h mod n, so short docs wrap
+    * and repeat frames — which is exactly the static-scene/keyframe
+    * duplication a video corpus dedups. Frame unit id packs
+    * doc_id·16 + frame_idx (nf ≤ 7 < 16).
+    */
+  def mmDedupVideo(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeVideos(docs(s, dir), "text", "doc_id")
+    val hashes = Multimodal.visualHashes(media)
+      .select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+        col("grid"), col("dhash"))
+    Dedup.dhashPairs(hashes, "fid", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Perceptual dedup of AUDIO — the third member of the media-dedup
+    * family: synthesize real WAVs, fingerprint each clip's normalized
+    * loudness envelope ([[Multimodal.Codec.envelopeGridWav]] → dHash),
+    * and pair near-dup clips with the shared banded-Hamming + grid-L1
+    * machinery. The duplicate source is the same-content-different-
+    * container case every audio corpus carries: each clip is RE-ENCODED
+    * under id+1000002 — the id offset shifts the closed-form sample
+    * RATE (id mod 5), so the copy's header bytes differ while the PCM
+    * samples (a function of the text alone) are identical; the
+    * fingerprint must link every clip to its re-encode. (The fixture
+    * corpus holds no byte-identical texts, so unlike frames/images the
+    * natural-collision channel is empty here — re-encode IS the
+    * realistic duplicate for audio.)
+    */
+  def mmDedupAudio(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val reencoded = d.select((col("doc_id") + 1000002L).as("doc_id"),
+      col("text")) // +1000002: parity kept (still WAV), rate class shifted
+    val wavs = Multimodal.synthesizeMedia(d.unionByName(reencoded),
+        "text", "doc_id")
+      .filter(col("media_type") === "audio/wav") // odd ids
+    val hashes = Multimodal.visualHashes(wavs)
+      .select("doc_id", "grid", "dhash")
+    Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Audio screening features over real synthesized WAVs: RMS (exact —
     * the squared sum is integer), zero-crossing count (exact integer),
     * spectral centroid (integer-funneled DFT — see
@@ -2314,6 +2388,48 @@ ORDER BY doc_id""")
          FROM tcnt)
        SELECT cell_id, rank, token, df FROM tranked
        WHERE rank <= 5 ORDER BY cell_id, rank"""
+
+  // shared dHash oracle fragments (no-fork rule: mm_dedup and
+  // mm_dedup_video replay identical signature/banding/verify arithmetic
+  // over different closed-form grids). Expects a CTE `sigs(id, cells,
+  // bits)`; bits come from [[dhashBitsExpr]] over a 72-cell grid.
+  private val dhashBitsExpr =
+    """list_transform(range(0, 64), k ->
+         CASE WHEN cells[CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER)]
+                 > cells[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
+              THEN 1 ELSE 0 END)"""
+
+  private val dhashPairsSqlTail =
+    """blocked0 AS (
+         SELECT id, cells, bits,
+                CAST(blk AS VARCHAR) || ':' || CAST(
+                  list_sum(list_transform(range(0, 16), i ->
+                    bits[CAST(blk * 16 + i + 1 AS INTEGER)]
+                      * CAST(2 ** i AS BIGINT))) AS VARCHAR) AS block_key
+         FROM sigs, (SELECT unnest(range(0, 4)) AS blk)),
+       hot AS (SELECT block_key FROM blocked0
+               GROUP BY block_key HAVING count(*) > 1000),
+       blocked AS (SELECT * FROM blocked0
+                   WHERE block_key NOT IN (SELECT block_key FROM hot)),
+       cand AS (
+         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                x.bits AS bits_a, y.bits AS bits_b,
+                x.cells AS cells_a, y.cells AS cells_b
+         FROM blocked x JOIN blocked y ON x.block_key = y.block_key
+         WHERE x.id < y.id),
+       verified AS (
+         SELECT id_a, id_b,
+                CAST(len(list_filter(range(0, 64), k ->
+                  bits_a[CAST(k + 1 AS INTEGER)]
+                    <> bits_b[CAST(k + 1 AS INTEGER)])) AS BIGINT) AS hamming,
+                list_sum(list_transform(range(0, 72), i ->
+                  abs(cells_a[CAST(i + 1 AS INTEGER)]
+                      - cells_b[CAST(i + 1 AS INTEGER)]))) / 72.0 AS l1
+         FROM cand)
+       SELECT id_a, id_b, hamming, round(l1, 6) AS grid_l1
+       FROM verified
+       WHERE hamming <= 3 AND l1 <= 12750.0
+       ORDER BY id_a, id_b"""
 
   private val oraclesBase: Map[String, String] = Map(
     "corpus_bpe" -> bpeTrainOracle(16),
@@ -3574,6 +3690,102 @@ ORDER BY doc_id""")
                               + ((i % 24) // 3) * w // 8 * 3
                               + i % 3) % n AS INTEGER) + 1, 1)))), 6) AS f0
          FROM bmp ORDER BY doc_id""",
+    // perceptual dedup: the 9×8 display-order luma grid of each synthetic
+    // BMP in closed form (file rows are bottom-up -> grid row gy reads
+    // file row h-1-(gy*h//8); BGR byte order -> luma 299R+587G+114B),
+    // dHash bits, the SAME pigeonhole block keys as the Spark side, the
+    // hot-bucket cap, and the two-stage hamming + grid-L1 verify. The 2×
+    // NN-upscaled copy grids identically (floor-composition identity),
+    // so the oracle instantiates each doc's grid under both ids instead
+    // of replaying the resize.
+    "mm_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents
+                       WHERE doc_id % 2 = 0),
+         bmp AS (SELECT doc_id, 4 + n % 29 AS w,
+                        CAST(4 + doc_id % 13 AS INTEGER) AS h, n, text
+                 FROM base),
+         grids AS (
+           SELECT doc_id,
+                  list_transform(range(0, 72), g ->
+                    299 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3 + 2) % n AS INTEGER) + 1, 1))
+                  + 587 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3 + 1) % n AS INTEGER) + 1, 1))
+                  + 114 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3) % n AS INTEGER) + 1, 1))
+                  ) AS cells
+           FROM bmp),
+         sigs0 AS (
+           SELECT doc_id, cells, $dhashBitsExpr AS bits
+           FROM grids),
+         sigs AS (
+           SELECT doc_id AS id, cells, bits FROM sigs0
+           UNION ALL
+           SELECT doc_id + 1000000 AS id, cells, bits FROM sigs0),
+         $dhashPairsSqlTail""",
+    // video-frame perceptual dedup: frame f's luma plane is the text
+    // bytes rotated by f·w·h mod n (top-down, no BMP flip; Y ×1000 to
+    // share the image units), unit id = doc_id·16 + frame_idx; the
+    // signature/banding/verify tail is shared verbatim with mm_dedup
+    "mm_dedup_video" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         v AS (SELECT doc_id, n, text, 4 + 2 * (n % 4) AS w,
+                      CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS h,
+                      3 + n % 5 AS nf
+               FROM base),
+         frames AS (SELECT doc_id, n, text, w, h,
+                           unnest(range(0, nf)) AS f
+                    FROM v),
+         grids AS (
+           SELECT doc_id * 16 + f AS id,
+                  list_transform(range(0, 72), g ->
+                    1000 * ascii(substr(text,
+                      CAST((f * w * h + ((g // 9) * h // 8) * w
+                            + ((g % 9) * w // 9)) % n AS INTEGER) + 1, 1))
+                  ) AS cells
+           FROM frames),
+         sigs AS (
+           SELECT id, cells, $dhashBitsExpr AS bits
+           FROM grids),
+         $dhashPairsSqlTail""",
+    // audio fingerprint dedup: sample i of an odd-id WAV is the int16
+    // wrap of (byte(i mod n) − 64)·256; |samples| split into 72
+    // floor-scaled windows, window energies normalized to the shared
+    // 0..255000 grid scale; signature/banding/verify tail shared
+    // verbatim with mm_dedup
+    "mm_dedup_audio" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents
+                       WHERE doc_id % 2 = 1),
+         w AS (SELECT doc_id, n, text, 50 + n % 200 AS ns FROM base),
+         samp AS (
+           SELECT doc_id, ns,
+                  list_transform(range(0, ns), i ->
+                    abs((((ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1))
+                          - 64) * 256 + 32768) % 65536) - 32768)) AS a
+           FROM w),
+         env AS (
+           SELECT doc_id,
+                  list_transform(range(0, 72), i ->
+                    coalesce(list_sum(list_slice(a,
+                      CAST(i * ns // 72 + 1 AS INTEGER),
+                      CAST((i + 1) * ns // 72 AS INTEGER))), 0)) AS e
+           FROM samp),
+         grids AS (
+           SELECT doc_id,
+                  CASE WHEN list_max(e) = 0
+                       THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(e, x ->
+                         CAST(x * 255000 // list_max(e) AS BIGINT)) END AS cells
+           FROM env),
+         sigs0 AS (SELECT doc_id, cells, $dhashBitsExpr AS bits FROM grids),
+         sigs AS (
+           SELECT doc_id AS id, cells, bits FROM sigs0
+           UNION ALL
+           SELECT doc_id + 1000002 AS id, cells, bits FROM sigs0),
+         $dhashPairsSqlTail""",
     // BM25: same tokenization, Robertson idf, k1=1.2 b=0.75, decimal-
     // funneled score sum, (score DESC, doc_id) rank — mirrors
     // operators/Retrieval.scala term for term
@@ -4399,5 +4611,8 @@ ORDER BY doc_id""")
     "mm_features" -> (mmFeatures _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_video_frames" -> (mmVideoFrames _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_dedup" -> (mmDedup _),
+    "mm_dedup_video" -> (mmDedupVideo _),
+    "mm_dedup_audio" -> (mmDedupAudio _))
 }

@@ -558,6 +558,122 @@ object IncrementalStream {
       }
       .start()
 
+  /** Streaming PERCEPTUAL MEDIA dedup ingestion — the media member of
+    * the ingest family next to [[fuzzyDedupIngest]] (minhash text),
+    * [[embeddingDedupIngest]] (vectors) and [[textDedupIngest]]
+    * (hashEmbed): every micro-batch of media payloads is fingerprinted
+    * ([[graft.operators.Multimodal.visualHashes]] — luma-grid dHash per
+    * image and sampled video frame, envelope dHash per audio clip),
+    * screened against the COMMITTED hash store
+    * ([[graft.operators.MediaHashStore.screenUnits]] — batch side
+    * broadcast, store scan PRUNED to the batch's own band-bucket
+    * partitions, so per-batch read cost tracks the batch, not the
+    * store's age), deduped within the batch at DOCUMENT level
+    * (a doc is a duplicate when ANY of its frames matches — the
+    * keyframe-signature rule; min-id reps via `clusterReps`), and the
+    * survivors' frame hashes append to the band-partitioned store.
+    * The store holds model-thin rows (ids, 72 ints, 1 long — never
+    * payloads); `compactEvery` folds its per-batch small files under
+    * the same in-foreachBatch single-writer window the sketch ingests
+    * use.
+    *
+    * Marker-free idempotency, same argument as the embedding path but
+    * STRONGER: pigeonhole banding has FULL recall at the Hamming bound
+    * (no nprobe miss), so a re-delivered doc's frames always rematch
+    * their committed copies at distance 0 and the doc drops on every
+    * replay. The soft spot is identical too: a row first dropped as an
+    * in-batch cluster member can sit more than `maxHamming` from its
+    * admitted representative (components are transitive) and re-admit
+    * once on replay — bounded, then its own copy guards forever.
+    *
+    * Docs with NO hashable content (undecodable payloads, unsupported
+    * media types) have no signature to dedup on and are DROPPED at this
+    * gate — the [[textDedupIngest]] token-less-doc convention; route
+    * them through [[mediaScreenIngest]]'s reject channel upstream if
+    * they must be kept.
+    */
+  def mediaDedupIngest(stream: DataFrame, storeDir: String,
+                       checkpointDir: String, maxHamming: Int = 3,
+                       maxL1: Double = 12750.0, maxBucket: Int = 1000,
+                       frameStride: Int = 1,
+                       compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sp = batch0.sparkSession
+        var pinned = List.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+        try {
+          if (!batch0.isEmpty) {
+            // fid packs (doc, frame) — frame counts are codec-bounded
+            // (images/audio 1, video ≤ stride-sampled frames); 20 bits
+            // matches the chunk-id convention
+            val hashes = pin(graft.operators.Multimodal
+              .visualHashes(batch0, frameStride = frameStride)
+              .filter(col("dhash").isNotNull)
+              .select(col("doc_id"), col("frame_idx"), col("grid"), col("dhash"),
+                (col("doc_id") * (1L << 20) + col("frame_idx")).as("fid")))
+            if (!hashes.isEmpty) {
+              // id-space guards (the RetrievePipeline.build discipline):
+              // the (doc, frame) pack needs non-negative bounded doc ids
+              // and < 2^20 frames per clip — one small agg on the cached
+              // batch, failing fast before anything commits
+              val b = hashes.agg(min(col("doc_id")), max(col("doc_id")),
+                max(col("frame_idx"))).head()
+              require(b.getLong(0) >= 0 && b.getLong(1) < (1L << 43),
+                s"mediaDedupIngest: doc ids [${b.getLong(0)}, ${b.getLong(1)}] " +
+                  "outside [0, 2^43) — the (doc, frame) packing would overflow")
+              require(b.getLong(2) < (1L << 20),
+                s"mediaDedupIngest: frame_idx ${b.getLong(2)} overflows the " +
+                  "20-bit frame space — raise frameStride")
+              val corpusDupDocs =
+                if (!graft.operators.MediaHashStore.exists(sp, storeDir))
+                  hashes.select("doc_id").limit(0)
+                else graft.operators.MediaHashStore.screenUnits(
+                    sp, storeDir,
+                    hashes.select(col("fid"), col("grid"), col("dhash")),
+                    "fid", maxHamming, maxL1)
+                  // exact unpack: ids are non-negative (guarded above),
+                  // so the shift is the packing's inverse — a long/long
+                  // `/` would detour through double and lose exactness
+                  // above 2^53
+                  .select(shiftright(col("id_a"), 20).as("doc_id"))
+                  .distinct()
+              val survivors = pin(
+                hashes.join(corpusDupDocs, Seq("doc_id"), "left_anti"))
+              if (!survivors.isEmpty) {
+                // in-batch: doc-level pairs from any frame-level match
+                val framePairs = graft.operators.Dedup.dhashPairs(
+                  survivors.select(col("fid"), col("grid"), col("dhash")),
+                  "fid", maxHamming, maxL1, maxBucket)
+                val docPairs = framePairs
+                  .select(shiftright(col("id_a"), 20).as("id_a"),
+                    shiftright(col("id_b"), 20).as("id_b"))
+                  .filter(col("id_a") =!= col("id_b")) // intra-doc frame dups are fine
+                  .distinct()
+                val docs = survivors.select(col("doc_id")).distinct()
+                val reps = graft.operators.Dedup.clusterReps(
+                  docs, docPairs, "doc_id")
+                graft.operators.MediaHashStore.append(sp, storeDir,
+                  survivors
+                    .join(reps.filter(col("rep_id") === col("doc_id"))
+                      .select(col("doc_id")), Seq("doc_id"))
+                    .select("doc_id", "frame_idx", "fid", "grid", "dhash"),
+                  maxHamming)
+              }
+            }
+          }
+          // same in-foreachBatch single-writer window as the sketch
+          // compaction hooks: fold per-batch bucket files periodically
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+              graft.operators.MediaHashStore.exists(sp, storeDir))
+            graft.operators.MediaHashStore.compact(sp, storeDir)
+        } finally pinned.foreach(_.unpersist())
+        ()
+      }
+      .start()
+
   /** Streaming PROFILE sketches: every micro-batch writes its own
     * MERGEABLE sketch partition ([[graft.operators.Profile.sketch]] —
     * counts, min/max, HLL registers) under `sketchDir/batch=<id>`;
@@ -576,7 +692,8 @@ object IncrementalStream {
     */
   def profileSketchIngest(stream: DataFrame, cols: Seq[String],
                           sketchDir: String,
-                          checkpointDir: String): StreamingQuery =
+                          checkpointDir: String,
+                          compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -584,6 +701,17 @@ object IncrementalStream {
         if (!batch.isEmpty)
           graft.operators.Profile.sketch(batch, cols)
             .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        // maintenance wired into the lifecycle (not left to an operator
+        // nobody calls): every `compactEvery` batches the sketch store
+        // folds to ≤ 2 partitions — INSIDE foreachBatch the stream is
+        // the single writer SketchStore.compact's contract requires
+        // (batches commit serially), and the newest partition is carried
+        // as-is so this batch's own replay still overwrites in place.
+        // Partition count therefore stays ≤ compactEvery + 1 at any
+        // stream age.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.SketchStore.compact(batch.sparkSession, sketchDir,
+            graft.operators.Profile.mergeSketchPartials)
         ()
       }
       .start()
@@ -598,7 +726,8 @@ object IncrementalStream {
   def datasheetSketchIngest(stream: DataFrame, textCol: String, idCol: String,
                             langCol: String, sourceCol: String,
                             sketchDir: String,
-                            checkpointDir: String): StreamingQuery =
+                            checkpointDir: String,
+                            compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -607,6 +736,11 @@ object IncrementalStream {
           graft.operators.CorpusReport.datasheetSketch(
               batch, textCol, idCol, langCol, sourceCol)
             .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        // same in-lifecycle compaction as profileSketchIngest (single
+        // writer inside foreachBatch; newest partition carried as-is)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.SketchStore.compact(batch.sparkSession, sketchDir,
+            graft.operators.CorpusReport.mergeDatasheetPartials)
         ()
       }
       .start()
@@ -653,21 +787,60 @@ object IncrementalStream {
     * the code-carrying partitions, appends re-encoded under the frozen
     * codebooks).
     */
+  /** In-lifecycle index maintenance for the ANN ingest family: every
+    * `maintainEvery` committed batches, compact the per-cell small files
+    * ([[graft.operators.AnnIndex.compactIvf]] — append leaves one file
+    * per touched cell per batch) and run the drift-retrain policy
+    * ([[graft.operators.AnnIndex.maintainIvf]] / `maintainIvfAdc` —
+    * rebuild when routing TVD exceeds `tvdThreshold`). foreachBatch
+    * commits serially, so this runs inside exactly the single-writer
+    * window the maintenance operators document; a crash mid-swap heals
+    * through the `__old` contract on the next read. `retrainNlist` /
+    * `retrainM` / `retrainKsub` / `retrainIters` MUST match the build's
+    * geometry (they parameterize the rebuild).
+    */
+  final case class IndexMaintenance(maintainEvery: Int,
+                                    tvdThreshold: Double = 0.2,
+                                    retrainNlist: Int = 8,
+                                    retrainM: Int = 8, retrainKsub: Int = 16,
+                                    retrainIters: Int = 3)
+
+  private def maintainIndex(sp: SparkSession, indexDir: String,
+                            vecCol: String, idCol: String, adc: Boolean,
+                            m: Option[IndexMaintenance], batchId: Long): Unit =
+    m.foreach { mm =>
+      if (mm.maintainEvery > 0 && batchId > 0 &&
+          batchId % mm.maintainEvery == 0) {
+        graft.operators.AnnIndex.compactIvf(sp, indexDir)
+        if (adc)
+          graft.operators.AnnIndex.maintainIvfAdc(sp, indexDir, vecCol, idCol,
+            mm.tvdThreshold, mm.retrainNlist, mm.retrainM, mm.retrainKsub,
+            mm.retrainIters)
+        else
+          graft.operators.AnnIndex.maintainIvf(sp, indexDir, vecCol, idCol,
+            mm.tvdThreshold, mm.retrainNlist, mm.retrainIters)
+        ()
+      }
+    }
+
   def embeddingDedupIngest(stream: DataFrame, indexDir: String,
                            checkpointDir: String, vecCol: String = "embedding",
                            idCol: String = "vec_id",
                            threshold: Double = 0.3, nprobe: Int = 2,
                            bits: Int = 4, tables: Int = 12,
                            maxBucket: Int = 200,
-                           adc: Boolean = false): StreamingQuery = {
+                           adc: Boolean = false,
+                           maintenance: Option[IndexMaintenance] = None): StreamingQuery = {
     require(threshold < 1.0,
       "embeddingDedupIngest: threshold must be < 1 (cosine-1 self-match is the re-delivery guard)")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         screenAndAppend(batch0.select(col(idCol), col(vecCol)), indexDir,
           vecCol, idCol, threshold, nprobe, bits, tables, maxBucket, adc)
+        maintainIndex(batch0.sparkSession, indexDir, vecCol, idCol, adc,
+          maintenance, batchId)
         ()
       }
       .start()
@@ -740,17 +913,20 @@ object IncrementalStream {
                       idCol: String = "doc_id", dim: Int = 64,
                       salt: String = "he", threshold: Double = 0.9,
                       nprobe: Int = 2, bits: Int = 4, tables: Int = 12,
-                      maxBucket: Int = 200): StreamingQuery = {
+                      maxBucket: Int = 200,
+                      maintenance: Option[IndexMaintenance] = None): StreamingQuery = {
     require(threshold < 1.0,
       "textDedupIngest: threshold must be < 1 (cosine-1 self-match is the re-delivery guard)")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         screenAndAppend(
           graft.operators.Similarity.hashEmbed(
             batch0.select(col(idCol), col(textCol)), textCol, idCol, dim, salt),
           indexDir, "embedding", idCol, threshold, nprobe, bits, tables, maxBucket)
+        maintainIndex(batch0.sparkSession, indexDir, "embedding", idCol,
+          adc = false, maintenance, batchId)
         ()
       }
       .start()

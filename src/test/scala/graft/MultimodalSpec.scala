@@ -304,4 +304,124 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("sim", graft.functions.cosine_similarity(col("qf"), col("features")))
     assert(scored.filter(col("sim") > 0).count() > 0)
   }
+
+  test("dHash: 2x NN-upscaled BMP copy grids/hashes IDENTICALLY " +
+    "(floor-composition identity); perceptual dedup pairs each original " +
+    "with exactly its copy") {
+    import graft.operators.Dedup
+    val docsDf = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "completely different pixel content from another document body"),
+      (4L, "a third image whose bytes share nothing with the other two"),
+      (6L, "yet another unrelated body of text for the fourth picture"))
+      .toDF("doc_id", "text")
+    val bmps = Multimodal.synthesizeMedia(docsDf, "text", "doc_id")
+      .filter(col("media_type") === "image/bmp")
+    val copies = Multimodal.upscaleImages(bmps, 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // the copy is a real re-encoded container with different bytes...
+    val cb = copies.orderBy("doc_id").head().getAs[Array[Byte]]("payload")
+    val ob = bmps.orderBy("doc_id").head().getAs[Array[Byte]]("payload")
+    assert(cb.length > ob.length)
+    // ...but the NN grids are EQUAL, so the dHashes are equal
+    val g0 = Multimodal.Codec.lumaGridBmp(ob, 9, 8).get
+    val g2 = Multimodal.Codec.lumaGridBmp(cb, 9, 8).get
+    assert(g0.toSeq == g2.toSeq)
+    val hashes = Multimodal.visualHashes(bmps.unionByName(copies))
+      .select("doc_id", "grid", "dhash")
+    val pairs = Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq(
+      (0L, 1000000L, 0L, 0.0), (2L, 1000002L, 0L, 0.0),
+      (4L, 1000004L, 0L, 0.0), (6L, 1000006L, 0L, 0.0)))
+  }
+
+  test("dHash: JPEG recompression of the same picture collides; " +
+    "unrelated pictures do not") {
+    import Multimodal.Codec
+    // smooth horizontal gradient — the content class JPEG preserves;
+    // dHash is a gradient-SIGN code, so recompression noise far below
+    // the cell-to-cell delta cannot flip bits
+    val img = new java.awt.image.BufferedImage(
+      90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 80).foreach { y =>
+      (0 until 90).foreach { x =>
+        val v = x * 255 / 89
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val png = { val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray }
+    val jpg = { val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o); o.toByteArray }
+    val hPng = Codec.dhashOf(Codec.lumaGridImageIO(png, 9, 8).get, 9, 8)
+    val hJpg = Codec.dhashOf(Codec.lumaGridImageIO(jpg, 9, 8).get, 9, 8)
+    assert(java.lang.Long.bitCount(hPng ^ hJpg) <= 3)
+    // an unrelated picture (text-derived pseudo-random BMP) is far away
+    val other = Codec.synthBmp(
+      "totally unrelated pseudo random pixel soup 12345".getBytes("UTF-8"), 2L)
+    val hOther = Codec.dhashOf(Codec.lumaGridBmp(other, 9, 8).get, 9, 8)
+    assert(java.lang.Long.bitCount(hPng ^ hOther) > 3)
+  }
+
+  test("audio fingerprint: duplicate sample streams collide (same text, " +
+    "any ids/rates), distinct ones don't, corrupt bytes are data") {
+    import graft.operators.Dedup
+    import Multimodal.Codec
+    val text = "the same spoken content rendered twice into pcm streams"
+    // ids 1 and 3: different sample RATES (id%5) but identical SAMPLES
+    // (they depend only on the text) — the fingerprint must collide
+    val w1 = Codec.synthWav(text.getBytes("UTF-8"), 1L)
+    val w3 = Codec.synthWav(text.getBytes("UTF-8"), 3L)
+    val g1 = Codec.envelopeGridWav(w1, 9, 8).get
+    val g3 = Codec.envelopeGridWav(w3, 9, 8).get
+    assert(g1.toSeq == g3.toSeq)
+    // normalization pins the grid to the shared 0..255000 unit scale
+    assert(g1.max == 255000 && g1.min >= 0)
+    val other = Codec.synthWav(
+      "completely different audio content with other bytes entirely"
+        .getBytes("UTF-8"), 5L)
+    val gO = Codec.envelopeGridWav(other, 9, 8).get
+    assert(java.lang.Long.bitCount(
+      Codec.dhashOf(g1, 9, 8) ^ Codec.dhashOf(gO, 9, 8)) > 3)
+    assert(Codec.envelopeGridWav(Array.fill[Byte](30)(7), 9, 8).isEmpty)
+    // end to end: the pair machinery links exactly the duplicate clips
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, w1, "audio/wav", w1.length.toLong),
+        org.apache.spark.sql.Row(3L, w3, "audio/wav", w3.length.toLong),
+        org.apache.spark.sql.Row(5L, other, "audio/wav", other.length.toLong))),
+      Multimodal.mediaSchema)
+    val pairs = Dedup.dhashPairs(
+        Multimodal.visualHashes(media).select("doc_id", "grid", "dhash"),
+        "doc_id", maxHamming = 3, maxL1 = 12750.0, maxBucket = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 3L, 0L, 0.0)))
+  }
+
+  test("dHash: video frames hash per-frame (1000x Y units), frameStride " +
+    "samples, corrupt payloads yield null rows") {
+    import Multimodal.Codec
+    val text = "abcdefgh".getBytes("UTF-8") // 6 frames (3 + 8 % 5)
+    val clip = Codec.synthY4m(text, docId = 1L)
+    val grids = Codec.lumaGridsY4m(clip, 9, 8).get
+    assert(grids.length == 6)
+    // frame 0, cell (0,0) samples Y(0,0) = text byte 0 — scaled x1000
+    assert(grids(0)(0) == 1000 * (text(0) & 0xFF))
+    val media = Multimodal.synthesizeVideos(
+      Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, Array.fill[Byte](20)(3), "video/y4m", 20L))),
+      Multimodal.mediaSchema)
+    val all = Multimodal.visualHashes(media.unionByName(corrupt), frameStride = 2)
+    assert(all.filter(col("doc_id") === 1L).count() == 3) // frames 0, 2, 4
+    val bad = all.filter(col("doc_id") === 9L).collect()
+    assert(bad.length == 1 && bad(0).isNullAt(3))
+    // a re-synthesis of the same clip collides frame-for-frame
+    val again = Codec.lumaGridsY4m(Codec.synthY4m(text, 1L), 9, 8).get
+    assert(grids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

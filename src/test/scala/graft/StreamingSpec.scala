@@ -808,4 +808,181 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows() == Set((1L, ts(2, 20), ts(3, 0), 3L)), rows().toString)
   }
+
+  test("in-lifecycle sketch compaction: a 50-batch stream stays bounded at " +
+    "compactEvery+1 partitions and the merged readout equals the batch answer") {
+    import spark.implicits._
+    import graft.operators.{Profile, SketchStore}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang").localCheckpoint(true)
+    val cols = Seq("doc_id", "lang")
+    val in = tempDir("mnt_in")
+    val skDir = tempDir("mnt_prof")
+    val ck = tempDir("mnt_ck")
+    val every = 5
+    def partNames = new java.io.File(skDir).listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    var maxParts = 0
+    (0 until 50).foreach { i =>
+      docs.filter($"doc_id" % 50 === i).write.mode("append").parquet(in)
+      IncrementalStream.profileSketchIngest(
+          spark.readStream.schema(docs.schema).parquet(in), cols, skDir, ck,
+          compactEvery = every)
+        .awaitTermination()
+      maxParts = math.max(maxParts, partNames.length)
+    }
+    // the store NEVER grows past interval+1 live partitions at any
+    // stream age (without the hook it would sit at 50 here)
+    assert(maxParts <= every + 1, s"saw $maxParts partitions")
+    assert(partNames.length <= every + 1)
+    // exact readouts are unchanged by the folds: the merged profile of
+    // the compacted store equals the one-shot batch profile
+    val merged = Profile.mergeSketches(SketchStore.read(spark, skDir))
+      .select("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+      .collect().map(_.toString).sorted.toSeq
+    val whole = Profile.profile(docs, cols)
+      .select("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == whole)
+  }
+
+  test("streaming media dedup: perceptual screen against the committed " +
+    "store, in-batch doc reps, re-delivery safe, undecodable dropped") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import Multimodal.Codec
+    import org.apache.spark.sql.Row
+    val in = tempDir("md_in")
+    val store = tempDir("md_store")
+    val ck = tempDir("md_ck")
+    def mediaDf(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    def wav(id: Long, text: String) = {
+      val b = Codec.synthWav(text.getBytes("UTF-8"), id)
+      Row(id, b, "audio/wav", b.length.toLong)
+    }
+    def bmp(id: Long, text: String) = {
+      val b = Codec.synthBmp(text.getBytes("UTF-8"), id)
+      Row(id, b, "image/bmp", b.length.toLong)
+    }
+    def drain(): Unit =
+      IncrementalStream.mediaDedupIngest(
+          spark.readStream.schema(Multimodal.mediaSchema).parquet(in),
+          store, ck, compactEvery = 1)
+        .awaitTermination()
+    def storedDocs: Set[Long] = spark.read.parquet(s"$store/hashes")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val (tA, tC) = ("picture content for the first committed image frame",
+      "spoken words for the first committed audio clip here")
+    mediaDf(Seq(bmp(2L, tA), bmp(4L, "a wholly different second picture"),
+      wav(1L, tC))).write.mode("append").parquet(in)
+    drain()
+    assert(storedDocs == Set(1L, 2L, 4L))
+    // batch 2: a 2x upscaled re-encode of image 2 (new id 100), a
+    // rate-re-encoded copy of clip 1 (id 103 — same text, other rate
+    // class), TWO upscaled copies of one brand-new image (200/201 —
+    // in-batch cluster, min id wins), one undecodable blob (999)
+    val newPic = "an entirely new image arriving in the second batch!"
+    val up = Codec.resizeBmp(Codec.synthBmp(tA.getBytes("UTF-8"), 2L),
+      (4 + tA.length % 29) * 2, (4 + 2 % 13).toInt * 2).get
+    val newB0 = Codec.synthBmp(newPic.getBytes("UTF-8"), 200L)
+    val newUp = Codec.resizeBmp(newB0,
+      (4 + newPic.length % 29) * 2, (4 + 200 % 13).toInt * 2).get
+    mediaDf(Seq(
+      Row(100L, up, "image/bmp", up.length.toLong),
+      wav(103L, tC), // 103 % 5 != 1 % 5: different rate, same samples
+      Row(200L, newB0, "image/bmp", newB0.length.toLong),
+      Row(201L, newUp, "image/bmp", newUp.length.toLong),
+      Row(999L, Array.fill[Byte](16)(9), "image/bmp", 16L)
+    )).write.mode("append").parquet(in)
+    drain()
+    // copies of committed media dropped; the new image admitted ONCE
+    // under its min id; the undecodable blob has no signature -> dropped
+    assert(storedDocs == Set(1L, 2L, 4L, 200L))
+    // re-delivery (fresh checkpoint, same store): every batch-2 unit now
+    // matches a committed copy at distance 0 — the store must not grow
+    val ck2 = tempDir("md_ck2")
+    IncrementalStream.mediaDedupIngest(
+        spark.readStream.schema(Multimodal.mediaSchema).parquet(in),
+        store, ck2)
+      .awaitTermination()
+    assert(storedDocs == Set(1L, 2L, 4L, 200L))
+    // the de-banded read returns one row per unit (images/audio: one
+    // frame each here), and the frozen banding geometry is enforced —
+    // a Hamming-5 screen against a Hamming-3-banded store must refuse
+    import graft.operators.MediaHashStore
+    val units = MediaHashStore.read(spark, store)
+    assert(units.count() == units.select("fid").distinct().count())
+    assert(units.select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 200L))
+    val probe = units.limit(1).select($"fid", $"grid", $"dhash")
+    intercept[IllegalArgumentException] {
+      MediaHashStore.screenUnits(spark, store, probe, "fid", maxHamming = 5)
+    }
+    // and a self-screen of committed units matches themselves at 0
+    val self = MediaHashStore.screenUnits(spark, store,
+      units.select($"fid", $"grid", $"dhash"), "fid")
+    assert(self.filter($"id_a" === $"id_b" && $"hamming" === 0).count() == 4)
+  }
+
+  test("in-lifecycle ANN maintenance: drift retrain fires between drains; " +
+    "rows and ids survive compaction + rebuild") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(true)
+    val base = all.filter($"vec_id" % 3 === 0)
+    val idxDir = tempDir("mnt_idx")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", idxDir, nlist = 4, iters = 3)
+    val n0 = spark.read.parquet(s"$idxDir/cell_stats")
+      .agg(org.apache.spark.sql.functions.sum("n_built")).head().getLong(0)
+    // skewed traffic: jittered copies of the HOTTEST cell's own vectors
+    // (multiplier 1.0..1.6 per component — direction moves a few degrees,
+    // so the row still routes near its source cell but stays below the
+    // screen threshold) — that one cell's occupancy balloons and routing
+    // drift grows with every append. Negating or scaling the corpus
+    // would NOT drift it: the fixture clusters are direction-symmetric
+    // and cosine routing is scale-invariant.
+    import org.apache.spark.sql.functions.{pmod, transform, lit}
+    val in = tempDir("mnt_vec_in")
+    val ck = tempDir("mnt_vec_ck")
+    val hotCell = spark.read.parquet(s"$idxDir/cell_stats")
+      .orderBy($"n_built".desc).head().getLong(0)
+    val hotRows = spark.read.parquet(s"$idxDir/corpus")
+      .filter($"cell_id" === hotCell)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    def jittered(b: Int) = hotRows.select(
+      ($"vec_id" + 100000L * (b + 1)).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * (lit(1.0f) + pmod($"vec_id" * 7L + i.cast("long") * 13L
+          + lit(b.toLong), lit(7L)).cast("float") * lit(0.1f))).as("embedding"))
+    (0 until 3).foreach { b =>
+      jittered(b).write.mode("append").parquet(in)
+      IncrementalStream.embeddingDedupIngest(
+          spark.readStream.schema(hotRows.schema).parquet(in), idxDir, ck,
+          threshold = 0.9995,
+          maintenance = Some(IncrementalStream.IndexMaintenance(
+            maintainEvery = 2, tvdThreshold = 0.05, retrainNlist = 4)))
+        .awaitTermination()
+    }
+    // the stream really grew the corpus (otherwise drift is vacuous)
+    assert(spark.read.parquet(s"$idxDir/corpus").count() > n0)
+    // the retrain re-snapshotted cell_stats from the grown corpus —
+    // proof the TVD trigger fired inside the lifecycle hook
+    val n1 = spark.read.parquet(s"$idxDir/cell_stats")
+      .agg(org.apache.spark.sql.functions.sum("n_built")).head().getLong(0)
+    assert(n1 > n0, s"retrain did not fire (cell_stats still $n1 rows from build)")
+    // and the store survived compact + rebuild intact: no row loss, no
+    // duplication, every originally-built id still present
+    val corpus = spark.read.parquet(s"$idxDir/corpus")
+    val ids = corpus.select("vec_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length)
+    val baseIds = base.select("vec_id").as[Long].collect().toSet
+    assert(baseIds.subsetOf(ids.toSet))
+    // post-retrain the routing snapshot is fresh: TVD back under the
+    // trigger for the rows present at maintenance time
+    val tvd = AnnIndex.routingDrift(spark, idxDir)
+      .agg(org.apache.spark.sql.functions.sum("abs_diff") / 2).head().getDouble(0)
+    assert(tvd <= 0.05, s"TVD $tvd still above the retrain threshold")
+  }
 }
