@@ -120,6 +120,33 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** Unit-normalize an `array<double>` into an `array<float>` in one
+    * native pass, or null when the norm is zero (a zero vector has no
+    * direction — the hashEmbed no-row contract). Bit-compatible with the
+    * column formulation it replaces: the norm is the same sequential
+    * left-to-right `Σx²` fold and `(x / norm).toFloat` is exactly
+    * Spark's double→float cast. Exists because the column form cannot
+    * be made safe: CollapseProject inlines a single-reference norm
+    * alias back into the per-element lambda, silently restoring an
+    * O(dim²)-per-row plan (measured — the r8 regression); a native
+    * expression computes the norm exactly once and skips the
+    * interpreted HOF entirely.
+    */
+  def normalizeD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    if (norm == 0.0) null
+    else {
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) { out(i) = (a.getDouble(i) / norm).toFloat; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Morton (Z-order) interleave of two `bits`-wide non-negative ints:
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. The code
     * is the sort key for multi-column data clustering ([[graft.operators.ZOrder]]).
@@ -351,6 +378,24 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Double]]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.pqEncode($a, $cbRef)")
   }
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** One-pass unit normalization — see [[VectorOps.normalizeD]]. Returns
+  * NULL for a zero-norm input (on top of the usual null-in → null-out),
+  * so the codegen checks the result instead of assuming non-null.
+  */
+case class NormalizeUnitF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.normalizeD(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorOps.normalizeD($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression): NormalizeUnitF = copy(child = c)
 }
 
 /** Morton bit-interleave — see [[VectorOps.interleaveBits]]. */

@@ -49,6 +49,11 @@ package object functions {
   def adc_score(codes: Column, lut: Column, ksub: Int): Column =
     col(AdcScore(expr(codes), expr(lut), ksub))
 
+  /** Unit-normalize an `array<double>` to `array<float>`; null when the
+    * norm is zero (see [[NormalizeUnitF]]).
+    */
+  def normalize_unit(c: Column): Column = col(NormalizeUnitF(expr(c)))
+
   /** L2 norm of an `array<float>` column. */
   def vector_norm(c: Column): Column = col(VectorNorm(expr(c)))
 

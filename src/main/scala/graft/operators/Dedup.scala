@@ -569,7 +569,10 @@ object Dedup {
   def dhashPairs(hashes: DataFrame, idCol: String, maxHamming: Int = 3,
                  maxL1: Double = 12750.0, maxBucket: Int = 1000): DataFrame = {
     val blocks = maxHamming + 1
-    require(blocks <= 64, "maxHamming must be < 64")
+    // the lower bound matters as much as the upper: a negative bound
+    // gives zero blocks, whose empty explode would silently report "no
+    // duplicates" instead of rejecting the caller's sign bug
+    require(maxHamming >= 0 && blocks <= 64, "maxHamming in [0, 64)")
     val sigs = hashes.filter(col("dhash").isNotNull)
       .select(col(idCol), col("grid"), col("dhash").as("sig"))
     val blockKeys = pigeonholeBlockKeys(col("sig"), blocks)
@@ -605,7 +608,7 @@ object Dedup {
   def dhashScreen(batch: DataFrame, store: DataFrame, idCol: String,
                   maxHamming: Int = 3, maxL1: Double = 12750.0): DataFrame = {
     val blocks = maxHamming + 1
-    require(blocks <= 64, "maxHamming must be < 64")
+    require(maxHamming >= 0 && blocks <= 64, "maxHamming in [0, 64)")
     def sided(df: DataFrame, side: String) =
       df.filter(col("dhash").isNotNull)
         .select(col(idCol).as(s"id_$side"), col("grid").as(s"grid_$side"),

@@ -6,34 +6,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Persisted perceptual-hash store for streaming media dedup — the index
   * behind [[graft.streaming.IncrementalStream.mediaDedupIngest]].
   *
-  * The naive layout (one row per hashed unit, scanned whole per screen)
-  * reads the ENTIRE store on every micro-batch — at 10B media items
-  * that is a corpus-sized scan per batch, the classic shape that works
-  * in a fixture and melts at 100 TB. This store is laid out for
-  * point-ish lookups instead:
+  * Layout: ONE FLAT ROW PER UNIT (ids + 72-cell grid + 64-bit dHash —
+  * payloads never enter the store), range-laid on the unit id at
+  * [[compact]] time. The screen ([[screenUnits]] = [[Dedup.dhashScreen]]
+  * against this table) explodes pigeonhole block keys ON THE FLY on the
+  * scanned rows and joins the BROADCAST batch — one store scan per
+  * micro-batch, amortized over the batch (per-unit cost = store/|batch|),
+  * no store shuffle, no reducer funnel, and the Hamming bound is a free
+  * per-screen parameter because nothing about the banding is frozen on
+  * disk.
   *
-  *   - rows are EXPLODED one-per-pigeonhole-block (`blocks` = Hamming
-  *     bound + 1 — [[Dedup.blockMask]] is the shared geometry), each
-  *     carrying its `block_key` and a `band_bucket` partition column =
-  *     blk·256 + (block value mod 256);
-  *   - `hashes/` is parquet PARTITIONED BY `band_bucket` (≤ blocks·256
-  *     directories), so a screen prunes the scan to only the buckets
-  *     the batch's own keys hash into — per-batch read cost tracks the
-  *     BATCH (≤ blocks·|units| buckets, each ~1/(blocks·256) of the
-  *     store), not the store's age. Rows are thin (ids + 72 ints + a
-  *     long — payloads never enter the store), so the blocks-× row
-  *     explosion is the usual posting-list trade;
-  *   - the banding geometry is FROZEN at first append in `meta`
-  *     (written LAST — its presence commits the store, the
-  *     TokenizerArtifact discipline) and re-validated on every later
-  *     append/screen: a store banded for Hamming ≤ 3 cannot silently
-  *     serve a Hamming ≤ 5 screen, whose pairs could agree only on
-  *     blocks this layout never indexed.
+  * A banded-on-disk variant (rows exploded per block, parquet
+  * partitioned by a 1024-way band bucket, screens pruned to the batch's
+  * buckets) was built and MEASURED first — and rejected: full-recall
+  * screening must consider candidates from EVERY block, so bucket
+  * pruning only helps when blocks·|batch| ≪ buckets (service-sized
+  * batches under ~64 units), while every other screen pays the blocks-×
+  * row explosion in I/O plus the small-file/listing overhead of 1024
+  * partition directories. At 1M units the flat scan beat the banded
+  * store 2.2 s vs 4.3 s on an 8-unit batch and 1.4 s vs 14.2 s on a
+  * 10k-unit batch (ProbeMediaStore) — the same shape, not a tuning
+  * artifact: banding-on-disk multiplies the bytes every screen reads to
+  * save a fraction it can rarely save. The flat layout is the one that
+  * survives the scale-up.
   *
-  * [[compact]] bounds the append-per-batch small-file growth (one file
-  * per touched bucket per batch) by rewriting each bucket to one file
-  * through the directory temp-then-swap used everywhere else
-  * (`__old` crash healing in [[read]]).
+  * Crash discipline: `meta` is written LAST on the first append (its
+  * presence commits the store — the TokenizerArtifact pattern), an
+  * uncommitted `hashes/` found without `meta` is deleted as debris, and
+  * [[compact]] swaps directories through the shared `__old` protocol
+  * ([[read]] heals a crash between the two renames).
   */
 object MediaHashStore {
 
@@ -52,102 +53,52 @@ object MediaHashStore {
     fsOf(spark, new org.apache.hadoop.fs.Path(s"$dir/meta"))
       .exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))
 
-  private def requireGeometry(spark: SparkSession, dir: String,
-                              blocks: Int): Unit = {
-    val m = spark.read.parquet(s"$dir/meta").head()
-    require(m.getInt(0) == blocks,
-      s"MediaHashStore at $dir was banded with blocks=${m.getInt(0)}; " +
-        s"this operation assumes blocks=$blocks (maxHamming=${blocks - 1}) — " +
-        "rebanding requires a rebuild, not a silent mismatch")
-  }
-
-  /** One exploded row per (unit, block): the unit's columns plus its
-    * `block_key` and `band_bucket`. `hashes` rows: (idCol, grid, dhash)
-    * plus any carry-through columns.
-    */
-  private def withBands(hashes: DataFrame, blocks: Int): DataFrame = {
-    val bands = array((0 until blocks).map { blk =>
-      val (lo, mask) = Dedup.blockMask(blk, blocks)
-      val v = shiftrightunsigned(col("dhash"), lo).bitwiseAND(mask)
-      struct(concat_ws(":", lit(blk), v).as("block_key"),
-        (lit(blk) * 256 + pmod(v, lit(256L))).cast("int").as("band_bucket"))
-    }: _*)
-    hashes.withColumn("__b", explode(bands))
-      .withColumn("block_key", col("__b.block_key"))
-      .withColumn("band_bucket", col("__b.band_bucket"))
-      .drop("__b")
-  }
-
   /** Append a batch of unit hashes (columns: ids…, grid, dhash; null
-    * hashes must already be filtered). First append commits the store
-    * by writing `meta` LAST.
+    * hashes must already be filtered). The first append commits the
+    * store by writing `meta` LAST; an uncommitted `hashes/` directory
+    * found before that commit is a crashed append's debris and is
+    * deleted (it would otherwise resurface as committed rows).
     */
-  def append(spark: SparkSession, dir: String, hashes: DataFrame,
-             maxHamming: Int = 3): Unit = {
+  def append(spark: SparkSession, dir: String, hashes: DataFrame): Unit = {
     import spark.implicits._
-    val blocks = maxHamming + 1
     healed(spark, dir)
-    if (exists(spark, dir)) requireGeometry(spark, dir, blocks)
-    withBands(hashes, blocks)
-      .write.mode("append").partitionBy("band_bucket")
-      .parquet(s"$dir/hashes")
+    if (!exists(spark, dir)) {
+      val orphan = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+      fsOf(spark, orphan).delete(orphan, true)
+    }
+    hashes.write.mode("append").parquet(s"$dir/hashes")
     if (!exists(spark, dir))
-      Seq(blocks).toDF("blocks")
+      Seq(1).toDF("v")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Read the store's unit rows (de-banded: one row per unit). */
+  /** Read the store's unit rows. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     healed(spark, dir)
     spark.read.parquet(s"$dir/hashes")
-      .drop("block_key", "band_bucket").distinct()
   }
 
   /** Screen a batch of unit hashes against the committed store: returns
     * (id_a = batch unit id, id_b = store unit id, hamming, grid_l1) for
-    * every batch unit within the store's frozen Hamming bound AND
-    * `maxL1` of a committed one. The batch side is micro-batch-sized
-    * and BROADCAST; the store scan is PRUNED to the batch's own band
-    * buckets (partition pruning on the literal bucket list — bounded by
-    * blocks·|batch units|, collected from the cached batch). Full
-    * recall at the bound (pigeonhole), so the screen doubles as the
-    * re-delivery guard.
+    * every batch unit within `maxHamming` AND `maxL1` of a committed
+    * one. One store scan, batch broadcast, full recall at the bound
+    * (pigeonhole) — which is what makes the screen its own re-delivery
+    * guard (a re-delivered unit rematches its committed copy at
+    * distance 0).
     */
   def screenUnits(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, maxHamming: Int = 3,
                   maxL1: Double = 12750.0): DataFrame = {
-    val blocks = maxHamming + 1
-    healed(spark, dir)
-    requireGeometry(spark, dir, blocks)
-    val b = withBands(
-        batch.filter(col("dhash").isNotNull)
-          .select(col(idCol), col("grid"), col("dhash")), blocks)
-      .select(col(idCol).as("id_a"), col("grid").as("grid_a"),
-        col("dhash").as("sig_a"), col("block_key"), col("band_bucket"))
-    // bounded collect: <= blocks x |batch units| distinct buckets
-    val buckets = b.select("band_bucket").distinct()
-      .collect().map(_.getInt(0))
-    if (buckets.isEmpty)
-      return spark.emptyDataFrame
-        .withColumn("id_a", lit(0L)).withColumn("id_b", lit(0L))
-        .withColumn("hamming", lit(0L)).withColumn("grid_l1", lit(0.0))
-        .limit(0)
-    val store = spark.read.parquet(s"$dir/hashes")
-      .filter(col("band_bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
-      .select(col(idCol).as("id_b"), col("grid").as("grid_b"),
-        col("dhash").as("sig_b"), col("block_key"))
-    val cand = store
-      .join(broadcast(b.select(col("id_a"), col("grid_a"), col("sig_a"),
-        col("block_key"))), Seq("block_key"))
-      .drop("block_key").distinct()
-    Dedup.dhashVerify(cand, maxHamming, maxL1)
+    require(exists(spark, dir), s"MediaHashStore: no committed store at $dir")
+    Dedup.dhashScreen(batch, read(spark, dir), idCol, maxHamming, maxL1)
   }
 
-  /** Rewrite every band bucket to one file (repeated appends leave one
-    * file per touched bucket per batch) through the standard
-    * temp-then-swap; row contents and partition layout preserved.
-    * Returns (files before, files after). SINGLE-WRITER: run between
-    * AvailableNow drains (mediaDedupIngest's `compactEvery` does).
+  /** Fold the store's per-append small files into a bounded range
+    * layout on the leading (unit id) column — ~128 MB per file with a
+    * cluster-parallelism floor — through the standard temp-then-swap
+    * ([[read]] heals a mid-swap crash). Returns (files before, files
+    * after). SINGLE-WRITER: run between AvailableNow drains
+    * (mediaDedupIngest's `compactEvery` does).
     */
   def compact(spark: SparkSession, dir: String): (Int, Int) = {
     healed(spark, dir)
@@ -161,13 +112,27 @@ object MediaHashStore {
       n
     }
     val before = countFiles(path)
+    val df = spark.read.parquet(path.toString)
+    val idCol = df.columns.head
+    // size by BYTES with a cluster-parallelism floor: pure row-count
+    // sizing folded a 1M-unit store into one file, whose ~3 row groups
+    // capped the next screen's scan at 3 tasks (measured 0.8 s → 3.0 s)
+    // — compaction must bound file COUNT growth without destroying scan
+    // parallelism
+    val bytes = {
+      val it = fs.listFiles(path, true)
+      var b = 0L
+      while (it.hasNext) { b += it.next().getLen }
+      b
+    }
+    val nFiles = math.max(spark.sparkContext.defaultParallelism.toLong,
+      bytes / (128L << 20) + 1L).toInt
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__compact")
     val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
     fs.delete(tmp, true)
-    val df = spark.read.parquet(path.toString)
-    df.repartition(col("band_bucket"))
-      .write.mode("overwrite").partitionBy("band_bucket")
-      .parquet(tmp.toString)
+    df.repartitionByRange(nFiles, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
     if (!fs.rename(path, old))
       throw new IllegalStateException(s"MediaHashStore.compact: cannot stage $path")

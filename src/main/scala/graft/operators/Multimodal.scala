@@ -904,8 +904,12 @@ object Multimodal {
     * (⌊⌊k·x⌋/k⌋ = ⌊x⌋), an upscaled copy decodes to the same
     * [[Codec.lumaGridBmp]] grid as its source — the closed-form
     * duplicate generator the perceptual-dedup oracle replays.
-    * Non-images pass through; corrupt payloads emit null (data, not
-    * failures). Streams rows, no driver collect.
+    * Non-images pass through; corrupt payloads — AND images whose
+    * scaled geometry exceeds the resize paths' 4096-pixel cap (a
+    * deliberate bound: an upscale product past that is a memory bomb,
+    * not a thumbnail) — emit a null payload rather than failing the
+    * task or silently passing the un-upscaled original off as a copy.
+    * Streams rows, no driver collect.
     */
   def upscaleImages(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1 && factor <= 8, "factor in [1, 8]")
@@ -926,10 +930,19 @@ object Multimodal {
                 if (w <= 0 || h <= 0) None else Some((w, h))
               }
             case "image/png" | "image/jpeg" =>
+              // header-only dims via ImageReader — a full ImageIO.read
+              // here would decode every image TWICE (dims + resize),
+              // doubling the dominant cost of the whole operator
               try {
-                val img = javax.imageio.ImageIO.read(
+                val iis = javax.imageio.ImageIO.createImageInputStream(
                   new java.io.ByteArrayInputStream(b))
-                if (img == null) None else Some((img.getWidth, img.getHeight))
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) None
+                else {
+                  val rd = readers.next()
+                  try { rd.setInput(iis); Some((rd.getWidth(0), rd.getHeight(0))) }
+                  finally rd.dispose()
+                }
               } catch { case _: Exception => None }
             case _ => None
           }

@@ -252,15 +252,16 @@ object Similarity {
     // can never self-match — keeping it would silently break the
     // marker-free replay-idempotency contract of the dedup ingest paths
     // (a re-delivered zero-vector doc re-admits on every replay).
-    // The norm is materialized as a column FIRST: interpreted HOF lambdas
-    // get no subexpression caching, so dividing by the aggregate
-    // expression inside the transform would re-fold the whole vector per
-    // element — O(dim²) per row instead of O(dim).
-    dense.withColumn("n",
-        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
-      .filter(col("n") > 0.0)
-      .select(col(idCol),
-        transform(col("raw"), x => x / col("n")).cast("array<float>").as("embedding"))
+    // Normalization is ONE native call (norm + divide in a single pass,
+    // null for zero norm). The column formulations both fail at scale:
+    // dividing by the aggregate inside the lambda re-folds the vector
+    // per element (O(dim²)/row, the r8 regression), and materializing
+    // the norm as a column does NOT fix it — CollapseProject inlines a
+    // single-reference alias straight back into the lambda (verified on
+    // the optimized plan).
+    dense.select(col(idCol),
+        graft.functions.normalize_unit(col("raw")).as("embedding"))
+      .filter(col("embedding").isNotNull)
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =

@@ -132,8 +132,11 @@ object RetrievePipeline {
     // NEGATIVE query id would fold INTO the non-negative chunk-id space
     // and let the ANN self-match filter silently drop a true neighbor —
     // mirror build()'s id-space guards and fail fast instead
+    // an EMPTY query frame is valid serve-path input (routine in a
+    // micro-batch loop) — min() is null then and the pipeline naturally
+    // yields zero rows, so only a present negative id fails
     val qMin = q.agg(min(col("query_id"))).head()
-    require(!qMin.isNullAt(0) && qMin.getLong(0) >= 0,
+    require(qMin.isNullAt(0) || qMin.getLong(0) >= 0,
       "RetrievePipeline.query: query ids must be non-negative " +
         "(the sign-fold reserves the negative range for queries)")
     val terms = q.select(col("query_id"),

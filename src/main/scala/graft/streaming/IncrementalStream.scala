@@ -565,17 +565,17 @@ object IncrementalStream {
     * ([[graft.operators.Multimodal.visualHashes]] — luma-grid dHash per
     * image and sampled video frame, envelope dHash per audio clip),
     * screened against the COMMITTED hash store
-    * ([[graft.operators.MediaHashStore.screenUnits]] — batch side
-    * broadcast, store scan PRUNED to the batch's own band-bucket
-    * partitions, so per-batch read cost tracks the batch, not the
-    * store's age), deduped within the batch at DOCUMENT level
-    * (a doc is a duplicate when ANY of its frames matches — the
-    * keyframe-signature rule; min-id reps via `clusterReps`), and the
-    * survivors' frame hashes append to the band-partitioned store.
-    * The store holds model-thin rows (ids, 72 ints, 1 long — never
-    * payloads); `compactEvery` folds its per-batch small files under
-    * the same in-foreachBatch single-writer window the sketch ingests
-    * use.
+    * ([[graft.operators.MediaHashStore.screenUnits]] — one store scan
+    * against the BROADCAST batch: per-unit cost is store/|batch|, no
+    * store shuffle, no reducer funnel; see the store's scaladoc for the
+    * measured rejection of the banded-on-disk alternative), deduped
+    * within the batch at DOCUMENT level (a doc is a duplicate when ANY
+    * of its frames matches — the keyframe-signature rule; min-id reps
+    * via `clusterReps`), and the survivors' frame hashes append to the
+    * store. The store holds model-thin rows (ids, 72 ints, 1 long —
+    * never payloads); `compactEvery` folds its per-batch small files
+    * under the same in-foreachBatch single-writer window the sketch
+    * ingests use.
     *
     * Marker-free idempotency, same argument as the embedding path but
     * STRONGER: pigeonhole banding has FULL recall at the Hamming bound
@@ -659,8 +659,7 @@ object IncrementalStream {
                   survivors
                     .join(reps.filter(col("rep_id") === col("doc_id"))
                       .select(col("doc_id")), Seq("doc_id"))
-                    .select("doc_id", "frame_idx", "fid", "grid", "dhash"),
-                  maxHamming)
+                    .select("fid", "doc_id", "frame_idx", "grid", "dhash"))
               }
             }
           }

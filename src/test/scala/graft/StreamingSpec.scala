@@ -907,22 +907,24 @@ class StreamingSpec extends SparkSpec {
         store, ck2)
       .awaitTermination()
     assert(storedDocs == Set(1L, 2L, 4L, 200L))
-    // the de-banded read returns one row per unit (images/audio: one
-    // frame each here), and the frozen banding geometry is enforced —
-    // a Hamming-5 screen against a Hamming-3-banded store must refuse
+    // the store holds one flat row per unit (images/audio: one frame
+    // each here), and the Hamming bound is a free per-screen parameter
+    // (nothing is frozen on disk — banding happens at scan time)
     import graft.operators.MediaHashStore
     val units = MediaHashStore.read(spark, store)
     assert(units.count() == units.select("fid").distinct().count())
     assert(units.select("doc_id").distinct().as[Long].collect().toSet ==
       Set(1L, 2L, 4L, 200L))
-    val probe = units.limit(1).select($"fid", $"grid", $"dhash")
-    intercept[IllegalArgumentException] {
-      MediaHashStore.screenUnits(spark, store, probe, "fid", maxHamming = 5)
-    }
-    // and a self-screen of committed units matches themselves at 0
+    // a self-screen of committed units matches themselves at 0, at any bound
     val self = MediaHashStore.screenUnits(spark, store,
-      units.select($"fid", $"grid", $"dhash"), "fid")
+      units.select($"fid", $"grid", $"dhash"), "fid", maxHamming = 5)
     assert(self.filter($"id_a" === $"id_b" && $"hamming" === 0).count() == 4)
+    // compaction folds append small files and changes no readout
+    val beforeRows = units.orderBy("fid").collect().toSeq
+    val (cb, ca) = MediaHashStore.compact(spark, store)
+    assert(ca <= cb)
+    assert(MediaHashStore.read(spark, store).orderBy("fid")
+      .collect().toSeq == beforeRows)
   }
 
   test("in-lifecycle ANN maintenance: drift retrain fires between drains; " +
