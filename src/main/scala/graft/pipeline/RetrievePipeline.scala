@@ -149,7 +149,13 @@ object RetrievePipeline {
     // one-idCol contract for both sides)
     val qVec = Similarity.hashEmbed(q, "text", "query_id", dim, salt)
       .select((-col("query_id") - 1).as("chunk_id"), col("embedding"))
-    val useBulk = bulk.getOrElse(!AnnIndex.fitsBroadcast(qVec))
+    // regime statistic comes from the INPUT frame, not the embedded one:
+    // hashEmbed's aggregates leave qVec with multiplied-out size
+    // estimates that read service-sized batches as huge (measured: the
+    // 3-query serve probe flipped to the bulk path, +2.5 s), while the
+    // source frame's stats are real — and the embedded frame is
+    // size-proportional to it (≤ dim floats + id per text row)
+    val useBulk = bulk.getOrElse(!AnnIndex.fitsBroadcast(q))
     val ann =
       if (useBulk)
         AnnIndex.queryIvfBulk(spark, s"$dir/ann", qVec, "embedding",
