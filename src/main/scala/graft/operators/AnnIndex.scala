@@ -120,15 +120,24 @@ object AnnIndex {
     * regime switch) so graft's own broadcast/shuffle decisions agree
     * with the decisions Catalyst would make on the same frame.
     */
-  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
-    val spark = df.sparkSession
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean =
+    broadcastThresholdFits(df.sparkSession,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  /** Does a KNOWN byte size fit under the session's
+    * `spark.sql.autoBroadcastJoinThreshold`? For callers that can
+    * compute an exact size (row count × fixed row width) — plan
+    * statistics mis-estimate in both directions around aggregates, so
+    * an exact figure beats [[fitsBroadcast]] whenever one exists.
+    */
+  private[graft] def broadcastThresholdFits(spark: SparkSession,
+                                            bytes: BigInt): Boolean = {
     val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val bcThreshold = // "-1"/plain numbers parse directly; "10MB" forms via JavaUtils
       try bcConf.trim.toLong
       catch { case _: NumberFormatException =>
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcConf) }
-    bcThreshold > 0 &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= bcThreshold
+    bcThreshold > 0 && bytes <= bcThreshold
   }
 
   private def cellCandidates(corpus: DataFrame, probes: DataFrame,

@@ -72,8 +72,13 @@ object MediaHashStore {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Read the store's unit rows. */
+  /** Read the COMMITTED store's unit rows. Refuses an uncommitted
+    * directory for the same reason append deletes one: rows written by
+    * a first append that crashed before its meta commit are debris the
+    * next append will erase, not data.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    require(exists(spark, dir), s"MediaHashStore: no committed store at $dir")
     healed(spark, dir)
     spark.read.parquet(s"$dir/hashes")
   }
@@ -94,37 +99,43 @@ object MediaHashStore {
   }
 
   /** Fold the store's per-append small files into a bounded range
-    * layout on the leading (unit id) column — ~128 MB per file with a
+    * layout on `idCol` (the unit id — an EXPLICIT parameter: inferring
+    * "the first column" would silently range-lay on whatever a caller
+    * happened to select first) — ~128 MB per file with a
     * cluster-parallelism floor — through the standard temp-then-swap
     * ([[read]] heals a mid-swap crash). Returns (files before, files
     * after). SINGLE-WRITER: run between AvailableNow drains
     * (mediaDedupIngest's `compactEvery` does).
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) = {
+  def compact(spark: SparkSession, dir: String,
+              idCol: String = "fid"): (Int, Int) = {
     healed(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = path.getFileSystem(conf)
-    def countFiles(p: org.apache.hadoop.fs.Path): Int = {
+    // one recursive listing yields both the file count and the byte
+    // total (an object store charges per LIST round trip)
+    def scanTree(p: org.apache.hadoop.fs.Path): (Int, Long) = {
       val it = fs.listFiles(p, true)
       var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+        b += f.getLen
+      }
+      (n, b)
     }
-    val before = countFiles(path)
+    val (before, bytes) = scanTree(path)
     val df = spark.read.parquet(path.toString)
-    val idCol = df.columns.head
+    require(df.columns.contains(idCol),
+      s"MediaHashStore.compact: range-layout key '$idCol' not in store " +
+        s"columns ${df.columns.mkString("(", ", ", ")")}")
     // size by BYTES with a cluster-parallelism floor: pure row-count
     // sizing folded a 1M-unit store into one file, whose ~3 row groups
     // capped the next screen's scan at 3 tasks (measured 0.8 s → 3.0 s)
     // — compaction must bound file COUNT growth without destroying scan
     // parallelism
-    val bytes = {
-      val it = fs.listFiles(path, true)
-      var b = 0L
-      while (it.hasNext) { b += it.next().getLen }
-      b
-    }
     val nFiles = math.max(spark.sparkContext.defaultParallelism.toLong,
       bytes / (128L << 20) + 1L).toInt
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__compact")
@@ -141,6 +152,6 @@ object MediaHashStore {
       throw new IllegalStateException(s"MediaHashStore.compact: swap failed for $path")
     }
     fs.delete(old, true)
-    (before, countFiles(path))
+    (before, scanTree(path)._1)
   }
 }

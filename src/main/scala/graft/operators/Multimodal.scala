@@ -932,17 +932,22 @@ object Multimodal {
             case "image/png" | "image/jpeg" =>
               // header-only dims via ImageReader — a full ImageIO.read
               // here would decode every image TWICE (dims + resize),
-              // doubling the dominant cost of the whole operator
+              // doubling the dominant cost of the whole operator. The
+              // stream MUST be closed explicitly: with ImageIO's default
+              // use-cache it is file-backed, and leaking one temp file +
+              // fd per row kills an executor millions of images later
               try {
                 val iis = javax.imageio.ImageIO.createImageInputStream(
                   new java.io.ByteArrayInputStream(b))
-                val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                if (!readers.hasNext) None
-                else {
-                  val rd = readers.next()
-                  try { rd.setInput(iis); Some((rd.getWidth(0), rd.getHeight(0))) }
-                  finally rd.dispose()
-                }
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                  if (!readers.hasNext) None
+                  else {
+                    val rd = readers.next()
+                    try { rd.setInput(iis); Some((rd.getWidth(0), rd.getHeight(0))) }
+                    finally rd.dispose()
+                  }
+                } finally iis.close()
               } catch { case _: Exception => None }
             case _ => None
           }

@@ -109,13 +109,20 @@ object RetrievePipeline {
     * chunk_id, doc_id, rrf, n_sources), ≤ k rows per query.
     *
     * `bulk` picks the vector leg's execution regime: `None` (default)
-    * decides from the planner's own broadcast statistic on the embedded
-    * query frame — service-sized batches take [[AnnIndex.queryIvf]]'s
-    * broadcast probe join, corpus-sized query sides (bulk kNN labeling
-    * against the store) take [[AnnIndex.queryIvfBulk]]'s shuffle join
-    * with hot-cell sub-splits. `Some(b)` forces a regime (spec hook —
-    * the two are bit-identical at the same parameters, pinned by
-    * AnnIndexSpec and RetrievePipelineSpec).
+    * decides from the EXACT embedded-probe size — query count (from the
+    * same single aggregate the id guard already runs) × the known
+    * per-row bytes (dim floats + id) against the session's broadcast
+    * threshold. Plan statistics were tried twice and both directions
+    * failed: the embedded frame's stats are multiplied out by
+    * hashEmbed's aggregates (a 3-query serve probe read as huge →
+    * +2.5 s of bulk machinery), and the raw text frame's stats
+    * underestimate by up to dim·4/text-length (a 100k × dim-4096 batch
+    * would have broadcast ~1.6 GB). Service-sized batches take
+    * [[AnnIndex.queryIvf]]'s broadcast probe join, corpus-sized query
+    * sides take [[AnnIndex.queryIvfBulk]]'s shuffle join with hot-cell
+    * sub-splits. `Some(b)` forces a regime (spec hook — the two are
+    * bit-identical at the same parameters, pinned by AnnIndexSpec and
+    * RetrievePipelineSpec).
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
             k: Int = 10, nprobe: Int = 2, k0: Int = 60,
@@ -128,15 +135,20 @@ object RetrievePipeline {
     val (dim, salt) = (meta.getInt(0), meta.getString(1))
     val q = queries.select(col("query_id").cast("long").as("query_id"),
       col("text"))
-    // the sign-fold below maps [0, 2^63) onto the negative range; a
-    // NEGATIVE query id would fold INTO the non-negative chunk-id space
-    // and let the ANN self-match filter silently drop a true neighbor —
-    // mirror build()'s id-space guards and fail fast instead
-    // an EMPTY query frame is valid serve-path input (routine in a
-    // micro-batch loop) — min() is null then and the pipeline naturally
-    // yields zero rows, so only a present negative id fails
-    val qMin = q.agg(min(col("query_id"))).head()
-    require(qMin.isNullAt(0) || qMin.getLong(0) >= 0,
+    // one aggregate pays for all three preconditions AND the regime
+    // decision: the sign-fold below maps [0, 2^63) onto the negative
+    // range, so a NEGATIVE id would collide with the chunk-id space and
+    // a NULL id would rank the lexical leg under a key the vector leg
+    // silently drops — both fail fast. An EMPTY frame is valid
+    // serve-path input (routine in a micro-batch loop) and flows
+    // through to zero rows.
+    val qStats = q.agg(min(col("query_id")), count(col("query_id")),
+      count(lit(1))).head()
+    val nQueries = qStats.getLong(2)
+    require(nQueries == qStats.getLong(1),
+      "RetrievePipeline.query: null query ids present — the lexical and " +
+        "vector legs would disagree on null keys; filter or fix upstream")
+    require(nQueries == 0 || qStats.getLong(0) >= 0,
       "RetrievePipeline.query: query ids must be non-negative " +
         "(the sign-fold reserves the negative range for queries)")
     val terms = q.select(col("query_id"),
@@ -149,13 +161,12 @@ object RetrievePipeline {
     // one-idCol contract for both sides)
     val qVec = Similarity.hashEmbed(q, "text", "query_id", dim, salt)
       .select((-col("query_id") - 1).as("chunk_id"), col("embedding"))
-    // regime statistic comes from the INPUT frame, not the embedded one:
-    // hashEmbed's aggregates leave qVec with multiplied-out size
-    // estimates that read service-sized batches as huge (measured: the
-    // 3-query serve probe flipped to the bulk path, +2.5 s), while the
-    // source frame's stats are real — and the embedded frame is
-    // size-proportional to it (≤ dim floats + id per text row)
-    val useBulk = bulk.getOrElse(!AnnIndex.fitsBroadcast(q))
+    // EXACT embedded-probe size from the guard's row count (see the
+    // scaladoc for why both plan-statistic variants were wrong): each
+    // probe row is dim floats + a long id + row overhead
+    val probeBytes = nQueries * (4L * dim + 64L)
+    val useBulk = bulk.getOrElse(
+      !AnnIndex.broadcastThresholdFits(spark, probeBytes))
     val ann =
       if (useBulk)
         AnnIndex.queryIvfBulk(spark, s"$dir/ann", qVec, "embedding",
