@@ -596,14 +596,23 @@ object Dedup {
     * incremental twin of [[dhashPairs]] (the minhash-state /
     * AnnIndex.screenIvf shape for media): returns (id_a = batch id,
     * id_b = store id, hamming, grid_l1) for every batch unit within
-    * `maxHamming` AND `maxL1` of a committed one. The batch side is
-    * micro-batch-sized and BROADCAST, so the store never shuffles — the
-    * join is map-side over the store scan, per-batch cost tracks the
-    * batch, and (unlike the self-join) a hot store bucket is no funnel:
-    * its matches fan out across the store's own partitions. Banding is
-    * the same pigeonhole split, so recall at the Hamming bound is full —
-    * which is what makes the screen its own re-delivery guard (a
-    * re-delivered unit matches its committed copy at distance 0).
+    * `maxHamming` AND `maxL1` of a committed one. Banding is the same
+    * pigeonhole split, so recall at the Hamming bound is full — which
+    * is what makes the screen its own re-delivery guard (a re-delivered
+    * unit matches its committed copy at distance 0).
+    *
+    * Two regimes, decided from the EXACT exploded-batch byte size (one
+    * count+max aggregate on the batch — callers hand a pinned frame, so
+    * the extra job is a cheap readback; plan statistics mis-estimate in
+    * both directions around aggregates, the RetrievePipeline lesson):
+    * a service-sized batch BROADCASTS, so the store never shuffles —
+    * the join is map-side over the store scan, per-batch cost tracks
+    * the batch, and a hot store bucket is no funnel (its matches fan
+    * out across the store's own partitions). A batch too big to
+    * broadcast (an AvailableNow backlog drain can deliver a
+    * corpus-sized "micro-batch" — r9 advice: the forced broadcast would
+    * exceed Spark's limits and fail the stream) falls back to the
+    * shuffle equi-join on block_key, the [[dhashPairs]] shape.
     */
   def dhashScreen(batch: DataFrame, store: DataFrame, idCol: String,
                   maxHamming: Int = 3, maxL1: Double = 12750.0): DataFrame = {
@@ -615,8 +624,18 @@ object Dedup {
           col("dhash").as(s"sig_$side"))
         .withColumn("block_key",
           explode(pigeonholeBlockKeys(col(s"sig_$side"), blocks)))
-    val cand = sided(store, "b")
-      .join(broadcast(sided(batch, "a")), Seq("block_key"))
+    // exact bytes: blocks exploded rows per unit, each carrying the grid
+    // (4 bytes/cell), the 8-byte signature, the 8-byte id, the block-key
+    // string and row overhead (~64)
+    val bStats = batch.filter(col("dhash").isNotNull)
+      .agg(count(lit(1)), max(size(col("grid")))).head()
+    val nUnits = bStats.getLong(0)
+    val cells = if (bStats.isNullAt(1)) 0L else bStats.getInt(1).toLong
+    val batchBytes = BigInt(nUnits) * blocks * (4L * cells + 8L + 8L + 64L)
+    val bSide = sided(batch, "a")
+    val cand = (if (AnnIndex.broadcastThresholdFits(batch.sparkSession, batchBytes))
+        sided(store, "b").join(broadcast(bSide), Seq("block_key"))
+      else sided(store, "b").join(bSide, Seq("block_key")))
       .drop("block_key").distinct()
     dhashVerify(cand, maxHamming, maxL1)
   }

@@ -58,15 +58,36 @@ object MediaHashStore {
     * store by writing `meta` LAST; an uncommitted `hashes/` directory
     * found before that commit is a crashed append's debris and is
     * deleted (it would otherwise resurface as committed rows).
+    *
+    * The append itself is STAGED: the batch writes to a side directory
+    * and a single rename moves it under `hashes/` as a subdirectory —
+    * the directory rename is the commit, so a crash mid-append lands
+    * ALL of a batch's rows or NONE of them. A plain parquet append
+    * could land only some of a multi-frame doc's rows; on replay the
+    * screen would then drop the whole doc (any frame matches its
+    * partial copy at distance 0) and the missing frames would never
+    * enter the store — a permanent silent weakening of future screens
+    * (r9 advice). [[read]] lists leaf files recursively, so batch
+    * subdirectories and compaction's flat layout coexist.
     */
   def append(spark: SparkSession, dir: String, hashes: DataFrame): Unit = {
     import spark.implicits._
     healed(spark, dir)
-    if (!exists(spark, dir)) {
-      val orphan = new org.apache.hadoop.fs.Path(s"$dir/hashes")
-      fsOf(spark, orphan).delete(orphan, true)
-    }
-    hashes.write.mode("append").parquet(s"$dir/hashes")
+    val hashesDir = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = fsOf(spark, hashesDir)
+    if (!exists(spark, dir)) fs.delete(hashesDir, true)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/hashes__stage")
+    fs.delete(stage, true) // a crashed append's debris (single writer)
+    hashes.write.mode("overwrite").parquet(stage.toString)
+    fs.mkdirs(hashesDir)
+    // unique batch subdir: uniqueness is all the name owes (replay
+    // idempotency is the SCREEN's job — a re-delivered doc's frames
+    // rematch their committed copies at distance 0 and never reach here)
+    val batchDir = new org.apache.hadoop.fs.Path(hashesDir,
+      s"b_${java.util.UUID.randomUUID().toString.take(12)}")
+    if (!fs.rename(stage, batchDir))
+      throw new IllegalStateException(
+        s"MediaHashStore.append: cannot commit $stage into $batchDir")
     if (!exists(spark, dir))
       Seq(1).toDF("v")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -80,7 +101,10 @@ object MediaHashStore {
   def read(spark: SparkSession, dir: String): DataFrame = {
     require(exists(spark, dir), s"MediaHashStore: no committed store at $dir")
     healed(spark, dir)
-    spark.read.parquet(s"$dir/hashes")
+    // recursive lookup: appends commit as batch SUBDIRECTORIES (the
+    // staged-rename protocol), compaction writes flat files — both are
+    // plain leaf-file layouts, no partition inference wanted
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/hashes")
   }
 
   /** Screen a batch of unit hashes against the committed store: returns
@@ -127,7 +151,8 @@ object MediaHashStore {
       (n, b)
     }
     val (before, bytes) = scanTree(path)
-    val df = spark.read.parquet(path.toString)
+    val df = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path.toString)
     require(df.columns.contains(idCol),
       s"MediaHashStore.compact: range-layout key '$idCol' not in store " +
         s"columns ${df.columns.mkString("(", ", ", ")")}")

@@ -48,15 +48,40 @@ object SketchStore {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Heal a [[compact]] crashed between its two renames (`dir` gone,
+    * `dir__old` holding all history) by renaming the old directory
+    * back. Every access path must run this BEFORE touching `dir` —
+    * including the per-batch WRITE: a replayed micro-batch writing
+    * `batch=<id>` into a missing `dir` would otherwise recreate the
+    * directory containing only that one partition, the `!exists` heal
+    * here could then never fire, and the next compaction's
+    * `delete(dir__old)` would silently erase every pre-crash sketch
+    * partition (r9 advice).
+    */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, path)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    ()
+  }
+
+  /** The per-micro-batch sketch write, heal-first (see [[heal]]):
+    * overwrite-by-batchId into `dir/batch=<id>` — the effectively-once
+    * contract the streaming ingests document.
+    */
+  def append(spark: SparkSession, dir: String, sketch: DataFrame,
+             batchId: Long): Unit = {
+    heal(spark, dir)
+    sketch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+  }
+
   /** Read every sketch partition under `dir` (the input shape for
     * `Profile.mergeSketches` / `CorpusReport.datasheetFromSketches`),
     * healing a compaction crashed mid-swap first.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, path)
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    heal(spark, dir)
     spark.read.parquet(dir)
   }
 
@@ -68,10 +93,10 @@ object SketchStore {
     */
   def compact(spark: SparkSession, dir: String,
               merge: DataFrame => DataFrame): (Int, Int) = {
+    heal(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, path)
     val old = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     val parts = fs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     val names = parts.map(_.getPath.getName.stripPrefix("batch="))

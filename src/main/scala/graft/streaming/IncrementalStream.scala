@@ -697,9 +697,13 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // SketchStore.append heals a compaction crashed mid-swap BEFORE
+        // writing: a replayed batch writing into a missing sketchDir would
+        // otherwise recreate it with only its own partition and orphan the
+        // entire pre-crash history in sketchDir__old (r9 advice)
         if (!batch.isEmpty)
-          graft.operators.Profile.sketch(batch, cols)
-            .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+          graft.operators.SketchStore.append(batch.sparkSession, sketchDir,
+            graft.operators.Profile.sketch(batch, cols), batchId)
         // maintenance wired into the lifecycle (not left to an operator
         // nobody calls): every `compactEvery` batches the sketch store
         // folds to ≤ 2 partitions — INSIDE foreachBatch the stream is
@@ -731,10 +735,11 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heal-before-write via SketchStore.append (see profileSketchIngest)
         if (!batch.isEmpty)
-          graft.operators.CorpusReport.datasheetSketch(
-              batch, textCol, idCol, langCol, sourceCol)
-            .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+          graft.operators.SketchStore.append(batch.sparkSession, sketchDir,
+            graft.operators.CorpusReport.datasheetSketch(
+              batch, textCol, idCol, langCol, sourceCol), batchId)
         // same in-lifecycle compaction as profileSketchIngest (single
         // writer inside foreachBatch; newest partition carried as-is)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -870,7 +870,7 @@ class StreamingSpec extends SparkSpec {
           spark.readStream.schema(Multimodal.mediaSchema).parquet(in),
           store, ck, compactEvery = 1)
         .awaitTermination()
-    def storedDocs: Set[Long] = spark.read.parquet(s"$store/hashes")
+    def storedDocs: Set[Long] = graft.operators.MediaHashStore.read(spark, store)
       .select("doc_id").distinct().as[Long].collect().toSet
     val (tA, tC) = ("picture content for the first committed image frame",
       "spoken words for the first committed audio clip here")
@@ -986,5 +986,97 @@ class StreamingSpec extends SparkSpec {
     val tvd = AnnIndex.routingDrift(spark, idxDir)
       .agg(org.apache.spark.sql.functions.sum("abs_diff") / 2).head().getDouble(0)
     assert(tvd <= 0.05, s"TVD $tvd still above the retrain threshold")
+  }
+
+  test("sketch ingest heals a compaction crashed mid-swap BEFORE the " +
+    "per-batch write — history survives a replayed batch + later compact") {
+    import spark.implicits._
+    import graft.operators.{Profile, SketchStore}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val in = tempDir("heal_in")
+    val skDir = tempDir("heal_prof")
+    val ck = tempDir("heal_ck")
+    def drain(): Unit =
+      IncrementalStream.profileSketchIngest(
+          spark.readStream.schema(docs.schema).parquet(in),
+          Seq("doc_id", "lang"), skDir, ck, compactEvery = 2)
+        .awaitTermination()
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(in)
+    drain()
+    docs.filter($"doc_id" % 2 =!= 0).write.mode("append").parquet(in)
+    // crash simulation: SketchStore.compact renames dir -> dir__old and
+    // dies before renaming the compacted temp in — the state the r9
+    // advice identified: a replayed batch writing batch=<id> into the
+    // missing dir would recreate it with only its own partition and the
+    // next compact's delete(__old) would erase all prior history
+    val fs = new org.apache.hadoop.fs.Path(skDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(skDir),
+      new org.apache.hadoop.fs.Path(skDir + "__old")))
+    drain() // batch 1 ingests; its write must heal FIRST
+    // batchId 1 ends on compactEvery = 2? no (1 % 2 != 0) — both batch
+    // partitions must exist, with batch 0's sketch intact
+    val n = Profile.mergeSketches(SketchStore.read(spark, skDir))
+      .filter(col("col_name") === "doc_id").head().getLong(1)
+    assert(n == docs.count(), s"pre-crash history lost: merged n=$n")
+    // and a compact AFTER the heal keeps the full history too
+    SketchStore.compact(spark, skDir, Profile.mergeSketchPartials)
+    val n2 = Profile.mergeSketches(SketchStore.read(spark, skDir))
+      .filter(col("col_name") === "doc_id").head().getLong(1)
+    assert(n2 == docs.count())
+  }
+
+  test("media store: staged append commits whole batches (stage debris " +
+    "invisible); oversized screen batches fall back to the shuffle regime " +
+    "with identical results") {
+    import spark.implicits._
+    import graft.operators.{Dedup, MediaHashStore, Multimodal}
+    import org.apache.spark.sql.functions.col
+    val store = tempDir("staged_store")
+    def unitHashes(ids: Seq[Long], salt: String) = {
+      val media = Multimodal.synthesizeMedia(
+        ids.map(i => (i, s"$salt body of synthetic picture number $i with enough bytes"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      Multimodal.visualHashes(media).filter(col("dhash").isNotNull)
+        .select(col("doc_id").as("fid"), col("doc_id"),
+          col("frame_idx"), col("grid"), col("dhash"))
+    }
+    MediaHashStore.append(spark, store, unitHashes(Seq(2L, 4L, 6L), "first"))
+    assert(MediaHashStore.read(spark, store).count() == 3)
+    // a crashed append's stage debris (written but never renamed in)
+    // must NOT surface as committed rows
+    unitHashes(Seq(8L, 10L), "debris").write.mode("overwrite")
+      .parquet(s"$store/hashes__stage")
+    assert(MediaHashStore.read(spark, store)
+      .select("fid").as[Long].collect().toSet == Set(2L, 4L, 6L))
+    // the next append clears the debris and commits its own batch whole
+    MediaHashStore.append(spark, store, unitHashes(Seq(12L), "second"))
+    assert(MediaHashStore.read(spark, store)
+      .select("fid").as[Long].collect().toSet == Set(2L, 4L, 6L, 12L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/hashes__stage")))
+    // regime fallback (r9 advice): with the broadcast threshold forced to
+    // 0 every screen batch is "too big" and takes the shuffle join —
+    // results must be identical to the broadcast regime's
+    val probe = unitHashes(Seq(2L, 4L), "first")
+      .unionByName(unitHashes(Seq(12L), "second"))
+      .unionByName(unitHashes(Seq(98L), "unrelated wholly new"))
+      .withColumn("fid", col("fid") + 1000L)
+    val viaBroadcast = MediaHashStore.screenUnits(spark, store, probe, "fid")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaBroadcast.nonEmpty) // 2/4/12 self-match their committed copies
+    val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = MediaHashStore.screenUnits(spark, store, probe, "fid")
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(viaShuffle == viaBroadcast)
+      // compaction read-back stays whole under the subdir layout too
+      val (cb, ca) = MediaHashStore.compact(spark, store)
+      assert(ca <= cb)
+      assert(MediaHashStore.read(spark, store).count() == 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcConf)
   }
 }
