@@ -600,4 +600,55 @@ object AnnIndex {
     fs.delete(old, true)
     (before, countFiles(corpusPath))
   }
+
+  // ------------------------------------------------------------- retraction
+
+  /** Retraction from a persisted index (either family — the corpus
+    * layout is shared): drop every row whose `idCol` appears in `ids`,
+    * rewriting ONLY the cell partitions the retracted ids live in. One
+    * semi-join finds the touched cells (bounded collect, ≤ nlist); the
+    * survivors of those cells snapshot to a temp (Spark refuses a plan
+    * that reads the path it overwrites) and dynamically overwrite their
+    * partitions; a cell whose every row is retracted gets no rows in
+    * the rewrite — dynamic overwrite would leave its old files — so
+    * fully-emptied cell directories are deleted explicitly. Every
+    * untouched cell's files never move: at 100 TB retraction cost
+    * tracks the retracted ids' cells, not the index.
+    *
+    * Centroids/pivots/codebooks are untouched — the routing contract
+    * stays frozen, exactly like [[appendIvf]]: a retracted vector stops
+    * being returned and stops screening off its near-dups
+    * (re-admission works, StreamingSpec pins it), while `cell_stats`
+    * keeps the BUILD-time baseline so [[routingDrift]] correctly
+    * reports the distribution shift deletions cause. Returns the
+    * number of rows removed. Single-writer, like every maintenance
+    * operator here.
+    */
+  def forgetIvf(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String): Long = {
+    val corpus = readCorpus(spark, dir)
+    val keys = ids.select(col(idCol)).distinct()
+    val touched = corpus.join(keys, Seq(idCol), "left_semi")
+      .groupBy("cell_id").agg(count(lit(1)).as("n")).collect() // bounded: <= nlist
+    if (touched.isEmpty) return 0L
+    val removed = touched.map(_.getLong(1)).sum
+    val touchedCells = touched.map(_.getLong(0)).sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = new org.apache.hadoop.fs.Path(s"$dir/corpus__forget")
+    val fs = snap.getFileSystem(conf)
+    corpus.filter(col("cell_id").isin(touchedCells.toIndexedSeq: _*))
+      .join(keys, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(snap.toString)
+    val kept = spark.read.parquet(snap.toString)
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id").parquet(s"$dir/corpus")
+    val surviving = kept.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSet // bounded: <= nlist
+    touchedCells.filterNot(surviving).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/cell_id=$c"), true)
+    }
+    fs.delete(snap, true)
+    removed
+  }
 }

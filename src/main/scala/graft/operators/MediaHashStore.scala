@@ -164,19 +164,66 @@ object MediaHashStore {
     val nFiles = math.max(spark.sparkContext.defaultParallelism.toLong,
       bytes / (128L << 20) + 1L).toInt
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__compact")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
     fs.delete(tmp, true)
     df.repartitionByRange(nFiles, col(idCol))
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(tmp.toString)
+    swapInto(fs, tmp, path, "compact")
+    (before, scanTree(path)._1)
+  }
+
+  /** The `__old` temp-then-swap shared by [[compact]] and [[forget]]:
+    * stage the live directory aside, move the rewritten one in, roll
+    * back if the second rename fails. [[read]] heals a crash between
+    * the two renames.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                       tmp: org.apache.hadoop.fs.Path,
+                       path: org.apache.hadoop.fs.Path, op: String): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
     fs.delete(old, true)
     if (!fs.rename(path, old))
-      throw new IllegalStateException(s"MediaHashStore.compact: cannot stage $path")
+      throw new IllegalStateException(s"MediaHashStore.$op: cannot stage $path")
     if (!fs.rename(tmp, path)) {
       fs.rename(old, path) // roll back — the store stays readable
-      throw new IllegalStateException(s"MediaHashStore.compact: swap failed for $path")
+      throw new IllegalStateException(s"MediaHashStore.$op: swap failed for $path")
     }
     fs.delete(old, true)
-    (before, scanTree(path)._1)
+    ()
+  }
+
+  /** Retraction: drop every unit row whose `idCol` (the DOC id by
+    * default — all of a retracted doc's frames leave together) appears
+    * in `ids`, through the compact-style temp-then-swap. After the
+    * forget, a retracted doc's near-dups stop screening off against it
+    * — the re-admission seam a takedown pipeline needs (StreamingSpec
+    * pins it end to end). Forgetting EVERY unit un-creates the store
+    * (meta removed): an empty parquet table carries no schema
+    * guarantee, and a store that forgot its whole corpus has nothing
+    * left to screen against. Returns the number of unit rows removed.
+    * SINGLE-WRITER: run between drains, like [[compact]].
+    */
+  def forget(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "doc_id"): Long = {
+    if (!exists(spark, dir)) return 0L
+    healed(spark, dir)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = fsOf(spark, path)
+    val store = read(spark, dir)
+    val keys = ids.select(col(idCol)).distinct()
+    val removed = store.join(keys, Seq(idCol), "left_semi").count()
+    if (removed == 0L) return 0L
+    val kept = store.join(keys, Seq(idCol), "left_anti")
+    if (kept.isEmpty) {
+      fs.delete(path, true)
+      val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      fs.delete(meta, true)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__forget")
+      fs.delete(tmp, true)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      swapInto(fs, tmp, path, "forget")
+    }
+    removed
   }
 }

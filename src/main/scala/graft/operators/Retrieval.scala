@@ -152,9 +152,87 @@ object Retrieval {
     * Results are bit-identical to the in-run operator at the same
     * corpus and parameters (spec-pinned).
     */
+  /** Heal a [[forgetBm25]] crashed between its two renames (the whole
+    * index parked at `dir__old`) — run before any read of the index
+    * directory, the AnnIndex.readCorpus discipline at whole-index grain
+    * (the four tables must move together: a postings/doc_freq mix of two
+    * generations would mis-score every query).
+    */
+  private def healIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    ()
+  }
+
+  /** Retraction from the persisted index ([[buildBm25Index]] layout):
+    * drop the retracted docs' postings and doc_len rows, RE-DERIVE
+    * doc_freq and the corpus scalars from the surviving postings (df
+    * and avgdl genuinely change when documents leave — a retracted
+    * doc must stop influencing every OTHER doc's scores too), and swap
+    * the whole index directory through `__old` so the four tables move
+    * together. The result is BIT-IDENTICAL to an index built fresh
+    * over the surviving corpus (spec-pinned): postings rows are
+    * per-doc-disjoint and every derived table is a pure function of
+    * the postings. Forgetting every document un-commits the index
+    * (stats marker removed — nothing left to serve). Returns the
+    * number of documents removed. Single-writer, like every graft
+    * maintenance operator.
+    */
+  def forgetBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 ids: DataFrame): Long = {
+    import spark.implicits._
+    healIndex(spark, dir)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(statsPath),
+      s"forgetBm25: no committed index at $dir (stats marker absent)")
+    val idCol = spark.read.parquet(s"$dir/stats").head().getString(2)
+    val keys = ids.select(col(idCol)).distinct()
+    val docLen = spark.read.parquet(s"$dir/doc_len")
+    val removed = docLen.join(keys, Seq(idCol), "left_semi").count()
+    if (removed == 0L) return 0L
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (removed == docLen.count()) { // whole corpus retracted: un-commit
+      fs.delete(path, true)
+      return removed
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__forget")
+    fs.delete(tmp, true)
+    // the build discipline: each derived table from the one WRITTEN
+    // before it; stats lands LAST inside the temp (a crash mid-rewrite
+    // leaves an uncommitted temp, never a half-derived live index)
+    spark.read.parquet(s"$dir/postings").join(keys, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    val post = spark.read.parquet(s"$tmp/postings")
+    post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$tmp/doc_len")
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$tmp/doc_freq")
+    val statsRow = spark.read.parquet(s"$tmp/doc_len")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head()
+    Seq((statsRow.getLong(0), statsRow.getDouble(1), idCol))
+      .toDF("n_docs", "avgdl", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new IllegalStateException(s"forgetBm25: cannot stage $path")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back — the index stays readable
+      throw new IllegalStateException(s"forgetBm25: swap failed for $path")
+    }
+    fs.delete(old, true)
+    removed
+  }
+
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                         queryTerms: DataFrame, k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    healIndex(spark, dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(statsPath),

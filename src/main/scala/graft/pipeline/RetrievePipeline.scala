@@ -183,25 +183,127 @@ object RetrievePipeline {
         col("rrf"), col("n_sources"))
   }
 
+  /** Heal a [[forget]] table swap crashed between its two renames (the
+    * table parked at `<table>__old`) — run before reading `chunks` or
+    * `vectors` outside the build path.
+    */
+  private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
+                       path: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    ()
+  }
+
+  /** Retraction across the WHOLE serving stack — the takedown/opt-out
+    * seam: given doc ids, remove every trace of their chunks from all
+    * four persisted artifacts, so a retracted document (a) stops being
+    * returned by [[query]] through either leg, (b) stops serving its
+    * passage text from [[fetchChunks]], and (c) stops influencing other
+    * documents' lexical scores (BM25 df/avgdl re-derive from the
+    * surviving postings — [[graft.operators.Retrieval.forgetBm25]]).
+    *
+    * The chunk ids derive from the id packing (doc_id << ChunkBits |
+    * chunk_idx) by one broadcast semi-join against the chunk store,
+    * pinned once (retraction-sized) and reused against every artifact:
+    * chunks and vectors rewrite through a `__old` temp-then-swap
+    * ([[fetchChunks]]/[[query]] heal a mid-swap crash), the BM25 index
+    * swaps as one directory, and the ANN corpus rewrites only the
+    * retracted ids' cell partitions
+    * ([[graft.operators.AnnIndex.forgetIvf]]). Retracting the ENTIRE
+    * corpus is not a forget — rebuild instead (guarded). Returns the
+    * number of chunks removed. Single-writer, like every graft
+    * maintenance operator.
+    */
+  def forget(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"RetrievePipeline.forget: no committed build at $dir (meta marker absent)")
+    healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/chunks"))
+    healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+    val chunks = spark.read.parquet(s"$dir/chunks")
+    // renamed join key: the chunk store carries the caller's own doc-id
+    // column, and a bare `doc_id` reference would be ambiguous
+    val ids = docIds.select(col("doc_id").cast("long").as("__forget_doc"))
+      .distinct()
+    // the retracted CHUNK id set: retraction-sized, pinned once, reused
+    // against all four artifacts (broadcast — a takedown list is small)
+    val drop = chunks
+      .join(broadcast(ids),
+        shiftright(col("chunk_id"), ChunkBits) === col("__forget_doc"),
+        "left_semi")
+      .select("chunk_id").localCheckpoint(true)
+    val removed = drop.count()
+    if (removed == 0L) return 0L
+    require(removed < chunks.count(),
+      "RetrievePipeline.forget: retracting the entire corpus — rebuild instead")
+    def swapTable(table: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__forget")
+      fs.delete(tmp, true)
+      spark.read.parquet(path.toString)
+        .join(drop, Seq("chunk_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${table}__old")
+      fs.delete(old, true)
+      if (!fs.rename(path, old))
+        throw new IllegalStateException(s"RetrievePipeline.forget: cannot stage $path")
+      if (!fs.rename(tmp, path)) {
+        fs.rename(old, path) // roll back — the table stays readable
+        throw new IllegalStateException(s"RetrievePipeline.forget: swap failed for $path")
+      }
+      fs.delete(old, true)
+    }
+    swapTable("chunks")
+    swapTable("vectors")
+    Retrieval.forgetBm25(spark, s"$dir/bm25", drop)
+    AnnIndex.forgetIvf(spark, s"$dir/ann", drop, "chunk_id")
+    removed
+  }
+
   /** Attach passage text to a [[query]] result from the persisted chunk
-    * store — the serving system's final hop. The result is top-k-bounded
-    * by the query contract (≤ k rows per query), so the id list is a
-    * bounded collect, and the isin predicate pushes into the parquet
-    * scan where the build's range layout prunes it to a handful of row
-    * groups (a point lookup, not a corpus scan).
+    * store — the serving system's final hop. Two regimes, gated on the
+    * MEASURED result size (the frame is pinned anyway, so the count is a
+    * cheap readback):
+    *
+    *   - SERVING regime (≤ `isinCap` rows — the ≤ k-per-query contract
+    *     at service-sized query counts): collect the id list and push an
+    *     `isin` predicate into the parquet scan, where the build's range
+    *     layout prunes it to a handful of row groups — a point lookup,
+    *     not a corpus scan.
+    *   - BULK regime (a [[query]] result over a corpus-sized query side
+    *     — k × |queries| ids): the collect would funnel millions of
+    *     longs through the driver and plan a million-literal `In`, so
+    *     the store is instead left-semi-joined against the result's
+    *     distinct ids — no driver round-trip, and the range layout still
+    *     prunes at the join's dynamic filter while the final attach
+    *     shuffles on chunk_id like any fact join. Results are identical
+    *     (spec-pinned at a forced cap of 0).
     */
   def fetchChunks(spark: SparkSession, dir: String,
-                  results: DataFrame): DataFrame = {
-    // pin the (top-k-bounded) result before it feeds the id collect AND
-    // the final join — the caller usually hands the un-materialized
-    // hybrid plan, which would otherwise execute twice
+                  results: DataFrame, isinCap: Long = 1L << 16): DataFrame = {
+    healSwap(new org.apache.hadoop.fs.Path(s"$dir/chunks")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$dir/chunks"))
+    // pin the result before it feeds the count, the id collect/semi-join
+    // AND the final join — the caller usually hands the un-materialized
+    // hybrid plan, which would otherwise execute once per consumer
     val pinned = results.localCheckpoint(true)
-    val ids = pinned.select("chunk_id").distinct()
-      .collect().map(_.getLong(0)) // bounded: <= k rows per query
-    val store = spark.read.parquet(s"$dir/chunks")
-      .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
-      .select(col("chunk_id"), col("chunk_text"))
-    pinned.join(broadcast(store), Seq("chunk_id"), "left")
-      .select(pinned.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
+    val n = pinned.count()
+    if (n <= isinCap) {
+      val ids = pinned.select("chunk_id").distinct()
+        .collect().map(_.getLong(0)) // bounded: <= isinCap by the gate
+      val store = spark.read.parquet(s"$dir/chunks")
+        .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
+        .select(col("chunk_id"), col("chunk_text"))
+      pinned.join(broadcast(store), Seq("chunk_id"), "left")
+        .select(pinned.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
+    } else {
+      val store = spark.read.parquet(s"$dir/chunks")
+        .join(pinned.select("chunk_id").distinct(), Seq("chunk_id"), "left_semi")
+        .select(col("chunk_id"), col("chunk_text"))
+      pinned.join(store, Seq("chunk_id"), "left")
+        .select(pinned.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
+    }
   }
 }

@@ -1089,6 +1089,30 @@ ORDER BY doc_id""")
       .orderBy("doc_id")
   }
 
+  /** Retraction END TO END through the persisted warehouse — the
+    * takedown/opt-out write primitive ([[graft.warehouse.Warehouse
+    * .forget]]): write the orders table, retract every key ≡ 0 mod 10
+    * (plus one key that was never there — a no-op by contract), read
+    * the table back from disk. The oracle is the anti-join semantics in
+    * one WHERE clause; matching it proves the delete really rewrote the
+    * files (the readback serves only survivors) and removed exactly the
+    * keyed rows.
+    */
+  def warehouseForget(s: SparkSession, dir: String): DataFrame = {
+    val wh = new graft.warehouse.Warehouse(s,
+      java.nio.file.Files.createTempDirectory("graft_wh_forget").toString)
+    val orders = Tables.load(s, dir, "orders")
+    wh.overwrite("orders_t", orders)
+    wh.forget("orders_t",
+      orders.filter(col("o_orderkey") % 10 === 0).select("o_orderkey")
+        .unionByName(s.range(1).select(lit(-1L).as("o_orderkey"))),
+      "o_orderkey")
+    wh.read("orders_t")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Distribution-drift monitor between two snapshots: per-language
     * share in each snapshot and the per-cell |p_a − p_b| (whose half-sum
     * is the total-variation distance). TVD instead of KL/χ² is a
@@ -2676,6 +2700,12 @@ ORDER BY doc_id""")
                        WHEN old_hash <> new_hash THEN 'changed' END AS change
            FROM oldd FULL JOIN newd USING (doc_id))
          SELECT doc_id, change FROM d WHERE change IS NOT NULL ORDER BY doc_id""",
+    // retraction readback: the anti-join delete's survivors — matching
+    // proves Warehouse.forget rewrote the persisted table to exactly
+    // the un-retracted rows
+    "warehouse_forget" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey""",
     "sim_topk_pq" -> pqTopkOracle(m = 16, ksub = 32, iters = 3, shortlist = 25, k = 5),
     "sim_topk_ivfadc" -> ivfAdcOracle(nlist = 16, nprobe = 4, m = 16, ksub = 32,
       iters = 3, shortlist = 25, k = 5),
@@ -4601,6 +4631,7 @@ ORDER BY doc_id""")
     "corpus_dsir" -> (corpusDsir _),
     "text_naive_bayes" -> (textNaiveBayes _),
     "warehouse_diff" -> (warehouseDiff _),
+    "warehouse_forget" -> (warehouseForget _),
     "warehouse_profile" -> (warehouseProfile _),
     "warehouse_drift" -> (warehouseDrift _),
     "privacy_k_anon" -> (privacyKAnon _),

@@ -420,6 +420,8 @@ object IncrementalStream {
         val hadoopConf = sp.sparkContext.hadoopConfiguration
         val root = new org.apache.hadoop.fs.Path(stateDir)
         val fs = root.getFileSystem(hadoopConf)
+        healSwap(fs, root) // a forgetFuzzyState crashed mid-swap parks
+                           // the whole state at __old — restore it first
         val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
         val committed: Seq[String] =
           if (fs.exists(commitsDir))
@@ -506,6 +508,91 @@ object IncrementalStream {
         ()
       }
       .start()
+
+  /** Heal a whole-directory temp-then-swap crashed between its two
+    * renames: `path` gone, `path__old` holding the complete pre-swap
+    * contents — rename it back (the SketchStore/AnnIndex discipline,
+    * shared by [[forgetFuzzyState]] and the `fuzzyDedupIngest` reader).
+    */
+  private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
+                       path: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    ()
+  }
+
+  /** Retraction from the persisted fuzzy-dedup state
+    * ([[fuzzyDedupIngest]]'s `stateDir` layout): drop the given doc ids
+    * from ALL THREE state tables — docs, band keys AND shingles — so a
+    * retracted document both disappears from the committed corpus and
+    * STOPS BLOCKING re-admission of its own near-dups (today's ingest
+    * matches new docs against the state; rows left behind would keep
+    * vetoing legitimate content forever — the takedown/opt-out seam a
+    * real training-data pipeline cannot run without).
+    *
+    * The surviving state consolidates into one `ingest=retained_<n>`
+    * partition per table with a fresh commit marker, and the WHOLE
+    * state directory moves through a temp-then-swap (`__old` protocol;
+    * [[fuzzyDedupIngest]] heals a mid-swap crash before its next
+    * batch): marker bookkeeping inside a live directory cannot be made
+    * atomic — a crash between "new marker created" and "old markers
+    * deleted" would double every shingle row and corrupt every Jaccard
+    * size — while the directory swap is all-or-nothing. Retraction
+    * rewrites the whole state by nature (a doc's rows are scattered
+    * across every ingest partition); the state is hash-thin (ids +
+    * 8-byte shingles, never documents' text... the docs table carries
+    * text for re-screening, linear in the corpus — the same cost one
+    * ingest-state compaction pays). Forgetting every committed doc
+    * resets the state to empty-committed (readers see no corpus).
+    * SINGLE-WRITER: run between drains, never concurrent with an
+    * active ingest. Returns the number of docs removed.
+    */
+  def forgetFuzzyState(spark: SparkSession, stateDir: String,
+                       ids: DataFrame, idCol: String = "doc_id"): Long = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healSwap(fs, root)
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    if (!fs.exists(commitsDir)) return 0L
+    val committed = fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    if (committed.isEmpty) return 0L
+    def readState(table: String) = spark.read.parquet(
+      committed.map(key => s"$stateDir/$table/ingest=$key"): _*)
+    val keys = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val docs = readState("docs")
+    val removed = docs.join(keys, Seq(idCol), "left_semi").count()
+    if (removed == 0L) return 0L
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + "__forget")
+    fs.delete(tmp, true)
+    val survivors = removed < docs.count()
+    if (survivors) {
+      val gen = committed.length // retained_<n>: collision-free vs batch
+                                 // keys (those start with a digit + '_')
+      Seq("docs", "bands", "shingles").foreach { table =>
+        readState(table).join(keys, Seq(idCol), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$tmp/$table/ingest=retained_$gen")
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp,
+        s"_commits/retained_$gen"), true).close()
+    } else {
+      // everything retracted: an empty-committed state (no markers) —
+      // readers treat it exactly like a fresh stateDir
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+    }
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(root, old))
+      throw new IllegalStateException(s"forgetFuzzyState: cannot stage $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // roll back — the state stays readable
+      throw new IllegalStateException(s"forgetFuzzyState: swap failed for $root")
+    }
+    fs.delete(old, true)
+    removed
+  }
 
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media

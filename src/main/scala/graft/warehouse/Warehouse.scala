@@ -205,6 +205,59 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Retraction — the DELETE-by-key every real warehouse needs (takedown
+    * requests, opt-outs, licensing reversals): drop every row whose
+    * `keyCol` appears in `ids`, set-based. The [[upsert]] machinery
+    * inverted: one anti-join, rewritten through the temp-then-swap
+    * [[overwrite]] — no row-level delete I/O, the only way an immutable
+    * format honors a delete at scale.
+    *
+    * When `partitionCol` is given (table written partitioned by it), the
+    * delete is PARTITION-SCOPED like the upsert: one semi-join finds the
+    * partitions the ids actually live in (bounded collect — retraction
+    * churn, not table size), only those partitions are read back,
+    * anti-joined, and dynamically overwritten; every other partition's
+    * files are untouched. A partition whose every row is retracted gets
+    * no rows in the rewrite — dynamic overwrite would leave its old
+    * files in place — so fully-emptied partitions are deleted
+    * explicitly. Partition values are formatted with their plain string
+    * form; a table partitioned on values needing path escaping (or
+    * nulls) should take the unpartitioned path.
+    *
+    * Returns the number of rows removed.
+    */
+  def forget(table: String, ids: DataFrame, keyCol: String,
+             partitionCol: Option[String] = None): Long = {
+    val existing = readIfExists(table).getOrElse(return 0L)
+    val keys = ids.select(col(keyCol)).distinct()
+    (existing, partitionCol) match {
+      case (df, Some(pc)) =>
+        val touched = df.join(keys, Seq(keyCol), "left_semi")
+          .groupBy(col(pc)).agg(count(lit(1)).as("__n")).collect()
+        if (touched.isEmpty) return 0L
+        val removed = touched.map(_.getLong(1)).sum
+        val touchedVals = touched.map(_.get(0))
+        val scoped = df.filter(col(pc).isin(touchedVals.toIndexedSeq: _*))
+        val kept = scoped.join(keys, Seq(keyCol), "left_anti")
+        // the surviving-partition list must materialize BEFORE the
+        // overwrite: afterwards the plan's source files are gone
+        val surviving = kept.select(col(pc)).distinct().collect()
+          .map(r => String.valueOf(r.get(0))).toSet
+        overwritePartitions(table, kept, pc)
+        // partitions the rewrite emitted no rows for are fully retracted:
+        // dynamic overwrite left their old files — remove them
+        touchedVals.map(String.valueOf(_)).filterNot(surviving).foreach { v =>
+          deleteRecursively(Paths.get(s"${path(table)}/$pc=$v"))
+        }
+        removed
+      case (df, None) =>
+        val removed = df.join(keys, Seq(keyCol), "left_semi").count()
+        if (removed > 0L)
+          overwrite(table, df.join(keys, Seq(keyCol), "left_anti"))
+        removed
+    }
+  }
+
   /** SCD Type-2 upsert — the historized dimension: each key carries
     * versioned rows with `[valid_from, valid_to)` + `is_current`. An
     * incoming snapshot CLOSES the current version of every key whose

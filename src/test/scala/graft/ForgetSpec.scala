@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalStream
+import graft.warehouse.Warehouse
+
+/** Retraction (`forget`) across every persisted store — the
+  * takedown/opt-out lifecycle seam: a retracted id must (a) stop being
+  * served from every index, (b) stop BLOCKING re-admission of its own
+  * near-dups in every dedup ingest path, and (c) physically leave the
+  * files. Each store's forget is pinned here end to end.
+  */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("warehouse forget: anti-join delete, partition-scoped variant " +
+    "removes fully-emptied partition directories") {
+    val wh = new Warehouse(spark, tempDir("forget_wh"))
+    val rows = (0L until 100L).map(i => (i, s"name_$i", s"d${i % 4}"))
+      .toDF("id", "name", "day")
+    wh.overwrite("flat", rows)
+    val removed = wh.forget("flat", Seq(3L, 7L, 999L).toDF("id"), "id")
+    assert(removed == 2L)
+    assert(wh.read("flat").count() == 98)
+    assert(wh.read("flat").filter(col("id").isin(3L, 7L)).count() == 0)
+    // forgetting nothing is a no-op (no rewrite churn)
+    assert(wh.forget("flat", Seq(999L).toDF("id"), "id") == 0L)
+
+    wh.appendPartitioned("parted", rows, "day")
+    // retract ALL of day d3 plus one row of d1: d3's directory must go,
+    // d1 rewrites in place, d0/d2 untouched
+    val d3Ids = (0L until 100L).filter(_ % 4 == 3)
+    val removedP = wh.forget("parted", (d3Ids :+ 1L).toDF("id"), "id",
+      partitionCol = Some("day"))
+    assert(removedP == d3Ids.length + 1)
+    val back = wh.read("parted")
+    assert(back.count() == 100 - d3Ids.length - 1)
+    assert(back.filter(col("day") === "d3").count() == 0)
+    assert(!new java.io.File(s"${wh.root}/parted/day=d3").exists(),
+      "fully-retracted partition directory must be deleted")
+    assert(new java.io.File(s"${wh.root}/parted/day=d0").exists())
+  }
+
+  test("fuzzy-state forget: a retracted doc leaves all three state tables " +
+    "and stops blocking its near-dup's re-admission") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val stateDir = tempDir("forget_fz_state")
+    val in = tempDir("forget_fz_in")
+    val ck = tempDir("forget_fz_ck")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the late afternoon sun"
+    val nearDup = base.replace("late afternoon", "early morning")
+    val other = "completely unrelated second document body about spark " +
+      "query engines shuffling partitions across a thousand executors"
+    def drain(): Unit =
+      IncrementalStream.fuzzyDedupIngest(
+          spark.readStream.schema(schema).parquet(in), stateDir, ck)
+        .awaitTermination()
+    def committedDocs: Set[Long] = {
+      val commits = new java.io.File(s"$stateDir/_commits").listFiles()
+      val keys = if (commits == null) Seq.empty
+        else commits.map(_.getName).filterNot(n =>
+          n.startsWith(".") || n.startsWith("_")).toSeq
+      if (keys.isEmpty) Set.empty
+      else spark.read.parquet(keys.map(k => s"$stateDir/docs/ingest=$k"): _*)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    drain()
+    assert(committedDocs == Set(1L, 2L))
+    // near-dup of committed doc 1 is blocked
+    Seq((11L, nearDup)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    assert(committedDocs == Set(1L, 2L))
+    // retract doc 1: it leaves docs AND bands AND shingles
+    val removed = IncrementalStream.forgetFuzzyState(spark, stateDir,
+      Seq(1L).toDF("doc_id"))
+    assert(removed == 1L)
+    assert(committedDocs == Set(2L))
+    Seq("bands", "shingles").foreach { t =>
+      val dirs = new java.io.File(s"$stateDir/$t").listFiles()
+        .map(f => s"$stateDir/$t/${f.getName}").toSeq
+      assert(spark.read.parquet(dirs: _*)
+        .filter(col("doc_id") === 1L).count() == 0, t)
+    }
+    // the same near-dup now ADMITS (nothing blocks it any more)
+    Seq((21L, nearDup)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    assert(committedDocs == Set(2L, 21L))
+    // forgetting the whole corpus resets to empty-committed state —
+    // and the next ingest starts from scratch
+    assert(IncrementalStream.forgetFuzzyState(spark, stateDir,
+      Seq(2L, 21L).toDF("doc_id")) == 2L)
+    assert(committedDocs == Set.empty[Long])
+    Seq((31L, base)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    assert(committedDocs == Set(31L))
+  }
+
+  test("media store forget: a retracted doc's frames leave the store and " +
+    "its perceptual copy re-admits") {
+    import graft.operators.{MediaHashStore, Multimodal}
+    import Multimodal.Codec
+    import org.apache.spark.sql.Row
+    val in = tempDir("forget_md_in")
+    val store = tempDir("forget_md_store")
+    val ck = tempDir("forget_md_ck")
+    def mediaDf(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    def bmp(id: Long, text: String) = {
+      val b = Codec.synthBmp(text.getBytes("UTF-8"), id)
+      Row(id, b, "image/bmp", b.length.toLong)
+    }
+    def drain(): Unit =
+      IncrementalStream.mediaDedupIngest(
+          spark.readStream.schema(Multimodal.mediaSchema).parquet(in),
+          store, ck)
+        .awaitTermination()
+    def storedDocs: Set[Long] =
+      if (!MediaHashStore.exists(spark, store)) Set.empty
+      else MediaHashStore.read(spark, store)
+        .select("doc_id").distinct().as[Long].collect().toSet
+    val tA = "picture content for the retraction test image number one"
+    mediaDf(Seq(bmp(2L, tA), bmp(4L, "a different second picture body")))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(storedDocs == Set(2L, 4L))
+    // an upscaled copy of committed image 2 is blocked
+    val up = Codec.resizeBmp(Codec.synthBmp(tA.getBytes("UTF-8"), 2L),
+      (4 + tA.length % 29) * 2, (4 + 2 % 13).toInt * 2).get
+    mediaDf(Seq(Row(100L, up, "image/bmp", up.length.toLong)))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(storedDocs == Set(2L, 4L))
+    // retract doc 2: frames physically leave, the copy re-admits
+    assert(MediaHashStore.forget(spark, store, Seq(2L).toDF("doc_id")) == 1L)
+    assert(storedDocs == Set(4L))
+    mediaDf(Seq(Row(101L, up, "image/bmp", up.length.toLong)))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(storedDocs == Set(4L, 101L))
+    // forgetting every remaining doc un-creates the store; the next
+    // ingest recreates it from scratch
+    assert(MediaHashStore.forget(spark, store,
+      Seq(4L, 101L).toDF("doc_id")) == 2L)
+    assert(!MediaHashStore.exists(spark, store))
+    mediaDf(Seq(bmp(6L, "a brand new post-reset image body here")))
+      .write.mode("append").parquet(in)
+    drain()
+    assert(storedDocs == Set(6L))
+  }
+
+  test("bm25 forget == an index built fresh over the survivors, bit for " +
+    "bit; a retracted doc never ranks again") {
+    import graft.operators.Retrieval
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(300).localCheckpoint(true)
+    val dir = tempDir("forget_bm25")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", s"$dir/idx")
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"), (2L, "a"))
+      .toDF("query_id", "term")
+    val before = Retrieval.bm25TopKFromIndex(spark, s"$dir/idx", terms, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(before.nonEmpty)
+    // retract the top-ranked docs of query 1 — the strongest signal that
+    // scores genuinely re-derive (df/avgdl shift for everyone else)
+    val victims = before.filter(_._1 == 1L).sortBy(_._2).take(3).map(_._3)
+    val removed = Retrieval.forgetBm25(spark, s"$dir/idx",
+      victims.toSeq.toDF("doc_id"))
+    assert(removed == victims.length)
+    val after = Retrieval.bm25TopKFromIndex(spark, s"$dir/idx", terms, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(!after.exists(r => victims.contains(r._3)))
+    // ≡ a fresh build over the surviving corpus, bit for bit
+    val freshDir = tempDir("forget_bm25_fresh")
+    Retrieval.buildBm25Index(
+      docs.filter(!col("doc_id").isin(victims.toIndexedSeq: _*)),
+      "text", "doc_id", s"$freshDir/idx")
+    val fresh = Retrieval.bm25TopKFromIndex(spark, s"$freshDir/idx", terms, 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(after.sortBy(r => (r._1, r._2)).toSeq ==
+      fresh.sortBy(r => (r._1, r._2)).toSeq)
+    // forgetting an id with no postings is a no-op
+    assert(Retrieval.forgetBm25(spark, s"$dir/idx",
+      Seq(999999L).toDF("doc_id")) == 0L)
+    // forgetting everything un-commits the index
+    val allIds = spark.read.parquet(s"$dir/idx/doc_len")
+      .select("doc_id").as[Long].collect()
+    assert(Retrieval.forgetBm25(spark, s"$dir/idx",
+      allIds.toSeq.toDF("doc_id")) == allIds.length)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndex(spark, s"$dir/idx", terms, 10)
+    }
+    assert(e.getMessage.contains("stats marker"))
+  }
+
+  test("ANN forget: cell-pruned delete — retracted vectors never return, " +
+    "near-dups re-admit, emptied cell directories leave the disk") {
+    import graft.operators.AnnIndex
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(true)
+    val dir = tempDir("forget_ann")
+    AnnIndex.buildIvf(all, "embedding", "vec_id", dir, nlist = 4, iters = 3)
+    val victim = all.filter(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    // before: the victim self-matches through the screen at cosine 1
+    val hit = AnnIndex.screenIvf(spark, dir, victim, "embedding", "vec_id",
+      threshold = 0.999, nprobe = 4)
+    assert(hit.filter(col("id_b") === 7L).count() == 1)
+    val nBefore = spark.read.parquet(s"$dir/corpus").count()
+    assert(AnnIndex.forgetIvf(spark, dir, Seq(7L).toDF("vec_id"), "vec_id") == 1L)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() == nBefore - 1)
+    assert(corpus.filter(col("vec_id") === 7L).count() == 0)
+    // the screen no longer blocks: the identical vector re-admits...
+    assert(AnnIndex.screenIvf(spark, dir, victim, "embedding", "vec_id",
+      threshold = 0.999, nprobe = 4).count() == 0)
+    AnnIndex.appendIvf(victim, "embedding", "vec_id", dir)
+    // ...and serves again
+    assert(AnnIndex.screenIvf(spark, dir, victim, "embedding", "vec_id",
+      threshold = 0.999, nprobe = 4).filter(col("id_b") === 7L).count() == 1)
+    // retract an ENTIRE cell: its partition directory must leave the disk
+    // and the pruned layout must stay readable
+    val cellOf7 = spark.read.parquet(s"$dir/corpus")
+      .filter(col("vec_id") === 7L).select(col("cell_id").cast("long"))
+      .head().getLong(0)
+    val cellIds = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell_id").cast("long") === cellOf7)
+      .select("vec_id").as[Long].collect()
+    assert(AnnIndex.forgetIvf(spark, dir, cellIds.toSeq.toDF("vec_id"),
+      "vec_id") == cellIds.length)
+    assert(!new java.io.File(s"$dir/corpus/cell_id=$cellOf7").exists(),
+      "fully-retracted cell directory must be deleted")
+    val left = spark.read.parquet(s"$dir/corpus")
+    assert(left.count() == nBefore - cellIds.length)
+    assert(left.filter(col("cell_id").cast("long") === cellOf7).count() == 0)
+    // untouched cells still serve queries
+    val q = all.filter(col("vec_id") === 2L)
+      .select(col("vec_id"), col("embedding"))
+    assert(AnnIndex.queryIvf(spark, dir, q, "embedding", "vec_id",
+      k = 5, nprobe = 4).count() > 0)
+  }
+
+  test("serving-stack forget: a retracted doc vanishes from both legs, " +
+    "fetch, and every artifact; other docs still serve") {
+    import graft.pipeline.RetrievePipeline
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tempDir("forget_rp")
+    RetrievePipeline.build(docs, "text", "doc_id", dir,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    // a verbatim chunk query pins doc 7 at rank 1 through BOTH legs
+    val sampleChunk = graft.operators.CorpusOps.chunkDocs(
+        docs, "doc_id", "text", 32, 32)
+      .filter(col("chunk_idx") === 0 && col("doc_id") === 7)
+      .select(col("chunk_text")).as[String].head()
+    val queries = Seq((1L, sampleChunk)).toDF("query_id", "text")
+    def serve() = RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4)
+    assert(serve().filter(col("rank") === 1).head().getLong(3) == 7L)
+    val removed = RetrievePipeline.forget(spark, dir, Seq(7L).toDF("doc_id"))
+    assert(removed >= 1L)
+    val after = RetrievePipeline.fetchChunks(spark, dir, serve())
+      .localCheckpoint(true)
+    // the retracted doc is gone from results AND the passage store;
+    // every surviving result still fetches its text
+    assert(after.filter(col("doc_id") === 7L).count() == 0)
+    assert(after.count() > 0, "other docs must still serve")
+    assert(after.filter(col("chunk_text").isNull).count() == 0)
+    // physically gone from all four artifacts
+    assert(spark.read.parquet(s"$dir/chunks")
+      .filter(shiftright(col("chunk_id"), 20) === 7L).count() == 0)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(shiftright(col("chunk_id"), 20) === 7L).count() == 0)
+    assert(spark.read.parquet(s"$dir/bm25/postings")
+      .filter(shiftright(col("chunk_id"), 20) === 7L).count() == 0)
+    assert(spark.read.parquet(s"$dir/ann/corpus")
+      .filter(shiftright(col("chunk_id"), 20) === 7L).count() == 0)
+    // a forget of unknown ids is a no-op
+    assert(RetrievePipeline.forget(spark, dir, Seq(999999L).toDF("doc_id")) == 0L)
+  }
+}

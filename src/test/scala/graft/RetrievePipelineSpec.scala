@@ -71,6 +71,14 @@ class RetrievePipelineSpec extends SparkSpec {
     assert(fetched == sampleChunk)
     assert(withText.filter(col("chunk_text").isNull).count() == 0,
       "every served chunk id must resolve in the store")
+    // bulk regime (isinCap forced to 0 — every result is "too big" for
+    // the driver id collect, so the store attaches through the semi-join
+    // path instead): identical rows to the serving regime
+    val bulk = RetrievePipeline.fetchChunks(spark, dir,
+        RetrievePipeline.query(spark, dir, queries, k = 5, nprobe = 4),
+        isinCap = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bulk == withText.collect().map(_.toString).sorted.toSeq)
   }
 
   test("bm25TopKFromIndex == in-run bm25TopK, bit for bit; uncommitted index refuses") {
