@@ -552,8 +552,8 @@ object Dedup {
     * on the 64-bit signatures, then exact mean-absolute distance over
     * the perceptual grids.
     */
-  private[operators] def dhashVerify(cand: DataFrame, maxHamming: Int,
-                                     maxL1: Double): DataFrame =
+  private[graft] def dhashVerify(cand: DataFrame, maxHamming: Int,
+                                 maxL1: Double): DataFrame =
     cand
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))

@@ -1436,6 +1436,76 @@ ORDER BY doc_id""")
       .orderBy("id_a", "id_b")
   }
 
+  /** Media-dedup quality eval — the [[dedupEvalLsh]] contract applied to
+    * the dHash screen: precision/recall of the banded-Hamming pair set
+    * ([[Dedup.dhashPairs]], default `maxBucket` 1000) against the EXACT
+    * all-pairs ground truth (the same two-stage hamming + grid-L1 verify
+    * over every pair) on the bounded `doc_id < 500` image slice.
+    * Precision is 1 by construction (the banded screen's verify applies
+    * exactly the ground truth's filters to a candidate SUBSET), so the
+    * number that matters is RECALL — any shortfall is the under-delete
+    * attributable to the hot-bucket cap, the quantity the text-dedup
+    * evals exist to measure (pigeonhole banding itself is full-recall
+    * at the bound).
+    */
+  def mmDedupEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val bmps = Multimodal.synthesizeMedia(d, "text", "doc_id")
+      .filter(col("media_type") === "image/bmp")
+    val copies = Multimodal.upscaleImages(bmps, 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // one codec pass feeds both stacks (exact + banded)
+    val hashes = Multimodal.visualHashes(bmps.unionByName(copies))
+      .filter(col("dhash").isNotNull)
+      .select("doc_id", "grid", "dhash").localCheckpoint(true)
+    val a = hashes.select(col("doc_id").as("id_a"), col("grid").as("grid_a"),
+      col("dhash").as("sig_a"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("grid").as("grid_b"),
+      col("dhash").as("sig_b"))
+    // broadcast the (bounded, ≤1000-unit) slice explicitly: the
+    // checkpointed frame carries no stats, and the planner would
+    // otherwise fall through to a CartesianProduct
+    val exact = Dedup.dhashVerify(a.join(broadcast(b),
+        col("id_a") < col("id_b")), 3, 12750.0)
+      .select(col("id_a"), col("id_b"), lit(1).as("e"), lit(0).as("bn"))
+    val banded = Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .select(col("id_a"), col("id_b"), lit(0).as("e"), lit(1).as("bn"))
+    exact.unionByName(banded)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("e")).as("e"), max(col("bn")).as("bn"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("bn")).as("n_banded"),
+        sum(when(col("e") === 1 && col("bn") === 1, 1).otherwise(0)).as("n_both"))
+      .select(col("n_exact"), col("n_banded"), col("n_both"),
+        when(col("n_banded") > 0,
+          round(col("n_both").cast("double") / col("n_banded").cast("double"), 6))
+          .as("prec"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
+          .as("rec"))
+  }
+
+  /** Doc-level media KEEP-LIST — the linear production output of media
+    * dedup (the [[dedupClusterReps]] argument applied to the dHash
+    * family): banded perceptual pairs over the image corpus + its 2×
+    * upscaled re-encoded copies roll up to connected components, one
+    * (doc_id, rep_id) row per image unit. Pair lists grow quadratically
+    * with duplicate-cluster size; this stays one row per unit.
+    */
+  def mmDedupReps(s: SparkSession, dir: String): DataFrame = {
+    val bmps = Multimodal.synthesizeMedia(docs(s, dir), "text", "doc_id")
+      .filter(col("media_type") === "image/bmp")
+    val copies = Multimodal.upscaleImages(bmps, 2)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val media = bmps.unionByName(copies)
+    val hashes = Multimodal.visualHashes(media)
+      .select("doc_id", "grid", "dhash")
+    val pairs = Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+      maxL1 = 12750.0, maxBucket = 1000)
+    Dedup.clusterReps(media.select("doc_id"), pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Audio screening features over real synthesized WAVs: RMS (exact —
     * the squared sum is integer), zero-crossing count (exact integer),
     * spectral centroid (integer-funneled DFT — see
@@ -2423,6 +2493,41 @@ ORDER BY doc_id""")
                  > cells[CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER)]
               THEN 1 ELSE 0 END)"""
 
+  /** The closed-form image signature chain shared by mm_dedup,
+    * mm_dedup_eval and mm_dedup_reps (no-fork rule): BMP geometry from
+    * (text, id), the 9×8 display-order luma grid, dHash bits, and the
+    * original ∪ +1e6-copy id union (the 2× NN upscale grids identically
+    * — floor-composition identity — so the copy instantiates the same
+    * grid under the offset id). `extraFilter` bounds the doc slice.
+    */
+  private def imageSigCtes(extraFilter: String): String =
+    s"""base AS (SELECT doc_id, text, length(text) AS n FROM documents
+                       WHERE doc_id % 2 = 0$extraFilter),
+         bmp AS (SELECT doc_id, 4 + n % 29 AS w,
+                        CAST(4 + doc_id % 13 AS INTEGER) AS h, n, text
+                 FROM base),
+         grids AS (
+           SELECT doc_id,
+                  list_transform(range(0, 72), g ->
+                    299 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3 + 2) % n AS INTEGER) + 1, 1))
+                  + 587 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3 + 1) % n AS INTEGER) + 1, 1))
+                  + 114 * ascii(substr(text,
+                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
+                            + ((g % 9) * w // 9) * 3) % n AS INTEGER) + 1, 1))
+                  ) AS cells
+           FROM bmp),
+         sigs0 AS (
+           SELECT doc_id, cells, $dhashBitsExpr AS bits
+           FROM grids),
+         sigs AS (
+           SELECT doc_id AS id, cells, bits FROM sigs0
+           UNION ALL
+           SELECT doc_id + 1000000 AS id, cells, bits FROM sigs0)"""
+
   private val dhashPairsSqlTail =
     """blocked0 AS (
          SELECT id, cells, bits,
@@ -2455,7 +2560,53 @@ ORDER BY doc_id""")
        WHERE hamming <= 3 AND l1 <= 12750.0
        ORDER BY id_a, id_b"""
 
+  /** The serve-side chunker replay shared by the retrieval-pipeline
+    * build and serve oracles (no-fork rule): 32-token/32-stride chunks,
+    * ids packed doc·2^20 + idx, empties dropped.
+    */
+  private val retrieveChunkCtes =
+    """rt AS (
+           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
+           FROM documents),
+         rc AS (
+           SELECT doc_id, w,
+                  unnest(range(0, CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 32) AS BIGINT) + 1 END))
+                    AS chunk_idx
+           FROM rt),
+         rchunks AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT doc_id * 1048576 + chunk_idx AS chunk_id,
+                    array_to_string(list_slice(w, CAST(chunk_idx * 32 + 1 AS INTEGER),
+                                                  CAST(chunk_idx * 32 + 32 AS INTEGER)), ' ')
+                      AS chunk_text
+             FROM rc)
+           WHERE chunk_text <> '')"""
+
   private val oraclesBase: Map[String, String] = Map(
+    // the build's per-stage row counts, each independently derivable:
+    // the chunker replay, the postings aggregate over it, and the
+    // hashEmbed chain's row count (hashEmbed emits no row for token-less
+    // or sign-cancelled inputs, so the vector count is ITS count, not
+    // the chunk count)
+    "retrieval_pipeline_build" ->
+      s"""WITH $retrieveChunkCtes,
+         rpost AS (
+           SELECT chunk_id, token, count(*) AS tf FROM (
+             SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+             FROM rchunks)
+           WHERE token <> '' GROUP BY chunk_id, token),
+         ${hashEmbedCtes(32, "rq",
+            "(SELECT chunk_id AS doc_id, chunk_text AS text FROM rchunks)")}
+         SELECT stage, n_rows FROM (
+           SELECT 'chunks' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+           FROM rchunks
+           UNION ALL
+           SELECT 'bm25_postings', CAST(count(*) AS BIGINT) FROM rpost
+           UNION ALL
+           SELECT 'ann_vectors', CAST(count(*) AS BIGINT) FROM hvec)
+         ORDER BY stage""",
     "corpus_bpe" -> bpeTrainOracle(16),
     "corpus_bpe_persisted" -> bpeTrainOracle(16),
     "corpus_bpe_encode" -> bpeEncodeOracle(8),
@@ -3729,33 +3880,56 @@ ORDER BY doc_id""")
     // so the oracle instantiates each doc's grid under both ids instead
     // of replaying the resize.
     "mm_dedup" ->
-      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents
-                       WHERE doc_id % 2 = 0),
-         bmp AS (SELECT doc_id, 4 + n % 29 AS w,
-                        CAST(4 + doc_id % 13 AS INTEGER) AS h, n, text
-                 FROM base),
-         grids AS (
-           SELECT doc_id,
-                  list_transform(range(0, 72), g ->
-                    299 * ascii(substr(text,
-                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
-                            + ((g % 9) * w // 9) * 3 + 2) % n AS INTEGER) + 1, 1))
-                  + 587 * ascii(substr(text,
-                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
-                            + ((g % 9) * w // 9) * 3 + 1) % n AS INTEGER) + 1, 1))
-                  + 114 * ascii(substr(text,
-                      CAST(((h - 1 - ((g // 9) * h // 8)) * (w * 3)
-                            + ((g % 9) * w // 9) * 3) % n AS INTEGER) + 1, 1))
-                  ) AS cells
-           FROM bmp),
-         sigs0 AS (
-           SELECT doc_id, cells, $dhashBitsExpr AS bits
-           FROM grids),
-         sigs AS (
-           SELECT doc_id AS id, cells, bits FROM sigs0
-           UNION ALL
-           SELECT doc_id + 1000000 AS id, cells, bits FROM sigs0),
+      s"""WITH ${imageSigCtes("")},
          $dhashPairsSqlTail""",
+    // dHash screen quality: banded pairs (the mm_dedup tail verbatim, as
+    // a nested-WITH CTE) vs the exact all-pairs two-stage verify over
+    // the SAME signature chain, bounded to the doc_id < 500 slice;
+    // union-tag-aggregate like dedup_eval_lsh
+    "mm_dedup_eval" ->
+      s"""WITH ${imageSigCtes(" AND doc_id < 500")},
+         banded AS (WITH $dhashPairsSqlTail),
+         exact AS (
+           SELECT x.id AS id_a, y.id AS id_b
+           FROM sigs x JOIN sigs y ON x.id < y.id
+           WHERE len(list_filter(range(0, 64), k ->
+                   x.bits[CAST(k + 1 AS INTEGER)]
+                     <> y.bits[CAST(k + 1 AS INTEGER)])) <= 3
+             AND list_sum(list_transform(range(0, 72), i ->
+                   abs(x.cells[CAST(i + 1 AS INTEGER)]
+                       - y.cells[CAST(i + 1 AS INTEGER)]))) / 72.0 <= 12750.0),
+         tagged AS (
+           SELECT id_a, id_b, max(e) AS e, max(bn) AS bn FROM (
+             SELECT id_a, id_b, 1 AS e, 0 AS bn FROM exact
+             UNION ALL
+             SELECT id_a, id_b, 0 AS e, 1 AS bn FROM banded)
+           GROUP BY id_a, id_b)
+         SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+                CAST(sum(bn) AS BIGINT) AS n_banded,
+                CAST(sum(CASE WHEN e = 1 AND bn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_both,
+                CASE WHEN sum(bn) > 0 THEN
+                  round(CAST(sum(CASE WHEN e = 1 AND bn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(bn) AS DOUBLE), 6) END AS prec,
+                CASE WHEN sum(e) > 0 THEN
+                  round(CAST(sum(CASE WHEN e = 1 AND bn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(e) AS DOUBLE), 6) END AS rec
+         FROM tagged""",
+    // doc-level keep-list over the banded pairs: recursive transitive
+    // closure, rep = min id of the component (units in no pair keep
+    // self) — the dedup_cluster_reps oracle shape on the media family
+    "mm_dedup_reps" ->
+      s"""WITH RECURSIVE ${imageSigCtes("")},
+         banded AS (WITH $dhashPairsSqlTail),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM banded
+           UNION ALL SELECT id_b AS a, id_a AS b FROM banded),
+         tc AS (
+           SELECT a, b FROM edges
+           UNION SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a)
+         SELECT s.id AS doc_id, least(s.id, coalesce(min(t.b), s.id)) AS rep_id
+         FROM sigs s LEFT JOIN tc t ON t.a = s.id
+         GROUP BY s.id ORDER BY doc_id""",
     // video-frame perceptual dedup: frame f's luma plane is the text
     // bytes rotated by f·w·h mod n (top-down, no BMP flip; Y ×1000 to
     // share the image units), unit id = doc_id·16 + frame_idx; the
@@ -3838,26 +4012,9 @@ ORDER BY doc_id""")
     // ids sign-folded) -> unrolled Lloyd chain -> float-cast centroid
     // routing -> probe + exact-cosine top-k -> RRF fusion; every
     // fragment reused from its already-oracled twin (no-fork rule)
-    "retrieval_pipeline" -> {
+    "retrieval_pipeline_serve" -> {
       val rrfK = 10
-      s"""WITH rt AS (
-           SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
-                  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n
-           FROM documents),
-         rc AS (
-           SELECT doc_id, w,
-                  unnest(range(0, CASE WHEN n <= 32 THEN 1
-                         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 32) AS BIGINT) + 1 END))
-                    AS chunk_idx
-           FROM rt),
-         rchunks AS MATERIALIZED (
-           SELECT * FROM (
-             SELECT doc_id * 1048576 + chunk_idx AS chunk_id,
-                    array_to_string(list_slice(w, CAST(chunk_idx * 32 + 1 AS INTEGER),
-                                                  CAST(chunk_idx * 32 + 32 AS INTEGER)), ' ')
-                      AS chunk_text
-             FROM rc)
-           WHERE chunk_text <> ''),
+      s"""WITH $retrieveChunkCtes,
          rqueries(query_id, qtext) AS (VALUES
              (0, 'hash join merge'),
              (1, 'stream window batch'),
@@ -4218,12 +4375,43 @@ ORDER BY doc_id""")
     * Spark side), the unrolled Lloyd chain, float-cast centroid
     * routing, probe + exact cosine top-k, and the RRF fusion.
     */
-  def retrievalPipeline(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** One lifecycle, two board entries (r9 verdict item #6): the 8-second
+    * combined query charged a one-time BUILD to every serve measurement,
+    * hiding serve-path regressions inside build noise. `_build` runs the
+    * full artifact build fresh on every invocation and reports the
+    * per-stage row counts (each independently oracled); `_serve` answers
+    * the three fixed queries from the artifacts the LAST build left
+    * behind (building once if none exists — query-map iteration order is
+    * not guaranteed), so its bench number is the warm serving path the
+    * production system actually pays per request. The build is
+    * deterministic, so WHICH build serves is immaterial (spec-pinned
+    * bit-identical repeat queries); Bench's sorted query order runs
+    * _build first anyway.
+    */
+  private val retrieveBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  private def buildRetrieveArtifacts(s: SparkSession, dir: String):
+      (String, Seq[graft.pipeline.RetrievePipeline.Stage]) = {
     val idx = java.nio.file.Files.createTempDirectory("graft_retrieve_q").toString
-    graft.pipeline.RetrievePipeline.build(docs(s, dir), "text", "doc_id", idx,
-      chunkTokens = 32, stride = 32, dim = 32, salt = "rq", nlist = 4,
-      iters = 2)
+    val stages = graft.pipeline.RetrievePipeline.build(docs(s, dir), "text",
+      "doc_id", idx, chunkTokens = 32, stride = 32, dim = 32, salt = "rq",
+      nlist = 4, iters = 2)
+    synchronized { retrieveBuilt(dir) = idx }
+    (idx, stages)
+  }
+
+  def retrievalPipelineBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildRetrieveArtifacts(s, dir)._2.toDF()
+      .select(col("stage"), col("rows").as("n_rows")).orderBy("stage")
+  }
+
+  def retrievalPipelineServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = synchronized { retrieveBuilt.get(dir) } match {
+      case Some(d) => d
+      case None => buildRetrieveArtifacts(s, dir)._1
+    }
     graft.pipeline.RetrievePipeline.query(s, idx,
         retrievalPipelineQueries.toDF("query_id", "text"), k = 10, nprobe = 2)
       .orderBy("query_id", "rank")
@@ -4576,7 +4764,8 @@ ORDER BY doc_id""")
     "sim_topk_ivf_persisted" -> (simTopkIvfPersisted _),
     "sim_topk_ivf_bulk" -> (simTopkIvfBulk _),
     "retrieval_bm25_persisted" -> (retrievalBm25Persisted _),
-    "retrieval_pipeline" -> (retrievalPipeline _),
+    "retrieval_pipeline_build" -> (retrievalPipelineBuild _),
+    "retrieval_pipeline_serve" -> (retrievalPipelineServe _),
     "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
@@ -4645,5 +4834,7 @@ ORDER BY doc_id""")
     "mm_resize" -> (mmResize _),
     "mm_dedup" -> (mmDedup _),
     "mm_dedup_video" -> (mmDedupVideo _),
-    "mm_dedup_audio" -> (mmDedupAudio _))
+    "mm_dedup_audio" -> (mmDedupAudio _),
+    "mm_dedup_eval" -> (mmDedupEval _),
+    "mm_dedup_reps" -> (mmDedupReps _))
 }

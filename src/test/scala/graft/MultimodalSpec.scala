@@ -338,6 +338,80 @@ class MultimodalSpec extends SparkSpec {
       (4L, 1000004L, 0L, 0.0), (6L, 1000006L, 0L, 0.0)))
   }
 
+  test("video dedup: a frame-stride-resampled copy (same content, " +
+    "different frameStride) still matches at DOC level; distinct clips " +
+    "separate") {
+    import graft.operators.Dedup
+    val docsDf = Seq(
+      (1L, "a clip whose luma planes rotate through this very sentence of bytes"),
+      (2L, "an entirely different second clip body sharing no pixels at all hmm"))
+      .toDF("doc_id", "text")
+    val vids = Multimodal.synthesizeVideos(docsDf, "text", "doc_id")
+    // the copy samples every 2nd frame of the SAME clip — its frame set
+    // is a subset of the original's, so every sampled frame matches its
+    // source at distance 0 and the any-frame doc rule must link the docs
+    val full = Multimodal.visualHashes(vids)
+    val strided = Multimodal.visualHashes(vids, frameStride = 2)
+      .withColumn("doc_id", col("doc_id") + lit(100L))
+    assert(strided.filter(col("doc_id") === 101L).count() <
+      full.filter(col("doc_id") === 1L).count(),
+      "the stride-2 copy must carry fewer frames (a real resample)")
+    val units = full.unionByName(strided).filter(col("dhash").isNotNull)
+      .select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+        col("grid"), col("dhash"))
+    // the mediaDedupIngest doc rollup, batch-shaped: frame pairs -> doc
+    // pairs (fid packs doc*16 + frame, frames < 16 -> shiftright 4)
+    val docPairs = Dedup.dhashPairs(units, "fid", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .select(shiftright(col("id_a"), 4).as("da"),
+        shiftright(col("id_b"), 4).as("db"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(docPairs.contains((1L, 101L)),
+      s"stride-resampled copy must match its source doc: $docPairs")
+    assert(docPairs.contains((2L, 102L)))
+    assert(!docPairs.exists { case (a, b) => (a % 100) != (b % 100) },
+      s"distinct clips must not cross-match: $docPairs")
+  }
+
+  test("audio dedup: a gain-scaled WAV collides (the envelope " +
+    "normalization's stated purpose); distinct audio separates") {
+    import Multimodal.Codec
+    import graft.operators.Dedup
+    import org.apache.spark.sql.Row
+    val t1 = "spoken words for the gain invariance test clip number one body"
+    val t3 = "utterly different audio content for the third unrelated clip!"
+    val w1 = Codec.synthWav(t1.getBytes("UTF-8"), 1L)
+    val w3 = Codec.synthWav(t3.getBytes("UTF-8"), 3L)
+    // exact half-gain re-master: synth samples are (byte-64)*256 — all
+    // even — so the integer halving is EXACT scaling, the window
+    // energies halve exactly, and the max-normalized envelope grid is
+    // bit-identical (floor(E/2 * k / (maxE/2)) = floor(E * k / maxE))
+    val w1gain = w1.clone()
+    val buf = java.nio.ByteBuffer.wrap(w1gain)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (44 until w1gain.length by 2).foreach { off =>
+      buf.putShort(off, (buf.getShort(off) / 2).toShort)
+    }
+    // it is a genuinely different byte stream of the same audio
+    assert(!java.util.Arrays.equals(w1, w1gain))
+    val hashes = Multimodal.visualHashes(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(1L, w1, "audio/wav", w1.length.toLong),
+          Row(2L, w1gain, "audio/wav", w1gain.length.toLong),
+          Row(3L, w3, "audio/wav", w3.length.toLong))),
+        Multimodal.mediaSchema))
+      .select("doc_id", "grid", "dhash")
+    val pairs = Dedup.dhashPairs(hashes, "doc_id", maxHamming = 3,
+        maxL1 = 12750.0, maxBucket = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L, 0.0)),
+      s"gain-scaled copy must collide at distance 0, nothing else: $pairs")
+  }
+
   test("dHash: JPEG recompression of the same picture collides; " +
     "unrelated pictures do not") {
     import Multimodal.Codec

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_label_knn",       // votes over the exact top-5
     "sim_hard_negatives",  // same scan with the label predicate added
     "retrieval_hybrid_rrf",  // vector side is the brute-force baseline
-    "dedup_eval_hashembed")  // all-pairs verifier on the bounded 500-doc slice
+    "dedup_eval_hashembed",  // all-pairs verifier on the bounded 500-doc slice
+    "mm_dedup_eval")         // exact all-pairs ground truth, same bounded slice
 
   test("no registered query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
