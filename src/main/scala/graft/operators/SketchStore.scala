@@ -42,6 +42,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * protects against CRASHES (the `__old` recovery), not against a
   * concurrently-committing writer: a batch that lands between the
   * listing and the swap would be swept away with the old directory.
+  *
+  * RETRACTION note (the `forget(ids)` family deliberately stops here):
+  * sketch partitions are NON-INVERTIBLE aggregates — HLL registers
+  * cannot un-observe a value, min/max cannot be rolled back past the
+  * retracted row — so a per-id forget on a sketch store is impossible
+  * by nature, not unimplemented. The retraction story for profiles is
+  * re-sketching the surviving corpus (one pass; the per-batch partials
+  * make routine reads cheap, not the rebuild), exactly as for any
+  * derived aggregate after a source delete.
   */
 object SketchStore {
 
