@@ -190,7 +190,12 @@ object Retrieval {
     require(fs.exists(statsPath),
       s"forgetBm25: no committed index at $dir (stats marker absent)")
     val idCol = spark.read.parquet(s"$dir/stats").head().getString(2)
-    val keys = ids.select(col(idCol)).distinct()
+    // a ONE-column ids frame is taken as the id list whatever its name
+    // (takedown feeds don't know the index's id column); a wider frame
+    // must carry the index's own id column
+    val keys = (if (ids.columns.length == 1)
+        ids.select(col(ids.columns.head).as(idCol))
+      else ids.select(col(idCol))).distinct()
     val docLen = spark.read.parquet(s"$dir/doc_len")
     val removed = docLen.join(keys, Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L

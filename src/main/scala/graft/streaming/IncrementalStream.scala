@@ -594,6 +594,91 @@ object IncrementalStream {
     removed
   }
 
+  /** The stores a [[retractionIngest]] applies each takedown batch to.
+    * Every field is optional/empty — configure the stores the pipeline
+    * actually runs. `annIndexes` pairs (index dir, index id column);
+    * `warehouseTables` pairs (table, key column, optional partition
+    * column) against `warehouse`.
+    */
+  final case class RetractionTargets(
+      fuzzyStateDir: Option[String] = None,
+      mediaStoreDir: Option[String] = None,
+      annIndexes: Seq[(String, String)] = Nil,
+      bm25Indexes: Seq[String] = Nil,
+      retrieveDirs: Seq[String] = Nil,
+      warehouse: Option[Warehouse] = None,
+      warehouseTables: Seq[(String, String, Option[String])] = Nil)
+
+  /** Streaming RETRACTION ingestion — the takedown/opt-out feed as a
+    * stream, closing the loop the round-10 `forget` family opened: every
+    * micro-batch of doc ids applies delete-by-key across the configured
+    * stores (warehouse tables, fuzzy-dedup state, media hash store,
+    * ANN indexes, BM25 indexes, retrieval-serving builds) INSIDE
+    * foreachBatch — which is exactly the single-writer window every
+    * forget operator documents (batches commit serially), the same
+    * lifecycle move the r9 maintenance hooks made. Run it between the
+    * content ingests' AvailableNow drains; never concurrently with
+    * them (the forget swaps assume the single writer).
+    *
+    * Idempotency needs no markers: forget of an absent id is a no-op by
+    * construction (every forget is an anti-join), so a re-delivered or
+    * replayed takedown batch changes nothing — spec-pinned, including a
+    * fresh-checkpoint full replay. A store that does not exist yet (the
+    * takedown feed can outrun the first content build) is skipped this
+    * batch; the ids retract from it on a later feed — a takedown
+    * pipeline should therefore re-assert ids periodically or gate
+    * builds on the accumulated takedown list (compose
+    * [[graft.operators.Decontam]]-style: filter the build's input
+    * against the retraction table — retraction-at-ingest beats
+    * retraction-after-index when the list is known up front).
+    */
+  def retractionIngest(stream: DataFrame, targets: RetractionTargets,
+                       checkpointDir: String,
+                       idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val sp = batch0.sparkSession
+        // takedown feeds are request-sized; pin once, reuse per store
+        val ids = batch0.select(col(idCol).cast("long").as(idCol))
+          .distinct().localCheckpoint(true)
+        if (!ids.isEmpty) {
+          val conf = sp.sparkContext.hadoopConfiguration
+          def exists(p: String): Boolean = {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(conf).exists(path)
+          }
+          targets.fuzzyStateDir.foreach { d =>
+            forgetFuzzyState(sp, d, ids, idCol); () }
+          targets.mediaStoreDir.foreach { d =>
+            graft.operators.MediaHashStore.forget(sp, d, ids, idCol); () }
+          targets.annIndexes.foreach { case (d, c) =>
+            if (exists(s"$d/corpus"))
+              graft.operators.AnnIndex.forgetIvf(sp, d,
+                ids.select(col(idCol).as(c)), c)
+            ()
+          }
+          targets.bm25Indexes.foreach { d =>
+            if (exists(s"$d/stats"))
+              graft.operators.Retrieval.forgetBm25(sp, d, ids)
+            ()
+          }
+          targets.retrieveDirs.foreach { d =>
+            if (exists(s"$d/meta"))
+              graft.pipeline.RetrievePipeline.forget(sp, d,
+                ids.select(col(idCol).as("doc_id")))
+            ()
+          }
+          targets.warehouse.foreach { wh =>
+            targets.warehouseTables.foreach { case (table, key, pc) =>
+              wh.forget(table, ids.select(col(idCol).as(key)), key, pc); () }
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media
     * rows (doc_id, payload, media_type, byte_len) decodes partition-

@@ -282,4 +282,95 @@ class ForgetSpec extends SparkSpec {
     // a forget of unknown ids is a no-op
     assert(RetrievePipeline.forget(spark, dir, Seq(999999L).toDF("doc_id")) == 0L)
   }
+
+  test("retraction ingest: one takedown stream retracts across every " +
+    "configured store; a fresh-checkpoint replay is a no-op") {
+    import graft.operators.{AnnIndex, MediaHashStore, Multimodal, Retrieval}
+    import Multimodal.Codec
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100).localCheckpoint(true)
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .localCheckpoint(true)
+    // --- build the stores a live pipeline would hold
+    val fuzzyDir = tempDir("ri_fuzzy")
+    val fuzzyIn = tempDir("ri_fuzzy_in")
+    val texts = Seq(
+      (1L, "the first committed document body with plenty of words in it"),
+      (2L, "a second document about takedown requests arriving as a stream"),
+      (3L, "the third unrelated committed body of text for this fixture"))
+    texts.toDF("doc_id", "text").write.mode("append").parquet(fuzzyIn)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    IncrementalStream.fuzzyDedupIngest(
+        spark.readStream.schema(schema).parquet(fuzzyIn), fuzzyDir,
+        tempDir("ri_fuzzy_ck"))
+      .awaitTermination()
+    val mediaDir = tempDir("ri_media")
+    def bmp(id: Long, t: String) = {
+      val b = Codec.synthBmp(t.getBytes("UTF-8"), id)
+      Row(id, b, "image/bmp", b.length.toLong)
+    }
+    val mediaIn = tempDir("ri_media_in")
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(bmp(2L, "picture two body"), bmp(4L, "picture four body"))),
+      Multimodal.mediaSchema).write.mode("append").parquet(mediaIn)
+    IncrementalStream.mediaDedupIngest(
+        spark.readStream.schema(Multimodal.mediaSchema).parquet(mediaIn),
+        mediaDir, tempDir("ri_media_ck"))
+      .awaitTermination()
+    val annDir = tempDir("ri_ann")
+    AnnIndex.buildIvf(embs, "embedding", "vec_id", annDir, nlist = 4, iters = 2)
+    val bm25Dir = tempDir("ri_bm25")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", s"$bm25Dir/idx")
+    val wh = new Warehouse(spark, tempDir("ri_wh"))
+    wh.overwrite("docs_t", docs.select("doc_id", "text"))
+    // --- the takedown feed: two batches, ids 2 then 7
+    val feedIn = tempDir("ri_feed")
+    val feedCk = tempDir("ri_feed_ck")
+    val targets = IncrementalStream.RetractionTargets(
+      fuzzyStateDir = Some(fuzzyDir),
+      mediaStoreDir = Some(mediaDir),
+      annIndexes = Seq((annDir, "vec_id")),
+      bm25Indexes = Seq(s"$bm25Dir/idx"),
+      warehouse = Some(wh),
+      warehouseTables = Seq(("docs_t", "doc_id", None)))
+    def drainFeed(ck: String): Unit =
+      IncrementalStream.retractionIngest(
+          spark.readStream
+            .schema(StructType(Seq(StructField("doc_id", LongType))))
+            .parquet(feedIn),
+          targets, ck)
+        .awaitTermination()
+    Seq(2L).toDF("doc_id").write.mode("append").parquet(feedIn)
+    drainFeed(feedCk)
+    Seq(7L).toDF("doc_id").write.mode("append").parquet(feedIn)
+    drainFeed(feedCk)
+    // --- every store retracted ids 2 and 7
+    def snapshot(): Seq[Long] = Seq(
+      spark.read.parquet(s"$fuzzyDir/docs").count(),
+      MediaHashStore.read(spark, mediaDir).count(),
+      spark.read.parquet(s"$annDir/corpus").count(),
+      spark.read.parquet(s"$bm25Dir/idx/doc_len").count(),
+      wh.read("docs_t").count())
+    val commits = new java.io.File(s"$fuzzyDir/_commits").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    val fuzzyDocs = spark.read.parquet(
+        commits.map(k => s"$fuzzyDir/docs/ingest=$k"): _*)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzyDocs == Set(1L, 3L))
+    assert(MediaHashStore.read(spark, mediaDir)
+      .select("doc_id").as[Long].collect().toSet == Set(4L))
+    assert(spark.read.parquet(s"$annDir/corpus")
+      .filter(col("vec_id").isin(2L, 7L)).count() == 0)
+    assert(spark.read.parquet(s"$bm25Dir/idx/doc_len")
+      .filter(col("doc_id").isin(2L, 7L)).count() == 0)
+    assert(wh.read("docs_t").filter(col("doc_id").isin(2L, 7L)).count() == 0)
+    val before = snapshot()
+    // --- fresh-checkpoint FULL replay: forget of absent ids is a no-op,
+    // so every store is unchanged
+    drainFeed(tempDir("ri_feed_ck2"))
+    assert(snapshot() == before, "replayed takedown batches must change nothing")
+  }
 }
