@@ -605,17 +605,28 @@ object Dedup {
     * count+max aggregate on the batch — callers hand a pinned frame, so
     * the extra job is a cheap readback; plan statistics mis-estimate in
     * both directions around aggregates, the RetrievePipeline lesson):
-    * a service-sized batch BROADCASTS, so the store never shuffles —
-    * the join is map-side over the store scan, per-batch cost tracks
-    * the batch, and a hot store bucket is no funnel (its matches fan
-    * out across the store's own partitions). A batch too big to
-    * broadcast (an AvailableNow backlog drain can deliver a
+    * a batch under `maxBroadcastBytes` BROADCASTS, so the store never
+    * shuffles — the join is map-side over the store scan, per-batch
+    * cost tracks the batch, and a hot store bucket is no funnel (its
+    * matches fan out across the store's own partitions). A batch past
+    * the bound (an AvailableNow backlog drain can deliver a
     * corpus-sized "micro-batch" — r9 advice: the forced broadcast would
     * exceed Spark's limits and fail the stream) falls back to the
     * shuffle equi-join on block_key, the [[dhashPairs]] shape.
+    *
+    * The bound is a FEASIBILITY cap (default 256 MB), deliberately NOT
+    * the session's autoBroadcastJoinThreshold: that 10 MB heuristic
+    * prices broadcast against a same-sized shuffle, but here the
+    * alternative shuffles the STORE — the big side by contract.
+    * Measured at a 1M-unit store (ProbeMediaStore): a 10k-unit batch
+    * explodes to ~15 MB, and "respecting" the 10 MB heuristic turned
+    * its 1.4 s broadcast screen into a 10.9 s store shuffle — the
+    * fallback exists to keep an oversized drain from FAILING, not to
+    * re-plan batches the driver holds trivially.
     */
   def dhashScreen(batch: DataFrame, store: DataFrame, idCol: String,
-                  maxHamming: Int = 3, maxL1: Double = 12750.0): DataFrame = {
+                  maxHamming: Int = 3, maxL1: Double = 12750.0,
+                  maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val blocks = maxHamming + 1
     require(maxHamming >= 0 && blocks <= 64, "maxHamming in [0, 64)")
     def sided(df: DataFrame, side: String) =
@@ -633,7 +644,7 @@ object Dedup {
     val cells = if (bStats.isNullAt(1)) 0L else bStats.getInt(1).toLong
     val batchBytes = BigInt(nUnits) * blocks * (4L * cells + 8L + 8L + 64L)
     val bSide = sided(batch, "a")
-    val cand = (if (AnnIndex.broadcastThresholdFits(batch.sparkSession, batchBytes))
+    val cand = (if (batchBytes <= maxBroadcastBytes)
         sided(store, "b").join(broadcast(bSide), Seq("block_key"))
       else sided(store, "b").join(bSide, Seq("block_key")))
       .drop("block_key").distinct()

@@ -117,9 +117,11 @@ object MediaHashStore {
     */
   def screenUnits(spark: SparkSession, dir: String, batch: DataFrame,
                   idCol: String, maxHamming: Int = 3,
-                  maxL1: Double = 12750.0): DataFrame = {
+                  maxL1: Double = 12750.0,
+                  maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(exists(spark, dir), s"MediaHashStore: no committed store at $dir")
-    Dedup.dhashScreen(batch, read(spark, dir), idCol, maxHamming, maxL1)
+    Dedup.dhashScreen(batch, read(spark, dir), idCol, maxHamming, maxL1,
+      maxBroadcastBytes)
   }
 
   /** Fold the store's per-append small files into a bounded range

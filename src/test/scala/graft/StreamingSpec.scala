@@ -1057,9 +1057,9 @@ class StreamingSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/hashes__stage")))
-    // regime fallback (r9 advice): with the broadcast threshold forced to
-    // 0 every screen batch is "too big" and takes the shuffle join —
-    // results must be identical to the broadcast regime's
+    // regime fallback (r9 advice): a feasibility cap of 0 makes every
+    // screen batch "too big" and takes the shuffle join — results must
+    // be identical to the broadcast regime's
     val probe = unitHashes(Seq(2L, 4L), "first")
       .unionByName(unitHashes(Seq(12L), "second"))
       .unionByName(unitHashes(Seq(98L), "unrelated wholly new"))
@@ -1067,16 +1067,13 @@ class StreamingSpec extends SparkSpec {
     val viaBroadcast = MediaHashStore.screenUnits(spark, store, probe, "fid")
       .orderBy("id_a", "id_b").collect().toSeq
     assert(viaBroadcast.nonEmpty) // 2/4/12 self-match their committed copies
-    val bcConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val viaShuffle = MediaHashStore.screenUnits(spark, store, probe, "fid")
-        .orderBy("id_a", "id_b").collect().toSeq
-      assert(viaShuffle == viaBroadcast)
-      // compaction read-back stays whole under the subdir layout too
-      val (cb, ca) = MediaHashStore.compact(spark, store)
-      assert(ca <= cb)
-      assert(MediaHashStore.read(spark, store).count() == 4)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcConf)
+    val viaShuffle = MediaHashStore.screenUnits(spark, store, probe, "fid",
+        maxBroadcastBytes = 0L)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaShuffle == viaBroadcast)
+    // compaction read-back stays whole under the subdir layout too
+    val (cb, ca) = MediaHashStore.compact(spark, store)
+    assert(ca <= cb)
+    assert(MediaHashStore.read(spark, store).count() == 4)
   }
 }
