@@ -54,9 +54,9 @@ object AnnIndex {
     */
   private def readCorpus(spark: SparkSession, dir: String): DataFrame = {
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
-    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus__old")
-    if (!fs.exists(corpusPath) && fs.exists(old)) fs.rename(old, corpusPath)
+    StoreProtocol.heal(
+      corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      corpusPath)
     val df = spark.read.parquet(corpusPath.toString)
     df.withColumn("cell_id", col("cell_id").cast("long"))
   }
@@ -583,21 +583,13 @@ object AnnIndex {
     }
     val before = countFiles(corpusPath)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/corpus__compact")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus__old")
     // one shuffle partition per distinct cell → exactly one file per cell
     val df = readCorpus(spark, dir)
     val nCells = df.select("cell_id").distinct().count().toInt.max(1)
     df.repartition(nCells, col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(corpusPath, old))
-      throw new IllegalStateException(s"compactIvf: cannot stage $corpusPath")
-    if (!fs.rename(tmp, corpusPath)) {
-      fs.rename(old, corpusPath) // roll back — the index stays readable
-      throw new IllegalStateException(s"compactIvf: swap failed for $corpusPath")
-    }
-    fs.delete(old, true)
+    StoreProtocol.swapInto(fs, tmp, corpusPath, "compactIvf")
     (before, countFiles(corpusPath))
   }
 
@@ -640,14 +632,24 @@ object AnnIndex {
       .join(keys, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(snap.toString)
     val kept = spark.read.parquet(snap.toString)
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell_id").parquet(s"$dir/corpus")
     val surviving = kept.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSet // bounded: <= nlist
+    // fully-emptied cell directories delete BEFORE the overwrite (r10
+    // code-review catch): deleted after, a crash between the overwrite
+    // and the deletes would RESURRECT the retracted rows to every
+    // reader — a compliance-visible failure; deleted first, a crash
+    // merely leaves the removal half-applied, and the survivors'
+    // rewrite (reading the already-written snapshot) replays cleanly
     touchedCells.filterNot(surviving).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/cell_id=$c"), true)
     }
+    // skip the overwrite when every touched cell emptied: a zero-row
+    // dynamic write replaces nothing and can drop a stray rootless file
+    // into the partitioned layout
+    if (surviving.nonEmpty)
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id").parquet(s"$dir/corpus")
     fs.delete(snap, true)
     removed
   }

@@ -43,9 +43,7 @@ object MediaHashStore {
 
   private def healed(spark: SparkSession, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
-    val fs = fsOf(spark, path)
-    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    StoreProtocol.heal(fsOf(spark, path), path)
   }
 
   /** Does `dir` hold a committed store? (meta marker present) */
@@ -174,25 +172,14 @@ object MediaHashStore {
     (before, scanTree(path)._1)
   }
 
-  /** The `__old` temp-then-swap shared by [[compact]] and [[forget]]:
-    * stage the live directory aside, move the rewritten one in, roll
-    * back if the second rename fails. [[read]] heals a crash between
-    * the two renames.
+  /** The `__old` temp-then-swap shared by [[compact]] and [[forget]]
+    * ([[StoreProtocol.swapInto]]); [[read]] heals a crash between the
+    * two renames.
     */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
                        tmp: org.apache.hadoop.fs.Path,
-                       path: org.apache.hadoop.fs.Path, op: String): Unit = {
-    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
-    fs.delete(old, true)
-    if (!fs.rename(path, old))
-      throw new IllegalStateException(s"MediaHashStore.$op: cannot stage $path")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back — the store stays readable
-      throw new IllegalStateException(s"MediaHashStore.$op: swap failed for $path")
-    }
-    fs.delete(old, true)
-    ()
-  }
+                       path: org.apache.hadoop.fs.Path, op: String): Unit =
+    StoreProtocol.swapInto(fs, tmp, path, s"MediaHashStore.$op")
 
   /** Retraction: drop every unit row whose `idCol` (the DOC id by
     * default — all of a retracted doc's frames leave together) appears
@@ -213,13 +200,21 @@ object MediaHashStore {
     val fs = fsOf(spark, path)
     val store = read(spark, dir)
     val keys = ids.select(col(idCol)).distinct()
-    val removed = store.join(keys, Seq(idCol), "left_semi").count()
+    // one scan answers removed AND whole-store retraction together (a
+    // semi count + a kept.isEmpty would scan the store twice more)
+    val stats = store.join(keys.withColumn("__m", lit(1)), Seq(idCol), "left")
+      .agg(count(lit(1)), count(col("__m"))).head()
+    val (total, removed) = (stats.getLong(0), stats.getLong(1))
     if (removed == 0L) return 0L
     val kept = store.join(keys, Seq(idCol), "left_anti")
-    if (kept.isEmpty) {
-      fs.delete(path, true)
+    if (removed == total) {
+      // meta FIRST: deleting hashes first would leave a committed-looking
+      // store (meta present, data gone) on a crash between the two —
+      // every screen would then throw until an append recreates hashes;
+      // meta-first degrades to "uncommitted", which append already heals
       val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
       fs.delete(meta, true)
+      fs.delete(path, true)
     } else {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__forget")
       fs.delete(tmp, true)

@@ -161,10 +161,8 @@ object Retrieval {
   private def healIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
-    ()
+    StoreProtocol.heal(
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
   /** Retraction from the persisted index ([[buildBm25Index]] layout):
@@ -197,10 +195,13 @@ object Retrieval {
         ids.select(col(ids.columns.head).as(idCol))
       else ids.select(col(idCol))).distinct()
     val docLen = spark.read.parquet(s"$dir/doc_len")
-    val removed = docLen.join(keys, Seq(idCol), "left_semi").count()
+    // one scan answers removed AND whole-corpus retraction together
+    val dlStats = docLen.join(keys.withColumn("__m", lit(1)), Seq(idCol), "left")
+      .agg(count(lit(1)), count(col("__m"))).head()
+    val (nDocs, removed) = (dlStats.getLong(0), dlStats.getLong(1))
     if (removed == 0L) return 0L
     val path = new org.apache.hadoop.fs.Path(dir)
-    if (removed == docLen.count()) { // whole corpus retracted: un-commit
+    if (removed == nDocs) { // whole corpus retracted: un-commit
       fs.delete(path, true)
       return removed
     }
@@ -222,15 +223,7 @@ object Retrieval {
     Seq((statsRow.getLong(0), statsRow.getDouble(1), idCol))
       .toDF("n_docs", "avgdl", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
-    fs.delete(old, true)
-    if (!fs.rename(path, old))
-      throw new IllegalStateException(s"forgetBm25: cannot stage $path")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back — the index stays readable
-      throw new IllegalStateException(s"forgetBm25: swap failed for $path")
-    }
-    fs.delete(old, true)
+    StoreProtocol.swapInto(fs, tmp, path, "forgetBm25")
     removed
   }
 

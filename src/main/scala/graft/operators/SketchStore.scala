@@ -69,10 +69,7 @@ object SketchStore {
     */
   def heal(spark: SparkSession, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, path)
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
-    ()
+    StoreProtocol.heal(fsOf(spark, path), path)
   }
 
   /** The per-micro-batch sketch write, heal-first (see [[heal]]):
@@ -105,7 +102,6 @@ object SketchStore {
     heal(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, path)
-    val old = new org.apache.hadoop.fs.Path(dir + "__old")
     val parts = fs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     val names = parts.map(_.getPath.getName.stripPrefix("batch="))
@@ -120,14 +116,7 @@ object SketchStore {
       .write.mode("overwrite").parquet(s"$tmp/batch=c$newest")
     spark.read.parquet(s"$dir/batch=$newest")
       .write.mode("overwrite").parquet(s"$tmp/batch=$newest")
-    fs.delete(old, true)
-    if (!fs.rename(path, old))
-      throw new IllegalStateException(s"SketchStore.compact: cannot stage $path")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back — the store stays readable
-      throw new IllegalStateException(s"SketchStore.compact: swap failed for $path")
-    }
-    fs.delete(old, true)
+    StoreProtocol.swapInto(fs, tmp, path, "SketchStore.compact")
     (parts.length, 2)
   }
 }

@@ -188,11 +188,8 @@ object RetrievePipeline {
     * `vectors` outside the build path.
     */
   private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
-                       path: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
-    ()
-  }
+                       path: org.apache.hadoop.fs.Path): Unit =
+    graft.operators.StoreProtocol.heal(fs, path)
 
   /** Retraction across the WHOLE serving stack — the takedown/opt-out
     * seam: given doc ids, remove every trace of their chunks from all
@@ -205,14 +202,24 @@ object RetrievePipeline {
     * The chunk ids derive from the id packing (doc_id << ChunkBits |
     * chunk_idx) by one broadcast semi-join against the chunk store,
     * pinned once (retraction-sized) and reused against every artifact:
-    * chunks and vectors rewrite through a `__old` temp-then-swap
+    * vectors rewrite through a `__old` temp-then-swap
     * ([[fetchChunks]]/[[query]] heal a mid-swap crash), the BM25 index
-    * swaps as one directory, and the ANN corpus rewrites only the
+    * swaps as one directory, the ANN corpus rewrites only the
     * retracted ids' cell partitions
-    * ([[graft.operators.AnnIndex.forgetIvf]]). Retracting the ENTIRE
-    * corpus is not a forget — rebuild instead (guarded). Returns the
-    * number of chunks removed. Single-writer, like every graft
-    * maintenance operator.
+    * ([[graft.operators.AnnIndex.forgetIvf]]) — and the CHUNK TABLE is
+    * pruned LAST, deliberately: the drop set derives from it, so it
+    * must outlive every other artifact's forget for the operation to be
+    * replay-idempotent. Pruned first (the r10 code-review catch), a
+    * crash after the chunk swap would strand the retracted doc in the
+    * BM25/ANN indexes FOREVER — the replayed batch recomputes an empty
+    * drop set from the already-cleansed chunks and exits, and since
+    * query() never consults the chunk table, the doc keeps ranking
+    * through both legs. Pruned last, a crash anywhere replays cleanly:
+    * the drop set recomputes identically from the intact chunks and
+    * every downstream forget is an anti-join no-op on rows already
+    * gone. Retracting the ENTIRE corpus is not a forget — rebuild
+    * instead (guarded). Returns the number of chunks removed.
+    * Single-writer, like every graft maintenance operator.
     */
   def forget(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
@@ -244,20 +251,15 @@ object RetrievePipeline {
       spark.read.parquet(path.toString)
         .join(drop, Seq("chunk_id"), "left_anti")
         .write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${table}__old")
-      fs.delete(old, true)
-      if (!fs.rename(path, old))
-        throw new IllegalStateException(s"RetrievePipeline.forget: cannot stage $path")
-      if (!fs.rename(tmp, path)) {
-        fs.rename(old, path) // roll back — the table stays readable
-        throw new IllegalStateException(s"RetrievePipeline.forget: swap failed for $path")
-      }
-      fs.delete(old, true)
+      graft.operators.StoreProtocol.swapInto(fs, tmp, path,
+        "RetrievePipeline.forget")
     }
-    swapTable("chunks")
+    // chunks LAST — the drop set derives from them (see the scaladoc's
+    // replay-idempotency argument)
     swapTable("vectors")
     Retrieval.forgetBm25(spark, s"$dir/bm25", drop)
     AnnIndex.forgetIvf(spark, s"$dir/ann", drop, "chunk_id")
+    swapTable("chunks")
     removed
   }
 

@@ -515,11 +515,8 @@ object IncrementalStream {
     * shared by [[forgetFuzzyState]] and the `fuzzyDedupIngest` reader).
     */
   private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
-                       path: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(path.toString + "__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
-    ()
-  }
+                       path: org.apache.hadoop.fs.Path): Unit =
+    graft.operators.StoreProtocol.heal(fs, path)
 
   /** Retraction from the persisted fuzzy-dedup state
     * ([[fuzzyDedupIngest]]'s `stateDir` layout): drop the given doc ids
@@ -582,15 +579,7 @@ object IncrementalStream {
       // readers treat it exactly like a fresh stateDir
       fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
     }
-    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
-    fs.delete(old, true)
-    if (!fs.rename(root, old))
-      throw new IllegalStateException(s"forgetFuzzyState: cannot stage $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(old, root) // roll back — the state stays readable
-      throw new IllegalStateException(s"forgetFuzzyState: swap failed for $root")
-    }
-    fs.delete(old, true)
+    graft.operators.StoreProtocol.swapInto(fs, tmp, root, "forgetFuzzyState")
     removed
   }
 
@@ -653,14 +642,19 @@ object IncrementalStream {
             forgetFuzzyState(sp, d, ids, idCol); () }
           targets.mediaStoreDir.foreach { d =>
             graft.operators.MediaHashStore.forget(sp, d, ids, idCol); () }
+          // the existence guards must ALSO see a store parked at __old
+          // by a forget crashed mid-swap (r10 code-review catch): the
+          // plain guard would skip the replayed batch, the next READER
+          // would heal the PRE-forget contents back, and the retraction
+          // would be lost forever — the forgets heal first themselves
           targets.annIndexes.foreach { case (d, c) =>
-            if (exists(s"$d/corpus"))
+            if (exists(s"$d/corpus") || exists(s"$d/corpus__old"))
               graft.operators.AnnIndex.forgetIvf(sp, d,
                 ids.select(col(idCol).as(c)), c)
             ()
           }
           targets.bm25Indexes.foreach { d =>
-            if (exists(s"$d/stats"))
+            if (exists(s"$d/stats") || exists(d + "__old"))
               graft.operators.Retrieval.forgetBm25(sp, d, ids)
             ()
           }

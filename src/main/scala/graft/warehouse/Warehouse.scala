@@ -249,6 +249,18 @@ class Warehouse(val spark: SparkSession, val root: String) {
         touchedVals.map(String.valueOf(_)).filterNot(surviving).foreach { v =>
           deleteRecursively(Paths.get(s"${path(table)}/$pc=$v"))
         }
+        // if EVERY partition is now gone the directory holds only write
+        // markers and the next read would fail schema inference — rewrite
+        // as an empty-but-schemaed table (what the unpartitioned branch
+        // produces for the same input)
+        val anyLeft = {
+          val stream = Files.list(Paths.get(path(table)))
+          try stream.anyMatch(p => p.getFileName.toString.startsWith(s"$pc="))
+          finally stream.close()
+        }
+        if (!anyLeft)
+          overwrite(table, spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
         removed
       case (df, None) =>
         val removed = df.join(keys, Seq(keyCol), "left_semi").count()

@@ -40,6 +40,15 @@ class ForgetSpec extends SparkSpec {
     assert(!new java.io.File(s"${wh.root}/parted/day=d3").exists(),
       "fully-retracted partition directory must be deleted")
     assert(new java.io.File(s"${wh.root}/parted/day=d0").exists())
+    // retract EVERYTHING that remains: the table must stay readable as
+    // an empty-but-schemaed table (r10 code-review catch — deleting all
+    // partition dirs would otherwise fail the next read's schema
+    // inference)
+    val rest = wh.read("parted").select("id").as[Long].collect()
+    assert(wh.forget("parted", rest.toSeq.toDF("id"), "id",
+      partitionCol = Some("day")) == rest.length)
+    assert(wh.read("parted").count() == 0)
+    assert(wh.read("parted").columns.toSeq == Seq("id", "name", "day"))
   }
 
   test("fuzzy-state forget: a retracted doc leaves all three state tables " +
@@ -184,6 +193,18 @@ class ForgetSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(after.sortBy(r => (r._1, r._2)).toSeq ==
       fresh.sortBy(r => (r._1, r._2)).toSeq)
+    // crash window: a forget that died between its two renames parks the
+    // index at __old — the NEXT forget heals it first and still applies
+    // (the retraction-ingest replay path; r10 code-review catch)
+    val fs = new org.apache.hadoop.fs.Path(s"$freshDir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$freshDir/idx"),
+      new org.apache.hadoop.fs.Path(s"$freshDir/idx__old")))
+    val crashVictim = fresh.head._3
+    assert(Retrieval.forgetBm25(spark, s"$freshDir/idx",
+      Seq(crashVictim).toDF("doc_id")) == 1L)
+    assert(!Retrieval.bm25TopKFromIndex(spark, s"$freshDir/idx", terms, 10)
+      .as[(Long, Long, Long, Double)].collect().exists(_._3 == crashVictim))
     // forgetting an id with no postings is a no-op
     assert(Retrieval.forgetBm25(spark, s"$dir/idx",
       Seq(999999L).toDF("doc_id")) == 0L)
@@ -281,6 +302,26 @@ class ForgetSpec extends SparkSpec {
       .filter(shiftright(col("chunk_id"), 20) === 7L).count() == 0)
     // a forget of unknown ids is a no-op
     assert(RetrievePipeline.forget(spark, dir, Seq(999999L).toDF("doc_id")) == 0L)
+    // replay-after-crash: a forget that died AFTER the downstream
+    // artifacts (bm25/ann) but BEFORE the chunk prune re-runs cleanly —
+    // the drop set recomputes from the still-intact chunks, downstream
+    // forgets no-op on rows already gone, and the chunks finally prune
+    // (chunks-last ordering, r10 code-review catch: pruned first, the
+    // replay would recompute an EMPTY drop set and strand doc 9 in the
+    // indexes forever)
+    val doc9Chunks = spark.read.parquet(s"$dir/chunks")
+      .filter(shiftright(col("chunk_id"), 20) === 9L)
+      .select("chunk_id").localCheckpoint(true)
+    val n9 = doc9Chunks.count()
+    assert(n9 > 0)
+    graft.operators.Retrieval.forgetBm25(spark, s"$dir/bm25", doc9Chunks)
+    graft.operators.AnnIndex.forgetIvf(spark, s"$dir/ann", doc9Chunks, "chunk_id")
+    // the "replayed batch": the full forget still completes the job
+    assert(RetrievePipeline.forget(spark, dir, Seq(9L).toDF("doc_id")) == n9)
+    assert(spark.read.parquet(s"$dir/chunks")
+      .filter(shiftright(col("chunk_id"), 20) === 9L).count() == 0)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(shiftright(col("chunk_id"), 20) === 9L).count() == 0)
   }
 
   test("retraction ingest: one takedown stream retracts across every " +
