@@ -243,6 +243,226 @@ object Retrieval {
       stats.getLong(0), stats.getDouble(1), idCol, queryTerms, k, k1, b)
   }
 
+  // ------------------------------------------------- incremental BM25 index
+
+  /** INCREMENTAL BM25 index — the lexical index's continuous-ingestion
+    * form, closing the lifecycle asymmetry with the ANN family (IVF has
+    * build/append/compact/retrain/forget; the flat BM25 index had
+    * build/forget only, and rewriting derived tables per batch would be
+    * O(index) per append — the wrong shape at 100 TB).
+    *
+    * Layout (the fuzzyDedupIngest state pattern): each ingest commits
+    * FOUR tables under its own `ingest=<key>` partition — `postings`
+    * (id, token, tf), `doc_len` (id, dl), `doc_freq` PARTIALS
+    * (token, df over this ingest's docs) and a 1-row `stats_parts`
+    * (n_docs, sum_dl) — plus a single marker file in `_commits/`
+    * (readers see only marked ingests; a crashed append's unmarked
+    * orphan is invisible and overwritten on retry, the key being
+    * deterministic in the batch's content). `meta` (the id column)
+    * writes LAST on the first ingest and is the index's commit marker.
+    *
+    * The design works because EVERY derived quantity is additive over
+    * disjoint doc sets: df(token) = Σ per-ingest df, N = Σ n_docs,
+    * avgdl = Σ sum_dl / N. [[bm25TopKFromIncremental]] therefore merges
+    * doc_freq partials AFTER pruning them to the (broadcast) query
+    * vocabulary — query-time merge cost is VOCABULARY-sized, never
+    * index-sized — and folds the stats partials (one row per ingest) on
+    * the driver. Results are bit-identical to a one-shot flat index
+    * over the union of the ingests (spec-pinned, and the board query's
+    * oracle is the whole-corpus bm25 SQL verbatim): tf/dl are per-doc
+    * facts, df/N/avgdl are the additive sums, and the score funnel is
+    * the shared [[scoreBm25]].
+    *
+    * Append cost is O(batch): the batch's explode + two aggregates +
+    * four partition writes; nothing index-sized rewrites.
+    * [[compactBm25Incremental]] bounds the partition-count growth (one
+    * partition set per append forever — the SketchStore concern) and
+    * [[forgetBm25Incremental]] retracts ids; both consolidate through
+    * the whole-directory `__old` swap (per-ingest marker surgery cannot
+    * be atomic — the forgetFuzzyState argument), healed before every
+    * read.
+    */
+  def buildBm25Incremental(docs: DataFrame, textCol: String, idCol: String,
+                           dir: String): Long =
+    appendBm25Incremental(docs.sparkSession, dir, docs, textCol, idCol)
+
+  /** Ingest a batch into the incremental index: docs whose id is
+    * already committed are dropped (K2 idempotent-append semantics — a
+    * re-delivered batch is a no-op), the rest commit as one marked
+    * ingest partition set. `idCol` is fixed by the FIRST ingest (stored
+    * in `meta`); later calls must pass the same column. Returns the
+    * number of docs admitted. Single-writer, like every graft ingest.
+    */
+  def appendBm25Incremental(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, docs: DataFrame, textCol: String,
+                            idCol: String = "doc_id"): Long = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    if (committed.nonEmpty) {
+      val storedIdCol = spark.read.parquet(s"$dir/meta").head().getString(0)
+      require(storedIdCol == idCol,
+        s"appendBm25Incremental: index is keyed on '$storedIdCol', got '$idCol'")
+    }
+    val incoming0 = docs.select(col(idCol), col(textCol))
+    val incoming =
+      if (committed.isEmpty) incoming0
+      else incoming0.join(
+        spark.read.parquet(committed.map(k => s"$dir/doc_len/ingest=$k"): _*)
+          .select(col(idCol)), Seq(idCol), "left_anti")
+    // one postings pass feeds all four tables — pin it (batch-sized)
+    val post = postings(incoming, textCol, idCol).localCheckpoint(true)
+    val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    val statsRow = docLen.agg(count(lit(1)), sum(col("dl"))).head()
+    val admitted = statsRow.getLong(0)
+    if (admitted == 0L) return 0L
+    // deterministic commit key: same batch content + same generation →
+    // same key, so a crashed append's retry overwrites its own orphan
+    val contentHash = docLen
+      .agg(format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
+      .head().getString(0).take(12)
+    val key = s"i${committed.length}_$contentHash"
+    post.write.mode("overwrite").parquet(s"$dir/postings/ingest=$key")
+    docLen.write.mode("overwrite").parquet(s"$dir/doc_len/ingest=$key")
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/doc_freq/ingest=$key")
+    Seq((admitted, statsRow.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_parts/ingest=$key")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true).close()
+    if (committed.isEmpty)
+      Seq(idCol).toDF("id_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    admitted
+  }
+
+  private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+  }
+
+  /** [[bm25TopK]] answered from the INCREMENTAL index: postings and
+    * doc lengths union the marked ingests, doc_freq partials prune to
+    * the (broadcast) query vocabulary BEFORE merging — the merge
+    * aggregate is vocabulary-sized — and the corpus scalars fold one
+    * stats row per ingest on the driver. Bit-identical to the flat
+    * index over the same corpus (spec-pinned).
+    */
+  def bm25TopKFromIncremental(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, queryTerms: DataFrame, k: Int,
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.heal(fs, root)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    require(fs.exists(metaPath),
+      s"bm25TopKFromIncremental: no committed index at $dir (meta marker absent)")
+    val idCol = spark.read.parquet(s"$dir/meta").head().getString(0)
+    val committed = committedKeys(fs, root)
+    require(committed.nonEmpty,
+      s"bm25TopKFromIncremental: empty index at $dir (all ingests retracted)")
+    def table(t: String) =
+      spark.read.parquet(committed.map(k0 => s"$dir/$t/ingest=$k0"): _*)
+    val vocab = queryTerms.select(col("term").as("token")).distinct()
+    val docFreq = table("doc_freq")
+      .join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val statsRows = table("stats_parts").collect() // bounded: 1 row/ingest
+    val nDocs = statsRows.map(_.getLong(0)).sum
+    val avgdl = statsRows.map(_.getLong(1)).sum.toDouble / nDocs
+    scoreBm25(table("postings"), table("doc_len"), docFreq,
+      nDocs, avgdl, idCol, queryTerms, k, k1, b)
+  }
+
+  /** Retraction on the incremental index: drop the ids from postings
+    * and doc_len, re-derive the doc_freq partial and stats of the
+    * SURVIVING rows, and consolidate everything into one retained
+    * ingest partition via the whole-directory swap ([[StoreProtocol]];
+    * per-ingest marker surgery cannot be atomic). Retracting every doc
+    * un-commits the index. Returns docs removed.
+    */
+  def forgetBm25Incremental(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, ids: DataFrame): Long =
+    consolidateBm25(spark, dir, Some(ids))
+
+  /** Fold the per-append ingest partitions into ONE retained partition
+    * set (contents unchanged — the partition-count bound a long-lived
+    * ingest needs, the SketchStore.compact story). Returns (ingests
+    * before, after).
+    */
+  def compactBm25Incremental(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.heal(fs, root)
+    val before = committedKeys(fs, root).length
+    if (before <= 1) return (before, before)
+    consolidateBm25(spark, dir, None)
+    (before, 1)
+  }
+
+  private def consolidateBm25(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, ids: Option[DataFrame]): Long = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    if (committed.isEmpty) return 0L
+    val idCol = spark.read.parquet(s"$dir/meta").head().getString(0)
+    def table(t: String) =
+      spark.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
+    val keep: DataFrame => DataFrame = ids match {
+      case Some(f) =>
+        val keys = (if (f.columns.length == 1)
+            f.select(col(f.columns.head).as(idCol))
+          else f.select(col(idCol))).distinct().localCheckpoint(true)
+        df => df.join(keys, Seq(idCol), "left_anti")
+      case None => identity
+    }
+    val docLen = keep(table("doc_len"))
+    val stats = docLen.agg(count(lit(1)), sum(col("dl")),
+      format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
+      .head()
+    val survivors = stats.getLong(0)
+    val removedTotal = // docs before minus after (stats partials are exact)
+      table("stats_parts").collect().map(_.getLong(0)).sum - survivors
+    if (ids.isDefined && removedTotal == 0L) return 0L
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__consolidate")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp) // all-retracted leaves it empty: the swap un-commits
+    if (survivors > 0L) {
+      val key = s"r${committed.length}_${stats.getString(2).take(12)}"
+      keep(table("postings")).write.mode("overwrite")
+        .parquet(s"$tmp/postings/ingest=$key")
+      docLen.write.mode("overwrite").parquet(s"$tmp/doc_len/ingest=$key")
+      // df re-derives from the WRITTEN surviving postings (the build
+      // discipline — one ingest-union scan total; subtracting partials
+      // would be wrong anyway: a retracted doc's tokens must leave df
+      // exactly)
+      spark.read.parquet(s"$tmp/postings/ingest=$key").groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/doc_freq/ingest=$key")
+      Seq((survivors, stats.getLong(1))).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/stats_parts/ingest=$key")
+      spark.read.parquet(s"$dir/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true).close()
+    }
+    // all retracted → tmp stays empty: the swap un-commits the index
+    StoreProtocol.swapInto(fs, tmp, root, "consolidateBm25")
+    removedTotal
+  }
+
   /** Hybrid lexical + vector retrieval via Reciprocal Rank Fusion
     * (Cormack, Clarke & Büttcher 2009): rrf(q, d) = Σ_sources
     * 1/(k0 + rank_source(d)). Fusion is RANK-based, so the two scorers'

@@ -4363,6 +4363,27 @@ ORDER BY doc_id""")
       .orderBy("query_id", "rank")
   }
 
+  /** The INCREMENTAL BM25 index exercised through its real lifecycle:
+    * half the corpus builds the index, the other half APPENDS as a
+    * second ingest (per-ingest doc_freq/stats partials — O(batch), no
+    * derived-table rewrite), and the query answers from the merged
+    * partials. The oracle is the whole-corpus bm25 SQL VERBATIM — the
+    * split-ingest invariance statement: additive df/N/avgdl make two
+    * ingests indistinguishable from one build.
+    */
+  def retrievalBm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_incr").toString
+    val d = docs(s, dir)
+    Retrieval.buildBm25Incremental(
+      d.filter(col("doc_id") % 2 === 0), "text", "doc_id", idx)
+    Retrieval.appendBm25Incremental(s, idx,
+      d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val terms = bm25QueryTerms.toDF("query_id", "term")
+    Retrieval.bm25TopKFromIncremental(s, idx, terms, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** The full hybrid-retrieval serving lifecycle as ONE oracled query:
     * [[graft.pipeline.RetrievePipeline.build]] (chunk → persisted BM25
     * index → hashed embeddings → persisted IVF index → meta commit)
@@ -4643,6 +4664,9 @@ ORDER BY doc_id""")
       ("sim_topk_ivf_persisted" -> oraclesBase("sim_topk_ivf_kmeans")) +
       ("sim_topk_ivf_bulk" -> oraclesBase("sim_topk_ivf_kmeans")) +
       ("retrieval_bm25_persisted" -> bm25TopkSql) +
+      // split-ingest ≡ one-shot build: the incremental index shares the
+      // whole-corpus oracle verbatim (additive df/N/avgdl)
+      ("retrieval_bm25_incremental" -> bm25TopkSql) +
       ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
       ("dedup_eval_hashembed" ->
         // both chains bounded to the SAME 500-doc slice the Spark side
@@ -4764,6 +4788,7 @@ ORDER BY doc_id""")
     "sim_topk_ivf_persisted" -> (simTopkIvfPersisted _),
     "sim_topk_ivf_bulk" -> (simTopkIvfBulk _),
     "retrieval_bm25_persisted" -> (retrievalBm25Persisted _),
+    "retrieval_bm25_incremental" -> (retrievalBm25Incremental _),
     "retrieval_pipeline_build" -> (retrievalPipelineBuild _),
     "retrieval_pipeline_serve" -> (retrievalPipelineServe _),
     "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),

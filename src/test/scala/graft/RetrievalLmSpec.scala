@@ -176,4 +176,57 @@ class RetrievalLmSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental BM25: split ingests == one-shot index bit for bit; " +
+    "idempotent re-append; compact/forget/heal lifecycle") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).localCheckpoint(true)
+    val dir = tempDir("bm25_incr")
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"), (2L, "a"))
+      .toDF("query_id", "term")
+    def topk() = Retrieval.bm25TopKFromIncremental(spark, dir, terms, k = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // two ingests == a one-shot in-run index over the union, bit for bit
+    // (df/N/avgdl are additive over disjoint doc sets)
+    assert(Retrieval.buildBm25Incremental(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir) > 0)
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id") > 0)
+    val whole = Retrieval.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(topk() == whole)
+    // K2 idempotency: re-appending committed docs admits nothing
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id") == 0L)
+    assert(topk() == whole)
+    // compaction folds the ingest partitions, readout unchanged
+    assert(Retrieval.compactBm25Incremental(spark, dir) == (2, 1))
+    assert(topk() == whole)
+    assert(Retrieval.compactBm25Incremental(spark, dir) == (1, 1)) // no-op
+    // crash heal: an index parked at __old by a crashed consolidation
+    // heals on the next read
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(topk() == whole)
+    // forget == a fresh incremental build over the survivors, bit for bit
+    val victims = whole.filter(_._1 == 1L).take(3).map(_._3)
+    assert(Retrieval.forgetBm25Incremental(spark, dir,
+      victims.toSeq.toDF("doc_id")) == victims.length)
+    val after = topk()
+    assert(!after.exists(r => victims.contains(r._3)))
+    val freshDir = tempDir("bm25_incr_fresh")
+    Retrieval.buildBm25Incremental(
+      docs.filter(!col("doc_id").isin(victims.toIndexedSeq: _*)),
+      "text", "doc_id", freshDir)
+    assert(after == Retrieval.bm25TopKFromIncremental(spark, freshDir, terms, 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    // retracting everything un-commits the index
+    val allIds = spark.sparkContext.parallelize(
+      docs.select("doc_id").as[Long].collect().toSeq).toDF("doc_id")
+    assert(Retrieval.forgetBm25Incremental(spark, dir, allIds) > 0)
+    val e = intercept[IllegalArgumentException](topk())
+    assert(e.getMessage.contains("meta marker absent"))
+  }
 }
