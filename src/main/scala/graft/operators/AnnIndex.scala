@@ -634,6 +634,16 @@ object AnnIndex {
     val kept = spark.read.parquet(snap.toString)
     val surviving = kept.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSet // bounded: <= nlist
+    // retracting EVERY row is not a forget (the RetrievePipeline.forget
+    // guard, r10 second-review catch): deleting all cell directories
+    // would leave an unreadable corpus that wedges every later reader —
+    // including a replaying retraction stream — so fail fast instead
+    if (surviving.isEmpty) {
+      val nCells = corpus.select("cell_id").distinct().count()
+      require(touchedCells.length < nCells,
+        "forgetIvf: retracting every remaining row — delete or rebuild " +
+          "the index instead of forgetting its whole corpus")
+    }
     // fully-emptied cell directories delete BEFORE the overwrite (r10
     // code-review catch): deleted after, a crash between the overwrite
     // and the deletes would RESURRECT the retracted rows to every

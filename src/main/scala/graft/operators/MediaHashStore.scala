@@ -194,10 +194,17 @@ object MediaHashStore {
     */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String = "doc_id"): Long = {
-    if (!exists(spark, dir)) return 0L
-    healed(spark, dir)
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = fsOf(spark, path)
+    if (!exists(spark, dir)) {
+      // a whole-store retraction that crashed between its meta and
+      // hashes deletes leaves the retracted hash rows as an uncommitted
+      // orphan — the replayed forget must finish the removal, not
+      // silently no-op past it (r10 second-review catch)
+      fs.delete(path, true)
+      return 0L
+    }
+    healed(spark, dir)
     val store = read(spark, dir)
     val keys = ids.select(col(idCol)).distinct()
     // one scan answers removed AND whole-store retraction together (a

@@ -257,9 +257,13 @@ object Retrieval {
     * (token, df over this ingest's docs) and a 1-row `stats_parts`
     * (n_docs, sum_dl) — plus a single marker file in `_commits/`
     * (readers see only marked ingests; a crashed append's unmarked
-    * orphan is invisible and overwritten on retry, the key being
-    * deterministic in the batch's content). `meta` (the id column)
-    * writes LAST on the first ingest and is the index's commit marker.
+    * orphan is invisible, overwritten by an immediate retry — same
+    * deterministic key — and swept by the next append or consolidation
+    * if an interleaved commit bumped the generation first). `meta` (the
+    * id column) commits the INDEX's existence on the first ingest,
+    * written after that ingest's tables but BEFORE its marker: with a
+    * marker and no meta every entry point would throw forever, while
+    * meta with no marker just replays as a fresh build.
     *
     * The design works because EVERY derived quantity is additive over
     * disjoint doc sets: df(token) = Σ per-ingest df, N = Σ n_docs,
@@ -273,8 +277,13 @@ object Retrieval {
     * facts, df/N/avgdl are the additive sums, and the score funnel is
     * the shared [[scoreBm25]].
     *
-    * Append cost is O(batch): the batch's explode + two aggregates +
-    * four partition writes; nothing index-sized rewrites.
+    * Append cost: O(batch) work and writes — the batch's explode, two
+    * aggregates, four partition writes; nothing index-sized REWRITES —
+    * plus the idempotency anti-join's read of the committed doc-id
+    * column (one thin column off doc_len, O(corpus ids) scanned but
+    * never shuffled beyond the join; a deployment where even that read
+    * is too much swaps in a maintained id bloom, trading exact K2
+    * semantics for a false-positive drop rate).
     * [[compactBm25Incremental]] bounds the partition-count growth (one
     * partition set per append forever — the SketchStore concern) and
     * [[forgetBm25Incremental]] retracts ids; both consolidate through
@@ -325,6 +334,21 @@ object Retrieval {
       .agg(format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
       .head().getString(0).take(12)
     val key = s"i${committed.length}_$contentHash"
+    // sweep orphans a crashed append may have stranded: an interleaved
+    // successful commit bumps the generation, so a retry writes a NEW
+    // key and the old unmarked partitions would otherwise linger until
+    // the next consolidation (r10 second-review catch) — unmarked dirs
+    // are invisible to readers, so deleting them here is free of races
+    // under the single-writer contract
+    Seq("postings", "doc_len", "doc_freq", "stats_parts").foreach { t =>
+      val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (fs.exists(tdir))
+        fs.listStatus(tdir).filter(_.isDirectory)
+          .map(_.getPath).filter { p =>
+            val k0 = p.getName.stripPrefix("ingest=")
+            p.getName.startsWith("ingest=") && k0 != key && !committed.contains(k0)
+          }.foreach(p => fs.delete(p, true))
+    }
     post.write.mode("overwrite").parquet(s"$dir/postings/ingest=$key")
     docLen.write.mode("overwrite").parquet(s"$dir/doc_len/ingest=$key")
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -332,11 +356,17 @@ object Retrieval {
     Seq((admitted, statsRow.getLong(1)))
       .toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_parts/ingest=$key")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
-    fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true).close()
+    // meta BEFORE the ingest marker (r10 second-review catch): marker
+    // first would wedge the index forever on a crash between the two —
+    // every entry point reads meta once a marker exists. Meta-without-
+    // marker merely replays as a fresh build (readers require a marked
+    // ingest), and the retry's key is unchanged (generation still 0),
+    // so it overwrites its own tables in place.
     if (committed.isEmpty)
       Seq(idCol).toDF("id_col")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true).close()
     admitted
   }
 

@@ -239,28 +239,45 @@ class Warehouse(val spark: SparkSession, val root: String) {
         val touchedVals = touched.map(_.get(0))
         val scoped = df.filter(col(pc).isin(touchedVals.toIndexedSeq: _*))
         val kept = scoped.join(keys, Seq(keyCol), "left_anti")
-        // the surviving-partition list must materialize BEFORE the
-        // overwrite: afterwards the plan's source files are gone
+        // the surviving-partition list must materialize BEFORE any
+        // rewrite: afterwards the plan's source files are gone
         val surviving = kept.select(col(pc)).distinct().collect()
           .map(r => String.valueOf(r.get(0))).toSet
+        val touchedStr = touchedVals.map(String.valueOf(_))
+        if (surviving.isEmpty) {
+          // every touched partition fully retracts — a zero-row dynamic
+          // overwrite replaces nothing, so skip it. If UNTOUCHED
+          // partitions remain, deleting the touched dirs is the whole
+          // job (a crash mid-deletes replays cleanly: the table stays
+          // readable through the untouched partitions). If nothing
+          // would remain, swap in an empty-but-schemaed table FIRST —
+          // deleting all dirs and then writing was a crash window that
+          // left an unreadable directory and wedged every replay (r10
+          // second-review catch); overwrite()'s temp-then-swap takes
+          // the old partition dirs with it atomically-per-rename.
+          val untouchedLeft = {
+            val stream = Files.list(Paths.get(path(table)))
+            try stream.anyMatch { p =>
+              val n = p.getFileName.toString
+              n.startsWith(s"$pc=") &&
+                !touchedStr.contains(n.stripPrefix(s"$pc="))
+            } finally stream.close()
+          }
+          if (untouchedLeft)
+            touchedStr.foreach { v =>
+              deleteRecursively(Paths.get(s"${path(table)}/$pc=$v"))
+            }
+          else
+            overwrite(table, spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
+          return removed
+        }
         overwritePartitions(table, kept, pc)
         // partitions the rewrite emitted no rows for are fully retracted:
         // dynamic overwrite left their old files — remove them
-        touchedVals.map(String.valueOf(_)).filterNot(surviving).foreach { v =>
+        touchedStr.filterNot(surviving).foreach { v =>
           deleteRecursively(Paths.get(s"${path(table)}/$pc=$v"))
         }
-        // if EVERY partition is now gone the directory holds only write
-        // markers and the next read would fail schema inference — rewrite
-        // as an empty-but-schemaed table (what the unpartitioned branch
-        // produces for the same input)
-        val anyLeft = {
-          val stream = Files.list(Paths.get(path(table)))
-          try stream.anyMatch(p => p.getFileName.toString.startsWith(s"$pc="))
-          finally stream.close()
-        }
-        if (!anyLeft)
-          overwrite(table, spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
         removed
       case (df, None) =>
         val removed = df.join(keys, Seq(keyCol), "left_semi").count()
