@@ -185,8 +185,21 @@ object Retrieval {
     healIndex(spark, dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(statsPath),
-      s"forgetBm25: no committed index at $dir (stats marker absent)")
+    if (!fs.exists(statsPath)) {
+      // layout guard FIRST: an incremental index (meta + _commits, no
+      // flat stats) must never be swept as "residue" — that is a
+      // different store format, not a crashed un-commit
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_commits")),
+        s"forgetBm25: $dir holds an INCREMENTAL index — use forgetBm25Incremental")
+      // a whole-corpus retraction crashed between its stats delete and
+      // the table deletes leaves postings/doc_len/doc_freq bytes with no
+      // marker — finish the un-commit instead of refusing, so a replayed
+      // takedown batch completes the removal (the MediaHashStore.forget
+      // discipline; r10 advice)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      return 0L
+    }
     val idCol = spark.read.parquet(s"$dir/stats").head().getString(2)
     // a ONE-column ids frame is taken as the id list whatever its name
     // (takedown feeds don't know the index's id column); a wider frame
@@ -202,6 +215,12 @@ object Retrieval {
     if (removed == 0L) return 0L
     val path = new org.apache.hadoop.fs.Path(dir)
     if (removed == nDocs) { // whole corpus retracted: un-commit
+      // stats marker FIRST — from here every reader refuses cleanly; a
+      // crash before the table deletes leaves unmarked residue the next
+      // forget's entry sweep finishes (one recursive delete could drop
+      // tables before the marker, leaving a committed-looking index with
+      // data missing — r10 advice)
+      fs.delete(statsPath, true)
       fs.delete(path, true)
       return removed
     }
@@ -309,6 +328,11 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     StoreProtocol.heal(fs, root)
+    // layout guard: appending ingest partitions INTO a flat-layout index
+    // (buildBm25Index's stats marker present) would corrupt both formats
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+      s"appendBm25Incremental: $dir holds a FLAT index (stats marker) — " +
+        "build with buildBm25Incremental, or keep serving it via bm25TopKFromIndex")
     val committed = committedKeys(fs, root)
     if (committed.nonEmpty) {
       val storedIdCol = spark.read.parquet(s"$dir/meta").head().getString(0)
@@ -444,6 +468,11 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     StoreProtocol.heal(fs, root)
+    // loud, not silent: retraction pointed at the WRONG layout must fail
+    // (a flat index here has docs to forget — a silent 0 would lose them)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+      s"forgetBm25Incremental/compact: $dir holds a FLAT index (stats " +
+        "marker) — use forgetBm25")
     val committed = committedKeys(fs, root)
     if (committed.isEmpty) return 0L
     val idCol = spark.read.parquet(s"$dir/meta").head().getString(0)

@@ -83,9 +83,14 @@ object RetrievePipeline {
         s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +
         "bounded doc ids")
     stages += Stage("chunks", stats.getLong(0))
-    Retrieval.buildBm25Index(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
+    // the INCREMENTAL layout (one persistence format for the whole BM25
+    // family): the build is its first ingest, [[append]] adds later docs
+    // in O(batch), and forget routes through forgetBm25Incremental —
+    // query results are bit-identical to the flat index (spec-pinned)
+    Retrieval.buildBm25Incremental(chunks, "chunk_text", "chunk_id", s"$dir/bm25")
     stages += Stage("bm25_postings",
-      spark.read.parquet(s"$dir/bm25/postings").count())
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/bm25/postings").count())
     // the hashed embeddings persist too (the build's vector store —
     // reusable for bulk labeling / other indexes): buildIvf's Lloyd
     // rounds + the routing write would otherwise re-execute the whole
@@ -154,7 +159,7 @@ object RetrievePipeline {
     val terms = q.select(col("query_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
-    val lexical = Retrieval.bm25TopKFromIndex(spark, s"$dir/bm25", terms, k)
+    val lexical = Retrieval.bm25TopKFromIncremental(spark, s"$dir/bm25", terms, k)
     // sign-fold query ids out of the chunk id space (chunk ids are >= 0,
     // the fold is < 0) so queryIvf's self-match filter cannot collide;
     // the query frame carries the INDEX's id column name (queryIvf's
@@ -190,6 +195,117 @@ object RetrievePipeline {
   private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
                        path: org.apache.hadoop.fs.Path): Unit =
     graft.operators.StoreProtocol.heal(fs, path)
+
+  /** Read a chunk/vector table: the build writes flat files, [[append]]
+    * commits batch SUBDIRECTORIES (the staged-rename protocol) — both
+    * are plain leaf-file layouts, no partition inference wanted (the
+    * MediaHashStore.read convention).
+    */
+  private def readTable(spark: SparkSession, p: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(p)
+
+  /** GROWTH across the whole serving stack — the twin of [[forget]]:
+    * ingest new documents into every persisted artifact without a
+    * rebuild. The chunk geometry and hash-embed contract come FROZEN
+    * from the build's `meta` (they are the query side's routing
+    * contract), the BM25 leg appends one O(batch) ingest partition set
+    * ([[graft.operators.Retrieval.appendBm25Incremental]]), the vectors
+    * append as plain job-committed files, and the ANN leg routes under
+    * the frozen centroids into only the touched cell partitions
+    * ([[graft.operators.AnnIndex.appendIvf]]) — nothing index-sized
+    * rewrites. Retrain (a fresh build) when drift makes the frozen
+    * centroids a bad coarse quantizer; that policy call is the
+    * caller's, measurable with warehouse_drift.
+    *
+    * Idempotent-by-parts, CHUNKS LAST: docs whose ids already appear in
+    * the chunk store are dropped up front (K2), and because the chunk
+    * store is the presence detector AND is appended last (one staged
+    * directory rename — all of a batch's chunks or none), a crash
+    * anywhere in the window replays cleanly: the batch re-enters as
+    * "new", the BM25 append's own K2 anti-join no-ops, and the vector /
+    * ANN appends each anti-join away the rows that already landed
+    * (spec simulates the exact crash states). The mirror of forget's
+    * chunks-pruned-last argument. Single-writer, like every graft
+    * maintenance operator. Returns per-stage appended counts.
+    */
+  def append(docs: DataFrame, textCol: String, idCol: String,
+             dir: String): Seq[Stage] = {
+    val spark = docs.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"RetrievePipeline.append: no committed build at $dir (meta marker absent)")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (dim, salt, chunkTokens, stride) =
+      (meta.getInt(0), meta.getString(1), meta.getInt(2), meta.getInt(3))
+    healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/chunks"))
+    healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+    graft.operators.StoreProtocol.heal(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/ann/corpus"))
+    // K2 doc-level gate against the chunk store (thin column read)
+    val existingDocs = readTable(spark, s"$dir/chunks")
+      .select(shiftright(col("chunk_id"), ChunkBits).as(idCol)).distinct()
+    val incoming = docs.select(col(idCol), col(textCol))
+      .join(existingDocs, Seq(idCol), "left_anti")
+    // pinned: an append batch is batch-sized by nature (corpus-scale
+    // initial loads go through build) and feeds four consumers below
+    val chunks = CorpusOps.chunkDocs(incoming, idCol, textCol,
+        chunkTokens, stride)
+      .filter(length(col("chunk_text")) > 0)
+      .withColumn("chunk_id",
+        (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
+      .localCheckpoint(true)
+    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx")),
+      min(col(idCol)), max(col(idCol))).head()
+    val nChunks = stats.getLong(0)
+    if (nChunks == 0L)
+      return Seq(Stage("chunks", 0L), Stage("bm25_docs", 0L),
+        Stage("ann_vectors", 0L))
+    // the build's id-space preconditions, re-checked on the batch
+    require(stats.getLong(1) < (1L << ChunkBits),
+      s"chunk_idx ${stats.getLong(1)} overflows the ${ChunkBits}-bit chunk " +
+        "id space — raise chunkTokens/stride or widen ChunkBits")
+    require(stats.getLong(2) >= 0 && stats.getLong(3) < (1L << (63 - ChunkBits)),
+      s"doc ids [${stats.getLong(2)}, ${stats.getLong(3)}] fall outside " +
+        s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +
+        "bounded doc ids")
+    // 1. BM25 leg — its own K2 anti-join makes a replay a no-op
+    val bm25Docs = Retrieval.appendBm25Incremental(spark, s"$dir/bm25",
+      chunks, "chunk_text", "chunk_id")
+    // 2+3. vector store and ANN index, each guarded by its OWN id-level
+    // anti-join (after a crash they can disagree on what landed; each
+    // append completes exactly its missing rows)
+    val embedded = Similarity.hashEmbed(chunks, "chunk_text", "chunk_id",
+      dim, salt).localCheckpoint(true)
+    val newVecs = embedded.join(
+      readTable(spark, s"$dir/vectors").select("chunk_id"),
+      Seq("chunk_id"), "left_anti")
+    if (!newVecs.isEmpty)
+      newVecs.write.mode("append").parquet(s"$dir/vectors")
+    val newAnn = embedded.join(
+      spark.read.parquet(s"$dir/ann/corpus").select("chunk_id"),
+      Seq("chunk_id"), "left_anti").localCheckpoint(true)
+    val nAnn = newAnn.count()
+    if (nAnn > 0L)
+      AnnIndex.appendIvf(newAnn, "embedding", "chunk_id", s"$dir/ann")
+    // 4. chunks LAST — the presence detector commits by ONE directory
+    // rename (all of the batch's chunks or none, the MediaHashStore
+    // staged-append protocol), so no crash can leave a doc "present"
+    // with some of its chunks missing from the passage store
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/chunks__stage")
+    fs.delete(stage, true) // a crashed append's debris (single writer)
+    chunks.write.mode("overwrite").parquet(stage.toString)
+    val key = chunks
+      .agg(format_string("%016x", bit_xor(xxhash64(col("chunk_id")))))
+      .head().getString(0).take(12)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$dir/chunks/b_$key")
+    fs.delete(batchDir, true) // deterministic key: replay overwrites its own
+    if (!fs.rename(stage, batchDir))
+      throw new IllegalStateException(
+        s"RetrievePipeline.append: cannot commit $stage into $batchDir")
+    Seq(Stage("chunks", nChunks), Stage("bm25_docs", bm25Docs),
+      Stage("ann_vectors", nAnn))
+  }
 
   /** Retraction across the WHOLE serving stack — the takedown/opt-out
     * seam: given doc ids, remove every trace of their chunks from all
@@ -228,7 +344,7 @@ object RetrievePipeline {
       s"RetrievePipeline.forget: no committed build at $dir (meta marker absent)")
     healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/chunks"))
     healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/vectors"))
-    val chunks = spark.read.parquet(s"$dir/chunks")
+    val chunks = readTable(spark, s"$dir/chunks")
     // renamed join key: the chunk store carries the caller's own doc-id
     // column, and a bare `doc_id` reference would be ambiguous
     val ids = docIds.select(col("doc_id").cast("long").as("__forget_doc"))
@@ -248,7 +364,7 @@ object RetrievePipeline {
       val path = new org.apache.hadoop.fs.Path(s"$dir/$table")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__forget")
       fs.delete(tmp, true)
-      spark.read.parquet(path.toString)
+      readTable(spark, path.toString)
         .join(drop, Seq("chunk_id"), "left_anti")
         .write.mode("overwrite").parquet(tmp.toString)
       graft.operators.StoreProtocol.swapInto(fs, tmp, path,
@@ -257,7 +373,7 @@ object RetrievePipeline {
     // chunks LAST — the drop set derives from them (see the scaladoc's
     // replay-idempotency argument)
     swapTable("vectors")
-    Retrieval.forgetBm25(spark, s"$dir/bm25", drop)
+    Retrieval.forgetBm25Incremental(spark, s"$dir/bm25", drop)
     AnnIndex.forgetIvf(spark, s"$dir/ann", drop, "chunk_id")
     swapTable("chunks")
     removed
@@ -295,13 +411,13 @@ object RetrievePipeline {
     if (n <= isinCap) {
       val ids = pinned.select("chunk_id").distinct()
         .collect().map(_.getLong(0)) // bounded: <= isinCap by the gate
-      val store = spark.read.parquet(s"$dir/chunks")
+      val store = readTable(spark, s"$dir/chunks")
         .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
         .select(col("chunk_id"), col("chunk_text"))
       pinned.join(broadcast(store), Seq("chunk_id"), "left")
         .select(pinned.columns.map(col).toIndexedSeq :+ col("chunk_text"): _*)
     } else {
-      val store = spark.read.parquet(s"$dir/chunks")
+      val store = readTable(spark, s"$dir/chunks")
         .join(pinned.select("chunk_id").distinct(), Seq("chunk_id"), "left_semi")
         .select(col("chunk_id"), col("chunk_text"))
       pinned.join(store, Seq("chunk_id"), "left")

@@ -2386,16 +2386,20 @@ ORDER BY doc_id""")
        ORDER BY block, bin_id"""
 
   /** BM25 top-10 oracle — shared by retrieval_bm25 and the hybrid
-    * RRF fusion (no-fork rule).
+    * RRF fusion (no-fork rule). Parameterized over the corpus source so
+    * the retraction-GATED build (anti-join the takedown table, then
+    * build) shares the identical scoring chain.
     */
-  private lazy val bm25TopkSql: String =
-    """WITH q(query_id, term) AS (VALUES
+  private lazy val bm25TopkSql: String = bm25TopkSqlOver("documents")
+
+  private def bm25TopkSqlOver(src: String): String =
+    s"""WITH q(query_id, term) AS (VALUES
              (0, 'hash'), (0, 'join'), (0, 'merge'),
              (1, 'stream'), (1, 'window'), (1, 'batch'),
              (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'sort')),
          toks AS (
            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-           FROM documents),
+           FROM $src),
          post AS (
            SELECT doc_id, token, count(*) AS tf FROM toks
            WHERE token <> '' GROUP BY doc_id, token),
@@ -4384,6 +4388,29 @@ ORDER BY doc_id""")
       .orderBy("query_id", "rank")
   }
 
+  /** Retraction AT INGEST — the composition the takedown scaladoc
+    * argues for ([[graft.streaming.IncrementalStream.retractionIngest]]):
+    * when the takedown list is known up front, filtering the BUILD's
+    * input (one anti-join against the accumulated retraction table)
+    * beats building and then retracting — the retracted docs never cost
+    * index work at all, and nothing ever has to be un-served. The built
+    * index is spec-pinned BIT-IDENTICAL to build-then-forget
+    * (RetrievalLmSpec); the oracle is the whole bm25 chain over the
+    * anti-joined corpus — retraction composes as a plain relational
+    * filter, which is the point.
+    */
+  def retractionGatedBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val takedown = d.select(col("doc_id")).filter(col("doc_id") % 7 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_gated").toString
+    Retrieval.buildBm25Incremental(
+      d.join(takedown, Seq("doc_id"), "left_anti"), "text", "doc_id", idx)
+    val terms = bm25QueryTerms.toDF("query_id", "term")
+    Retrieval.bm25TopKFromIncremental(s, idx, terms, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** The full hybrid-retrieval serving lifecycle as ONE oracled query:
     * [[graft.pipeline.RetrievePipeline.build]] (chunk → persisted BM25
     * index → hashed embeddings → persisted IVF index → meta commit)
@@ -4667,6 +4694,11 @@ ORDER BY doc_id""")
       // split-ingest ≡ one-shot build: the incremental index shares the
       // whole-corpus oracle verbatim (additive df/N/avgdl)
       ("retrieval_bm25_incremental" -> bm25TopkSql) +
+      // retraction-at-ingest: the gate is ONE anti-join on the build's
+      // input, so the oracle is the same bm25 chain over the filtered
+      // corpus — no index-side machinery to mirror
+      ("retraction_gated_build" -> bm25TopkSqlOver(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")) +
       ("sim_topk_ivfadc_persisted" -> oraclesBase("sim_topk_ivfadc")) +
       ("dedup_eval_hashembed" ->
         // both chains bounded to the SAME 500-doc slice the Spark side
@@ -4789,6 +4821,7 @@ ORDER BY doc_id""")
     "sim_topk_ivf_bulk" -> (simTopkIvfBulk _),
     "retrieval_bm25_persisted" -> (retrievalBm25Persisted _),
     "retrieval_bm25_incremental" -> (retrievalBm25Incremental _),
+    "retraction_gated_build" -> (retractionGatedBuild _),
     "retrieval_pipeline_build" -> (retrievalPipelineBuild _),
     "retrieval_pipeline_serve" -> (retrievalPipelineServe _),
     "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),

@@ -587,7 +587,16 @@ object IncrementalStream {
     * Every field is optional/empty — configure the stores the pipeline
     * actually runs. `annIndexes` pairs (index dir, index id column);
     * `warehouseTables` pairs (table, key column, optional partition
-    * column) against `warehouse`.
+    * column) against `warehouse`. `bm25Indexes` accepts BOTH persisted
+    * layouts — the flat [[graft.operators.Retrieval.buildBm25Index]]
+    * directory and the incremental
+    * [[graft.operators.Retrieval.buildBm25Incremental]] one; the ingest
+    * detects which from the on-disk markers and routes to the matching
+    * forget, failing LOUDLY on a non-empty directory matching neither
+    * (a misconfigured takedown feed must never silently skip a store).
+    * `auditTable`, with `warehouse` set, records one row per (batch,
+    * store) — the K5 etl_runs discipline applied to the compliance
+    * lane; see [[retractionIngest]].
     */
   final case class RetractionTargets(
       fuzzyStateDir: Option[String] = None,
@@ -596,7 +605,8 @@ object IncrementalStream {
       bm25Indexes: Seq[String] = Nil,
       retrieveDirs: Seq[String] = Nil,
       warehouse: Option[Warehouse] = None,
-      warehouseTables: Seq[(String, String, Option[String])] = Nil)
+      warehouseTables: Seq[(String, String, Option[String])] = Nil,
+      auditTable: Option[String] = None)
 
   /** Streaming RETRACTION ingestion — the takedown/opt-out feed as a
     * stream, closing the loop the round-10 `forget` family opened: every
@@ -623,25 +633,45 @@ object IncrementalStream {
     */
   def retractionIngest(stream: DataFrame, targets: RetractionTargets,
                        checkpointDir: String,
-                       idCol: String = "doc_id"): StreamingQuery =
+                       idCol: String = "doc_id"): StreamingQuery = {
+    require(targets.auditTable.isEmpty || targets.warehouse.nonEmpty,
+      "retractionIngest: auditTable requires a warehouse to write it to")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        // takedown feeds are request-sized; pin once, reuse per store
-        val ids = batch0.select(col(idCol).cast("long").as(idCol))
-          .distinct().localCheckpoint(true)
+        // takedown feeds are request-sized; pin once, reuse per store.
+        // Ids stay UNTYPED here — the old hard cast("long") silently
+        // nulled every id of a string-keyed table, so each anti-join
+        // matched nothing and the retraction no-oped with removed=0
+        // (r10 advice); each target below casts to ITS OWN key type
+        val ids = batch0.select(col(idCol)).distinct().localCheckpoint(true)
         if (!ids.isEmpty) {
+          val nIds = ids.count() // bounded: takedown-request-sized
           val conf = sp.sparkContext.hadoopConfiguration
           def exists(p: String): Boolean = {
             val path = new org.apache.hadoop.fs.Path(p)
             path.getFileSystem(conf).exists(path)
           }
+          def emptyOrAbsent(p: String): Boolean = {
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fs = path.getFileSystem(conf)
+            !fs.exists(path) || fs.listStatus(path).isEmpty
+          }
+          // long-keyed stores by contract: media fids/doc ids, ANN vec
+          // ids, chunk-packed retrieve doc ids
+          def longIds(c: String) = ids.select(col(idCol).cast("long").as(c))
+          // audit trail (K5 applied to the compliance lane): one row per
+          // (batch, store) with the forget's actual return value
+          val audit = Seq.newBuilder[(Long, String, Long, Long)]
+          def record(store: String, removed: Long): Unit =
+            audit += ((batchId, store, nIds, removed))
           targets.fuzzyStateDir.foreach { d =>
-            forgetFuzzyState(sp, d, ids, idCol); () }
+            record(s"fuzzy:$d", forgetFuzzyState(sp, d, ids, idCol)) }
           targets.mediaStoreDir.foreach { d =>
-            graft.operators.MediaHashStore.forget(sp, d, ids, idCol); () }
+            record(s"media:$d",
+              graft.operators.MediaHashStore.forget(sp, d, longIds(idCol), idCol)) }
           // the existence guards must ALSO see a store parked at __old
           // by a forget crashed mid-swap (r10 code-review catch): the
           // plain guard would skip the replayed batch, the next READER
@@ -649,26 +679,101 @@ object IncrementalStream {
           // would be lost forever — the forgets heal first themselves
           targets.annIndexes.foreach { case (d, c) =>
             if (exists(s"$d/corpus") || exists(s"$d/corpus__old"))
-              graft.operators.AnnIndex.forgetIvf(sp, d,
-                ids.select(col(idCol).as(c)), c)
-            ()
+              record(s"ann:$d",
+                graft.operators.AnnIndex.forgetIvf(sp, d, longIds(c), c))
           }
           targets.bm25Indexes.foreach { d =>
-            if (exists(s"$d/stats") || exists(d + "__old"))
-              graft.operators.Retrieval.forgetBm25(sp, d, ids)
-            ()
+            // BOTH persisted layouts, detected from the on-disk markers
+            // (an incremental index configured here used to be silently
+            // skipped every batch — the exact failure class this lane
+            // exists to eliminate). Flat detection includes the marker-
+            // less table residue of a whole-corpus un-commit crash,
+            // which forgetBm25's entry sweep finishes.
+            val incr = exists(s"$d/meta") || exists(s"$d/_commits") ||
+              exists(s"${d}__old/meta")
+            val flat = !incr && (exists(s"$d/stats") || exists(s"${d}__old/stats") ||
+              exists(s"$d/postings") || exists(s"$d/doc_len") ||
+              exists(s"$d/doc_freq"))
+            if (incr)
+              record(s"bm25:$d",
+                graft.operators.Retrieval.forgetBm25Incremental(sp, d, ids))
+            else if (flat)
+              record(s"bm25:$d",
+                graft.operators.Retrieval.forgetBm25(sp, d, ids))
+            else require(emptyOrAbsent(d) && emptyOrAbsent(d + "__old"),
+              s"retractionIngest: $d matches neither BM25 layout (no " +
+                "stats, no meta/_commits) — a misconfigured takedown " +
+                "feed must fail, not silently skip the store")
+            // absent/empty: not built yet (or un-committed whole-corpus
+            // retraction) — skipped this batch, retracts on a later feed
           }
           targets.retrieveDirs.foreach { d =>
             if (exists(s"$d/meta"))
-              graft.pipeline.RetrievePipeline.forget(sp, d,
-                ids.select(col(idCol).as("doc_id")))
-            ()
+              record(s"retrieve:$d",
+                graft.pipeline.RetrievePipeline.forget(sp, d, longIds("doc_id")))
           }
           targets.warehouse.foreach { wh =>
             targets.warehouseTables.foreach { case (table, key, pc) =>
-              wh.forget(table, ids.select(col(idCol).as(key)), key, pc); () }
+              // cast to the TABLE's own key type (string keys included);
+              // an absent table is a no-op forget either way
+              val keyed = wh.readIfExists(table) match {
+                case Some(df) =>
+                  ids.select(col(idCol).cast(df.schema(key).dataType).as(key))
+                case None => ids.select(col(idCol).as(key))
+              }
+              record(s"warehouse:$table", wh.forget(table, keyed, key, pc))
+            }
+          }
+          targets.auditTable.foreach { at =>
+            import sp.implicits._
+            val rows = audit.result()
+            // idempotentAppend on (batch_id, store): a re-delivered or
+            // fresh-checkpoint-replayed batch re-offers the same keys
+            // and appends nothing new (spec-pinned)
+            if (rows.nonEmpty)
+              targets.warehouse.foreach(_.idempotentAppend(at,
+                rows.toDF("batch_id", "store", "ids_count", "removed_count"),
+                Seq("batch_id", "store")))
+            ()
           }
         }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming LEXICAL-INDEX ingestion — the incremental BM25 index
+    * ([[graft.operators.Retrieval.appendBm25Incremental]]) wired into
+    * the lifecycle it was built for, next to [[fuzzyDedupIngest]] and
+    * [[profileSketchIngest]]: every micro-batch of documents commits as
+    * one marked ingest partition set (O(batch) work — per-ingest
+    * doc_freq/stats partials, nothing index-sized rewrites), and every
+    * `compactEvery` batches the per-append partitions fold to one
+    * ([[graft.operators.Retrieval.compactBm25Incremental]]) INSIDE
+    * foreachBatch — the single-writer window the consolidation swap
+    * requires (batches commit serially).
+    *
+    * Idempotency needs no extra markers: the append's own K2 anti-join
+    * drops docs whose ids are already committed, so a re-delivered batch
+    * overwrites its own orphan (same deterministic key) and a
+    * fresh-checkpoint full replay admits nothing (spec-pinned, with the
+    * split-ingest ≡ one-shot serve invariance). Queries serve from the
+    * index at any point via `bm25TopKFromIncremental`; retraction runs
+    * through [[retractionIngest]]'s bm25 lane (layout auto-detected).
+    */
+  def bm25Ingest(stream: DataFrame, indexDir: String, checkpointDir: String,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Retrieval.appendBm25Incremental(
+            batch.sparkSession, indexDir, batch, textCol, idCol)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.Retrieval.compactBm25Incremental(
+            batch.sparkSession, indexDir)
         ()
       }
       .start()

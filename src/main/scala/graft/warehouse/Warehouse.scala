@@ -239,9 +239,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
         val touchedVals = touched.map(_.get(0))
         val scoped = df.filter(col(pc).isin(touchedVals.toIndexedSeq: _*))
         val kept = scoped.join(keys, Seq(keyCol), "left_anti")
-        // the surviving-partition list must materialize BEFORE any
-        // rewrite: afterwards the plan's source files are gone
-        val surviving = kept.select(col(pc)).distinct().collect()
+        // snapshot the kept rows to a temp OUTSIDE the table FIRST (the
+        // forgetIvf ordering, r10 advice): the fully-emptied partition
+        // dirs can then be deleted BEFORE the dynamic overwrite, so a
+        // crash anywhere in the window leaves a half-applied removal —
+        // never retracted rows still visible after the rewrite already
+        // "applied" (direct callers outside a checkpointed stream may
+        // never replay). The temp also materializes the plan before its
+        // source files change, so the surviving-partition list reads
+        // from it for free.
+        val tmp = path(table) + "__forget_tmp"
+        deleteRecursively(Paths.get(tmp)) // a crashed forget's debris
+        kept.write.mode("overwrite").parquet(tmp)
+        val keptSnap = spark.read.parquet(tmp)
+        val surviving = keptSnap.select(col(pc)).distinct().collect()
           .map(r => String.valueOf(r.get(0))).toSet
         val touchedStr = touchedVals.map(String.valueOf(_))
         if (surviving.isEmpty) {
@@ -270,14 +281,17 @@ class Warehouse(val spark: SparkSession, val root: String) {
           else
             overwrite(table, spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
+          deleteRecursively(Paths.get(tmp))
           return removed
         }
-        overwritePartitions(table, kept, pc)
-        // partitions the rewrite emitted no rows for are fully retracted:
-        // dynamic overwrite left their old files — remove them
+        // emptied dirs FIRST (their every row is retracted), THEN the
+        // dynamic overwrite of the partitions that keep rows — both read
+        // from the temp snapshot, so deleting source dirs is safe
         touchedStr.filterNot(surviving).foreach { v =>
           deleteRecursively(Paths.get(s"${path(table)}/$pc=$v"))
         }
+        overwritePartitions(table, keptSnap, pc)
+        deleteRecursively(Paths.get(tmp))
         removed
       case (df, None) =>
         val removed = df.join(keys, Seq(keyCol), "left_semi").count()

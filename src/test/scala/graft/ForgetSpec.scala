@@ -314,7 +314,7 @@ class ForgetSpec extends SparkSpec {
       .select("chunk_id").localCheckpoint(true)
     val n9 = doc9Chunks.count()
     assert(n9 > 0)
-    graft.operators.Retrieval.forgetBm25(spark, s"$dir/bm25", doc9Chunks)
+    graft.operators.Retrieval.forgetBm25Incremental(spark, s"$dir/bm25", doc9Chunks)
     graft.operators.AnnIndex.forgetIvf(spark, s"$dir/ann", doc9Chunks, "chunk_id")
     // the "replayed batch": the full forget still completes the job
     assert(RetrievePipeline.forget(spark, dir, Seq(9L).toDF("doc_id")) == n9)
@@ -413,5 +413,113 @@ class ForgetSpec extends SparkSpec {
     // so every store is unchanged
     drainFeed(tempDir("ri_feed_ck2"))
     assert(snapshot() == before, "replayed takedown batches must change nothing")
+  }
+
+  test("retraction ingest: incremental-BM25 lane (layout auto-detected), " +
+    "string-keyed warehouse table, audit trail, loud unknown-layout failure") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100).localCheckpoint(true)
+    // an INCREMENTAL index (meta + _commits, no flat stats) — the layout
+    // the r10 lane silently skipped
+    val incrDir = s"${tempDir("rib_incr")}/idx"
+    Retrieval.buildBm25Incremental(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", incrDir)
+    Retrieval.appendBm25Incremental(spark, incrDir,
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    // a flat index next to it: the SAME configured lane must route each
+    // to its own forget
+    val flatDir = s"${tempDir("rib_flat")}/idx"
+    Retrieval.buildBm25Index(docs, "text", "doc_id", flatDir)
+    // a STRING-keyed warehouse table: the r10 hard cast("long") nulled
+    // these ids and the retraction silently no-oped (removed=0)
+    val wh = new Warehouse(spark, tempDir("rib_wh"))
+    wh.overwrite("by_name", docs.select(
+      concat(lit("doc_"), col("doc_id")).as("name"), col("text")))
+    val feedIn = tempDir("rib_feed")
+    val audit = "takedown_audit"
+    val targets = IncrementalStream.RetractionTargets(
+      bm25Indexes = Seq(incrDir, flatDir),
+      warehouse = Some(wh),
+      warehouseTables = Seq(("by_name", "name", None)),
+      auditTable = Some(audit))
+    def drainFeed(ck: String): Unit =
+      IncrementalStream.retractionIngest(
+          spark.readStream
+            .schema(StructType(Seq(StructField("doc_id", LongType))))
+            .parquet(feedIn),
+          targets, ck, idCol = "doc_id")
+        .awaitTermination()
+    // ids exist in the indexes; the string table is keyed doc_<id>, so
+    // the long feed ids match NOTHING there (cast to string ≠ "doc_7") —
+    // removed must be 0 for it, honestly recorded, while a string feed
+    // against the same table works (second stream below)
+    Seq(7L, 8L).toDF("doc_id").write.mode("append").parquet(feedIn)
+    val ck = tempDir("rib_ck")
+    drainFeed(ck)
+    Seq("doc_len").foreach { _ =>
+      val left = spark.read.parquet(s"$incrDir/doc_len")
+      assert(left.filter(col("doc_id").isin(7L, 8L)).count() == 0,
+        "incremental index must retract (the r10 silent-skip gap)")
+    }
+    assert(spark.read.parquet(s"$flatDir/doc_len")
+      .filter(col("doc_id").isin(7L, 8L)).count() == 0)
+    // the incremental index still serves the survivors
+    val terms = Seq((1L, "the"), (1L, "data")).toDF("query_id", "term")
+    val served = Retrieval.bm25TopKFromIncremental(spark, incrDir, terms, 10)
+      .select("doc_id").as[Long].collect()
+    assert(served.nonEmpty && !served.exists(Set(7L, 8L)))
+    // audit trail: one row per (batch, store) with the forget's return
+    val a1 = wh.read(audit)
+      .select("batch_id", "store", "ids_count", "removed_count")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(a1.length == 3, s"3 stores configured, got $a1")
+    assert(a1.forall(r => r._1 == 0L && r._3 == 2L))
+    assert(a1.find(_._2 == s"bm25:$incrDir").get._4 == 2L)
+    assert(a1.find(_._2 == s"bm25:$flatDir").get._4 == 2L)
+    assert(a1.find(_._2 == "warehouse:by_name").get._4 == 0L,
+      "long ids against a string-keyed table match nothing — recorded, not hidden")
+    // a STRING feed retracts from the string-keyed table (untyped pass-
+    // through + per-target cast)
+    val feedIn2 = tempDir("rib_feed2")
+    Seq("doc_3", "doc_4").toDF("name").write.mode("append").parquet(feedIn2)
+    IncrementalStream.retractionIngest(
+        spark.readStream
+          .schema(StructType(Seq(StructField("name",
+            org.apache.spark.sql.types.StringType)))).parquet(feedIn2),
+        IncrementalStream.RetractionTargets(warehouse = Some(wh),
+          warehouseTables = Seq(("by_name", "name", None)),
+          auditTable = Some(audit)),
+        tempDir("rib_ck2"), idCol = "name")
+      .awaitTermination()
+    assert(wh.read("by_name")
+      .filter(col("name").isin("doc_3", "doc_4")).count() == 0)
+    // replay idempotency of the audit: same checkpoint re-drain offers
+    // the same (batch_id, store) keys — nothing appends
+    val nAudit = wh.read(audit).count()
+    drainFeed(ck) // no new feed files: AvailableNow drains nothing new
+    Seq(999999L).toDF("doc_id").write.mode("append").parquet(feedIn)
+    drainFeed(tempDir("rib_ck3")) // fresh checkpoint: batch 0 again
+    assert(wh.read(audit).count() == nAudit,
+      "a replayed/no-op takedown batch must append no audit rows beyond " +
+        "the (batch_id, store) keys already recorded")
+    // a configured dir matching NEITHER layout fails the batch loudly
+    val bogus = tempDir("rib_bogus")
+    Seq((1L, "x")).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$bogus/not_an_index")
+    val feedIn3 = tempDir("rib_feed4")
+    Seq(1L).toDF("doc_id").write.mode("append").parquet(feedIn3)
+    val q = IncrementalStream.retractionIngest(
+      spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType))))
+        .parquet(feedIn3),
+      IncrementalStream.RetractionTargets(bm25Indexes = Seq(bogus)),
+      tempDir("rib_ck4"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("neither BM25 layout") ||
+      Option(e.getCause).exists(_.getMessage.contains("neither BM25 layout")))
   }
 }

@@ -229,4 +229,46 @@ class RetrievalLmSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](topk())
     assert(e.getMessage.contains("meta marker absent"))
   }
+
+  test("retraction-at-ingest: a build GATED on the takedown table is " +
+    "bit-identical to build-then-forget; layout misuse fails loudly") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).localCheckpoint(true)
+    val takedown = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 3)
+      .localCheckpoint(true)
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"))
+      .toDF("query_id", "term")
+    def topk(d: String) = Retrieval.bm25TopKFromIncremental(spark, d, terms, 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // gate the build's input: one anti-join, no index work for the
+    // retracted docs, nothing ever served then un-served
+    val gated = tempDir("gated_idx")
+    Retrieval.buildBm25Incremental(
+      docs.join(takedown, Seq("doc_id"), "left_anti"), "text", "doc_id", gated)
+    // the same end state the expensive way: build on everything, forget
+    val forgot = tempDir("forgot_idx")
+    Retrieval.buildBm25Incremental(docs, "text", "doc_id", forgot)
+    assert(Retrieval.forgetBm25Incremental(spark, forgot, takedown) ==
+      takedown.count())
+    assert(topk(gated) == topk(forgot),
+      "gate-at-ingest and build-then-forget must serve identically")
+    // cross-layout misuse is loud, both directions (a silent skip or a
+    // silent 0 would lose retractions — the r10 failure class)
+    val flat = tempDir("flat_idx")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", s"$flat/idx")
+    val e1 = intercept[IllegalArgumentException] {
+      Retrieval.forgetBm25Incremental(spark, s"$flat/idx",
+        Seq(1L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("FLAT index"))
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Incremental(spark, s"$flat/idx",
+        docs.limit(1), "text", "doc_id")
+    }
+    assert(e2.getMessage.contains("FLAT index"))
+    val e3 = intercept[IllegalArgumentException] {
+      Retrieval.forgetBm25(spark, gated, Seq(1L).toDF("doc_id"))
+    }
+    assert(e3.getMessage.contains("INCREMENTAL index"))
+  }
 }

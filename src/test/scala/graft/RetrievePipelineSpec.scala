@@ -81,6 +81,85 @@ class RetrievePipelineSpec extends SparkSpec {
     assert(bulk == withText.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("append grows every artifact without a rebuild: build-half + " +
+    "append-half serves bit-identical to a one-shot build through both " +
+    "legs; re-append no-ops; crash replay completes; append + forget " +
+    "returns the original serve") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(true)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val grown = tempDir("rp_grown")
+    val oneShot = tempDir("rp_oneshot")
+    RetrievePipeline.build(half, "text", "doc_id", grown,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    // doc 7 is ODD — it arrives only through the append
+    val sampleChunk = graft.operators.CorpusOps.chunkDocs(
+        docs, "doc_id", "text", 32, 32)
+      .filter(col("chunk_idx") === 0 && col("doc_id") === 7)
+      .select(col("chunk_text")).as[String].head()
+    val queries = Seq((1L, sampleChunk),
+      (2L, sampleChunk.split(" ").take(5).mkString(" ")))
+      .toDF("query_id", "text")
+    // nprobe = nlist: the probe set is exhaustive, so serving is
+    // CENTROID-INDEPENDENT — the grown stack (kmeans trained on half)
+    // and the one-shot stack (trained on everything) must then serve
+    // bit-identically through BOTH legs; at nprobe < nlist the two are
+    // legitimately different indexes (different routing), not a bug
+    def serve(d: String): Seq[String] =
+      RetrievePipeline.query(spark, d, queries, k = 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+    val before = serve(grown)
+    val stages = RetrievePipeline.append(rest, "text", "doc_id", grown)
+    assert(stages.map(_.stage) == Seq("chunks", "bm25_docs", "ann_vectors"))
+    assert(stages.forall(_.rows > 0), stages.toString)
+    RetrievePipeline.build(docs, "text", "doc_id", oneShot,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    assert(serve(grown) == serve(oneShot),
+      "grown and one-shot stacks must serve identically at nprobe = nlist")
+    // the appended doc actually surfaces, and its passage text fetches
+    // back from the staged chunk commit
+    val withText = RetrievePipeline.fetchChunks(spark, grown,
+        RetrievePipeline.query(spark, grown, queries, k = 5, nprobe = 4))
+      .localCheckpoint(true)
+    assert(withText.filter(col("query_id") === 1L && col("rank") === 1L)
+      .select("chunk_text").as[String].head() == sampleChunk)
+    assert(withText.filter(col("chunk_text").isNull).count() == 0)
+    // re-append of the same docs is a no-op (K2 at the doc gate)
+    assert(RetrievePipeline.append(rest, "text", "doc_id", grown)
+      .forall(_.rows == 0))
+    // crash replay: a crash just before the chunk commit (every OTHER
+    // artifact landed) leaves the docs "new" — simulate by deleting the
+    // appended chunk batch dirs; the replayed append must land the
+    // chunks while the per-artifact anti-joins no-op on what's there
+    val chunksDir = new java.io.File(s"$grown/chunks")
+    val batchDirs = chunksDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("b_"))
+    assert(batchDirs.nonEmpty, "append must commit chunks as staged batch dirs")
+    batchDirs.foreach { d =>
+      val fs = new org.apache.hadoop.fs.Path(d.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(d.toString), true)
+    }
+    val replay = RetrievePipeline.append(rest, "text", "doc_id", grown)
+    assert(replay.find(_.stage == "chunks").get.rows > 0)
+    assert(replay.find(_.stage == "bm25_docs").get.rows == 0,
+      "the BM25 ingest already committed — its own K2 gate must no-op")
+    assert(replay.find(_.stage == "ann_vectors").get.rows == 0,
+      "the ANN rows already landed — the id anti-join must no-op")
+    assert(serve(grown) == serve(oneShot), "replay must converge")
+    // append + forget compose: retracting the appended docs returns the
+    // stack to its pre-append serve (forget ≡ fresh build over survivors,
+    // and the surviving centroids ARE the original build's)
+    val removed = RetrievePipeline.forget(spark, grown,
+      rest.select("doc_id"))
+    assert(removed > 0L)
+    assert(serve(grown) == before,
+      "add-then-retract must serve exactly like the original build")
+  }
+
   test("bm25TopKFromIndex == in-run bm25TopK, bit for bit; uncommitted index refuses") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .limit(200).localCheckpoint(true)

@@ -1076,4 +1076,77 @@ class StreamingSpec extends SparkSpec {
     assert(ca <= cb)
     assert(MediaHashStore.read(spark, store).count() == 4)
   }
+
+  test("streaming bm25 ingest: split drains serve bit-identical to the " +
+    "one-shot operator; fresh-checkpoint replay admits nothing; in-" +
+    "lifecycle compaction and a mid-swap crash heal preserve the serve") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(150).localCheckpoint(true)
+    val in = tempDir("bi_in")
+    val ck = tempDir("bi_ck")
+    val idx = s"${tempDir("bi_idx")}/idx"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // compactEvery = 2: the third drain (batchId 2) folds the per-append
+    // partitions inside its own foreachBatch — the single-writer window
+    def drain(c: String = ck): Unit =
+      IncrementalStream.bm25Ingest(
+          spark.readStream.schema(schema).parquet(in), idx, c,
+          compactEvery = 2)
+        .awaitTermination()
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"), (2L, "a"))
+      .toDF("query_id", "term")
+    def serve(): Seq[(Long, Long, Long, Double)] =
+      Retrieval.bm25TopKFromIncremental(spark, idx, terms, 10)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def ingests(): Int = {
+      val files = new java.io.File(s"$idx/_commits").listFiles()
+      if (files == null) 0
+      else files.map(_.getName)
+        .count(n => !n.startsWith(".") && !n.startsWith("_"))
+    }
+    docs.filter(col("doc_id") < 50).select("doc_id", "text")
+      .write.mode("append").parquet(in)
+    drain() // batch 0
+    docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select("doc_id", "text").write.mode("append").parquet(in)
+    drain() // batch 1
+    assert(ingests() == 2)
+    val split = serve()
+    // split ingests ≡ the one-shot whole-corpus operator, bit for bit
+    val oneShot = Retrieval.bm25TopK(docs.filter(col("doc_id") < 100),
+        "text", "doc_id", terms, 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(split == oneShot)
+    // fresh-checkpoint FULL replay: the append's K2 anti-join admits
+    // nothing — no new ingest partitions, serve unchanged
+    drain(tempDir("bi_ck2"))
+    assert(ingests() == 2, "a replayed drain must commit no new ingests")
+    assert(serve() == split)
+    // crash window: a consolidation that died between its two renames
+    // parks the index at __old — the NEXT drain heals it, ingests batch 2
+    // and (batchId 2 % compactEvery 2 == 0) compacts in-lifecycle
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__old")))
+    docs.filter(col("doc_id") >= 100).select("doc_id", "text")
+      .write.mode("append").parquet(in)
+    drain() // batch 2: heal, append, compact
+    assert(ingests() == 1, "compactEvery must fold the ingest partitions")
+    val full = serve()
+    val oneShotFull = Retrieval.bm25TopK(docs, "text", "doc_id", terms, 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(full == oneShotFull,
+      "healed + compacted index must serve the whole corpus bit-identically")
+    // and the takedown lane retracts from it (the lifecycle loop closed)
+    val victim = full.head._3
+    assert(Retrieval.forgetBm25Incremental(spark, idx,
+      Seq(victim).toDF("doc_id")) >= 1L)
+    assert(!serve().exists(_._3 == victim))
+  }
 }
