@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Focused probe for serving-stack GROWTH cost (the ProbeForget pattern,
+  * pointed at the other direction): does `RetrievePipeline.append` +
+  * `appendBm25Incremental` really track the BATCH size instead of the
+  * stack size?
+  *
+  *  - Build the full hybrid serving stack over the sf corpus once.
+  *  - Append a small synthetic batch — the steady-state operation a
+  *    live pipeline pays per drain — and measure wall time and bytes
+  *    written against the full-rebuild baseline every engine without
+  *    incremental index maintenance pays for the same outcome.
+  *
+  * Usage: runMain graft.ProbeAppend [sfDir] [batchDocs] [replicate]
+  * (`replicate` stacks id-shifted copies of the sf corpus so the probe
+  * can measure the append at a corpus size where rebuild cost is real)
+  */
+object ProbeAppend {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(500L)
+    val replicate = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+    val spark = GraftSession.getOrCreate("graft-probe-append")
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    def treeBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) return 0L
+      val it = fs.listFiles(path, true)
+      var b = 0L
+      while (it.hasNext) b += it.next().getLen
+      b
+    }
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val baseN = base.count()
+    val docs = (if (replicate <= 1) base
+      else (0 until replicate).map(i =>
+          base.select((col("doc_id") + lit(i * baseN)).as("doc_id"), col("text")))
+        .reduce(_.unionByName(_)))
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // deterministic synthetic batch with fresh ids (no rand(): replayable)
+    val batch = spark.range(batchN).select(
+        (col("id") + maxId + 1L).as("doc_id"),
+        concat(lit("synthetic appended document number "), col("id"),
+          lit(" about streams joins vectors windows shuffles and "),
+          lit("partitions with token "),
+          pmod(xxhash64(col("id")), lit(997L))).as("text"))
+      .localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_ap").toString
+    time(s"build serving stack ($nDocs docs)") {
+      graft.pipeline.RetrievePipeline.build(docs, "text", "doc_id",
+        s"$dir/grown", chunkTokens = 32, stride = 32, dim = 32,
+        salt = "pa", nlist = 8, iters = 2)
+    }
+    val bytesBefore = treeBytes(s"$dir/grown")
+    val stages = time(s"append ($batchN docs — the steady-state drain)") {
+      graft.pipeline.RetrievePipeline.append(batch, "text", "doc_id",
+        s"$dir/grown")
+    }
+    println(s"  appended stages: ${stages.mkString(", ")}")
+    println(f"  bytes written by append: ${
+      (treeBytes(s"$dir/grown") - bytesBefore) / 1e6}%.1f MB of ${
+      treeBytes(s"$dir/grown") / 1e6}%.1f MB stack total")
+    time(s"rebuild baseline (${nDocs + batchN} docs — what a non-" +
+      "incremental stack pays per arrival)") {
+      graft.pipeline.RetrievePipeline.build(
+        docs.select(col("doc_id"), col("text")).unionByName(batch),
+        "text", "doc_id", s"$dir/rebuilt", chunkTokens = 32, stride = 32,
+        dim = 32, salt = "pa", nlist = 8, iters = 2)
+    }
+    spark.stop()
+  }
+}
