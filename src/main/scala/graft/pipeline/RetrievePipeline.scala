@@ -307,6 +307,38 @@ object RetrievePipeline {
       Stage("ann_vectors", nAnn))
   }
 
+  /** Maintenance for a stack grown by [[append]]: fold the per-batch
+    * chunk subdirectories and appended vector files back into the
+    * build's flat range layout on chunk_id (every file regains tight
+    * min/max stats, so [[fetchChunks]]' point lookups keep pruning),
+    * consolidate the BM25 ingest partitions, and compact the ANN cell
+    * files — the file-count bound a long-lived
+    * [[graft.streaming.IncrementalStream.servingIngest]] needs. Tables
+    * swap through the shared `__old` protocol (readers heal a mid-swap
+    * crash). SINGLE-WRITER: run between drains.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"RetrievePipeline.compact: no committed build at $dir (meta marker absent)")
+    Seq("chunks", "vectors").foreach { table =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      healSwap(fs, path)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__compact")
+      fs.delete(tmp, true)
+      readTable(spark, path.toString)
+        .repartitionByRange(col("chunk_id"))
+        .sortWithinPartitions(col("chunk_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.operators.StoreProtocol.swapInto(fs, tmp, path,
+        "RetrievePipeline.compact")
+    }
+    Retrieval.compactBm25Incremental(spark, s"$dir/bm25")
+    AnnIndex.compactIvf(spark, s"$dir/ann")
+    ()
+  }
+
   /** Retraction across the WHOLE serving stack — the takedown/opt-out
     * seam: given doc ids, remove every trace of their chunks from all
     * four persisted artifacts, so a retracted document (a) stops being

@@ -729,7 +729,14 @@ object IncrementalStream {
             val rows = audit.result()
             // idempotentAppend on (batch_id, store): a re-delivered or
             // fresh-checkpoint-replayed batch re-offers the same keys
-            // and appends nothing new (spec-pinned)
+            // and appends nothing new (spec-pinned). Honesty contract:
+            // each row records what THIS batch execution observed — a
+            // crash between the forgets and this write degrades the
+            // replay's row to removed=0 (the removal happened, its
+            // count was lost with the crash); the audit and the forgets
+            // share no transaction, and first-writer-wins keeps the
+            // earliest surviving observation. Rows are proof of
+            // processing, exact counts under crash-free operation.
             if (rows.nonEmpty)
               targets.warehouse.foreach(_.idempotentAppend(at,
                 rows.toDF("batch_id", "store", "ids_count", "removed_count"),
@@ -761,6 +768,44 @@ object IncrementalStream {
     * index at any point via `bm25TopKFromIncremental`; retraction runs
     * through [[retractionIngest]]'s bm25 lane (layout auto-detected).
     */
+  /** Streaming SERVING-STACK ingestion — the hybrid retrieval stack's
+    * growth lane as a stream, completing the serving lifecycle's
+    * symmetry (build once at corpus scale; this feed grows it in
+    * O(batch) forever; [[retractionIngest]]'s `retrieveDirs` lane
+    * shrinks it): every micro-batch of documents flows through
+    * [[graft.pipeline.RetrievePipeline.append]] — K2 doc gate against
+    * the chunk store, BM25 ingest partition, frozen-centroid ANN
+    * append, chunks committed LAST by one staged rename — and every
+    * `compactEvery` batches [[graft.pipeline.RetrievePipeline.compact]]
+    * folds the per-batch files back into the build's range layout
+    * inside the foreachBatch single-writer window.
+    *
+    * Idempotency is append's own: a re-delivered or fresh-checkpoint-
+    * replayed batch reads as already-present at the doc gate (or
+    * converges through the per-artifact anti-joins after a crash) —
+    * spec-pinned with the split-drain ≡ one-shot serve invariance at
+    * `nprobe = nlist`. The stack must already exist ([[graft.pipeline
+    * .RetrievePipeline.build]]); a takedown feed and this feed must not
+    * drain concurrently (both mutate the same stores — the standing
+    * single-writer contract).
+    */
+  def servingIngest(stream: DataFrame, stackDir: String,
+                    checkpointDir: String, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.RetrievePipeline.append(
+            batch.select(col(idCol), col(textCol)), textCol, idCol, stackDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.pipeline.RetrievePipeline.compact(batch.sparkSession, stackDir)
+        ()
+      }
+      .start()
+
   def bm25Ingest(stream: DataFrame, indexDir: String, checkpointDir: String,
                  textCol: String = "text", idCol: String = "doc_id",
                  compactEvery: Int = 0): StreamingQuery =

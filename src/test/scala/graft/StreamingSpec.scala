@@ -1077,6 +1077,80 @@ class StreamingSpec extends SparkSpec {
     assert(MediaHashStore.read(spark, store).count() == 4)
   }
 
+  test("streaming serving ingest: drains grow the hybrid stack; split " +
+    "drains serve bit-identical to a one-shot build at nprobe = nlist; " +
+    "fresh-checkpoint replay touches nothing; compaction folds the " +
+    "batch files and preserves the serve") {
+    import spark.implicits._
+    import graft.pipeline.RetrievePipeline
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(true)
+    val grown = tempDir("si_grown")
+    RetrievePipeline.build(docs.filter(col("doc_id") < 250), "text",
+      "doc_id", grown, chunkTokens = 32, stride = 32, dim = 32,
+      salt = "rp", nlist = 4, iters = 3)
+    val in = tempDir("si_in")
+    val ck = tempDir("si_ck")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(c: String = ck): Unit =
+      IncrementalStream.servingIngest(
+          spark.readStream.schema(schema).parquet(in), grown, c)
+        .awaitTermination()
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      .select("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    docs.filter(col("doc_id") >= 375).select("doc_id", "text")
+      .write.mode("append").parquet(in)
+    drain()
+    // ≡ a one-shot build over everything, through BOTH legs (nprobe =
+    // nlist — exhaustive probes make serving centroid-independent)
+    val oneShot = tempDir("si_oneshot")
+    RetrievePipeline.build(docs, "text", "doc_id", oneShot,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    val sampleChunk = graft.operators.CorpusOps.chunkDocs(
+        docs, "doc_id", "text", 32, 32)
+      .filter(col("chunk_idx") === 0 && col("doc_id") === 300)
+      .select(col("chunk_text")).as[String].head()
+    val queries = Seq((1L, sampleChunk)).toDF("query_id", "text")
+    def serve(d: String): Seq[String] =
+      RetrievePipeline.query(spark, d, queries, k = 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+    val split = serve(grown)
+    assert(split == serve(oneShot))
+    assert(RetrievePipeline.query(spark, grown, queries, k = 5, nprobe = 4)
+      .filter(col("rank") === 1).head().getLong(3) == 300L,
+      "the streamed-in doc must serve at rank 1 for its own chunk text")
+    // fresh-checkpoint FULL replay: the doc gate admits nothing and no
+    // artifact byte moves
+    def snapshot(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(grown)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(grown), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> (f.getLen + f.getModificationTime)
+      }
+      b.result()
+    }
+    val before = snapshot()
+    drain(tempDir("si_ck2"))
+    assert(snapshot() == before,
+      "a replayed content feed must not touch the stack")
+    // maintenance: compaction folds the per-batch chunk subdirs back
+    // into the flat range layout, serve unchanged
+    assert(new java.io.File(s"$grown/chunks").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("b_")))
+    RetrievePipeline.compact(spark, grown)
+    assert(!new java.io.File(s"$grown/chunks").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("b_")))
+    assert(serve(grown) == split, "compaction must not change the serve")
+  }
+
   test("streaming bm25 ingest: split drains serve bit-identical to the " +
     "one-shot operator; fresh-checkpoint replay admits nothing; in-" +
     "lifecycle compaction and a mid-swap crash heal preserve the serve") {
