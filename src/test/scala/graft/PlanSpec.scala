@@ -97,6 +97,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(800))
   }
 
+  test("incremental bm25 serve: doc_freq partials prune to the BROADCAST " +
+    "query vocabulary before the merge aggregate") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+      .localCheckpoint(true)
+    val dir = tempDir("plan_bm25i")
+    graft.operators.Retrieval.buildBm25Incremental(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir)
+    graft.operators.Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val terms = Seq((1L, "the"), (1L, "data")).toDF("query_id", "term")
+    val p = graft.operators.Retrieval
+      .bm25TopKFromIncremental(spark, dir, terms, 5)
+      .queryExecution.executedPlan.toString
+    // the merge aggregate over the per-ingest df partials must sit on a
+    // VOCABULARY-pruned input: a broadcast semi-join against the query
+    // terms, never an index-sized shuffle of the partials
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      p.take(1500))
+  }
+
   test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
