@@ -42,10 +42,14 @@ object ProbeAppend {
 
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val baseN = base.count()
+    // shift copies by max(id)+1, NOT row count: sparse ids would make
+    // count-shifted copies collide and double tf/dl for those docs —
+    // distorting exactly the measurement this probe takes
+    val baseShift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docs = (if (replicate <= 1) base
       else (0 until replicate).map(i =>
-          base.select((col("doc_id") + lit(i * baseN)).as("doc_id"), col("text")))
+          base.select((col("doc_id") + lit(i * baseShift)).as("doc_id"),
+            col("text")))
         .reduce(_.unionByName(_)))
       .localCheckpoint(true)
     val nDocs = docs.count()

@@ -196,18 +196,31 @@ object Retrieval {
       // the table deletes leaves postings/doc_len/doc_freq bytes with no
       // marker — finish the un-commit instead of refusing, so a replayed
       // takedown batch completes the removal (the MediaHashStore.forget
-      // discipline; r10 advice)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      // discipline; r10 advice). The sweep fires ONLY on that residue
+      // signature: a directory holding NONE of the flat tables is not a
+      // crashed index, it is a wrong path — deleting it would destroy
+      // arbitrary caller data, so that case stays a loud refusal.
+      val residue = Seq("postings", "doc_len", "doc_freq").exists(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")))
+      val present = fs.exists(new org.apache.hadoop.fs.Path(dir))
+      require(!present || residue,
+        s"forgetBm25: no committed index at $dir (stats marker absent and " +
+          "no flat-table residue — refusing to touch a directory that was " +
+          "never a BM25 index)")
+      if (residue) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       return 0L
     }
     val idCol = spark.read.parquet(s"$dir/stats").head().getString(2)
+    val docLen = spark.read.parquet(s"$dir/doc_len")
     // a ONE-column ids frame is taken as the id list whatever its name
     // (takedown feeds don't know the index's id column); a wider frame
-    // must carry the index's own id column
+    // must carry the index's own id column. Cast to the INDEX's key
+    // type: joining a string feed against bigint ids would otherwise
+    // coerce both sides to double and lose exactness above 2^53
+    val keyType = docLen.schema(idCol).dataType
     val keys = (if (ids.columns.length == 1)
-        ids.select(col(ids.columns.head).as(idCol))
-      else ids.select(col(idCol))).distinct()
-    val docLen = spark.read.parquet(s"$dir/doc_len")
+        ids.select(col(ids.columns.head).cast(keyType).as(idCol))
+      else ids.select(col(idCol).cast(keyType))).distinct()
     // one scan answers removed AND whole-corpus retraction together
     val dlStats = docLen.join(keys.withColumn("__m", lit(1)), Seq(idCol), "left")
       .agg(count(lit(1)), count(col("__m"))).head()
@@ -480,9 +493,12 @@ object Retrieval {
       spark.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
     val keep: DataFrame => DataFrame = ids match {
       case Some(f) =>
+        // same index-key-type cast as forgetBm25 (no double coercion)
+        val keyType = table("doc_len").schema(idCol).dataType
         val keys = (if (f.columns.length == 1)
-            f.select(col(f.columns.head).as(idCol))
-          else f.select(col(idCol))).distinct().localCheckpoint(true)
+            f.select(col(f.columns.head).cast(keyType).as(idCol))
+          else f.select(col(idCol).cast(keyType))).distinct()
+          .localCheckpoint(true)
         df => df.join(keys, Seq(idCol), "left_anti")
       case None => identity
     }

@@ -159,7 +159,10 @@ object RetrievePipeline {
     val terms = q.select(col("query_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
-    val lexical = Retrieval.bm25TopKFromIncremental(spark, s"$dir/bm25", terms, k)
+    val lexical =
+      if (bm25IsFlat(spark, dir))
+        Retrieval.bm25TopKFromIndex(spark, s"$dir/bm25", terms, k)
+      else Retrieval.bm25TopKFromIncremental(spark, s"$dir/bm25", terms, k)
     // sign-fold query ids out of the chunk id space (chunk ids are >= 0,
     // the fold is < 0) so queryIvf's self-match filter cannot collide;
     // the query frame carries the INDEX's id column name (queryIvf's
@@ -204,6 +207,23 @@ object RetrievePipeline {
   private def readTable(spark: SparkSession, p: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(p)
 
+  /** Stacks built before the incremental-BM25 switch carry the FLAT
+    * index layout (stats marker); detect it so [[query]] and [[forget]]
+    * keep serving and keep honoring takedowns on pre-switch stacks with
+    * no migration (the retractionIngest lane's detection, locally).
+    * [[append]]/[[compact]] DO require the incremental layout — growing
+    * a flat-legged stack means rebuilding it once (their entry
+    * requires say so loudly).
+    */
+  private def bm25IsFlat(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a flat index parked at __old by a crashed swap still counts (the
+    // flat entry points heal it themselves before reading)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bm25/stats")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bm25__old/stats"))
+  }
+
   /** GROWTH across the whole serving stack — the twin of [[forget]]:
     * ingest new documents into every persisted artifact without a
     * rebuild. The chunk geometry and hash-embed contract come FROZEN
@@ -235,6 +255,9 @@ object RetrievePipeline {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
       s"RetrievePipeline.append: no committed build at $dir (meta marker absent)")
+    require(!bm25IsFlat(spark, dir),
+      s"RetrievePipeline.append: the stack at $dir carries the pre-switch " +
+        "FLAT BM25 leg — rebuild once to the incremental layout before growing")
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (dim, salt, chunkTokens, stride) =
       (meta.getInt(0), meta.getString(1), meta.getInt(2), meta.getInt(3))
@@ -295,10 +318,19 @@ object RetrievePipeline {
     val stage = new org.apache.hadoop.fs.Path(s"$dir/chunks__stage")
     fs.delete(stage, true) // a crashed append's debris (single writer)
     chunks.write.mode("overwrite").parquet(stage.toString)
+    // generation + content hash (the appendBm25Incremental key shape):
+    // the generation makes the name collision-free across COMMITTED
+    // batches — a truncated-XOR-only key could collide two different
+    // batches and the delete below would destroy the earlier one's
+    // committed chunks (code-review catch); within one generation the
+    // key is deterministic, so a crashed rename's retry overwrites
+    // its own orphan
+    val gen = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/chunks"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("b_"))
     val key = chunks
       .agg(format_string("%016x", bit_xor(xxhash64(col("chunk_id")))))
       .head().getString(0).take(12)
-    val batchDir = new org.apache.hadoop.fs.Path(s"$dir/chunks/b_$key")
+    val batchDir = new org.apache.hadoop.fs.Path(s"$dir/chunks/b_${gen}_$key")
     fs.delete(batchDir, true) // deterministic key: replay overwrites its own
     if (!fs.rename(stage, batchDir))
       throw new IllegalStateException(
@@ -334,7 +366,8 @@ object RetrievePipeline {
       graft.operators.StoreProtocol.swapInto(fs, tmp, path,
         "RetrievePipeline.compact")
     }
-    Retrieval.compactBm25Incremental(spark, s"$dir/bm25")
+    if (!bm25IsFlat(spark, dir))
+      Retrieval.compactBm25Incremental(spark, s"$dir/bm25")
     AnnIndex.compactIvf(spark, s"$dir/ann")
     ()
   }
@@ -405,7 +438,8 @@ object RetrievePipeline {
     // chunks LAST — the drop set derives from them (see the scaladoc's
     // replay-idempotency argument)
     swapTable("vectors")
-    Retrieval.forgetBm25Incremental(spark, s"$dir/bm25", drop)
+    if (bm25IsFlat(spark, dir)) Retrieval.forgetBm25(spark, s"$dir/bm25", drop)
+    else Retrieval.forgetBm25Incremental(spark, s"$dir/bm25", drop)
     AnnIndex.forgetIvf(spark, s"$dir/ann", drop, "chunk_id")
     swapTable("chunks")
     removed

@@ -556,8 +556,12 @@ object IncrementalStream {
     if (committed.isEmpty) return 0L
     def readState(table: String) = spark.read.parquet(
       committed.map(key => s"$stateDir/$table/ingest=$key"): _*)
-    val keys = ids.select(col(idCol)).distinct().localCheckpoint(true)
     val docs = readState("docs")
+    // cast to the STATE's key type: a string feed against long ids
+    // would otherwise coerce both join sides to double and lose
+    // exactness above 2^53
+    val keys = ids.select(col(idCol).cast(docs.schema(idCol).dataType))
+      .distinct().localCheckpoint(true)
     val removed = docs.join(keys, Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L
     val tmp = new org.apache.hadoop.fs.Path(stateDir + "__forget")
@@ -663,10 +667,14 @@ object IncrementalStream {
           // ids, chunk-packed retrieve doc ids
           def longIds(c: String) = ids.select(col(idCol).cast("long").as(c))
           // audit trail (K5 applied to the compliance lane): one row per
-          // (batch, store) with the forget's actual return value
-          val audit = Seq.newBuilder[(Long, String, Long, Long)]
+          // (run, batch, store) with the forget's actual return value.
+          // The RUN component is the stream's checkpoint location: batch
+          // ids restart at 0 per checkpoint, so without it two streams
+          // (or a rotated checkpoint) sharing one audit table would
+          // collide on (batch_id, store) and silently drop real rows
+          val audit = Seq.newBuilder[(String, Long, String, Long, Long)]
           def record(store: String, removed: Long): Unit =
-            audit += ((batchId, store, nIds, removed))
+            audit += ((checkpointDir, batchId, store, nIds, removed))
           targets.fuzzyStateDir.foreach { d =>
             record(s"fuzzy:$d", forgetFuzzyState(sp, d, ids, idCol)) }
           targets.mediaStoreDir.foreach { d =>
@@ -727,20 +735,23 @@ object IncrementalStream {
           targets.auditTable.foreach { at =>
             import sp.implicits._
             val rows = audit.result()
-            // idempotentAppend on (batch_id, store): a re-delivered or
-            // fresh-checkpoint-replayed batch re-offers the same keys
-            // and appends nothing new (spec-pinned). Honesty contract:
-            // each row records what THIS batch execution observed — a
-            // crash between the forgets and this write degrades the
-            // replay's row to removed=0 (the removal happened, its
-            // count was lost with the crash); the audit and the forgets
-            // share no transaction, and first-writer-wins keeps the
-            // earliest surviving observation. Rows are proof of
-            // processing, exact counts under crash-free operation.
+            // idempotentAppend on (run, batch_id, store): a re-delivered
+            // or same-checkpoint-replayed batch re-offers the same keys
+            // and appends nothing new (spec-pinned), while a DIFFERENT
+            // stream or a rotated checkpoint gets its own run rows.
+            // Honesty contract: each row records what THIS batch
+            // execution observed — a crash between the forgets and this
+            // write degrades the replay's row to removed=0 (the removal
+            // happened, its count was lost with the crash); the audit
+            // and the forgets share no transaction, and first-writer-
+            // wins keeps the earliest surviving observation. Rows are
+            // proof of processing, exact counts under crash-free
+            // operation.
             if (rows.nonEmpty)
               targets.warehouse.foreach(_.idempotentAppend(at,
-                rows.toDF("batch_id", "store", "ids_count", "removed_count"),
-                Seq("batch_id", "store")))
+                rows.toDF("run", "batch_id", "store", "ids_count",
+                  "removed_count"),
+                Seq("run", "batch_id", "store")))
             ()
           }
         }
@@ -749,25 +760,6 @@ object IncrementalStream {
       .start()
   }
 
-  /** Streaming LEXICAL-INDEX ingestion — the incremental BM25 index
-    * ([[graft.operators.Retrieval.appendBm25Incremental]]) wired into
-    * the lifecycle it was built for, next to [[fuzzyDedupIngest]] and
-    * [[profileSketchIngest]]: every micro-batch of documents commits as
-    * one marked ingest partition set (O(batch) work — per-ingest
-    * doc_freq/stats partials, nothing index-sized rewrites), and every
-    * `compactEvery` batches the per-append partitions fold to one
-    * ([[graft.operators.Retrieval.compactBm25Incremental]]) INSIDE
-    * foreachBatch — the single-writer window the consolidation swap
-    * requires (batches commit serially).
-    *
-    * Idempotency needs no extra markers: the append's own K2 anti-join
-    * drops docs whose ids are already committed, so a re-delivered batch
-    * overwrites its own orphan (same deterministic key) and a
-    * fresh-checkpoint full replay admits nothing (spec-pinned, with the
-    * split-ingest ≡ one-shot serve invariance). Queries serve from the
-    * index at any point via `bm25TopKFromIncremental`; retraction runs
-    * through [[retractionIngest]]'s bm25 lane (layout auto-detected).
-    */
   /** Streaming SERVING-STACK ingestion — the hybrid retrieval stack's
     * growth lane as a stream, completing the serving lifecycle's
     * symmetry (build once at corpus scale; this feed grows it in
@@ -806,6 +798,25 @@ object IncrementalStream {
       }
       .start()
 
+  /** Streaming LEXICAL-INDEX ingestion — the incremental BM25 index
+    * ([[graft.operators.Retrieval.appendBm25Incremental]]) wired into
+    * the lifecycle it was built for, next to [[fuzzyDedupIngest]] and
+    * [[profileSketchIngest]]: every micro-batch of documents commits as
+    * one marked ingest partition set (O(batch) work — per-ingest
+    * doc_freq/stats partials, nothing index-sized rewrites), and every
+    * `compactEvery` batches the per-append partitions fold to one
+    * ([[graft.operators.Retrieval.compactBm25Incremental]]) INSIDE
+    * foreachBatch — the single-writer window the consolidation swap
+    * requires (batches commit serially).
+    *
+    * Idempotency needs no extra markers: the append's own K2 anti-join
+    * drops docs whose ids are already committed, so a re-delivered batch
+    * overwrites its own orphan (same deterministic key) and a
+    * fresh-checkpoint full replay admits nothing (spec-pinned, with the
+    * split-ingest ≡ one-shot serve invariance). Queries serve from the
+    * index at any point via `bm25TopKFromIncremental`; retraction runs
+    * through [[retractionIngest]]'s bm25 lane (layout auto-detected).
+    */
   def bm25Ingest(stream: DataFrame, indexDir: String, checkpointDir: String,
                  textCol: String = "text", idCol: String = "doc_id",
                  compactEvery: Int = 0): StreamingQuery =

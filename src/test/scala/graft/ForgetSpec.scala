@@ -470,7 +470,7 @@ class ForgetSpec extends SparkSpec {
     val served = Retrieval.bm25TopKFromIncremental(spark, incrDir, terms, 10)
       .select("doc_id").as[Long].collect()
     assert(served.nonEmpty && !served.exists(Set(7L, 8L)))
-    // audit trail: one row per (batch, store) with the forget's return
+    // audit trail: one row per (run, batch, store) with the forget's return
     val a1 = wh.read(audit)
       .select("batch_id", "store", "ids_count", "removed_count")
       .as[(Long, String, Long, Long)].collect().toSeq
@@ -495,15 +495,33 @@ class ForgetSpec extends SparkSpec {
       .awaitTermination()
     assert(wh.read("by_name")
       .filter(col("name").isin("doc_3", "doc_4")).count() == 0)
-    // replay idempotency of the audit: same checkpoint re-drain offers
-    // the same (batch_id, store) keys — nothing appends
+    // the SECOND stream's removal is its own audit row — the run
+    // component keeps two streams' batch-0 rows from colliding (a bare
+    // (batch_id, store) key silently dropped this row: code-review catch)
+    assert(wh.read(audit)
+      .filter(col("store") === "warehouse:by_name" &&
+        col("removed_count") === 2L).count() == 1L,
+      "the string feed's removal must be recorded under its own run")
+    // replay idempotency of the audit: a same-checkpoint re-drain offers
+    // the same (run, batch_id, store) keys — nothing appends
     val nAudit = wh.read(audit).count()
     drainFeed(ck) // no new feed files: AvailableNow drains nothing new
+    assert(wh.read(audit).count() == nAudit)
+    // a FRESH checkpoint is a new run: it honestly records its own
+    // batch-0 observation (removed=0 — the ids are long gone), without
+    // touching the original run's rows (first-writer-wins per run)
     Seq(999999L).toDF("doc_id").write.mode("append").parquet(feedIn)
-    drainFeed(tempDir("rib_ck3")) // fresh checkpoint: batch 0 again
-    assert(wh.read(audit).count() == nAudit,
-      "a replayed/no-op takedown batch must append no audit rows beyond " +
-        "the (batch_id, store) keys already recorded")
+    val ck3 = tempDir("rib_ck3")
+    drainFeed(ck3)
+    val replayRows = wh.read(audit).filter(col("run") === ck3)
+      .select("removed_count").as[Long].collect().toSeq
+    assert(replayRows.length == 3 && replayRows.forall(_ == 0L),
+      s"the replay run must record honest no-op rows, got $replayRows")
+    assert(wh.read(audit)
+      .filter(col("store") === s"bm25:$incrDir" && col("removed_count") === 2L)
+      .count() == 1L, "the original run's rows must survive the replay")
+    drainFeed(ck3) // same checkpoint again: nothing new drains or appends
+    assert(wh.read(audit).count() == nAudit + 3)
     // a configured dir matching NEITHER layout fails the batch loudly
     val bogus = tempDir("rib_bogus")
     Seq((1L, "x")).toDF("a", "b").write.mode("overwrite")
