@@ -311,11 +311,12 @@ object Retrieval {
     *
     * Append cost: O(batch) work and writes — the batch's explode, two
     * aggregates, four partition writes; nothing index-sized REWRITES —
-    * plus the idempotency anti-join's read of the committed doc-id
-    * column (one thin column off doc_len, O(corpus ids) scanned but
-    * never shuffled beyond the join; a deployment where even that read
-    * is too much swaps in a maintained id bloom, trading exact K2
-    * semantics for a false-positive drop rate).
+    * plus the idempotency guard — exact mode anti-joins the committed
+    * doc-id column (one thin column off doc_len, O(corpus ids) scanned
+    * but never shuffled beyond the join); `idGuard = "bloom"` probes
+    * the maintained per-ingest id blooms instead (O(bloom bytes) —
+    * independent of corpus id count), trading exact K2 semantics for a
+    * stated false-positive drop rate (see [[appendBm25Incremental]]).
     * [[compactBm25Incremental]] bounds the partition-count growth (one
     * partition set per append forever — the SketchStore concern) and
     * [[forgetBm25Incremental]] retracts ids; both consolidate through
@@ -333,10 +334,29 @@ object Retrieval {
     * ingest partition set. `idCol` is fixed by the FIRST ingest (stored
     * in `meta`); later calls must pass the same column. Returns the
     * number of docs admitted. Single-writer, like every graft ingest.
+    *
+    * `idGuard` picks how the K2 dedup reads the committed id set:
+    *
+    *  - `"exact"` (default): anti-join against the committed doc_len id
+    *    column — exact semantics, O(corpus ids) scanned per append.
+    *  - `"bloom"`: probe the per-ingest id BLOOMS (every append writes
+    *    one next to its tables — `id_bloom/ingest=<key>`, `bloomFpp`
+    *    false-positive rate over xxhash64 of the id), reading
+    *    O(Σ bloom bytes) per append — INDEPENDENT of corpus id count,
+    *    the 100 TB steady-state path. The trade is explicit: a false
+    *    positive silently DROPS a genuinely-new doc at ~fpp ×
+    *    #uncompacted-ingests probability (no false negatives — replay
+    *    idempotency is never weakened); run compaction to fold the
+    *    blooms back to one. Requires every committed ingest to carry a
+    *    bloom (all appends since the first, or one
+    *    [[compactBm25Incremental]] — its consolidation rebuilds the
+    *    single survivor bloom); refuses loudly otherwise.
     */
   def appendBm25Incremental(spark: org.apache.spark.sql.SparkSession,
                             dir: String, docs: DataFrame, textCol: String,
-                            idCol: String = "doc_id"): Long = {
+                            idCol: String = "doc_id",
+                            idGuard: String = "exact",
+                            bloomFpp: Double = 1e-4): Long = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -352,10 +372,30 @@ object Retrieval {
       require(storedIdCol == idCol,
         s"appendBm25Incremental: index is keyed on '$storedIdCol', got '$idCol'")
     }
+    require(idGuard == "exact" || idGuard == "bloom",
+      s"appendBm25Incremental: unknown idGuard '$idGuard' (exact | bloom)")
     val incoming0 = docs.select(col(idCol), col(textCol))
     val incoming =
       if (committed.isEmpty) incoming0
-      else incoming0.join(
+      else if (idGuard == "bloom") {
+        val blooms = committed.map { k =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/id_bloom/ingest=$k")
+          require(fs.exists(p),
+            s"appendBm25Incremental: idGuard=bloom but ingest $k carries " +
+              "no id bloom — compact once (consolidation writes the " +
+              "survivor bloom) or keep idGuard=exact")
+          val in = fs.open(p)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        }
+        val bloomsB = spark.sparkContext.broadcast(blooms)
+        // a doc is admitted only when NO committed bloom claims its id:
+        // no false negatives (a committed id always hits its own bloom,
+        // so replay idempotency holds exactly), false positives drop a
+        // new doc at ~fpp per uncompacted ingest (the documented trade)
+        val fresh = udf((h: Long) => !bloomsB.value.exists(_.mightContainLong(h)))
+        incoming0.filter(fresh(xxhash64(col(idCol).cast("string"))))
+      } else incoming0.join(
         spark.read.parquet(committed.map(k => s"$dir/doc_len/ingest=$k"): _*)
           .select(col(idCol)), Seq(idCol), "left_anti")
     // one postings pass feeds all four tables — pin it (batch-sized)
@@ -377,15 +417,16 @@ object Retrieval {
     // the next consolidation (r10 second-review catch) — unmarked dirs
     // are invisible to readers, so deleting them here is free of races
     // under the single-writer contract
-    Seq("postings", "doc_len", "doc_freq", "stats_parts").foreach { t =>
-      val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      if (fs.exists(tdir))
-        fs.listStatus(tdir).filter(_.isDirectory)
-          .map(_.getPath).filter { p =>
-            val k0 = p.getName.stripPrefix("ingest=")
-            p.getName.startsWith("ingest=") && k0 != key && !committed.contains(k0)
-          }.foreach(p => fs.delete(p, true))
-    }
+    Seq("postings", "doc_len", "doc_freq", "stats_parts", "id_bloom")
+      .foreach { t =>
+        val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        if (fs.exists(tdir))
+          fs.listStatus(tdir) // blooms are files, tables are dirs — both swept
+            .map(_.getPath).filter { p =>
+              val k0 = p.getName.stripPrefix("ingest=")
+              p.getName.startsWith("ingest=") && k0 != key && !committed.contains(k0)
+            }.foreach(p => fs.delete(p, true))
+      }
     post.write.mode("overwrite").parquet(s"$dir/postings/ingest=$key")
     docLen.write.mode("overwrite").parquet(s"$dir/doc_len/ingest=$key")
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -393,6 +434,13 @@ object Retrieval {
     Seq((admitted, statsRow.getLong(1)))
       .toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_parts/ingest=$key")
+    // the ingest's own id bloom, written whether or not THIS append used
+    // it: every ingest carrying one is what keeps the index bloom-
+    // guardable for all future appends (batch-sized aggregate + a file
+    // of ~1.2 bytes/doc at fpp 1e-4)
+    writeBloom(fs, s"$dir/id_bloom/ingest=$key",
+      docLen.select(xxhash64(col(idCol).cast("string")).as("__h"))
+        .stat.bloomFilter("__h", admitted, bloomFpp))
     // meta BEFORE the ingest marker (r10 second-review catch): marker
     // first would wedge the index forever on a crash between the two —
     // every entry point reads meta once a marker exists. Meta-without-
@@ -405,6 +453,14 @@ object Retrieval {
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
     fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true).close()
     admitted
+  }
+
+  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
   }
 
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
@@ -528,6 +584,15 @@ object Retrieval {
       Seq((survivors, stats.getLong(1))).toDF("n_docs", "sum_dl")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$tmp/stats_parts/ingest=$key")
+      // the survivor bloom, REBUILT from scratch (blooms are not
+      // invertible, so a forget must not carry stale bits — a retracted
+      // doc's id lingering in a bloom would block its re-admission, the
+      // exact veto forget exists to lift); also what re-arms the bloom
+      // guard for indexes whose earlier appends predate it
+      writeBloom(fs, s"$tmp/id_bloom/ingest=$key",
+        spark.read.parquet(s"$tmp/doc_len/ingest=$key")
+          .select(xxhash64(col(idCol).cast("string")).as("__h"))
+          .stat.bloomFilter("__h", survivors, 1e-4))
       spark.read.parquet(s"$dir/meta")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))

@@ -819,14 +819,15 @@ object IncrementalStream {
     */
   def bm25Ingest(stream: DataFrame, indexDir: String, checkpointDir: String,
                  textCol: String = "text", idCol: String = "doc_id",
-                 compactEvery: Int = 0): StreamingQuery =
+                 compactEvery: Int = 0,
+                 idGuard: String = "exact"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Retrieval.appendBm25Incremental(
-            batch.sparkSession, indexDir, batch, textCol, idCol)
+            batch.sparkSession, indexDir, batch, textCol, idCol, idGuard)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           graft.operators.Retrieval.compactBm25Incremental(
             batch.sparkSession, indexDir)

@@ -230,6 +230,63 @@ class RetrievalLmSpec extends SparkSpec {
     assert(e.getMessage.contains("meta marker absent"))
   }
 
+  test("incremental BM25 bloom id-guard: committed docs always drop (no " +
+    "false negatives), new docs admit, serve matches the exact twin, " +
+    "forget's consolidation lifts the veto, missing blooms refuse") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).localCheckpoint(true)
+    val dir = tempDir("bm25_bloom")
+    val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"))
+      .toDF("query_id", "term")
+    def topk(d: String) = Retrieval.bm25TopKFromIncremental(spark, d, terms, 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(Retrieval.buildBm25Incremental(
+      docs.filter(col("doc_id") < 100), "text", "doc_id", dir) > 0)
+    // a replay of COMMITTED docs admits nothing through the bloom — a
+    // committed id always hits its own bloom (no false negatives), so
+    // K2 replay idempotency is never weakened
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") < 100), "text", "doc_id",
+      idGuard = "bloom") == 0L)
+    // new docs admit through the guard (deterministic: bloom hashing is
+    // seeded, so this outcome is fixed for these ids) and the index
+    // serves identically to the exact-guarded twin
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") >= 100), "text", "doc_id",
+      idGuard = "bloom") > 0)
+    val exactTwin = tempDir("bm25_bloom_twin")
+    Retrieval.buildBm25Incremental(
+      docs.filter(col("doc_id") < 100), "text", "doc_id", exactTwin)
+    Retrieval.appendBm25Incremental(spark, exactTwin,
+      docs.filter(col("doc_id") >= 100), "text", "doc_id")
+    assert(topk(dir) == topk(exactTwin))
+    // forget REBUILDS the survivor bloom: the retracted doc's id must
+    // not linger as a veto — it re-admits through the bloom guard
+    val victim = topk(dir).head._3
+    assert(Retrieval.forgetBm25Incremental(spark, dir,
+      Seq(victim).toDF("doc_id")) == 1L)
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") === victim), "text", "doc_id",
+      idGuard = "bloom") == 1L)
+    assert(topk(dir) == topk(exactTwin),
+      "retract + bloom-guarded re-admit must restore the identical index")
+    // an ingest with no bloom (a pre-bloom index) refuses the bloom
+    // guard loudly instead of silently duplicating docs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blooms = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/id_bloom"))
+    assert(blooms.nonEmpty)
+    fs.delete(blooms.head.getPath, true)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Incremental(spark, dir,
+        docs.limit(1), "text", "doc_id", idGuard = "bloom")
+    }
+    assert(e.getMessage.contains("no id bloom"))
+    // exact mode still works on the same index (the guard is per-call)
+    assert(Retrieval.appendBm25Incremental(spark, dir,
+      docs.filter(col("doc_id") < 100), "text", "doc_id") == 0L)
+  }
+
   test("retraction-at-ingest: a build GATED on the takedown table is " +
     "bit-identical to build-then-forget; layout misuse fails loudly") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
