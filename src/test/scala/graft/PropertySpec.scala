@@ -201,4 +201,40 @@ class PropertySpec extends SparkSpec {
       assert(ra == a && rb == b, s"($a,$b) -> $z -> ($ra,$rb)")
     }
   }
+
+  test("incremental BM25 ingest-order invariance: ANY split of ANY corpus, " +
+    "ingested in EITHER order, serves the one-shot result bit for bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Retrieval
+    // random corpora over a small shared vocabulary (tf/df/dl all vary)
+    // with a random per-doc side assignment — the property quantifies
+    // over the split itself, not just the two fixed splits the unit
+    // specs pin
+    val word = Gen.oneOf("spark", "join", "hash", "merge", "stream",
+      "window", "vector", "scan", "data", "the", "of", "a")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(24, Gen.zip(doc, Gen.oneOf(true, false)))
+    val terms = Seq((1L, "spark"), (1L, "join"), (2L, "the"), (2L, "data"))
+      .toDF("query_id", "term")
+    draws(corpus, 3).foreach { rows =>
+      val docs = rows.zipWithIndex
+        .map { case ((t, side), i) => (i.toLong, t, side) }
+        .toDF("doc_id", "text", "side").localCheckpoint(true)
+      val oneShot = Retrieval.bm25TopK(docs, "text", "doc_id", terms, 10)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      def ingested(firstSide: Boolean): Seq[(Long, Long, Long, Double)] = {
+        val dir = tempDir("prop_bm25")
+        // an empty side is a legal draw: the build commits nothing and
+        // the append becomes the first ingest
+        Retrieval.buildBm25Incremental(
+          docs.filter(col("side") === firstSide), "text", "doc_id", dir)
+        Retrieval.appendBm25Incremental(spark, dir,
+          docs.filter(col("side") =!= firstSide), "text", "doc_id")
+        Retrieval.bm25TopKFromIncremental(spark, dir, terms, 10)
+          .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      }
+      assert(ingested(firstSide = true) == oneShot)
+      assert(ingested(firstSide = false) == oneShot)
+    }
+  }
 }
