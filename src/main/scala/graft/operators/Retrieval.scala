@@ -314,9 +314,12 @@ object Retrieval {
     * plus the idempotency guard — exact mode anti-joins the committed
     * doc-id column (one thin column off doc_len, O(corpus ids) scanned
     * but never shuffled beyond the join); `idGuard = "bloom"` probes
-    * the maintained per-ingest id blooms instead (O(bloom bytes) —
-    * independent of corpus id count), trading exact K2 semantics for a
-    * stated false-positive drop rate (see [[appendBm25Incremental]]).
+    * the maintained per-ingest id blooms instead — still linear in
+    * corpus docs (~1.2 bloom bytes/doc) but a driver file read + a
+    * map-only filter with NO join, shuffle or scan job (measured 9.1 s
+    * → 2.4 s for a 100-doc append at 2M docs, ProbeBm25Guard), trading
+    * exact K2 semantics for a stated false-positive drop rate (see
+    * [[appendBm25Incremental]]).
     * [[compactBm25Incremental]] bounds the partition-count growth (one
     * partition set per append forever — the SketchStore concern) and
     * [[forgetBm25Incremental]] retracts ids; both consolidate through
@@ -342,8 +345,13 @@ object Retrieval {
     *  - `"bloom"`: probe the per-ingest id BLOOMS (every append writes
     *    one next to its tables — `id_bloom/ingest=<key>`, `bloomFpp`
     *    false-positive rate over xxhash64 of the id), reading
-    *    O(Σ bloom bytes) per append — INDEPENDENT of corpus id count,
-    *    the 100 TB steady-state path. The trade is explicit: a false
+    *    O(Σ bloom bytes) per append. Still linear in corpus docs
+    *    (~1.2 bytes/doc at fpp 1e-4 — honesty over hype) but several×
+    *    smaller than the id column AND free of the anti-join's
+    *    shuffle/job machinery: the guard becomes a driver file read
+    *    plus a map-only filter (measured 9.1 s → 2.4 s for a 100-doc
+    *    append at 2M docs, `ProbeBm25Guard`) — the steady-state drain
+    *    path. The trade is explicit: a false
     *    positive silently DROPS a genuinely-new doc at ~fpp ×
     *    #uncompacted-ingests probability (no false negatives — replay
     *    idempotency is never weakened); run compaction to fold the
