@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer ENFORCEMENT for graft's persisted stores.
+  *
+  * Every maintenance operator (the append/compact/forget families, the
+  * streaming ingest lanes) documents "single-writer" as a contract;
+  * until now nothing MADE a misdeployed concurrent growth + takedown
+  * pair fail instead of silently corrupting a store mid-swap — the same
+  * silent-failure class the on-disk layout detection closed for index
+  * formats. The lease is a sibling marker `<storeDir>__lease` (a
+  * SIBLING, not a file inside the store: the whole-directory `__old`
+  * swap protocol renames the store itself, and a lease riding inside
+  * would vanish mid-operation) holding `holder \n expiresAtMillis`:
+  *
+  *  - absent → acquired (the marker lands by an atomic rename of a
+  *    fully-written temp, so no reader ever sees a half-written lease)
+  *  - held by the SAME holder → renewed (re-entrant: a lane's in-batch
+  *    compact hook runs under the lane's own lease)
+  *  - held by ANOTHER holder, unexpired → refused LOUDLY — the
+  *    concurrent-drain misdeployment fails fast at the second acquire
+  *  - held by another holder, EXPIRED → reclaimed: a crashed holder's
+  *    lease must not wedge the store forever (the TTL is the
+  *    heartbeat; lanes re-acquire per batch, so a live lane's lease is
+  *    always fresh)
+  *
+  * Scope and honesty: this is a deployment-mistake guard on a
+  * single-writer system, not a distributed lock service — a true
+  * multi-writer deployment needs the coordination primitives a plain
+  * filesystem cannot provide (the acquire's read-check-rename is not
+  * one atomic step against a pathological simultaneous acquirer). What
+  * it guarantees in practice: two graft lanes pointed at one store
+  * conflict at batch granularity and the loser stops with the holder's
+  * name in the message instead of interleaving directory swaps.
+  */
+object Lease {
+
+  /** 30 min: generous against a slow micro-batch (a lane renews every
+    * batch, so a live holder never approaches it) yet short enough that
+    * a crashed drain's store is reclaimable the same operational hour.
+    */
+  val DefaultTtlMs: Long = 30L * 60L * 1000L
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leasePath(storeDir: String): Path =
+    new Path(storeDir.stripSuffix("/") + "__lease")
+
+  /** (holder, expiresAtMillis) of the current lease, if any. */
+  def holderOf(spark: SparkSession, storeDir: String): Option[(String, Long)] = {
+    val p = leasePath(storeDir)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      raw.split("\n", 2) match {
+        case Array(h, exp) => Some((h, exp.trim.toLong))
+        case _ => throw new IllegalStateException(
+          s"Lease: unparseable lease at $p — the marker is written by one " +
+            "atomic rename, so this is foreign data; remove it manually")
+      }
+    }
+  }
+
+  /** Acquire (or renew) the store's lease for `holder`. Refuses loudly
+    * when another holder's unexpired lease is present; reclaims an
+    * expired one.
+    */
+  def acquire(spark: SparkSession, storeDir: String, holder: String,
+              ttlMs: Long = DefaultTtlMs): Unit = {
+    require(holder.nonEmpty && !holder.contains("\n"),
+      s"Lease: holder must be a non-empty single-line name, got '$holder'")
+    val p = leasePath(storeDir)
+    val fs = fsFor(spark, p)
+    val now = System.currentTimeMillis()
+    holderOf(spark, storeDir) match {
+      case Some((h, exp)) if h != holder && exp > now =>
+        throw new IllegalStateException(
+          s"Lease: $storeDir is held by '$h' for another ${exp - now} ms — " +
+            "a second writer on one store is the corruption this lease " +
+            "exists to prevent; run drains sequentially (or wait for the " +
+            "expiry if the holder crashed)")
+      case other =>
+        // own lease (renew), expired foreign lease (reclaim), or absent:
+        // stage the full content then rename — readers see old or new,
+        // never a torn write
+        val tmp = new Path(p.toString + s".tmp.${holder.hashCode.toHexString}")
+        val out = fs.create(tmp, true)
+        try out.write(s"$holder\n${now + ttlMs}".getBytes("UTF-8"))
+        finally out.close()
+        if (other.nonEmpty) fs.delete(p, true)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"Lease: lost the acquire race for $storeDir — another writer " +
+              "claimed it concurrently; retry after it finishes")
+        }
+    }
+  }
+
+  /** Drop the lease if this holder still owns it (quietly leaves a
+    * foreign lease alone — ours was reclaimed, and deleting the
+    * reclaimer's would widen the hole this mechanism closes).
+    */
+  def release(spark: SparkSession, storeDir: String, holder: String): Unit =
+    holderOf(spark, storeDir) match {
+      case Some((h, _)) if h == holder =>
+        val p = leasePath(storeDir)
+        fsFor(spark, p).delete(p, true)
+        ()
+      case _ => ()
+    }
+
+  /** Run `f` under the store's lease — the ingest lanes' per-batch
+    * window. Released on every exit path; a crash inside leaves the
+    * lease to expire (reclaimable after `ttlMs`).
+    */
+  def withLease[T](spark: SparkSession, storeDir: String, holder: String,
+                   ttlMs: Long = DefaultTtlMs)(f: => T): T = {
+    acquire(spark, storeDir, holder, ttlMs)
+    try f finally release(spark, storeDir, holder)
+  }
+}

@@ -200,8 +200,24 @@ object Retrieval {
       // signature: a directory holding NONE of the flat tables is not a
       // crashed index, it is a wrong path — deleting it would destroy
       // arbitrary caller data, so that case stays a loud refusal.
-      val residue = Seq("postings", "doc_len", "doc_freq").exists(t =>
+      val residueTables = Seq("postings", "doc_len", "doc_freq").filter(t =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")))
+      // the residue signature is FLAT tables only: an INCREMENTAL index
+      // whose first ingest crashed before its meta write shows the same
+      // stats-less face (tables, no meta, no _commits) but its tables
+      // hold ingest= children where flat tables are leaf parquet dirs —
+      // sweeping it would destroy a rebuildable-but-real orphan the
+      // content feed's replay is about to overwrite in place (r11
+      // advice). Refuse loudly; that state belongs to the incremental
+      // entry points.
+      val incrementalResidue = residueTables.exists(t =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t")).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("ingest=")))
+      require(!incrementalResidue,
+        s"forgetBm25: $dir holds INCREMENTAL-layout residue (ingest= " +
+          "children under its tables) — use forgetBm25Incremental; a " +
+          "crashed first ingest replays in place and must not be swept")
+      val residue = residueTables.nonEmpty
       val present = fs.exists(new org.apache.hadoop.fs.Path(dir))
       require(!present || residue,
         s"forgetBm25: no committed index at $dir (stats marker absent and " +
@@ -358,13 +374,23 @@ object Retrieval {
     *    blooms back to one. Requires every committed ingest to carry a
     *    bloom (all appends since the first, or one
     *    [[compactBm25Incremental]] — its consolidation rebuilds the
-    *    single survivor bloom); refuses loudly otherwise.
+    *    single survivor bloom); refuses loudly otherwise. That drop
+    *    probability has a CEILING: once #uncompacted-ingests × fpp
+    *    crosses `bloomBudget` the append fails with the budget math in
+    *    the message instead of degrading silently — compact (or raise
+    *    the budget) to proceed.
+    *
+    * `bloomFpp` configures the INDEX at its first ingest and is pinned
+    * in `meta`; later appends and every consolidation inherit the
+    * pinned rate (an index operated at 1e-6 must not degrade to a
+    * caller's default through one compaction).
     */
   def appendBm25Incremental(spark: org.apache.spark.sql.SparkSession,
                             dir: String, docs: DataFrame, textCol: String,
                             idCol: String = "doc_id",
                             idGuard: String = "exact",
-                            bloomFpp: Double = 1e-4): Long = {
+                            bloomFpp: Double = 1e-4,
+                            bloomBudget: Double = 1e-2): Long = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -375,26 +401,49 @@ object Retrieval {
       s"appendBm25Incremental: $dir holds a FLAT index (stats marker) — " +
         "build with buildBm25Incremental, or keep serving it via bm25TopKFromIndex")
     val committed = committedKeys(fs, root)
-    if (committed.nonEmpty) {
-      val storedIdCol = spark.read.parquet(s"$dir/meta").head().getString(0)
-      require(storedIdCol == idCol,
-        s"appendBm25Incremental: index is keyed on '$storedIdCol', got '$idCol'")
-    }
+    // the index's fpp is PINNED at the first ingest (meta carries it
+    // beside the id column): every later append's blooms and the
+    // consolidation's survivor bloom are built at the pinned rate, so an
+    // index operated at 1e-6 cannot silently degrade to a caller's
+    // default 1e-4 through one compaction (r11 advice). Pre-pinning
+    // indexes (meta without the column) read as the historical 1e-4.
+    val fpp =
+      if (committed.isEmpty) bloomFpp
+      else {
+        val meta = spark.read.parquet(s"$dir/meta")
+        val row = meta.head()
+        require(row.getString(0) == idCol,
+          s"appendBm25Incremental: index is keyed on '${row.getString(0)}', got '$idCol'")
+        if (meta.schema.fieldNames.contains("bloom_fpp"))
+          row.getDouble(meta.schema.fieldIndex("bloom_fpp"))
+        else 1e-4
+      }
     require(idGuard == "exact" || idGuard == "bloom",
       s"appendBm25Incremental: unknown idGuard '$idGuard' (exact | bloom)")
     val incoming0 = docs.select(col(idCol), col(textCol))
     val incoming =
       if (committed.isEmpty) incoming0
       else if (idGuard == "bloom") {
+        // the guard's accuracy budget has a CEILING, not just a doc
+        // (r11 verdict): each uncompacted ingest's bloom adds ~fpp to a
+        // new doc's silent-drop probability, so a stream that never
+        // compacts degrades admission accuracy without bound. Fail with
+        // the budget math once the cumulative rate crosses
+        // `bloomBudget`; compaction folds the blooms back to one.
+        val maxIngests = math.max(1, (bloomBudget / fpp).toLong)
+        require(committed.length <= maxIngests,
+          f"appendBm25Incremental: ${committed.length} uncompacted ingests " +
+            f"× fpp $fpp%.2g = ${committed.length * fpp}%.2g cumulative " +
+            f"new-doc drop probability exceeds bloomBudget $bloomBudget%.2g " +
+            "— run compactBm25Incremental (folds the blooms to one) or " +
+            "raise bloomBudget")
         val blooms = committed.map { k =>
           val p = new org.apache.hadoop.fs.Path(s"$dir/id_bloom/ingest=$k")
           require(fs.exists(p),
             s"appendBm25Incremental: idGuard=bloom but ingest $k carries " +
               "no id bloom — compact once (consolidation writes the " +
               "survivor bloom) or keep idGuard=exact")
-          val in = fs.open(p)
-          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-          finally in.close()
+          readBloom(fs, p.toString)
         }
         val bloomsB = spark.sparkContext.broadcast(blooms)
         // a doc is admitted only when NO committed bloom claims its id:
@@ -448,7 +497,7 @@ object Retrieval {
     // of ~1.2 bytes/doc at fpp 1e-4)
     writeBloom(fs, s"$dir/id_bloom/ingest=$key",
       docLen.select(xxhash64(col(idCol).cast("string")).as("__h"))
-        .stat.bloomFilter("__h", admitted, bloomFpp))
+        .stat.bloomFilter("__h", admitted, fpp))
     // meta BEFORE the ingest marker (r10 second-review catch): marker
     // first would wedge the index forever on a crash between the two —
     // every entry point reads meta once a marker exists. Meta-without-
@@ -456,19 +505,26 @@ object Retrieval {
     // ingest), and the retry's key is unchanged (generation still 0),
     // so it overwrites its own tables in place.
     if (committed.isEmpty)
-      Seq(idCol).toDF("id_col")
+      Seq((idCol, fpp)).toDF("id_col", "bloom_fpp")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
     fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true).close()
     admitted
   }
 
-  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                         bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+  private[graft] def writeBloom(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                                bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     try bloom.writeTo(out) finally out.close()
+  }
+
+  private[graft] def readBloom(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
   }
 
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
@@ -552,7 +608,17 @@ object Retrieval {
         "marker) — use forgetBm25")
     val committed = committedKeys(fs, root)
     if (committed.isEmpty) return 0L
-    val idCol = spark.read.parquet(s"$dir/meta").head().getString(0)
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val metaRow = metaDf.head()
+    val idCol = metaRow.getString(0)
+    // the survivor bloom rebuilds at the index's PINNED fpp (meta) — a
+    // hardcoded rate here silently degraded a 1e-6 index to 1e-4 after
+    // every compaction or forget (r11 advice); pre-pinning indexes
+    // (meta without the column) keep the historical 1e-4
+    val fpp =
+      if (metaDf.schema.fieldNames.contains("bloom_fpp"))
+        metaRow.getDouble(metaDf.schema.fieldIndex("bloom_fpp"))
+      else 1e-4
     def table(t: String) =
       spark.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
     val keep: DataFrame => DataFrame = ids match {
@@ -600,7 +666,7 @@ object Retrieval {
       writeBloom(fs, s"$tmp/id_bloom/ingest=$key",
         spark.read.parquet(s"$tmp/doc_len/ingest=$key")
           .select(xxhash64(col(idCol).cast("string")).as("__h"))
-          .stat.bloomFilter("__h", survivors, 1e-4))
+          .stat.bloomFilter("__h", survivors, fpp))
       spark.read.parquet(s"$dir/meta")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))

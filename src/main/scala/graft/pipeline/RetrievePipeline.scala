@@ -40,15 +40,25 @@ object RetrievePipeline {
 
   private val ChunkBits = 20
 
-  /** Build every serving artifact under `dir`. Returns per-stage counts. */
+  /** Build every serving artifact under `dir`. Returns per-stage counts.
+    * `bloomFpp` pins the stack's doc-id bloom false-positive rate in
+    * `meta` (the [[append]] bloom guard's construction rate — see the
+    * pinning argument on
+    * [[graft.operators.Retrieval.appendBm25Incremental]]).
+    */
   def build(docs: DataFrame, textCol: String, idCol: String, dir: String,
             chunkTokens: Int = 64, stride: Int = 48, dim: Int = 64,
-            salt: String = "rp", nlist: Int = 8, iters: Int = 3): Seq[Stage] = {
+            salt: String = "rp", nlist: Int = 8, iters: Int = 3,
+            bloomFpp: Double = 1e-4): Seq[Stage] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(metaPath, true)
+    // a previous stack's doc blooms must not survive into this build:
+    // stale blooms over-claim ids and would silently drop the new
+    // corpus's docs from every future bloom-guarded append
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/doc_blooms"), true)
     val stages = Seq.newBuilder[Stage]
     // the chunk table is PERSISTED, not executor-pinned: it is the
     // passage store serving reads after the build ([[fetchChunks]]),
@@ -103,8 +113,15 @@ object RetrievePipeline {
       "chunk_id", s"$dir/ann", nlist, iters)
     stages += Stage("ann_vectors",
       spark.read.parquet(s"$dir/ann/corpus").count())
-    Seq((dim, salt, chunkTokens, stride))
-      .toDF("dim", "salt", "chunk_tokens", "stride")
+    // the build's doc bloom ("base" part): one thin-column pass over the
+    // written chunk table, eager so the FIRST bloom-guarded append is
+    // already O(batch) instead of paying the heal scan
+    writePartBloom(fs, dir, "base", chunks, stats.getLong(0), bloomFpp)
+    // bloom_fpp rides at the END of meta: the four routing fields stay
+    // at their historical positions, and pre-pinning stacks (no column)
+    // read back as the historical 1e-4 default
+    Seq((dim, salt, chunkTokens, stride, bloomFpp))
+      .toDF("dim", "salt", "chunk_tokens", "stride", "bloom_fpp")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     stages.result()
   }
@@ -224,6 +241,82 @@ object RetrievePipeline {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bm25__old/stats"))
   }
 
+  // ------------------------------------------------- doc-id bloom guard
+
+  /** The stack's pinned bloom fpp from `meta`; pre-pinning stacks (no
+    * bloom_fpp column) read as the historical 1e-4 default.
+    */
+  private def pinnedFpp(meta: DataFrame): Double =
+    if (meta.schema.fieldNames.contains("bloom_fpp"))
+      meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp"))
+    else 1e-4
+
+  /** The chunk store's committed PARTS — the grain the doc-id blooms
+    * are keyed on: the build/compact/forget flat files under the name
+    * "base", plus each staged append batch directory by its own name.
+    */
+  private def chunkParts(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: String): Seq[(String, Seq[String])] = {
+    val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/chunks"))
+    val base = statuses.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.map(_.getPath.toString).toSeq
+    val batches = statuses
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_"))
+      .map(s => s.getPath.getName -> Seq(s.getPath.toString)).toSeq
+    (if (base.nonEmpty) Seq("base" -> base) else Nil) ++ batches
+  }
+
+  /** One doc-id bloom over `chunksDf`'s distinct parent docs, written
+    * under `doc_blooms/<part>`. `expected` may be the CHUNK count (an
+    * upper bound on distinct docs — over-sizing only lowers the
+    * realized fpp, and it saves the distinct-count job).
+    */
+  private def writePartBloom(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                             part: String, chunksDf: DataFrame,
+                             expected: Long, fpp: Double): Unit =
+    graft.operators.Retrieval.writeBloom(fs, s"$dir/doc_blooms/$part",
+      chunksDf.select(shiftright(col("chunk_id"), ChunkBits).as("__d"))
+        .distinct()
+        .select(xxhash64(col("__d").cast("string")).as("__h"))
+        .stat.bloomFilter("__h", math.max(expected, 1L), fpp))
+
+  /** Load the per-part doc-id blooms, HEALING a missing one from its
+    * part's own files (an O(part) read: a crash between an append's
+    * chunk commit and its bloom write, a pre-bloom stack's first
+    * bloom-mode append, or a compact/forget crashed before its rebuild
+    * — all self-repair here) and sweeping bloom files whose part no
+    * longer exists (stale blooms only add false-positive drop risk).
+    * The invariant every touch point maintains: a bloom file present
+    * for a part covers EXACTLY that part's doc ids — which is why
+    * [[compact]] and [[forget]] delete the bloom directory BEFORE
+    * swapping the chunk table (their rewrites re-key or shrink the id
+    * sets) and rebuild the base bloom after.
+    */
+  private def loadDocBlooms(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                            fpp: Double): Seq[org.apache.spark.util.sketch.BloomFilter] = {
+    val parts = chunkParts(fs, dir)
+    val bloomDir = new org.apache.hadoop.fs.Path(s"$dir/doc_blooms")
+    val names = parts.map(_._1).toSet
+    if (fs.exists(bloomDir))
+      fs.listStatus(bloomDir).map(_.getPath)
+        .filterNot(p => names.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    parts.map { case (name, paths) =>
+      val f = s"$dir/doc_blooms/$name"
+      if (fs.exists(new org.apache.hadoop.fs.Path(f)))
+        graft.operators.Retrieval.readBloom(fs, f)
+      else {
+        val src = spark.read.parquet(paths: _*)
+        // chunk row count from parquet footers — the cheap upper bound
+        writePartBloom(fs, dir, name, src, src.count(), fpp)
+        graft.operators.Retrieval.readBloom(fs, f)
+      }
+    }
+  }
+
   /** GROWTH across the whole serving stack — the twin of [[forget]]:
     * ingest new documents into every persisted artifact without a
     * rebuild. The chunk geometry and hash-embed contract come FROZEN
@@ -247,9 +340,43 @@ object RetrievePipeline {
     * (spec simulates the exact crash states). The mirror of forget's
     * chunks-pruned-last argument. Single-writer, like every graft
     * maintenance operator. Returns per-stage appended counts.
+    *
+    * NO read here scans the committed id space whole (the r11 verdict's
+    * last corpus-tracking append cost):
+    *
+    *  - `idGuard = "exact"` (default): the doc gate anti-joins the
+    *    chunk store RANGE-PRUNED to the batch's own id window — a
+    *    committed doc can collide with this batch only if its id
+    *    (hence every one of its packed chunk ids) lies inside
+    *    [min, max] of the batch's ids, so the between() filter is
+    *    EXACT and reaches the parquet row-group stats. Monotone doc
+    *    ids (the live-feed norm) prune the committed store to nothing;
+    *    a worst-case batch spanning the whole id range degrades to the
+    *    old full-column scan, never past it.
+    *  - `idGuard = "bloom"`: the gate probes per-part doc-id BLOOMS
+    *    (`doc_blooms/` — one per chunk-store part, written by build,
+    *    every append, and the compact/forget rebuilds; healed from the
+    *    part's own files when missing) — a driver file read plus a
+    *    map-only filter, no store read at all, id-distribution-
+    *    independent. The appendBm25Incremental trade at stack grain: a
+    *    false positive silently drops a genuinely-new doc from the
+    *    WHOLE stack (all four artifacts consistently — the gate is
+    *    upstream of every leg) at ~fpp × #parts probability, no false
+    *    negatives, budget-bounded by `bloomBudget` (fail-fast with the
+    *    math once #parts × fpp crosses it; [[compact]] folds the
+    *    blooms back to one). The fpp is pinned in the build's meta.
+    *
+    * The vector/ANN anti-joins stay EXACT in both modes — their job is
+    * crash-replay CONVERGENCE (completing exactly the rows a crashed
+    * window left missing), and a bloom false positive there would
+    * permanently hole one artifact while its siblings carry the row —
+    * but they too are range-pruned to the batch's chunk-id window, so
+    * their cost tracks the row groups the batch's id range overlaps,
+    * not the corpus.
     */
   def append(docs: DataFrame, textCol: String, idCol: String,
-             dir: String): Seq[Stage] = {
+             dir: String, idGuard: String = "exact",
+             bloomBudget: Double = 1e-2): Seq[Stage] = {
     val spark = docs.sparkSession
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -258,18 +385,58 @@ object RetrievePipeline {
     require(!bm25IsFlat(spark, dir),
       s"RetrievePipeline.append: the stack at $dir carries the pre-switch " +
         "FLAT BM25 leg — rebuild once to the incremental layout before growing")
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(idGuard == "exact" || idGuard == "bloom",
+      s"RetrievePipeline.append: unknown idGuard '$idGuard' (exact | bloom)")
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val meta = metaDf.head()
     val (dim, salt, chunkTokens, stride) =
       (meta.getInt(0), meta.getString(1), meta.getInt(2), meta.getInt(3))
+    val fpp = pinnedFpp(metaDf)
     healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/chunks"))
     healSwap(fs, new org.apache.hadoop.fs.Path(s"$dir/vectors"))
     graft.operators.StoreProtocol.heal(fs,
       new org.apache.hadoop.fs.Path(s"$dir/ann/corpus"))
-    // K2 doc-level gate against the chunk store (thin column read)
-    val existingDocs = readTable(spark, s"$dir/chunks")
-      .select(shiftright(col("chunk_id"), ChunkBits).as(idCol)).distinct()
-    val incoming = docs.select(col(idCol), col(textCol))
-      .join(existingDocs, Seq(idCol), "left_anti")
+    // the batch's doc-id RANGE first: it is (a) the id-space
+    // precondition, moved ahead of every store read so a bad batch
+    // fails before costing anything, and (b) the prune key each
+    // committed-side read below pushes into its parquet scan
+    val idStats = docs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    if (idStats.isNullAt(0))
+      return Seq(Stage("chunks", 0L), Stage("bm25_chunks", 0L),
+        Stage("ann_vectors", 0L))
+    val (loDoc, hiDoc) = (idStats.getLong(0), idStats.getLong(1))
+    require(loDoc >= 0 && hiDoc < (1L << (63 - ChunkBits)),
+      s"doc ids [$loDoc, $hiDoc] fall outside " +
+        s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +
+        "bounded doc ids")
+    val loChunk = loDoc << ChunkBits
+    val hiChunk = ((hiDoc + 1L) << ChunkBits) - 1L
+    // K2 doc-level gate against the chunk store (see the guard-mode
+    // scaladoc): exact = range-pruned thin-column anti-join; bloom =
+    // per-part doc blooms, healed on absence, budget-bounded
+    val incoming0 = docs.select(col(idCol), col(textCol))
+    val incoming =
+      if (idGuard == "bloom") {
+        val blooms = loadDocBlooms(spark, fs, dir, fpp)
+        val maxParts = math.max(1L, (bloomBudget / fpp).toLong)
+        require(blooms.length <= maxParts,
+          f"RetrievePipeline.append: ${blooms.length} chunk-store parts " +
+            f"× fpp $fpp%.2g = ${blooms.length * fpp}%.2g cumulative " +
+            f"new-doc drop probability exceeds bloomBudget $bloomBudget%.2g " +
+            "— run compact (folds the blooms to one) or raise bloomBudget")
+        val bloomsB = spark.sparkContext.broadcast(blooms)
+        // no false negatives: a committed doc always hits its own
+        // part's bloom, so replay idempotency holds exactly (the
+        // appendBm25Incremental argument)
+        val fresh = udf((h: Long) => !bloomsB.value.exists(_.mightContainLong(h)))
+        incoming0.filter(fresh(xxhash64(col(idCol).cast("string"))))
+      } else {
+        val existingDocs = readTable(spark, s"$dir/chunks")
+          .filter(col("chunk_id").between(loChunk, hiChunk))
+          .select(shiftright(col("chunk_id"), ChunkBits).as(idCol)).distinct()
+        incoming0.join(existingDocs, Seq(idCol), "left_anti")
+      }
     // pinned: an append batch is batch-sized by nature (corpus-scale
     // initial loads go through build) and feeds four consumers below
     val chunks = CorpusOps.chunkDocs(incoming, idCol, textCol,
@@ -278,35 +445,38 @@ object RetrievePipeline {
       .withColumn("chunk_id",
         (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
       .localCheckpoint(true)
-    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx")),
-      min(col(idCol)), max(col(idCol))).head()
+    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx"))).head()
     val nChunks = stats.getLong(0)
     if (nChunks == 0L)
-      return Seq(Stage("chunks", 0L), Stage("bm25_docs", 0L),
+      return Seq(Stage("chunks", 0L), Stage("bm25_chunks", 0L),
         Stage("ann_vectors", 0L))
-    // the build's id-space preconditions, re-checked on the batch
+    // the build's remaining id-space precondition, re-checked per batch
     require(stats.getLong(1) < (1L << ChunkBits),
       s"chunk_idx ${stats.getLong(1)} overflows the ${ChunkBits}-bit chunk " +
         "id space — raise chunkTokens/stride or widen ChunkBits")
-    require(stats.getLong(2) >= 0 && stats.getLong(3) < (1L << (63 - ChunkBits)),
-      s"doc ids [${stats.getLong(2)}, ${stats.getLong(3)}] fall outside " +
-        s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +
-        "bounded doc ids")
-    // 1. BM25 leg — its own K2 anti-join makes a replay a no-op
-    val bm25Docs = Retrieval.appendBm25Incremental(spark, s"$dir/bm25",
-      chunks, "chunk_text", "chunk_id")
+    // 1. BM25 leg — its own K2 guard (same idGuard; its blooms exist
+    // from the build's first ingest on) makes a replay a no-op
+    val bm25Chunks = Retrieval.appendBm25Incremental(spark, s"$dir/bm25",
+      chunks, "chunk_text", "chunk_id", idGuard, bloomBudget = bloomBudget)
     // 2+3. vector store and ANN index, each guarded by its OWN id-level
     // anti-join (after a crash they can disagree on what landed; each
-    // append completes exactly its missing rows)
+    // append completes exactly its missing rows) — range-pruned to the
+    // batch's chunk-id window, which is exact (ids outside the window
+    // cannot match) and keeps the read proportional to the overlapping
+    // row groups, not the corpus
     val embedded = Similarity.hashEmbed(chunks, "chunk_text", "chunk_id",
       dim, salt).localCheckpoint(true)
     val newVecs = embedded.join(
-      readTable(spark, s"$dir/vectors").select("chunk_id"),
+      readTable(spark, s"$dir/vectors")
+        .filter(col("chunk_id").between(loChunk, hiChunk))
+        .select("chunk_id"),
       Seq("chunk_id"), "left_anti")
     if (!newVecs.isEmpty)
       newVecs.write.mode("append").parquet(s"$dir/vectors")
     val newAnn = embedded.join(
-      spark.read.parquet(s"$dir/ann/corpus").select("chunk_id"),
+      spark.read.parquet(s"$dir/ann/corpus")
+        .filter(col("chunk_id").between(loChunk, hiChunk))
+        .select("chunk_id"),
       Seq("chunk_id"), "left_anti").localCheckpoint(true)
     val nAnn = newAnn.count()
     if (nAnn > 0L)
@@ -335,7 +505,14 @@ object RetrievePipeline {
     if (!fs.rename(stage, batchDir))
       throw new IllegalStateException(
         s"RetrievePipeline.append: cannot commit $stage into $batchDir")
-    Seq(Stage("chunks", nChunks), Stage("bm25_docs", bm25Docs),
+    // the batch's doc bloom, AFTER the chunk commit (a bloom claiming
+    // uncommitted docs would make the replayed batch drop itself — data
+    // loss; a committed part briefly missing its bloom just heals from
+    // the part's own files) and written whether or not THIS append
+    // probed blooms — every part carrying one is what keeps the stack
+    // bloom-guardable
+    writePartBloom(fs, dir, batchDir.getName, chunks, nChunks, fpp)
+    Seq(Stage("chunks", nChunks), Stage("bm25_chunks", bm25Chunks),
       Stage("ann_vectors", nAnn))
   }
 
@@ -363,8 +540,22 @@ object RetrievePipeline {
         .repartitionByRange(col("chunk_id"))
         .sortWithinPartitions(col("chunk_id"))
         .write.mode("overwrite").parquet(tmp.toString)
+      // the per-batch doc blooms go BEFORE the chunk swap and the folded
+      // base bloom is rebuilt after: the fold moves every batch's docs
+      // under "base", and a stale pre-fold base bloom would read as
+      // authoritative for the folded part while missing the batch ids —
+      // re-admitting committed docs. A crash anywhere between leaves NO
+      // bloom for a committed part, which the next bloom-guarded append
+      // heals from the part's files (loadDocBlooms invariant).
+      if (table == "chunks")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/doc_blooms"), true)
       graft.operators.StoreProtocol.swapInto(fs, tmp, path,
         "RetrievePipeline.compact")
+      if (table == "chunks") {
+        val folded = readTable(spark, path.toString)
+        writePartBloom(fs, dir, "base", folded, folded.count(),
+          pinnedFpp(spark.read.parquet(s"$dir/meta")))
+      }
     }
     if (!bm25IsFlat(spark, dir))
       Retrieval.compactBm25Incremental(spark, s"$dir/bm25")
@@ -441,7 +632,17 @@ object RetrievePipeline {
     if (bm25IsFlat(spark, dir)) Retrieval.forgetBm25(spark, s"$dir/bm25", drop)
     else Retrieval.forgetBm25Incremental(spark, s"$dir/bm25", drop)
     AnnIndex.forgetIvf(spark, s"$dir/ann", drop, "chunk_id")
+    // doc blooms: delete BEFORE the chunk swap, rebuild after — blooms
+    // are not invertible, and a retracted doc's id lingering in one
+    // would silently block its future re-admission (the exact-veto the
+    // forget exists to lift; the consolidateBm25 survivor-bloom
+    // argument). A crash between the two leaves a committed part with
+    // no bloom, which the next bloom-guarded append heals.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/doc_blooms"), true)
     swapTable("chunks")
+    val survivors = readTable(spark, s"$dir/chunks")
+    writePartBloom(fs, dir, "base", survivors, survivors.count(),
+      pinnedFpp(spark.read.parquet(s"$dir/meta")))
     removed
   }
 

@@ -514,6 +514,19 @@ object IncrementalStream {
     * contents — rename it back (the SketchStore/AnnIndex discipline,
     * shared by [[forgetFuzzyState]] and the `fuzzyDedupIngest` reader).
     */
+  /** The audit tables' run identity: the stream's checkpoint location,
+    * QUALIFIED against its filesystem (scheme + authority + absolute
+    * path) so the same checkpoint spelled differently — relative vs
+    * absolute, trailing slash — cannot mint a second run whose replayed
+    * batches re-append rows the (run, batch_id, store) idempotent key
+    * already deduped (r11 advice).
+    */
+  private def auditRunKey(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
   private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
                        path: org.apache.hadoop.fs.Path): Unit =
     graft.operators.StoreProtocol.heal(fs, path)
@@ -671,15 +684,26 @@ object IncrementalStream {
           // The RUN component is the stream's checkpoint location: batch
           // ids restart at 0 per checkpoint, so without it two streams
           // (or a rotated checkpoint) sharing one audit table would
-          // collide on (batch_id, store) and silently drop real rows
+          // collide on (batch_id, store) and silently drop real rows.
+          // QUALIFIED, not the raw string: the same checkpoint spelled
+          // relative vs absolute (or with a trailing slash) must not
+          // mint a second run and re-append rows the idempotent key
+          // already deduped (r11 advice)
+          val runKey = auditRunKey(sp, checkpointDir)
           val audit = Seq.newBuilder[(String, Long, String, Long, Long)]
           def record(store: String, removed: Long): Unit =
-            audit += ((checkpointDir, batchId, store, nIds, removed))
+            audit += ((runKey, batchId, store, nIds, removed))
+          // single-writer ENFORCED per mutated store (the growth lanes
+          // hold the same leases): a takedown draining concurrently
+          // with a content ingest on one store fails fast here instead
+          // of interleaving directory swaps
+          def leased[T](d: String)(f: => T): T =
+            graft.operators.Lease.withLease(sp, d, s"retraction:$runKey")(f)
           targets.fuzzyStateDir.foreach { d =>
-            record(s"fuzzy:$d", forgetFuzzyState(sp, d, ids, idCol)) }
+            record(s"fuzzy:$d", leased(d) { forgetFuzzyState(sp, d, ids, idCol) }) }
           targets.mediaStoreDir.foreach { d =>
-            record(s"media:$d",
-              graft.operators.MediaHashStore.forget(sp, d, longIds(idCol), idCol)) }
+            record(s"media:$d", leased(d) {
+              graft.operators.MediaHashStore.forget(sp, d, longIds(idCol), idCol) }) }
           // the existence guards must ALSO see a store parked at __old
           // by a forget crashed mid-swap (r10 code-review catch): the
           // plain guard would skip the replayed batch, the next READER
@@ -687,8 +711,8 @@ object IncrementalStream {
           // would be lost forever — the forgets heal first themselves
           targets.annIndexes.foreach { case (d, c) =>
             if (exists(s"$d/corpus") || exists(s"$d/corpus__old"))
-              record(s"ann:$d",
-                graft.operators.AnnIndex.forgetIvf(sp, d, longIds(c), c))
+              record(s"ann:$d", leased(d) {
+                graft.operators.AnnIndex.forgetIvf(sp, d, longIds(c), c) })
           }
           targets.bm25Indexes.foreach { d =>
             // BOTH persisted layouts, detected from the on-disk markers
@@ -696,18 +720,32 @@ object IncrementalStream {
             // skipped every batch — the exact failure class this lane
             // exists to eliminate). Flat detection includes the marker-
             // less table residue of a whole-corpus un-commit crash,
-            // which forgetBm25's entry sweep finishes.
+            // which forgetBm25's entry sweep finishes. An incremental
+            // index whose FIRST ingest crashed before its meta write
+            // shows the flat residue face (tables, no meta/_commits)
+            // but its tables hold ingest= children — classify it
+            // incremental (forgetBm25Incremental no-ops on zero
+            // commits; the content replay overwrites the orphan in
+            // place) instead of routing it to the flat sweep, which
+            // would delete the whole directory (r11 advice).
+            def ingestChildren(p: String): Boolean = {
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fs = path.getFileSystem(conf)
+              fs.exists(path) && fs.listStatus(path).exists(s =>
+                s.isDirectory && s.getPath.getName.startsWith("ingest="))
+            }
             val incr = exists(s"$d/meta") || exists(s"$d/_commits") ||
-              exists(s"${d}__old/meta")
+              exists(s"${d}__old/meta") || ingestChildren(s"$d/postings") ||
+              ingestChildren(s"$d/doc_len")
             val flat = !incr && (exists(s"$d/stats") || exists(s"${d}__old/stats") ||
               exists(s"$d/postings") || exists(s"$d/doc_len") ||
               exists(s"$d/doc_freq"))
             if (incr)
-              record(s"bm25:$d",
-                graft.operators.Retrieval.forgetBm25Incremental(sp, d, ids))
+              record(s"bm25:$d", leased(d) {
+                graft.operators.Retrieval.forgetBm25Incremental(sp, d, ids) })
             else if (flat)
-              record(s"bm25:$d",
-                graft.operators.Retrieval.forgetBm25(sp, d, ids))
+              record(s"bm25:$d", leased(d) {
+                graft.operators.Retrieval.forgetBm25(sp, d, ids) })
             else require(emptyOrAbsent(d) && emptyOrAbsent(d + "__old"),
               s"retractionIngest: $d matches neither BM25 layout (no " +
                 "stats, no meta/_commits) — a misconfigured takedown " +
@@ -717,8 +755,8 @@ object IncrementalStream {
           }
           targets.retrieveDirs.foreach { d =>
             if (exists(s"$d/meta"))
-              record(s"retrieve:$d",
-                graft.pipeline.RetrievePipeline.forget(sp, d, longIds("doc_id")))
+              record(s"retrieve:$d", leased(d) {
+                graft.pipeline.RetrievePipeline.forget(sp, d, longIds("doc_id")) })
           }
           targets.warehouse.foreach { wh =>
             targets.warehouseTables.foreach { case (table, key, pc) =>
@@ -747,11 +785,16 @@ object IncrementalStream {
             // wins keeps the earliest surviving observation. Rows are
             // proof of processing, exact counts under crash-free
             // operation.
+            // partitioned by run: the audit table grows one row per
+            // (batch, store) forever, and the un-partitioned path's
+            // anti-join read back the WHOLE table per batch — partition
+            // pruning scopes it to this run's rows (r11 verdict #6;
+            // PlanSpec asserts the prune)
             if (rows.nonEmpty)
               targets.warehouse.foreach(_.idempotentAppend(at,
                 rows.toDF("run", "batch_id", "store", "ids_count",
                   "removed_count"),
-                Seq("run", "batch_id", "store")))
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
             ()
           }
         }
@@ -779,24 +822,64 @@ object IncrementalStream {
     * `nprobe = nlist`. The stack must already exist ([[graft.pipeline
     * .RetrievePipeline.build]]); a takedown feed and this feed must not
     * drain concurrently (both mutate the same stores — the standing
-    * single-writer contract).
+    * single-writer contract, ENFORCED per batch by the stack lease:
+    * each drain acquires `<stackDir>__lease` for the duration of its
+    * foreachBatch window and a conflicting holder fails fast instead of
+    * corrupting stores — [[graft.operators.Lease]]).
+    *
+    * `idGuard` selects [[graft.pipeline.RetrievePipeline.append]]'s
+    * committed-id guard ("exact" | "bloom" — see its scaladoc for the
+    * trade). With `warehouse`+`auditTable` set, every non-empty batch
+    * writes one audit row per append stage — (run, batch_id, store,
+    * offered_count, admitted_count), run = the qualified checkpoint
+    * location — under the same idempotent key and honesty contract as
+    * the retraction audit (the reference's K5 per-run discipline,
+    * `/root/reference/scr/etl_batch.py:156-163`, applied to the growth
+    * lane): a replayed batch re-offers the same keys and appends
+    * nothing; a crash between the append and the audit write degrades
+    * the replay's row to admitted=0 (the append happened, its counts
+    * were lost with the crash — rows are proof of processing, exact
+    * counts under crash-free operation).
     */
   def servingIngest(stream: DataFrame, stackDir: String,
                     checkpointDir: String, textCol: String = "text",
                     idCol: String = "doc_id",
-                    compactEvery: Int = 0): StreamingQuery =
+                    compactEvery: Int = 0,
+                    idGuard: String = "exact",
+                    warehouse: Option[Warehouse] = None,
+                    auditTable: Option[String] = None): StreamingQuery = {
+    require(auditTable.isEmpty || warehouse.nonEmpty,
+      "servingIngest: auditTable requires a warehouse to write it to")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.pipeline.RetrievePipeline.append(
-            batch.select(col(idCol), col(textCol)), textCol, idCol, stackDir)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.pipeline.RetrievePipeline.compact(batch.sparkSession, stackDir)
+        val sp = batch.sparkSession
+        val runKey = auditRunKey(sp, checkpointDir)
+        graft.operators.Lease.withLease(sp, stackDir, s"serving:$runKey") {
+          if (!batch.isEmpty) {
+            val offered = batch.count() // micro-batch-sized
+            val stages = graft.pipeline.RetrievePipeline.append(
+              batch.select(col(idCol), col(textCol)), textCol, idCol,
+              stackDir, idGuard)
+            auditTable.foreach { at =>
+              import sp.implicits._
+              warehouse.foreach(_.idempotentAppend(at,
+                stages.map(st =>
+                    (runKey, batchId, s"retrieve:$stackDir:${st.stage}",
+                      offered, st.rows))
+                  .toDF("run", "batch_id", "store", "offered_count",
+                    "admitted_count"),
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
+            }
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.pipeline.RetrievePipeline.compact(sp, stackDir)
+        }
         ()
       }
       .start()
+  }
 
   /** Streaming LEXICAL-INDEX ingestion — the incremental BM25 index
     * ([[graft.operators.Retrieval.appendBm25Incremental]]) wired into
@@ -816,24 +899,48 @@ object IncrementalStream {
     * split-ingest ≡ one-shot serve invariance). Queries serve from the
     * index at any point via `bm25TopKFromIncremental`; retraction runs
     * through [[retractionIngest]]'s bm25 lane (layout auto-detected).
+    *
+    * Single-writer is ENFORCED per batch (`<indexDir>__lease`,
+    * [[graft.operators.Lease]]), and `warehouse`+`auditTable` buy the
+    * same per-batch growth audit as [[servingIngest]] — one
+    * (run, batch_id, store, offered_count, admitted_count) row per
+    * non-empty batch, idempotent on (run, batch_id, store).
     */
   def bm25Ingest(stream: DataFrame, indexDir: String, checkpointDir: String,
                  textCol: String = "text", idCol: String = "doc_id",
                  compactEvery: Int = 0,
-                 idGuard: String = "exact"): StreamingQuery =
+                 idGuard: String = "exact",
+                 warehouse: Option[Warehouse] = None,
+                 auditTable: Option[String] = None): StreamingQuery = {
+    require(auditTable.isEmpty || warehouse.nonEmpty,
+      "bm25Ingest: auditTable requires a warehouse to write it to")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Retrieval.appendBm25Incremental(
-            batch.sparkSession, indexDir, batch, textCol, idCol, idGuard)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.operators.Retrieval.compactBm25Incremental(
-            batch.sparkSession, indexDir)
+        val sp = batch.sparkSession
+        val runKey = auditRunKey(sp, checkpointDir)
+        graft.operators.Lease.withLease(sp, indexDir, s"bm25:$runKey") {
+          if (!batch.isEmpty) {
+            val offered = batch.count() // micro-batch-sized
+            val admitted = graft.operators.Retrieval.appendBm25Incremental(
+              sp, indexDir, batch, textCol, idCol, idGuard)
+            auditTable.foreach { at =>
+              import sp.implicits._
+              warehouse.foreach(_.idempotentAppend(at,
+                Seq((runKey, batchId, s"bm25:$indexDir", offered, admitted))
+                  .toDF("run", "batch_id", "store", "offered_count",
+                    "admitted_count"),
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
+            }
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.Retrieval.compactBm25Incremental(sp, indexDir)
+        }
         ()
       }
       .start()
+  }
 
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media

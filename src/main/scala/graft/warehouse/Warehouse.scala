@@ -129,9 +129,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * if given), then rows whose key already exists in the committed table
     * are dropped via left-anti join. Existing rows keep their original
     * lineage (first-writer-wins, SURVEY.md §2.9).
+    *
+    * With `partitionCol` set (a column of `keys` — the usual partition-
+    * stability precondition — and the table partitioned by it from its
+    * first write), the dedup anti-join reads ONLY the partitions the
+    * batch touches instead of the whole committed table, and the write
+    * lands partitioned: an append-forever table (the streaming audit
+    * trails) stays O(batch) to append to at any table size.
     */
   def idempotentAppend(table: String, incoming: DataFrame, keys: Seq[String],
-                       orderCol: Option[String] = None): AppendStats = {
+                       orderCol: Option[String] = None,
+                       partitionCol: Option[String] = None): AppendStats = {
+    partitionCol.foreach(pc => require(keys.contains(pc),
+      s"idempotentAppend: partitionCol '$pc' must be part of the key — a " +
+        "key outside its partition would dodge the partition-scoped dedup"))
     val attempted = incoming.count()
     val deduped = orderCol match {
       case Some(c) =>
@@ -143,14 +154,29 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
     val toInsert = readIfExists(table) match {
       case Some(existing) =>
-        deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
+        val scoped = partitionCol match {
+          case Some(pc) =>
+            // bounded collect: a batch carries a handful of partition
+            // values (one run, one day); the isin literal makes the
+            // scan PRUNE at the partition index (PlanSpec-asserted)
+            // instead of reading every run ever audited
+            val touched = deduped.select(col(pc)).distinct()
+              .collect().map(_.get(0))
+            existing.filter(col(pc).isin(touched.toIndexedSeq: _*))
+          case None => existing
+        }
+        deduped.join(scoped.select(keys.map(col): _*), keys, "left_anti")
       case None => deduped
     }
     // One job: append and count via a cheap re-read delta would re-scan; we
     // count the planned insert set instead (same number, computed once).
     val insertedDf = toInsert.cache()
     val inserted = insertedDf.count()
-    if (inserted > 0) insertedDf.write.mode("append").parquet(path(table))
+    if (inserted > 0) partitionCol match {
+      case Some(pc) =>
+        insertedDf.write.mode("append").partitionBy(pc).parquet(path(table))
+      case None => insertedDf.write.mode("append").parquet(path(table))
+    }
     insertedDf.unpersist()
     AppendStats(attempted, inserted, attempted - inserted)
   }

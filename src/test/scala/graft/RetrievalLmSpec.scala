@@ -287,6 +287,47 @@ class RetrievalLmSpec extends SparkSpec {
       docs.filter(col("doc_id") < 100), "text", "doc_id") == 0L)
   }
 
+  test("bloom guard budget + pinned fpp: the uncompacted-ingest ceiling " +
+    "fails with the math, compaction re-arms it, and the survivor bloom " +
+    "keeps the index's pinned rate (not a hardcoded default)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60).localCheckpoint(true)
+    val dir = tempDir("bm25_budget")
+    def slice(lo: Int, hi: Int) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    // the first ingest PINS the index's fpp in meta
+    assert(Retrieval.appendBm25Incremental(spark, dir, slice(0, 10),
+      "text", "doc_id", bloomFpp = 1e-6) > 0)
+    val meta = spark.read.parquet(s"$dir/meta")
+    assert(meta.schema.fieldNames.contains("bloom_fpp"))
+    assert(meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp")) == 1e-6)
+    // two more ingests (exact-guarded appends still write blooms)
+    assert(Retrieval.appendBm25Incremental(spark, dir, slice(10, 20),
+      "text", "doc_id") > 0)
+    assert(Retrieval.appendBm25Incremental(spark, dir, slice(20, 30),
+      "text", "doc_id") > 0)
+    // 3 uncompacted ingests × pinned 1e-6 > budget 2e-6 → loud, with the
+    // budget math and the remedy in the message
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Incremental(spark, dir, slice(30, 40),
+        "text", "doc_id", idGuard = "bloom", bloomBudget = 2e-6)
+    }
+    assert(e.getMessage.contains("bloomBudget") &&
+      e.getMessage.contains("compact"))
+    // compaction folds the blooms to ONE — the same budget now admits
+    assert(Retrieval.compactBm25Incremental(spark, dir) == ((3, 1)))
+    assert(Retrieval.appendBm25Incremental(spark, dir, slice(30, 40),
+      "text", "doc_id", idGuard = "bloom", bloomBudget = 2e-6) > 0)
+    // the survivor bloom was rebuilt at the PINNED 1e-6, not the old
+    // hardcoded 1e-4 (r11 advice): its realized fpp reflects the rate
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivor = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/id_bloom"))
+      .map(_.getPath).find(_.getName.startsWith("ingest=r")).get
+    assert(Retrieval.readBloom(fs, survivor.toString).expectedFpp() < 1e-5,
+      "consolidation must rebuild the survivor bloom at the pinned rate")
+  }
+
   test("retraction-at-ingest: a build GATED on the takedown table is " +
     "bit-identical to build-then-forget; layout misuse fails loudly") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

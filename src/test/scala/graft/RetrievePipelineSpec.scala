@@ -112,7 +112,7 @@ class RetrievePipelineSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     val before = serve(grown)
     val stages = RetrievePipeline.append(rest, "text", "doc_id", grown)
-    assert(stages.map(_.stage) == Seq("chunks", "bm25_docs", "ann_vectors"))
+    assert(stages.map(_.stage) == Seq("chunks", "bm25_chunks", "ann_vectors"))
     assert(stages.forall(_.rows > 0), stages.toString)
     RetrievePipeline.build(docs, "text", "doc_id", oneShot,
       chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
@@ -145,7 +145,7 @@ class RetrievePipelineSpec extends SparkSpec {
     }
     val replay = RetrievePipeline.append(rest, "text", "doc_id", grown)
     assert(replay.find(_.stage == "chunks").get.rows > 0)
-    assert(replay.find(_.stage == "bm25_docs").get.rows == 0,
+    assert(replay.find(_.stage == "bm25_chunks").get.rows == 0,
       "the BM25 ingest already committed — its own K2 gate must no-op")
     assert(replay.find(_.stage == "ann_vectors").get.rows == 0,
       "the ANN rows already landed — the id anti-join must no-op")
@@ -158,6 +158,90 @@ class RetrievePipelineSpec extends SparkSpec {
     assert(removed > 0L)
     assert(serve(grown) == before,
       "add-then-retract must serve exactly like the original build")
+  }
+
+  test("bloom doc gate: bloom-guarded append serves identically to exact, " +
+    "heals missing blooms, replays a crash, lifts the veto after forget, " +
+    "and enforces the fp budget") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint(true)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val grown = tempDir("rp_bloomg")
+    val oneShot = tempDir("rp_bloomg_one")
+    RetrievePipeline.build(half, "text", "doc_id", grown,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    RetrievePipeline.build(docs, "text", "doc_id", oneShot,
+      chunkTokens = 32, stride = 32, dim = 32, salt = "rp", nlist = 4,
+      iters = 3)
+    val sampleChunk = graft.operators.CorpusOps.chunkDocs(
+        docs, "doc_id", "text", 32, 32)
+      .filter(col("chunk_idx") === 0 && col("doc_id") === 7)
+      .select(col("chunk_text")).as[String].head()
+    val queries = Seq((1L, sampleChunk),
+      (2L, sampleChunk.split(" ").take(5).mkString(" ")))
+      .toDF("query_id", "text")
+    def serve(d: String): Seq[String] =
+      RetrievePipeline.query(spark, d, queries, k = 5, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(grown)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // HEAL: drop the build's doc blooms — the first bloom-guarded append
+    // must rebuild them from the chunk store's own parts and proceed
+    fs.delete(new org.apache.hadoop.fs.Path(s"$grown/doc_blooms"), true)
+    val stages = RetrievePipeline.append(rest, "text", "doc_id", grown,
+      idGuard = "bloom")
+    assert(stages.map(_.stage) == Seq("chunks", "bm25_chunks", "ann_vectors"))
+    assert(stages.forall(_.rows > 0), stages.toString)
+    // one bloom per part: the healed base + this append's batch
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$grown/doc_blooms"))
+      .length == 2)
+    assert(serve(grown) == serve(oneShot),
+      "bloom-guarded growth must serve identically to the one-shot build")
+    // replay of committed docs: every id hits its own part's bloom (no
+    // false negatives), so the whole batch drops
+    assert(RetrievePipeline.append(rest, "text", "doc_id", grown,
+      idGuard = "bloom").forall(_.rows == 0))
+    // crash replay in bloom mode: delete the committed chunk batch dirs
+    // (the bloom files are now STALE — they claim docs whose part is
+    // gone); the replay must sweep them, re-admit, and converge
+    new java.io.File(s"$grown/chunks").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b_"))
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d.toString), true))
+    val replay = RetrievePipeline.append(rest, "text", "doc_id", grown,
+      idGuard = "bloom")
+    assert(replay.find(_.stage == "chunks").get.rows > 0,
+      "stale blooms for a vanished part must be swept, not probed")
+    assert(replay.find(_.stage == "bm25_chunks").get.rows == 0)
+    assert(replay.find(_.stage == "ann_vectors").get.rows == 0)
+    assert(serve(grown) == serve(oneShot), "bloom-mode replay must converge")
+    // veto-lift: forget rebuilds the base bloom from the survivors, so
+    // a retracted doc's id must NOT linger as a false-positive veto —
+    // the same docs re-admit through the bloom gate
+    assert(RetrievePipeline.forget(spark, grown, rest.select("doc_id")) > 0L)
+    val back = RetrievePipeline.append(rest, "text", "doc_id", grown,
+      idGuard = "bloom")
+    assert(back.forall(_.rows > 0),
+      "retracted docs must re-admit through the rebuilt bloom")
+    assert(serve(grown) == serve(oneShot),
+      "retract + bloom-guarded re-admit must restore the identical stack")
+    // budget ceiling: 2 parts × pinned 1e-4 against a 1e-9 budget fails
+    // loudly with the math instead of degrading silently
+    val e = intercept[IllegalArgumentException] {
+      RetrievePipeline.append(rest, "text", "doc_id", grown,
+        idGuard = "bloom", bloomBudget = 1e-9)
+    }
+    assert(e.getMessage.contains("bloomBudget") &&
+      e.getMessage.contains("compact"))
+    // compact folds the parts (and blooms) to one — the gate re-arms
+    RetrievePipeline.compact(spark, grown)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$grown/doc_blooms"))
+      .length == 1)
+    assert(RetrievePipeline.append(rest, "text", "doc_id", grown,
+      idGuard = "bloom", bloomBudget = 1e-4).forall(_.rows == 0),
+      "compacted stack still vetoes committed docs through the folded bloom")
+    assert(serve(grown) == serve(oneShot))
   }
 
   test("bm25TopKFromIndex == in-run bm25TopK, bit for bit; uncommitted index refuses") {
