@@ -14,14 +14,24 @@ import org.apache.spark.sql.functions._
   *    incremental index maintenance pays for the same outcome.
   *
   * Usage: runMain graft.ProbeAppend [sfDir] [batchDocs] [replicate]
+  * [rebuildBaseline]
   * (`replicate` stacks id-shifted copies of the sf corpus so the probe
-  * can measure the append at a corpus size where rebuild cost is real)
+  * can measure the append at a corpus size where rebuild cost is real;
+  * `rebuildBaseline=false` skips the full-rebuild control at sizes
+  * where it would dominate the probe's wall time)
+  *
+  * Both id-guard modes are measured on ONE stack (two disjoint fresh
+  * batches, appended exact then bloom — the second append sees one
+  * extra committed part, a negligible asymmetry), so the r11 question
+  * "does the guard make append wall-time flat in corpus size" reads
+  * directly off runs at increasing `replicate`.
   */
 object ProbeAppend {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(500L)
     val replicate = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+    val rebuildBaseline = args.drop(3).headOption.forall(_.toBoolean)
     val spark = GraftSession.getOrCreate("graft-probe-append")
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
@@ -54,14 +64,17 @@ object ProbeAppend {
       .localCheckpoint(true)
     val nDocs = docs.count()
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    // deterministic synthetic batch with fresh ids (no rand(): replayable)
-    val batch = spark.range(batchN).select(
-        (col("id") + maxId + 1L).as("doc_id"),
-        concat(lit("synthetic appended document number "), col("id"),
+    // deterministic synthetic batches with fresh ids (no rand():
+    // replayable); A and B are disjoint so each append admits fully
+    def freshBatch(offset: Long) = spark.range(batchN).select(
+        (col("id") + maxId + 1L + offset).as("doc_id"),
+        concat(lit("synthetic appended document number "), col("id") + offset,
           lit(" about streams joins vectors windows shuffles and "),
           lit("partitions with token "),
-          pmod(xxhash64(col("id")), lit(997L))).as("text"))
+          pmod(xxhash64(col("id") + offset), lit(997L))).as("text"))
       .localCheckpoint(true)
+    val batchA = freshBatch(0L)
+    val batchB = freshBatch(batchN)
 
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_ap").toString
     time(s"build serving stack ($nDocs docs)") {
@@ -70,21 +83,27 @@ object ProbeAppend {
         salt = "pa", nlist = 8, iters = 2)
     }
     val bytesBefore = treeBytes(s"$dir/grown")
-    val stages = time(s"append ($batchN docs — the steady-state drain)") {
-      graft.pipeline.RetrievePipeline.append(batch, "text", "doc_id",
+    val stagesA = time(s"append ($batchN docs, idGuard=exact)") {
+      graft.pipeline.RetrievePipeline.append(batchA, "text", "doc_id",
         s"$dir/grown")
     }
-    println(s"  appended stages: ${stages.mkString(", ")}")
-    println(f"  bytes written by append: ${
+    println(s"  appended stages (exact): ${stagesA.mkString(", ")}")
+    val stagesB = time(s"append ($batchN docs, idGuard=bloom)") {
+      graft.pipeline.RetrievePipeline.append(batchB, "text", "doc_id",
+        s"$dir/grown", idGuard = "bloom")
+    }
+    println(s"  appended stages (bloom): ${stagesB.mkString(", ")}")
+    println(f"  bytes written by both appends: ${
       (treeBytes(s"$dir/grown") - bytesBefore) / 1e6}%.1f MB of ${
       treeBytes(s"$dir/grown") / 1e6}%.1f MB stack total")
-    time(s"rebuild baseline (${nDocs + batchN} docs — what a non-" +
-      "incremental stack pays per arrival)") {
-      graft.pipeline.RetrievePipeline.build(
-        docs.select(col("doc_id"), col("text")).unionByName(batch),
-        "text", "doc_id", s"$dir/rebuilt", chunkTokens = 32, stride = 32,
-        dim = 32, salt = "pa", nlist = 8, iters = 2)
-    }
+    if (rebuildBaseline)
+      time(s"rebuild baseline (${nDocs + batchN} docs — what a non-" +
+        "incremental stack pays per arrival)") {
+        graft.pipeline.RetrievePipeline.build(
+          docs.select(col("doc_id"), col("text")).unionByName(batchA),
+          "text", "doc_id", s"$dir/rebuilt", chunkTokens = 32, stride = 32,
+          dim = 32, salt = "pa", nlist = 8, iters = 2)
+      }
     spark.stop()
   }
 }

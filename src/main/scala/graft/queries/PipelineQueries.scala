@@ -4107,6 +4107,85 @@ ORDER BY doc_id""")
               round(rrf, 6) AS rrf, n_sources
        FROM rranked WHERE rank <= $rrfK ORDER BY query_id, rank"""
     },
+    // GROWTH lane: build-on-half + append-half served at nprobe = nlist
+    // is bit-identical to the one-shot full-corpus stack (exhaustive
+    // probes are centroid-independent; RetrievePipelineSpec), so the
+    // oracle is the serve chain with the kmeans/routing CTEs replaced
+    // by the exact all-pairs cosine top-k — every other fragment
+    // shared verbatim (no-fork rule)
+    "retrieval_pipeline_append" -> {
+      val rrfK = 10
+      s"""WITH $retrieveChunkCtes,
+         rqueries(query_id, qtext) AS (VALUES
+             (0, 'hash join merge'),
+             (1, 'stream window batch'),
+             (2, 'vector scan filter sort')),
+         rterms AS (
+           SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM rqueries),
+         rpost AS MATERIALIZED (
+           SELECT chunk_id, token, count(*) AS tf FROM (
+             SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+             FROM rchunks)
+           WHERE token <> '' GROUP BY chunk_id, token),
+         rdl AS (SELECT chunk_id, sum(tf) AS dl FROM rpost GROUP BY chunk_id),
+         rstats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM rdl),
+         rdfreq AS (SELECT token, count(*) AS df FROM rpost GROUP BY token),
+         rscored AS (
+           SELECT q.query_id, p.chunk_id,
+                  sum(CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * 2.2)
+                           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                      AS DECIMAL(38, 12))) AS sd
+           FROM rpost p JOIN rterms q ON p.token = q.term
+           JOIN rdl d ON d.chunk_id = p.chunk_id
+           JOIN rdfreq f ON f.token = p.token
+           CROSS JOIN rstats s
+           GROUP BY q.query_id, p.chunk_id),
+         rlex AS (
+           SELECT query_id, chunk_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(sd AS DOUBLE) DESC, chunk_id) AS rank
+           FROM rscored),
+         rembsrc AS (
+           SELECT chunk_id AS doc_id, chunk_text AS text FROM rchunks
+           UNION ALL
+           SELECT CAST(-query_id - 1 AS BIGINT), qtext FROM rqueries),
+         ${hashEmbedCtes(32, "rq", "rembsrc")},
+         remb AS MATERIALIZED (
+           SELECT doc_id AS vec_id, fv AS embedding FROM hvec WHERE doc_id >= 0),
+         rqvec AS (
+           SELECT -doc_id - 1 AS query_id, fv AS q_vec FROM hvec WHERE doc_id < 0),
+         rvscored AS (
+           SELECT q.query_id, a.vec_id AS chunk_id,
+                  ${cosSql("q.q_vec", "a.embedding")} AS c
+           FROM rqvec q CROSS JOIN remb a),
+         rvec AS (
+           SELECT query_id, chunk_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, chunk_id) AS rank
+           FROM rvscored),
+         ru AS (
+           SELECT query_id, chunk_id, 1.0 / (60 + rank) AS rrf_term
+           FROM rlex WHERE rank <= $rrfK
+           UNION ALL
+           SELECT query_id, chunk_id, 1.0 / (60 + rank) AS rrf_term
+           FROM rvec WHERE rank <= $rrfK),
+         rfused AS (
+           SELECT query_id, chunk_id, sum(rrf_term) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_sources
+           FROM ru GROUP BY query_id, chunk_id),
+         rranked AS (
+           SELECT query_id, chunk_id, rrf, n_sources,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, chunk_id) AS rank
+           FROM rfused)
+       SELECT CAST(query_id AS BIGINT) AS query_id, rank, chunk_id,
+              CAST(chunk_id // 1048576 AS BIGINT) AS doc_id,
+              round(rrf, 6) AS rrf, n_sources
+       FROM rranked WHERE rank <= $rrfK ORDER BY query_id, rank"""
+    },
     // RRF fusion of the two already-oracled top-k chains over the shared
     // id space; 1/(60+rank) terms, 2-element double sums, doc-id ties
     "retrieval_hybrid_rrf" ->
@@ -4462,6 +4541,34 @@ ORDER BY doc_id""")
     }
     graft.pipeline.RetrievePipeline.query(s, idx,
         retrievalPipelineQueries.toDF("query_id", "text"), k = 10, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** GROWTH as a board query (r11 verdict #5): build the stack on the
+    * even half, grow it over the odd half through
+    * [[graft.pipeline.RetrievePipeline.append]] (doc gate, BM25 ingest
+    * partition, frozen-centroid ANN append, staged chunk commit), and
+    * serve the three fixed queries at nprobe = nlist. The exhaustive
+    * probe set makes serving CENTROID-INDEPENDENT (the grown stack and
+    * a one-shot full-corpus build serve bit-identically —
+    * RetrievePipelineSpec pins it), so the oracle is the full-corpus
+    * serve chain with the kmeans/routing CTEs replaced by the exact
+    * all-pairs cosine top-k; every other fragment is shared verbatim
+    * with `retrieval_pipeline_serve`. A regression anywhere in the
+    * growth lane (gate, ingest key, anti-joins, chunk commit) now
+    * surfaces as a board failure instead of staying spec-only.
+    */
+  def retrievalPipelineAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_retrieve_ap").toString
+    graft.pipeline.RetrievePipeline.build(d.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", idx, chunkTokens = 32, stride = 32, dim = 32,
+      salt = "rq", nlist = 4, iters = 2)
+    graft.pipeline.RetrievePipeline.append(
+      d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", idx)
+    graft.pipeline.RetrievePipeline.query(s, idx,
+        retrievalPipelineQueries.toDF("query_id", "text"), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -4824,6 +4931,7 @@ ORDER BY doc_id""")
     "retraction_gated_build" -> (retractionGatedBuild _),
     "retrieval_pipeline_build" -> (retrievalPipelineBuild _),
     "retrieval_pipeline_serve" -> (retrievalPipelineServe _),
+    "retrieval_pipeline_append" -> (retrievalPipelineAppend _),
     "sim_topk_ivfadc_persisted" -> (simTopkIvfAdcPersisted _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),

@@ -513,10 +513,21 @@ class ForgetSpec extends SparkSpec {
     Seq(999999L).toDF("doc_id").write.mode("append").parquet(feedIn)
     val ck3 = tempDir("rib_ck3")
     drainFeed(ck3)
-    val replayRows = wh.read(audit).filter(col("run") === ck3)
+    // the run key is the QUALIFIED checkpoint location (r11 advice: a
+    // re-spelled path must not mint a second run), so the lookup goes
+    // through the same qualification
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val replayRows = wh.read(audit).filter(col("run") === qualified(ck3))
       .select("removed_count").as[Long].collect().toSeq
     assert(replayRows.length == 3 && replayRows.forall(_ == 0L),
       s"the replay run must record honest no-op rows, got $replayRows")
+    assert(wh.read(audit).filter(col("run") === ck3).count() == 0,
+      "the audit run key is the QUALIFIED location — the raw spelling " +
+        "must not appear (a re-spelled checkpoint would mint a second run)")
     assert(wh.read(audit)
       .filter(col("store") === s"bm25:$incrDir" && col("removed_count") === 2L)
       .count() == 1L, "the original run's rows must survive the replay")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Lease, Retrieval}
+
+/** Single-writer enforcement: the lease that turns the documented
+  * "do not drain concurrently" contract into a mechanism — a second
+  * writer on one store fails fast with the holder's name instead of
+  * interleaving directory swaps, and a crashed holder's expired lease
+  * is reclaimable.
+  */
+class LeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lease: conflict refused while fresh, re-entrant renew, " +
+    "holder-scoped release, expired lease reclaimable") {
+    val dir = tempDir("lease_store")
+    Lease.acquire(spark, dir, "lane-a")
+    // re-entrant: the same holder renews (a lane's in-batch compact
+    // hook runs under the lane's own lease)
+    Lease.acquire(spark, dir, "lane-a")
+    val e = intercept[IllegalStateException] {
+      Lease.acquire(spark, dir, "lane-b")
+    }
+    assert(e.getMessage.contains("lane-a"),
+      "the refusal must name the conflicting holder")
+    // a foreign release is a quiet no-op — ours was reclaimed, deleting
+    // the reclaimer's would widen the hole
+    Lease.release(spark, dir, "lane-b")
+    assert(Lease.holderOf(spark, dir).exists(_._1 == "lane-a"))
+    Lease.release(spark, dir, "lane-a")
+    assert(Lease.holderOf(spark, dir).isEmpty)
+    // a crashed holder's EXPIRED lease must not wedge the store forever
+    Lease.acquire(spark, dir, "crashed-lane", ttlMs = 0L)
+    Lease.acquire(spark, dir, "lane-b")
+    assert(Lease.holderOf(spark, dir).exists(_._1 == "lane-b"))
+    Lease.release(spark, dir, "lane-b")
+  }
+
+  test("two drains on one store: a takedown feed draining against a held " +
+    "content lease fails its batch loudly; released, it proceeds") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50).localCheckpoint(true)
+    val idx = s"${tempDir("lease_idx")}/idx"
+    Retrieval.buildBm25Incremental(docs, "text", "doc_id", idx)
+    // the misdeployment: a content feed "holds" the index (mid-drain)
+    // while a takedown feed is pointed at the same store
+    Lease.acquire(spark, idx, "content-feed")
+    val feedIn = tempDir("lease_feed")
+    Seq(1L, 2L).toDF("doc_id").write.mode("append").parquet(feedIn)
+    def takedown(ck: String) =
+      graft.streaming.IncrementalStream.retractionIngest(
+        spark.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType))))
+          .parquet(feedIn),
+        graft.streaming.IncrementalStream.RetractionTargets(
+          bm25Indexes = Seq(idx)),
+        ck)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      takedown(tempDir("lease_ck1")).awaitTermination()
+    }
+    def mentions(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        mentions(t.getCause, s))
+    assert(mentions(e, "content-feed"),
+      s"the takedown must fail fast naming the holder, got: ${e.getMessage}")
+    assert(spark.read.parquet(s"$idx/doc_len")
+      .filter(col("doc_id").isin(1L, 2L)).count() == 2,
+      "the refused batch must not have touched the store")
+    // lease released (drain finished): the replayed takedown proceeds
+    Lease.release(spark, idx, "content-feed")
+    takedown(tempDir("lease_ck2")).awaitTermination()
+    assert(spark.read.parquet(s"$idx/doc_len")
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0)
+  }
+}

@@ -34,6 +34,41 @@ class ScaleToolsSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.collectLeaves().toString.contains("run_id"))
   }
 
+  test("idempotentAppend partitioned path: dedup scoped to touched runs, " +
+    "partitioned layout on disk, prune-shaped scan, key precondition") {
+    val dir = tempDir("ipa")
+    val wh = new Warehouse(spark, dir)
+    val keys = Seq("run", "batch_id", "store")
+    def rows(run: String, n: Int) =
+      (1 to n).map(i => (run, i.toLong, s"s$i", 10L))
+        .toDF("run", "batch_id", "store", "removed_count")
+    assert(wh.idempotentAppend("audit_p", rows("r1", 5), keys,
+      partitionCol = Some("run")).inserted == 5)
+    assert(wh.idempotentAppend("audit_p", rows("r2", 5), keys,
+      partitionCol = Some("run")).inserted == 5)
+    // a replayed batch re-offers r1's keys — nothing appends, and the
+    // dedup only had to read r1's partition to know it
+    assert(wh.idempotentAppend("audit_p", rows("r1", 5), keys,
+      partitionCol = Some("run")).inserted == 0)
+    assert(wh.read("audit_p").count() == 10)
+    // the table really is laid out partitioned by run
+    assert(new java.io.File(s"$dir/audit_p").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("run=")) == 2)
+    // the dedup's scoped-read shape (isin over the batch's runs) prunes
+    // at the partition index — an append-forever audit table stays
+    // O(batch) to append to (r11 verdict #6)
+    val scoped = wh.read("audit_p").filter(col("run").isin("r1"))
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(run"), plan)
+    // a partition column outside the key would dodge the scoped dedup —
+    // refused up front
+    val e = intercept[IllegalArgumentException] {
+      wh.idempotentAppend("audit_p", rows("r3", 1), Seq("batch_id"),
+        partitionCol = Some("run"))
+    }
+    assert(e.getMessage.contains("part of the key"))
+  }
+
   test("dynamic partition overwrite: backfilled partition replaced, others untouched") {
     val wh = new Warehouse(spark, tempDir("dpo"))
     val init = Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3")).toDF("v", "day")

@@ -1093,11 +1093,13 @@ class StreamingSpec extends SparkSpec {
       salt = "rp", nlist = 4, iters = 3)
     val in = tempDir("si_in")
     val ck = tempDir("si_ck")
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("si_wh"))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     def drain(c: String = ck): Unit =
       IncrementalStream.servingIngest(
-          spark.readStream.schema(schema).parquet(in), grown, c)
+          spark.readStream.schema(schema).parquet(in), grown, c,
+          warehouse = Some(wh), auditTable = Some("grow_audit"))
         .awaitTermination()
     docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
       .select("doc_id", "text").write.mode("append").parquet(in)
@@ -1137,10 +1139,37 @@ class StreamingSpec extends SparkSpec {
       }
       b.result()
     }
+    // GROWTH AUDIT (the reference's K5 per-run discipline on the growth
+    // lane): one row per (run, batch, stage) with offered/admitted —
+    // and the admitted chunk counts RECONCILE with what actually sits
+    // in the staged batch dirs on disk
+    val audit0 = wh.read("grow_audit").localCheckpoint(true)
+    assert(audit0.count() == 6, // 2 drained batches × 3 append stages
+      audit0.collect().mkString("\n"))
+    assert(audit0.filter(col("store").endsWith(":chunks")).count() == 2)
+    val auditedChunks = audit0.filter(col("store").endsWith(":chunks"))
+      .agg(org.apache.spark.sql.functions.sum("admitted_count"))
+      .head().getLong(0)
+    val diskBatchDirs = new java.io.File(s"$grown/chunks").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b_"))
+      .map(_.toString)
+    assert(auditedChunks ==
+      spark.read.parquet(diskBatchDirs.toIndexedSeq: _*).count(),
+      "audited admitted chunks must equal the staged batch dirs' rows")
+    // offered = the batch's doc count (125 per drain), on every stage row
+    assert(audit0.filter(col("offered_count") =!= 125L).count() == 0)
     val before = snapshot()
     drain(tempDir("si_ck2"))
     assert(snapshot() == before,
       "a replayed content feed must not touch the stack")
+    // the replay run records honest no-op rows (admitted 0) under its
+    // own run key; the original run's rows survive untouched
+    val audit1 = wh.read("grow_audit").localCheckpoint(true)
+    assert(audit1.count() == 9)
+    assert(audit1.filter(col("admitted_count") === 0L).count() == 3)
+    // a same-checkpoint re-drain fires no batch: nothing appends
+    drain()
+    assert(wh.read("grow_audit").count() == 9)
     // maintenance: compaction folds the per-batch chunk subdirs back
     // into the flat range layout, serve unchanged
     assert(new java.io.File(s"$grown/chunks").listFiles()
@@ -1167,10 +1196,12 @@ class StreamingSpec extends SparkSpec {
       StructField("text", StringType)))
     // compactEvery = 2: the third drain (batchId 2) folds the per-append
     // partitions inside its own foreachBatch — the single-writer window
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("bi_wh"))
     def drain(c: String = ck): Unit =
       IncrementalStream.bm25Ingest(
           spark.readStream.schema(schema).parquet(in), idx, c,
-          compactEvery = 2)
+          compactEvery = 2,
+          warehouse = Some(wh), auditTable = Some("bm25_grow_audit"))
         .awaitTermination()
     val terms = Seq((1L, "the"), (1L, "data"), (2L, "of"), (2L, "a"))
       .toDF("query_id", "term")
@@ -1196,11 +1227,21 @@ class StreamingSpec extends SparkSpec {
         "text", "doc_id", terms, 10)
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(split == oneShot)
+    // growth audit: one row per drained batch, admitted reconciling
+    // with the docs actually committed
+    val grow = wh.read("bm25_grow_audit").localCheckpoint(true)
+    assert(grow.count() == 2)
+    assert(grow.select(org.apache.spark.sql.functions
+      .sum("admitted_count")).head().getLong(0) == 100L)
+    assert(grow.filter(col("store") === s"bm25:$idx").count() == 2)
     // fresh-checkpoint FULL replay: the append's K2 anti-join admits
-    // nothing — no new ingest partitions, serve unchanged
+    // nothing — no new ingest partitions, serve unchanged; the replay
+    // run's audit row is an honest admitted=0
     drain(tempDir("bi_ck2"))
     assert(ingests() == 2, "a replayed drain must commit no new ingests")
     assert(serve() == split)
+    assert(wh.read("bm25_grow_audit")
+      .filter(col("admitted_count") === 0L).count() == 1)
     // crash window: a consolidation that died between its two renames
     // parks the index at __old — the NEXT drain heals it, ingests batch 2
     // and (batchId 2 % compactEvery 2 == 0) compacts in-lifecycle
