@@ -29,7 +29,7 @@ object ShingleOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def shingles(text: UTF8String, k: Int): ArrayData = {
+  private def tokenHashes(text: UTF8String): Array[Long] = {
     val md = md5Local.get()
     // toString after trim+lower: tokens are tiny; the split must match
     // Spark's split(str, " ") = limit -1 (interior AND trailing empties)
@@ -43,22 +43,46 @@ object ShingleOps {
       th(i) = ((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)
       i += 1
     }
-    def fold(from: Int, until: Int): Long = {
-      var acc = 0L
-      var j = from
-      while (j < until) { acc = (acc * 31 + th(j)) % P; j += 1 }
-      acc
-    }
+    th
+  }
+
+  private def fold(th: Array[Long], from: Int, until: Int): Long = {
+    var acc = 0L
+    var j = from
+    while (j < until) { acc = (acc * 31 + th(j)) % P; j += 1 }
+    acc
+  }
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val n = th.length
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (n < k) seen.add(fold(0, n))
+    if (n < k) seen.add(fold(th, 0, n))
     else {
       var st = 0
-      while (st + k <= n) { seen.add(fold(st, st + k)); st += 1 }
+      while (st + k <= n) { seen.add(fold(th, st, st + k)); st += 1 }
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** POSITIONAL variant for span-grain dedup: the full non-distinct
+    * window stream in position order — element `i` is the portable hash
+    * of tokens [i, i+k). Documents shorter than k tokens return an EMPTY
+    * array (they have no k-token span; doc-grain dedup owns them), unlike
+    * [[shingles]]' whole-stream fallback, whose set semantics have no
+    * position to report.
+    */
+  def shinglesPos(text: UTF8String, k: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val n = th.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var st = 0
+    while (st + k <= n) { out(st) = fold(th, st, st + k); st += 1 }
     new GenericArrayData(out)
   }
 }
@@ -71,4 +95,17 @@ case class PortableShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingles($c, $k)")
   override protected def withNewChildInternal(c: Expression): PortableShingles = copy(child = c)
+}
+
+/** [[ShingleOps.shinglesPos]] as a codegen expression: the in-order,
+  * non-distinct k-window hash stream (posexplode gives span positions).
+  */
+case class PortableShinglesPos(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleOps.shinglesPos(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shinglesPos($c, $k)")
+  override protected def withNewChildInternal(c: Expression): PortableShinglesPos = copy(child = c)
 }

@@ -89,6 +89,12 @@ package object functions {
   /** Distinct portable (md5-poly) k-token shingle hashes of a text column. */
   def portable_shingles(c: Column, k: Int): Column = col(PortableShingles(expr(c), k))
 
+  /** Positional (non-distinct, in-order) portable k-token shingle hashes:
+    * element i covers tokens [i, i+k); empty below k tokens.
+    */
+  def portable_shingles_pos(c: Column, k: Int): Column =
+    col(PortableShinglesPos(expr(c), k))
+
   /** 64-bit SimHash of an `array<string>` token column. `portable = true`
     * hashes tokens with md5 (oracle-reproducible in ANSI SQL) instead of
     * the faster splitmix64 scheme.

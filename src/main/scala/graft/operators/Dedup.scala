@@ -237,6 +237,120 @@ object Dedup {
           s => s.getField("wtext"))).as("clean_text"))
   }
 
+  /** Positional k-token spans: (idCol, pos, shingle) with one row per
+    * token position — the SLIDING window stream whose tiling
+    * approximation is [[windowDedup]]. Tiling misses duplicated spans
+    * that straddle a window boundary or repeat at a shifted phase; the
+    * rolling stream is boundary-insensitive (the Rabin–Karp face of
+    * suffix-array substring dedup, Lee et al. 2021, arXiv:2107.06499).
+    * Hashes are the portable md5-poly scheme (one native codegen pass,
+    * graft.functions.PortableShinglesPos) so every operator built on
+    * this carries a DuckDB oracle. Documents shorter than k tokens emit
+    * no spans — doc-grain dedup ([[exact]]/[[minhashLsh]]) owns them.
+    */
+  def spanShingles(df: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame =
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(graft.functions.portable_shingles_pos(col(textCol), k))
+          .as(Seq("pos", "shingle")))
+
+  /** Cross-document span-duplication profile: for every document, how
+    * many of its k-token spans (and what fraction of its tokens) occur
+    * in at least `minDocs` distinct documents. The measurement face of
+    * span dedup — the gate "drop docs with dup_fraction > τ" and the
+    * rewrite face ([[spanMask]]) both hang off this stream.
+    *
+    * Returns (idCol, n_tokens, dup_spans, dup_tokens, dup_fraction),
+    * one row per input document.
+    *
+    * Scale shape: strictly GROUP-BY-shaped — no pair join anywhere, so
+    * unlike the Jaccard/LSH family there is no quadratic blow-up to
+    * guard: a licence-header span shared by 1M docs costs one combiner
+    * cell in the dup aggregate and its own occurrence rows in the
+    * semi-join back, both linear. Two shuffles on the 8-byte span hash
+    * (partial-agg count-distinct, then the occurrence semi-join) plus
+    * one per-doc aggregate; the coverage union explodes k rows per
+    * duplicated occurrence — bounded by k × the corpus duplication
+    * rate, not by corpus².
+    */
+  def spanStats(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
+                minDocs: Int = 2): DataFrame = {
+    // feeds the dup aggregate AND the occurrence join back — eager
+    // localCheckpoint, not cache (the ngramJaccard reclaim argument)
+    val sp = spanShingles(df, textCol, idCol, k).localCheckpoint(true)
+    val dup = sp.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("shingle")
+    val occ = sp.join(dup, Seq("shingle"))
+    val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
+    val covered = occ
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_spans", "dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Span-grain REWRITE: mask every occurrence of a cross-document
+    * duplicated k-token span except its first global occurrence
+    * (ordered by (id, position) — the [[windowDedup]] keeper rule at
+    * sliding grain), then rebuild each document from its surviving
+    * tokens. A token survives unless some masked occurrence covers it —
+    * overlapping duplicated spans mask their position-set union, and
+    * only NON-keeper occurrences contribute coverage — though a keeper
+    * occurrence's tokens may still be masked when a DIFFERENT masked
+    * occurrence overlaps them (coverage is a position-set union, not a
+    * per-span veto).
+    *
+    * Returns (idCol, n_tokens, masked_tokens, kept_tokens, clean_hash)
+    * — clean_hash is md5 of the rebuilt (space-joined) token stream, the
+    * compact board-checkable witness of the rewrite (the full text
+    * rebuild is the same aggregate minus the md5).
+    *
+    * Scale shape: [[spanStats]] plus one keeper aggregate (struct-min
+    * per span hash — partial-aggregatable, hot spans cost one combiner
+    * cell) and the per-doc token rebuild (collect_list bounded by the
+    * document's own length, the windowDedup argument).
+    */
+  def spanMask(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
+               minDocs: Int = 2): DataFrame = {
+    val sp = spanShingles(df, textCol, idCol, k).localCheckpoint(true)
+    val dup = sp.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("shingle")
+    val occ = sp.join(dup, Seq("shingle"))
+    val keeper = occ.groupBy("shingle")
+      .agg(min(struct(col(idCol), col("pos"))).as("keeper"))
+    val maskedPos = occ.join(keeper, Seq("shingle"))
+      .filter(struct(col(idCol), col("pos")) =!= col("keeper"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
+      .distinct()
+    val kept = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("t", "tok")))
+      .join(maskedPos, Seq(idCol, "t"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok")))).as("clean_hash"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("masked_tokens"),
+        col("kept_tokens"),
+        // a fully-masked document rebuilds to the empty stream
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   /** MinHash signature column: for each of `numHashes` xxHash64 seeds, the
     * minimum hash over the document's shingles — one imperative aggregate
     * pass (graft.functions.MinHashAgg), not `numHashes` min() columns.

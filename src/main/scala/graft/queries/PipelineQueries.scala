@@ -43,6 +43,19 @@ object PipelineQueries {
     Dedup.windowDedup(docs(s, dir), "text", "doc_id", windowTokens = 16)
       .orderBy("doc_id")
 
+  /** Sliding span-duplication profile (see [[Dedup.spanStats]]): the
+    * boundary-insensitive complement of [[dedupWindows]]' tiling —
+    * portable md5-poly span hashes → full DuckDB oracle.
+    */
+  def dedupSpanStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStats(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** Keep-first span masking at sliding grain (see [[Dedup.spanMask]]). */
+  def dedupSpanMask(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanMask(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), "text", "doc_id", k = 8,
         threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
@@ -1798,6 +1811,36 @@ ORDER BY doc_id""")
     */
   private val shingleCte = "WITH " + shingleChainCtes("", "documents", Some(100))
 
+  /** POSITIONAL (non-distinct, sliding) 8-gram portable shingles — the
+    * SQL replay of `Dedup.spanShingles(k = 8)` (same md5-poly arithmetic
+    * as [[shingleChainCtes]], positions kept instead of distinct'd;
+    * range(1, n - 6) is empty below 8 tokens, matching the operator's
+    * no-spans-under-k rule). Defines `sp` (doc_id, pos, shingle), `occ`
+    * (occurrences of spans in ≥ 2 distinct docs) and `base` (per-doc
+    * token counts) — both span oracles derive from here (no-fork rule).
+    */
+  private val spanChainCtes: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       th AS (
+         SELECT doc_id, len(w) AS n,
+                list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
+         FROM toks),
+       spl AS (
+         SELECT doc_id,
+                list_transform(range(1, n - 6),
+                  i -> {'pos': i - 1,
+                        'sh': list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 7)),
+                              (a, b) -> (a * 31 + b) % 1000000007)}) AS sl
+         FROM th),
+       sp0 AS (SELECT doc_id, unnest(sl) AS u FROM spl),
+       sp AS (SELECT doc_id, u.pos AS pos, u.sh AS shingle FROM sp0),
+       dupsp AS (SELECT shingle FROM sp GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+       occ AS (SELECT s.doc_id, s.pos, s.shingle FROM sp s JOIN dupsp d ON s.shingle = d.shingle),
+       base AS (
+         SELECT doc_id, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+         FROM documents)"""
+
   /** The jaccard pair selection over `kept`/`sizes` — shared by the
     * full-corpus oracle and the bounded-subset fidelity eval (no-fork).
     */
@@ -2931,6 +2974,46 @@ ORDER BY doc_id""")
               COALESCE(array_to_string(list(w.wtext ORDER BY w.widx) FILTER (WHERE w.doc_id*1048576+w.widx = f.kk), ' '), '') AS clean_text
        FROM wins w JOIN keeper f ON w.wtext = f.wtext
        GROUP BY w.doc_id ORDER BY doc_id""",
+    "dedup_span_stats" -> (spanChainCtes +
+      """,
+         spc AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY doc_id),
+         cov0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM occ),
+         cov AS (SELECT DISTINCT doc_id, t FROM cov0),
+         covc AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+       SELECT b.doc_id, b.n_tokens,
+              CAST(COALESCE(s.dup_spans, 0) AS BIGINT) AS dup_spans,
+              CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_fraction
+       FROM base b LEFT JOIN spc s ON s.doc_id = b.doc_id
+                   LEFT JOIN covc c ON c.doc_id = b.doc_id
+       ORDER BY b.doc_id"""),
+    "dedup_span_mask" -> (spanChainCtes +
+      // keeper = first global occurrence by (doc_id, pos); the combined
+      // BIGINT key doc_id*2^20+pos mirrors the Scala struct-min (pos <
+      // 2^20 holds for any test doc; the operator itself has no bound —
+      // the dedup_windows convention)
+      """,
+         keeper AS (SELECT shingle, min(doc_id * 1048576 + pos) AS kk FROM occ GROUP BY shingle),
+         mocc AS (SELECT o.doc_id, o.pos FROM occ o JOIN keeper k ON o.shingle = k.shingle
+                  WHERE o.doc_id * 1048576 + o.pos <> k.kk),
+         mpos0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM mocc),
+         mpos AS (SELECT DISTINCT doc_id, t FROM mpos0),
+         wtl AS (SELECT doc_id, list_transform(range(len(w)), i -> {'t': i, 'tok': w[i + 1]}) AS l
+                 FROM toks),
+         wt0 AS (SELECT doc_id, unnest(l) AS u FROM wtl),
+         wt AS (SELECT doc_id, u.t AS t, u.tok AS tok FROM wt0),
+         keptt AS (SELECT w.doc_id, w.t, w.tok FROM wt w
+                   LEFT JOIN mpos m ON m.doc_id = w.doc_id AND m.t = w.t
+                   WHERE m.doc_id IS NULL),
+         reb AS (SELECT doc_id, count(*) AS kept_tokens,
+                        md5(string_agg(tok, ' ' ORDER BY t)) AS clean_hash
+                 FROM keptt GROUP BY doc_id)
+       SELECT b.doc_id, b.n_tokens,
+              CAST(b.n_tokens - COALESCE(r.kept_tokens, 0) AS BIGINT) AS masked_tokens,
+              CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              COALESCE(r.clean_hash, md5('')) AS clean_hash
+       FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
+       ORDER BY b.doc_id"""),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
@@ -4905,6 +4988,8 @@ ORDER BY doc_id""")
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_windows" -> (dedupWindows _),
+    "dedup_span_stats" -> (dedupSpanStats _),
+    "dedup_span_mask" -> (dedupSpanMask _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_eval_lsh" -> (dedupEvalLsh _),
     "dedup_eval_simhash" -> (dedupEvalSimhash _),

@@ -83,6 +83,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r(3) == ((13L, 1L, 1L, "x y z")))                 // short doc intact
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("span stats/mask: phase-shifted duplicated span that window tiling misses") {
+    // docs 20/21 share a 10-token span at DIFFERENT offsets (3 vs 5) —
+    // no 16-token tiling window repeats (each doc is one unique window),
+    // but the sliding 8-gram stream sees 3 shared spans covering all 10
+    // shared tokens. Docs 23/24 are identical but SHORTER than k: span
+    // grain emits nothing for them (doc-grain dedup owns them).
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = Seq(
+      (20L, s"p1 p2 p3 $span"),
+      (21L, s"q1 q2 q3 q4 q5 $span"),
+      (22L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+      (23L, "tiny little doc"),
+      (24L, "tiny little doc")).toDF("doc_id", "text")
+    // the tiling gap this operator exists to close: windowDedup(16) sees
+    // nothing to drop on 20/21
+    val w = Dedup.windowDedup(d.filter(col("doc_id") < 22L), "text", "doc_id",
+        windowTokens = 16).orderBy("doc_id")
+      .select("n_windows", "n_kept").as[(Long, Long)].collect()
+    assert(w.forall { case (n, kept) => n == kept })
+    val stats = Dedup.spanStats(d, "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_fraction")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(stats(0) == ((20L, 13L, 3L, 10L, 0.769231)))
+    assert(stats(1) == ((21L, 15L, 3L, 10L, 0.666667)))
+    assert(stats(2) == ((22L, 12L, 0L, 0L, 0.0)))
+    assert(stats(3) == ((23L, 3L, 0L, 0L, 0.0))) // below k: no spans
+    assert(stats(4) == ((24L, 3L, 0L, 0L, 0.0)))
+    val mask = Dedup.spanMask(d, "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "masked_tokens", "kept_tokens", "clean_hash")
+      .as[(Long, Long, Long, String)].collect()
+    // keeper = doc 20 (first by id): untouched; doc 21 loses the span
+    assert(mask(0) == ((20L, 0L, 13L, md5hex(s"p1 p2 p3 $span"))))
+    assert(mask(1) == ((21L, 10L, 5L, md5hex("q1 q2 q3 q4 q5"))))
+    assert(mask(2)._2 == 0L && mask(3)._2 == 0L && mask(4)._2 == 0L)
+    assert(mask(3)._4 == md5hex("tiny little doc"))
+  }
+
+  test("span mask: self-repeat of a cross-doc span masks non-keeper copies in the keeper doc too") {
+    // the span appears twice in doc 30 and once in doc 31; keeper is
+    // (30, 0) — doc 30's SECOND copy and doc 31's copy both mask
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val d = Seq(
+      (30L, s"$span m1 m2 $span"),
+      (31L, s"z1 z2 z3 $span"),
+      (32L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text")
+    val mask = Dedup.spanMask(d, "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "masked_tokens", "kept_tokens", "clean_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(mask(0) == ((30L, 18L, 8L, 10L, md5hex(s"$span m1 m2"))))
+    assert(mask(1) == ((31L, 11L, 8L, 3L, md5hex("z1 z2 z3"))))
+    assert(mask(2)._3 == 0L)
+  }
+
   test("minhash LSH candidates cover what exact jaccard confirms") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", k = 3, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
