@@ -384,13 +384,22 @@ object Retrieval {
     * in `meta`; later appends and every consolidation inherit the
     * pinned rate (an index operated at 1e-6 must not degrade to a
     * caller's default through one compaction).
+    *
+    * `idRange` (exact mode only): when the caller KNOWS the batch's ids
+    * fall inside [lo, hi] — e.g. RetrievePipeline's packed chunk ids —
+    * the committed-id read is between()-filtered to that window, which
+    * is exact (an id outside the window cannot collide) and prunes the
+    * scan to the overlapping parquet row groups: the exact guard stops
+    * tracking corpus size without taking the bloom's false-positive
+    * trade. Ignored in bloom mode (the blooms are already O(1) probes).
     */
   def appendBm25Incremental(spark: org.apache.spark.sql.SparkSession,
                             dir: String, docs: DataFrame, textCol: String,
                             idCol: String = "doc_id",
                             idGuard: String = "exact",
                             bloomFpp: Double = 1e-4,
-                            bloomBudget: Double = 1e-2): Long = {
+                            bloomBudget: Double = 1e-2,
+                            idRange: Option[(Long, Long)] = None): Long = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -452,9 +461,23 @@ object Retrieval {
         // new doc at ~fpp per uncompacted ingest (the documented trade)
         val fresh = udf((h: Long) => !bloomsB.value.exists(_.mightContainLong(h)))
         incoming0.filter(fresh(xxhash64(col(idCol).cast("string"))))
-      } else incoming0.join(
-        spark.read.parquet(committed.map(k => s"$dir/doc_len/ingest=$k"): _*)
-          .select(col(idCol)), Seq(idCol), "left_anti")
+      } else {
+        // exact anti-join, optionally RANGE-PRUNED to the batch's own id
+        // window: a committed id outside [lo, hi] cannot equal a batch
+        // id inside it, so the between() is exact and reaches the
+        // parquet row-group stats — the read tracks the row groups the
+        // batch's window overlaps, not the corpus (the
+        // RetrievePipeline.append packed-chunk-id argument)
+        val committedIds = spark.read
+          .parquet(committed.map(k => s"$dir/doc_len/ingest=$k"): _*)
+          .select(col(idCol))
+        val pruned = idRange match {
+          case Some((lo, hi)) =>
+            committedIds.filter(col(idCol).between(lo, hi))
+          case None => committedIds
+        }
+        incoming0.join(pruned, Seq(idCol), "left_anti")
+      }
     // one postings pass feeds all four tables — pin it (batch-sized)
     val post = postings(incoming, textCol, idCol).localCheckpoint(true)
     val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))

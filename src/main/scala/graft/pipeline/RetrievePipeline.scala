@@ -366,12 +366,15 @@ object RetrievePipeline {
     *    math once #parts × fpp crosses it; [[compact]] folds the
     *    blooms back to one). The fpp is pinned in the build's meta.
     *
-    * The vector/ANN anti-joins stay EXACT in both modes — their job is
-    * crash-replay CONVERGENCE (completing exactly the rows a crashed
-    * window left missing), and a bloom false positive there would
-    * permanently hole one artifact while its siblings carry the row —
-    * but they too are range-pruned to the batch's chunk-id window, so
-    * their cost tracks the row groups the batch's id range overlaps,
+    * The BM25, vector and ANN per-leg guards stay EXACT in both modes —
+    * downstream of the doc gate their job is crash-replay CONVERGENCE
+    * (completing exactly the rows a crashed window left missing), and a
+    * bloom false positive in any ONE of them would permanently hole
+    * that artifact while its siblings carry the row, breaking the
+    * gate's all-or-nothing contract (ProbeAppend caught exactly this
+    * when the BM25 leg briefly inherited the stack's bloom mode) — but
+    * all three are range-pruned to the batch's packed chunk-id window,
+    * so their cost tracks the row groups the batch's id range overlaps,
     * not the corpus.
     */
   def append(docs: DataFrame, textCol: String, idCol: String,
@@ -454,10 +457,19 @@ object RetrievePipeline {
     require(stats.getLong(1) < (1L << ChunkBits),
       s"chunk_idx ${stats.getLong(1)} overflows the ${ChunkBits}-bit chunk " +
         "id space — raise chunkTokens/stride or widen ChunkBits")
-    // 1. BM25 leg — its own K2 guard (same idGuard; its blooms exist
-    // from the build's first ingest on) makes a replay a no-op
+    // 1. BM25 leg — its own K2 guard makes a replay a no-op. The guard
+    // stays EXACT in both stack modes (range-pruned to the batch's
+    // chunk-id window like the vector/ANN legs): inside `append` its
+    // job is crash-replay CONVERGENCE, and a bloom false positive here
+    // would hole ONE artifact while the siblings carry the chunk —
+    // breaking the "all four artifacts consistently" contract the
+    // upstream doc gate provides (observed live by ProbeAppend: one
+    // bm25-only chunk drop at 200k docs). The bloom trade belongs at
+    // the doc gate above and in standalone bm25Ingest feeds, where a
+    // drop is at least stack-consistent.
     val bm25Chunks = Retrieval.appendBm25Incremental(spark, s"$dir/bm25",
-      chunks, "chunk_text", "chunk_id", idGuard, bloomBudget = bloomBudget)
+      chunks, "chunk_text", "chunk_id", idGuard = "exact",
+      bloomBudget = bloomBudget, idRange = Some((loChunk, hiChunk)))
     // 2+3. vector store and ANN index, each guarded by its OWN id-level
     // anti-join (after a crash they can disagree on what landed; each
     // append completes exactly its missing rows) — range-pruned to the
