@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted span-duplication store — the INCREMENTAL face of
+  * [[Dedup.spanStats]], for the continuous-ingestion shape where
+  * re-profiling the whole corpus per batch is a non-starter: a live feed
+  * asks "which of THIS batch's k-token spans already exist in the corpus
+  * (or repeat within the batch)?" against an artifact that grows in
+  * O(batch) per drain.
+  *
+  * Layout at `dir` (the incremental-BM25 ingest-marker protocol —
+  * unmarked partition dirs are invisible to every reader, so a crashed
+  * append is a clean replay):
+  *
+  *   meta                      (id_col, k) — frozen at the first ingest
+  *   span_docs/ingest=<key>/   (shingle, n_docs) partials: distinct-doc
+  *                             counts per span hash. Ingests partition
+  *                             the doc space (the K2 gate below), so the
+  *                             corpus-wide distinct-doc count is the SUM
+  *                             of partials — the doc_freq argument.
+  *   doc_ids/ingest=<key>/     committed doc ids (the K2 gate set)
+  *   _commits/<key>            commit marker, written LAST
+  *
+  * Scale shape: [[append]] gates the batch against committed ids
+  * (range-pruned to the batch's own id window — exact for any ordered id
+  * type, pushed to parquet row-group stats), then writes ONE
+  * vocabulary-sized partial; nothing rewrites. [[probe]] reads committed
+  * partials PRUNED to the batch's span vocabulary (a broadcast semi-join
+  * — point lookups, not a history scan) and is otherwise the
+  * [[Dedup.spanStats]] tail over the batch. [[compact]] bounds the
+  * partition count (the SketchStore concern). [[forget]] is EXACT given
+  * the retracted docs' ingested TEXT (their span counts recompute and
+  * decrement precisely); by ids alone it is impossible BY NATURE — the
+  * store is an aggregate, a bare id cannot reveal which counts it
+  * contributed to (the SketchStore non-invertibility note, except here
+  * the inverse exists whenever the caller still holds the text, which a
+  * takedown feed does).
+  *
+  * Single-writer, like every graft maintenance operator (lease at the
+  * streaming layer).
+  */
+object SpanStore {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (String, Int) = {
+    val row = spark.read.parquet(s"$dir/meta").head()
+    (row.getString(0), row.getInt(1))
+  }
+
+  /** The batch's per-shingle distinct-doc partial. */
+  private def partialOf(sp: DataFrame, idCol: String): DataFrame =
+    sp.select(col("shingle"), col(idCol)).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+
+  /** Ingest a batch: docs whose id is already committed are dropped (K2
+    * idempotent-append semantics), the rest commit as one marked ingest
+    * partition set. Returns docs admitted. The committed-id gate is
+    * range-pruned to the batch's own [min, max] id window — exact for
+    * any ordered id type (an id outside the window cannot collide) and
+    * pushed to parquet row-group stats, so the gate's read tracks the
+    * overlapping row groups, not the corpus (the RetrievePipeline.append
+    * argument).
+    */
+  def append(spark: SparkSession, dir: String, docs: DataFrame,
+             textCol: String, idCol: String = "doc_id", k: Int = 8): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    if (committed.nonEmpty) {
+      val (storedId, storedK) = readMeta(spark, dir)
+      require(storedId == idCol && storedK == k,
+        s"SpanStore.append: store at $dir is keyed ($storedId, k=$storedK), " +
+          s"got ($idCol, k=$k) — span hashes across k values do not mix")
+    }
+    // sweep orphans a crashed append may have stranded (an interleaved
+    // successful commit bumps the generation, so a retry writes a NEW
+    // key; unmarked dirs are invisible to readers — deleting them is
+    // race-free under the single-writer contract)
+    Seq("span_docs", "doc_ids").foreach { t =>
+      val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (fs.exists(tdir))
+        fs.listStatus(tdir).map(_.getPath)
+          .filter(p => p.getName.startsWith("ingest=") &&
+            !committed.contains(p.getName.stripPrefix("ingest=")))
+          .foreach(p => fs.delete(p, true))
+    }
+    val incoming0 = docs.select(col(idCol), col(textCol))
+    val incoming =
+      if (committed.isEmpty) incoming0
+      else {
+        val w = incoming0.agg(min(col(idCol)), max(col(idCol))).head()
+        if (w.isNullAt(0)) return 0L
+        val gate = spark.read
+          .parquet(committed.map(c => s"$dir/doc_ids/ingest=$c"): _*)
+          .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1))))
+        incoming0.join(gate, Seq(idCol), "left_anti")
+      }
+    // one shingle pass feeds the partial AND the id/content stats
+    val sp = Dedup.spanShingles(incoming, textCol, idCol, k)
+    val admittedIds = incoming.select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val stats = admittedIds
+      .agg(count(lit(1)),
+        format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
+      .head()
+    val admitted = stats.getLong(0)
+    if (admitted == 0L) return 0L
+    // deterministic commit key: same batch content + same generation →
+    // same key, so a crashed append's retry overwrites its own orphan
+    val key = s"i${committed.length}_${stats.getString(1).take(12)}"
+    partialOf(sp, idCol).write.mode("overwrite")
+      .parquet(s"$dir/span_docs/ingest=$key")
+    admittedIds.write.mode("overwrite").parquet(s"$dir/doc_ids/ingest=$key")
+    if (committed.isEmpty) {
+      import spark.implicits._
+      Seq((idCol, k)).toDF("id_col", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$key"), true)
+      .close()
+    admitted
+  }
+
+  /** [[Dedup.spanStats]] for a BATCH against committed ∪ batch: a span
+    * is duplicated when its distinct-doc count across the committed
+    * store PLUS this batch reaches `minDocs` — with the union taken at
+    * DOC grain, so a batch doc that is already committed (a replayed
+    * batch) counts once, and probing a batch before or after its own
+    * ingest is value-identical. Output rows cover the batch's docs
+    * only, schema identical to spanStats. Committed partials are read
+    * pruned to the batch's span vocabulary (broadcast semi-join —
+    * batch-sized, 8-byte hashes). The plan captures the committed
+    * ingest list at CONSTRUCTION time, so probing before an [[append]]
+    * of the same batch stays correct even when the returned frame
+    * executes after it.
+    */
+  def probe(spark: SparkSession, dir: String, batch: DataFrame,
+            textCol: String, idCol: String = "doc_id", k: Int = 8,
+            minDocs: Int = 2): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    if (committed.nonEmpty) {
+      val (storedId, storedK) = readMeta(spark, dir)
+      require(storedId == idCol && storedK == k,
+        s"SpanStore.probe: store at $dir is keyed ($storedId, k=$storedK), " +
+          s"got ($idCol, k=$k)")
+    }
+    // feeds the vocabulary, the batch partial and the occurrence join —
+    // eager localCheckpoint (the ngramJaccard reclaim argument)
+    val sp = Dedup.spanShingles(batch, textCol, idCol, k)
+      .localCheckpoint(true)
+    val batchCnt = partialOf(sp, idCol)
+    val totalCnt =
+      if (committed.isEmpty) batchCnt
+      else {
+        val committedCnt = spark.read
+          .parquet(committed.map(c => s"$dir/span_docs/ingest=$c"): _*)
+          .join(broadcast(sp.select(col("shingle")).distinct()),
+            Seq("shingle"), "left_semi")
+          .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
+        // committed ∪ batch is a union at DOC grain: a batch doc already
+        // committed (a replayed batch, or the replayed docs of a mixed
+        // one) must count ONCE, not once per side — otherwise a replay
+        // reads as 100% duplicated. Subtract the overlap docs' own span
+        // partial from the committed side (recomputed from the batch
+        // text — exact under the store's id-immutability contract, the
+        // same contract forget's drift guard enforces); committed minus
+        // its own contribution can never go negative. For a live feed
+        // the overlap is empty and this costs one range-pruned doc_ids
+        // probe.
+        val w = batch.agg(min(col(idCol)), max(col(idCol))).head()
+        val overlap = batch.select(col(idCol), col(textCol)).join(
+          spark.read.parquet(committed.map(c => s"$dir/doc_ids/ingest=$c"): _*)
+            .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1)))),
+          Seq(idCol), "left_semi")
+        val overlapCnt = partialOf(
+            Dedup.spanShingles(overlap, textCol, idCol, k), idCol)
+          .withColumnRenamed("n_docs", "n_over")
+        val committedAdj = committedCnt
+          .join(overlapCnt, Seq("shingle"), "left")
+          .select(col("shingle"),
+            (col("n_docs") - coalesce(col("n_over"), lit(0L))).as("n_docs"))
+        batchCnt.unionByName(committedAdj)
+          .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
+      }
+    val dup = totalCnt.filter(col("n_docs") >= minDocs).select("shingle")
+    val occ = sp.join(dup, Seq("shingle"))
+    val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
+    val covered = occ
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
+    batch.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_spans", "dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Fold the per-append ingest partitions into ONE retained partition
+    * set (contents unchanged — the partition-count bound a long-lived
+    * ingest needs). Returns (ingests before, after).
+    */
+  def compact(spark: SparkSession, dir: String): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    StoreProtocol.heal(fs, root)
+    val before = committedKeys(fs, root).length
+    if (before <= 1) return (before, before)
+    consolidate(spark, dir, None)
+    (before, 1)
+  }
+
+  /** Retract documents: their span counts decrement EXACTLY (recomputed
+    * from `retracted`'s text — which must be the text as ingested; a
+    * drifted text fails loudly below rather than corrupting counts),
+    * their ids leave the K2 gate set (so forget lifts the re-admission
+    * veto — the Warehouse.forget contract), and everything consolidates
+    * into one retained ingest via the whole-directory swap. `retracted`
+    * carries (idCol, textCol); ids never ingested are ignored. Returns
+    * docs removed.
+    */
+  def forget(spark: SparkSession, dir: String, retracted: DataFrame,
+             textCol: String, idCol: String = "doc_id"): Long =
+    consolidate(spark, dir,
+      Some(retracted.select(col(idCol), col(textCol))))
+
+  private def consolidate(spark: SparkSession, dir: String,
+                          drop: Option[DataFrame]): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    if (committed.isEmpty) return 0L
+    val (idCol, k) = readMeta(spark, dir)
+    def table(t: String) =
+      spark.read.parquet(committed.map(c => s"$dir/$t/ingest=$c"): _*)
+    val summed = table("span_docs")
+      .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
+    // only docs actually committed decrement (a takedown list routinely
+    // carries ids this store never ingested)
+    val gated = drop.map(_.join(table("doc_ids"), Seq(idCol), "left_semi")
+      .localCheckpoint(true))
+    val removed = gated.map(_.select(col(idCol)).distinct().count())
+      .getOrElse(0L)
+    if (drop.isDefined && removed == 0L) return 0L
+    val merged = gated match {
+      case Some(g) =>
+        val dec = partialOf(
+          Dedup.spanShingles(g, g.columns.filterNot(_ == idCol).head, idCol, k),
+          idCol).withColumnRenamed("n_docs", "n_dec")
+        // FULL outer: a decrement against an absent shingle must surface
+        // as a negative, not vanish — that is drift shape #2 (a left join
+        // would silently keep the real spans' counts while the phantom
+        // decrements disappear)
+        val after = summed.join(dec, Seq("shingle"), "full_outer")
+          .select(col("shingle"),
+            (coalesce(col("n_docs"), lit(0L))
+              - coalesce(col("n_dec"), lit(0L))).as("n_docs"))
+          .localCheckpoint(true)
+        // exactness guard: a negative survivor count means the retraction
+        // text is NOT the text as ingested (its spans either exceed the
+        // committed counts or never existed) — fail loudly, a silent
+        // clamp would leave every other count for those spans wrong too.
+        // Drift whose span hashes happen to coincide with sufficiently-
+        // counted committed spans is undetectable at hash grain — the
+        // guard is best-effort by nature, exact in the common case.
+        val negs = after.filter(col("n_docs") < 0).count()
+        require(negs == 0L,
+          s"SpanStore.forget: $negs span counts went negative — the " +
+            "retraction frame's text differs from the text as ingested; " +
+            "counts cannot decrement exactly")
+        after.filter(col("n_docs") > 0)
+      case None => summed
+    }
+    val survivorIds = gated match {
+      case Some(g) =>
+        table("doc_ids").join(g.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => table("doc_ids")
+    }
+    val stats = survivorIds
+      .agg(count(lit(1)),
+        format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
+      .head()
+    val survivors = stats.getLong(0)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__consolidate")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp) // all-retracted leaves it empty: the swap un-commits
+    if (survivors > 0L) {
+      val key = s"r${committed.length}_${stats.getString(1).take(12)}"
+      merged.write.mode("overwrite").parquet(s"$tmp/span_docs/ingest=$key")
+      survivorIds.write.mode("overwrite").parquet(s"$tmp/doc_ids/ingest=$key")
+      spark.read.parquet(s"$dir/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)
+        .close()
+    }
+    StoreProtocol.swapInto(fs, tmp, root, "SpanStore.consolidate")
+    removed
+  }
+}

@@ -56,6 +56,30 @@ object PipelineQueries {
     Dedup.spanMask(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Incremental span dedup against a PERSISTED store (see
+    * [[graft.operators.SpanStore]]): the even half ingests once, the odd
+    * half probes (duplication counted across committed ∪ batch) and then
+    * grows the store in O(batch). Probing before ingesting makes the
+    * oracle exact: committed ∪ batch = the whole corpus, so the result
+    * is [[dedupSpanStats]]' formula restricted to the odd docs — the
+    * same shared CTE chain with one WHERE (no-fork rule).
+    */
+  def dedupSpanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val store = java.nio.file.Files.createTempDirectory("graft_span_st").toString
+    graft.operators.SpanStore.append(s, store,
+      all.filter(col("doc_id") % 2 === 0), "text", "doc_id", k = 8)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    val stats = graft.operators.SpanStore.probe(s, store, batch,
+      "text", "doc_id", k = 8, minDocs = 2).localCheckpoint(true)
+    // the growth path itself runs in-query (admitted count checked so a
+    // silently-empty ingest can never pass green), output is the probe
+    val admitted = graft.operators.SpanStore.append(s, store, batch,
+      "text", "doc_id", k = 8)
+    require(admitted > 0L, s"span store ingest admitted $admitted docs")
+    stats.orderBy("doc_id")
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), "text", "doc_id", k = 8,
         threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
@@ -1841,6 +1865,27 @@ ORDER BY doc_id""")
          SELECT doc_id, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
          FROM documents)"""
 
+  /** The per-doc span-duplication stats tail over `occ`/`base` — shared
+    * by the full-corpus oracle and the incremental-store oracle (which
+    * restricts OUTPUT rows to the batch half while duplication stays
+    * counted over all docs — exactly SpanStore.probe's committed ∪ batch
+    * semantics when the batch is probed before its own ingest).
+    */
+  private def spanStatsTailSql(where: String): String =
+    s""",
+         spc AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY doc_id),
+         cov0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM occ),
+         cov AS (SELECT DISTINCT doc_id, t FROM cov0),
+         covc AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+       SELECT b.doc_id, b.n_tokens,
+              CAST(COALESCE(s.dup_spans, 0) AS BIGINT) AS dup_spans,
+              CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_fraction
+       FROM base b LEFT JOIN spc s ON s.doc_id = b.doc_id
+                   LEFT JOIN covc c ON c.doc_id = b.doc_id
+       $where
+       ORDER BY b.doc_id"""
+
   /** The jaccard pair selection over `kept`/`sizes` — shared by the
     * full-corpus oracle and the bounded-subset fidelity eval (no-fork).
     */
@@ -2974,19 +3019,9 @@ ORDER BY doc_id""")
               COALESCE(array_to_string(list(w.wtext ORDER BY w.widx) FILTER (WHERE w.doc_id*1048576+w.widx = f.kk), ' '), '') AS clean_text
        FROM wins w JOIN keeper f ON w.wtext = f.wtext
        GROUP BY w.doc_id ORDER BY doc_id""",
-    "dedup_span_stats" -> (spanChainCtes +
-      """,
-         spc AS (SELECT doc_id, count(*) AS dup_spans FROM occ GROUP BY doc_id),
-         cov0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM occ),
-         cov AS (SELECT DISTINCT doc_id, t FROM cov0),
-         covc AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
-       SELECT b.doc_id, b.n_tokens,
-              CAST(COALESCE(s.dup_spans, 0) AS BIGINT) AS dup_spans,
-              CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-              round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_fraction
-       FROM base b LEFT JOIN spc s ON s.doc_id = b.doc_id
-                   LEFT JOIN covc c ON c.doc_id = b.doc_id
-       ORDER BY b.doc_id"""),
+    "dedup_span_stats" -> (spanChainCtes + spanStatsTailSql("")),
+    "dedup_span_incremental" ->
+      (spanChainCtes + spanStatsTailSql("WHERE b.doc_id % 2 = 1")),
     "dedup_span_mask" -> (spanChainCtes +
       // keeper = first global occurrence by (doc_id, pos); the combined
       // BIGINT key doc_id*2^20+pos mirrors the Scala struct-min (pos <
@@ -4990,6 +5025,7 @@ ORDER BY doc_id""")
     "dedup_windows" -> (dedupWindows _),
     "dedup_span_stats" -> (dedupSpanStats _),
     "dedup_span_mask" -> (dedupSpanMask _),
+    "dedup_span_incremental" -> (dedupSpanIncremental _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_eval_lsh" -> (dedupEvalLsh _),
     "dedup_eval_simhash" -> (dedupEvalSimhash _),

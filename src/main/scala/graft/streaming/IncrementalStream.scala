@@ -942,6 +942,72 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming SPAN-DUPLICATION ingestion — the persisted span store
+    * ([[graft.operators.SpanStore]]) wired into the lifecycle, next to
+    * [[bm25Ingest]]: every micro-batch is first PROBED against
+    * committed ∪ batch (per-doc dup_spans/dup_tokens/dup_fraction — the
+    * span-grain quality signal, written effectively-once under
+    * `statsDir/batch=<id>` so a downstream gate can route on it), then
+    * ingested as one marked O(batch) partial; every `compactEvery`
+    * batches the partials fold to one inside the foreachBatch
+    * single-writer window. Probe-before-append is what makes the stats
+    * incremental-exact: the batch's own docs count toward duplication
+    * exactly once (SpanStore.probe's committed ∪ batch contract).
+    *
+    * Idempotency: the store's K2 gate drops committed ids, so a
+    * re-delivered batch admits nothing — but its PROBE now counts those
+    * docs on the committed side instead of the batch side, the same
+    * total, so the overwrite-by-batchId stats rewrite is value-identical
+    * (spec-pinned). Single-writer enforced per batch
+    * (`<storeDir>__lease`); `warehouse`+`auditTable` buy the
+    * (run, batch_id, store, offered, admitted) growth audit. Retraction:
+    * [[graft.operators.SpanStore.forget]] needs the retracted docs'
+    * TEXT (the store is an aggregate — see its scaladoc), so span-store
+    * takedowns run off the text-bearing doc feed directly rather than
+    * the id-only [[retractionIngest]] lane.
+    */
+  def spanIngest(stream: DataFrame, storeDir: String, checkpointDir: String,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 k: Int = 8, minDocs: Int = 2,
+                 statsDir: Option[String] = None,
+                 compactEvery: Int = 0,
+                 warehouse: Option[Warehouse] = None,
+                 auditTable: Option[String] = None): StreamingQuery = {
+    require(auditTable.isEmpty || warehouse.nonEmpty,
+      "spanIngest: auditTable requires a warehouse to write it to")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val runKey = auditRunKey(sp, checkpointDir)
+        graft.operators.Lease.withLease(sp, storeDir, s"span:$runKey") {
+          if (!batch.isEmpty) {
+            val offered = batch.count() // micro-batch-sized
+            statsDir.foreach { sd =>
+              graft.operators.SpanStore.probe(sp, storeDir, batch,
+                  textCol, idCol, k, minDocs)
+                .write.mode("overwrite").parquet(s"$sd/batch=$batchId")
+            }
+            val admitted = graft.operators.SpanStore.append(sp, storeDir,
+              batch, textCol, idCol, k)
+            auditTable.foreach { at =>
+              import sp.implicits._
+              warehouse.foreach(_.idempotentAppend(at,
+                Seq((runKey, batchId, s"span:$storeDir", offered, admitted))
+                  .toDF("run", "batch_id", "store", "offered_count",
+                    "admitted_count"),
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
+            }
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.SpanStore.compact(sp, storeDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media
     * rows (doc_id, payload, media_type, byte_len) decodes partition-

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SpanStore}
+
+/** Lifecycle of the persisted span-duplication store: incremental probe ≡
+  * full-corpus spanStats, K2 replay, compaction invariance, exact
+  * text-bearing forget (and its loud failure on drifted text), and the
+  * ingest-marker crash protocol.
+  */
+class SpanStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_spanstore_t").toString
+
+  private val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+  // corpus doc 1 and batch doc 11 share the span (cross-side dup);
+  // batch docs 12/13 share another span only WITHIN the batch;
+  // doc 14 is unique; doc 15 is below k (no spans)
+  private val corpus = Seq(
+    (1L, s"p1 p2 p3 $span"),
+    (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+  private val bspan = "b1 b2 b3 b4 b5 b6 b7 b8"
+  private val batch = Seq(
+    (11L, s"q1 q2 $span"),
+    (12L, s"x1 $bspan"),
+    (13L, s"y1 y2 $bspan"),
+    (14L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    (15L, "tiny doc")).toDF("doc_id", "text")
+
+  private def probeRows(dir: String) =
+    SpanStore.probe(spark, dir, batch, "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+
+  // duplication across committed ∪ batch: doc 11's 3 span windows dup
+  // against doc 1; 12/13's single bspan window dups within the batch
+  private val expected = Seq((11L, 3L, 10L), (12L, 1L, 8L),
+    (13L, 1L, 8L), (14L, 0L, 0L), (15L, 0L, 0L))
+
+  test("probe counts duplication across committed AND within the batch; matches full-corpus stats") {
+    val dir = tmp()
+    assert(SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8) == 2L)
+    assert(probeRows(dir) == expected)
+    // the oracle identity the board query leans on: probe(batch) before
+    // its ingest ≡ spanStats over corpus ∪ batch restricted to batch docs
+    val full = Dedup.spanStats(corpus.unionByName(batch), "text", "doc_id",
+        k = 8, minDocs = 2)
+      .filter(col("doc_id") >= 11L).orderBy("doc_id")
+      .select("doc_id", "dup_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(full == expected)
+  }
+
+  test("K2 replay: re-appending an ingested batch admits nothing and changes nothing") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    // doc 15 (below k) emits no spans but still occupies the gate:
+    // admitted counts DOCS, and a replayed short doc must not re-admit
+    assert(SpanStore.append(spark, dir, batch, "text", "doc_id", k = 8) == 5L)
+    assert(SpanStore.append(spark, dir, batch, "text", "doc_id", k = 8) == 0L)
+    // a fresh doc among replayed ones admits alone
+    val mixed = batch.unionByName(Seq((16L, s"z1 z2 z3 $bspan")).toDF("doc_id", "text"))
+    assert(SpanStore.append(spark, dir, mixed, "text", "doc_id", k = 8) == 1L)
+  }
+
+  test("probe is value-identical before and after the batch's own ingest (doc-grain union)") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    val before = probeRows(dir)
+    SpanStore.append(spark, dir, batch, "text", "doc_id", k = 8)
+    // the batch now sits on the committed side too; a naive two-sided
+    // count would read every batch span as duplicated — the doc-grain
+    // union must keep the probe unchanged
+    assert(probeRows(dir) == before)
+    assert(before == expected)
+  }
+
+  test("compact folds ingests to one; probe result identical") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus.filter(col("doc_id") === 1L),
+      "text", "doc_id", k = 8)
+    SpanStore.append(spark, dir, corpus.filter(col("doc_id") === 2L),
+      "text", "doc_id", k = 8)
+    val before = probeRows(dir)
+    assert(SpanStore.compact(spark, dir) == ((2, 1)))
+    assert(probeRows(dir) == before)
+    assert(before == expected)
+  }
+
+  test("forget with the ingested text decrements exactly and lifts the re-admission veto") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    assert(SpanStore.forget(spark, dir,
+      corpus.filter(col("doc_id") === 1L), "text", "doc_id") == 1L)
+    // doc 1 gone: doc 11's span no longer dups against the store (but
+    // 12/13's within-batch dup is untouched)
+    assert(probeRows(dir) == Seq((11L, 0L, 0L), (12L, 1L, 8L),
+      (13L, 1L, 8L), (14L, 0L, 0L), (15L, 0L, 0L)))
+    // the veto is lifted: doc 1 re-admits
+    assert(SpanStore.append(spark, dir,
+      corpus.filter(col("doc_id") === 1L), "text", "doc_id", k = 8) == 1L)
+    assert(probeRows(dir) == expected)
+    // ids never ingested are ignored
+    assert(SpanStore.forget(spark, dir,
+      Seq((99L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text"),
+      "text", "doc_id") == 0L)
+  }
+
+  test("forget with drifted text fails loudly instead of corrupting counts") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    val drifted = Seq((1L, "totally different text a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.forget(spark, dir, drifted, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
+  test("forgetting every doc un-commits the store; a fresh append rebuilds it") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    assert(SpanStore.forget(spark, dir, corpus, "text", "doc_id") == 2L)
+    // empty store: batch dups only within itself
+    assert(probeRows(dir) == Seq((11L, 0L, 0L), (12L, 1L, 8L),
+      (13L, 1L, 8L), (14L, 0L, 0L), (15L, 0L, 0L)))
+    assert(SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8) == 2L)
+    assert(probeRows(dir) == expected)
+  }
+
+  test("unmarked ingest partitions are invisible and swept by the next append") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    // simulate a crash between the partition writes and the marker
+    Seq((7L, s"k1 k2 $span")).toDF("doc_id", "text")
+      .createOrReplaceTempView("orphan_src")
+    spark.sql("SELECT doc_id FROM orphan_src").write.mode("overwrite")
+      .parquet(s"$dir/doc_ids/ingest=i9_deadbeef")
+    Dedup.spanShingles(spark.table("orphan_src"), "text", "doc_id", 8)
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/span_docs/ingest=i9_deadbeef")
+    // invisible to the probe (counts unchanged) ...
+    assert(probeRows(dir) == expected)
+    // ... and the next append sweeps it, then admits the doc for real
+    assert(SpanStore.append(spark, dir, spark.table("orphan_src"),
+      "text", "doc_id", k = 8) == 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/doc_ids/ingest=i9_deadbeef")))
+  }
+
+  test("k / id-column mismatches refuse loudly") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
+    assert(intercept[IllegalArgumentException] {
+      SpanStore.append(spark, dir, batch, "text", "doc_id", k = 6)
+    }.getMessage.contains("k=8"))
+    assert(intercept[IllegalArgumentException] {
+      SpanStore.probe(spark, dir, batch.withColumnRenamed("doc_id", "id"),
+        "text", "id", k = 8)
+    }.getMessage.contains("keyed"))
+  }
+}

@@ -1264,4 +1264,74 @@ class StreamingSpec extends SparkSpec {
       Seq(victim).toDF("doc_id")) >= 1L)
     assert(!serve().exists(_._3 == victim))
   }
+
+  test("streaming span ingest: per-batch probe stats are incremental-exact " +
+    "vs the one-shot operator; replay admits nothing and rewrites value-" +
+    "identical stats; in-lifecycle compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 150).select("doc_id", "text")
+      .localCheckpoint(true)
+    val in = tempDir("sp_in")
+    val ck = tempDir("sp_ck")
+    val store = s"${tempDir("sp_store")}/store"
+    val stats = tempDir("sp_stats")
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("sp_wh"))
+    def drain(c: String = ck): Unit =
+      IncrementalStream.spanIngest(
+          spark.readStream.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType)
+          ))).parquet(in), store, c, k = 8, minDocs = 2,
+          statsDir = Some(stats), compactEvery = 2,
+          warehouse = Some(wh), auditTable = Some("span_grow_audit"))
+        .awaitTermination()
+    def ingests(): Int = {
+      val files = new java.io.File(s"$store/_commits").listFiles()
+      if (files == null) 0
+      else files.map(_.getName)
+        .count(n => !n.startsWith(".") && !n.startsWith("_"))
+    }
+    def statsOf(batchId: Long): Seq[(Long, Long, Long, Long, Double)] =
+      spark.read.parquet(s"$stats/batch=$batchId")
+        .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_fraction")
+        .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // the one-shot operator over a corpus prefix, restricted to a slice —
+    // the incremental contract every batch's stats must hit
+    def oneShot(upTo: Long, lo: Long): Seq[(Long, Long, Long, Long, Double)] =
+      graft.operators.Dedup.spanStats(docs.filter(col("doc_id") < upTo),
+          "text", "doc_id", k = 8, minDocs = 2)
+        .filter(col("doc_id") >= lo)
+        .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_fraction")
+        .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    docs.filter(col("doc_id") < 50).write.mode("append").parquet(in)
+    drain() // batch 0: store empty at probe time → stats = spanStats(A)
+    assert(ingests() == 1)
+    assert(statsOf(0) == oneShot(50, 0))
+    // fresh-checkpoint replay re-fires the same files as its own batch 0:
+    // the K2 gate admits nothing, and the overwritten stats are VALUE-
+    // identical — the replayed docs count on the committed side instead
+    // of the batch side, same totals (the scaladoc's idempotency claim)
+    drain(tempDir("sp_ck2"))
+    assert(ingests() == 1, "a replayed drain must commit no new ingests")
+    assert(statsOf(0) == oneShot(50, 0))
+    docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .write.mode("append").parquet(in)
+    drain() // batch 1: dup counted across committed A ∪ batch B
+    assert(ingests() == 2)
+    assert(statsOf(1) == oneShot(100, 50))
+    docs.filter(col("doc_id") >= 100).write.mode("append").parquet(in)
+    drain() // batch 2: stats vs A ∪ B ∪ C, then compactEvery=2 folds
+    assert(ingests() == 1, "compactEvery must fold the ingest partitions")
+    assert(statsOf(2) == oneShot(150, 100))
+    // growth audit: one row per fired batch (3 under ck + 1 replay run),
+    // admitted reconciling with the corpus; the replay row is honest 0
+    val audit = wh.read("span_grow_audit").localCheckpoint(true)
+    assert(audit.count() == 4)
+    assert(audit.agg(org.apache.spark.sql.functions.sum("admitted_count"))
+      .head().getLong(0) == 150L)
+    assert(audit.filter(col("admitted_count") === 0L).count() == 1)
+    assert(audit.filter(col("store") === s"span:$store").count() == 4)
+  }
 }
