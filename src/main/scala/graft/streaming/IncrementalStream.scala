@@ -1008,6 +1008,55 @@ object IncrementalStream {
       .start()
   }
 
+  /** The span store's TAKEDOWN lane — the retraction twin of
+    * [[spanIngest]], separate from [[retractionIngest]] because the
+    * span store is an aggregate: its forget needs the retracted docs'
+    * TEXT to decrement counts exactly (see
+    * [[graft.operators.SpanStore.forget]] — bare ids cannot be
+    * inverted), so the feed here carries (idCol, textCol) rows where
+    * the retraction lane carries ids. Same discipline otherwise:
+    * single-writer lease per batch, one idempotent
+    * (run, batch_id, store, ids_count, removed_count) audit row per
+    * non-empty batch under the retraction audit's exact column names
+    * (the two lanes can share one table), honesty contract included —
+    * a replayed takedown removes 0 (the gate semi-join finds nothing
+    * committed) and records that 0.
+    */
+  def spanRetractionIngest(stream: DataFrame, storeDir: String,
+                           checkpointDir: String, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           warehouse: Option[Warehouse] = None,
+                           auditTable: Option[String] = None): StreamingQuery = {
+    require(auditTable.isEmpty || warehouse.nonEmpty,
+      "spanRetractionIngest: auditTable requires a warehouse to write it to")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val runKey = auditRunKey(sp, checkpointDir)
+        graft.operators.Lease.withLease(sp, storeDir, s"retraction:$runKey") {
+          if (!batch.isEmpty) {
+            val docs = batch.select(col(idCol), col(textCol)).distinct()
+              .localCheckpoint(true) // takedown-request-sized
+            val nIds = docs.count()
+            val removed = graft.operators.SpanStore.forget(sp, storeDir,
+              docs, textCol, idCol)
+            auditTable.foreach { at =>
+              import sp.implicits._
+              warehouse.foreach(_.idempotentAppend(at,
+                Seq((runKey, batchId, s"span:$storeDir", nIds, removed))
+                  .toDF("run", "batch_id", "store", "ids_count",
+                    "removed_count"),
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming MEDIA screening ingestion — the valid/reject routing
     * (P8) applied to the multimodal family: every micro-batch of media
     * rows (doc_id, payload, media_type, byte_len) decodes partition-

@@ -1334,4 +1334,49 @@ class StreamingSpec extends SparkSpec {
     assert(audit.filter(col("admitted_count") === 0L).count() == 1)
     assert(audit.filter(col("store") === s"span:$store").count() == 4)
   }
+
+  test("streaming span takedown: text-bearing forget lifts duplication, " +
+    "replay removes 0 honestly, the retracted doc re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val span = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val corpus = Seq((1L, s"a1 a2 $span"), (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      .toDF("doc_id", "text")
+    val probeDoc = Seq((10L, s"z1 z2 z3 $span")).toDF("doc_id", "text")
+    val store = s"${tempDir("srt_store")}/store"
+    val in = tempDir("srt_in")
+    val ck = tempDir("srt_ck")
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("srt_wh"))
+    graft.operators.SpanStore.append(spark, store, corpus, "text", "doc_id", k = 8)
+    def dupTokens(): Long =
+      graft.operators.SpanStore.probe(spark, store, probeDoc,
+          "text", "doc_id", k = 8, minDocs = 2)
+        .head().getLong(3)
+    assert(dupTokens() == 10L) // doc 1's span dups against the probe doc
+    def drain(c: String = ck): Unit =
+      IncrementalStream.spanRetractionIngest(
+          spark.readStream.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType)
+          ))).parquet(in), store, c,
+          warehouse = Some(wh), auditTable = Some("span_rt_audit"))
+        .awaitTermination()
+    corpus.filter(col("doc_id") === 1L).write.mode("append").parquet(in)
+    drain()
+    assert(dupTokens() == 0L, "the takedown must lift the span's dup count")
+    val audit0 = wh.read("span_rt_audit").localCheckpoint(true)
+    assert(audit0.count() == 1)
+    assert(audit0.select("removed_count").head().getLong(0) == 1L)
+    // fresh-checkpoint replay: the gate finds nothing committed —
+    // removed 0, recorded honestly under the replay's own run
+    drain(tempDir("srt_ck2"))
+    assert(dupTokens() == 0L)
+    val audit1 = wh.read("span_rt_audit").localCheckpoint(true)
+    assert(audit1.count() == 2)
+    assert(audit1.filter(col("removed_count") === 0L).count() == 1)
+    // the forget lifted the K2 veto: doc 1 re-admits and the dup returns
+    assert(graft.operators.SpanStore.append(spark, store,
+      corpus.filter(col("doc_id") === 1L), "text", "doc_id", k = 8) == 1L)
+    assert(dupTokens() == 10L)
+  }
 }
