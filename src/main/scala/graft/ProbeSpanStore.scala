@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the persisted span store: do [[graft.operators
+  * .SpanStore.probe]] and `.append` track the BATCH size instead of the
+  * store size? (The ProbeAppend question pointed at the span family.)
+  *
+  *  - Build the store over the (optionally replicated) sf corpus.
+  *  - Probe + append a fixed-size batch; wall time should be flat in
+  *    store size: the probe's committed read is vocabulary-pruned (a
+  *    broadcast semi-join against the batch's span hashes) and the
+  *    append's gate is range-pruned to the batch's id window.
+  *
+  * Usage: runMain graft.ProbeSpanStore [sfDir] [batchDocs] [replicate]
+  */
+object ProbeSpanStore {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(500L)
+    val replicate = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+    val spark = GraftSession.getOrCreate("graft-probe-spanstore")
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // id-shifted copies (the ProbeAppend protocol): REAL duplicated text
+    // across copies, so replicated stores carry genuinely hot spans —
+    // the worst case for anything secretly scanning per-span history
+    val baseShift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val docs = (if (replicate <= 1) base
+      else (0 until replicate).map(i =>
+          base.select((col("doc_id") + lit(i * baseShift)).as("doc_id"),
+            col("text")))
+        .reduce(_.unionByName(_)))
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // half the batch is fresh synthetic text, half duplicates corpus
+    // docs under NEW ids — so the probe has real hits to report
+    val fresh = spark.range(batchN / 2).select(
+      (col("id") + maxId + 1L).as("doc_id"),
+      concat(lit("fresh span probe document number "), col("id"),
+        lit(" with shuffles partitions vectors windows and token "),
+        pmod(xxhash64(col("id")), lit(997L))).as("text"))
+    val dupes = base.orderBy("doc_id").limit((batchN / 2).toInt)
+      .select((col("doc_id") + maxId + 1L + batchN).as("doc_id"), col("text"))
+    val batch = fresh.unionByName(dupes).localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_ss").toString
+    time(s"build span store ($nDocs docs)") {
+      graft.operators.SpanStore.append(spark, s"$dir/store", docs,
+        "text", "doc_id")
+    }
+    val stats = time(s"probe ($batchN docs)") {
+      val s = graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
+        "text", "doc_id")
+      s.agg(count(lit(1)), sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)))
+        .head()
+    }
+    println(s"  probed rows: ${stats.getLong(0)}, with dup spans: ${
+      stats.getLong(1)} (planted: ${batchN / 2})")
+    val admitted = time(s"append ($batchN docs)") {
+      graft.operators.SpanStore.append(spark, s"$dir/store", batch,
+        "text", "doc_id")
+    }
+    println(s"  admitted: $admitted")
+    spark.stop()
+  }
+}
