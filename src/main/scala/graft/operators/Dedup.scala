@@ -282,7 +282,17 @@ object Dedup {
     val dup = sp.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs).select("shingle")
-    val occ = sp.join(dup, Seq("shingle"))
+    spanStatsOver(df, sp.join(dup, Seq("shingle")), textCol, idCol, k)
+  }
+
+  /** The per-doc reporting tail shared by [[spanStats]] and
+    * [[SpanStore.probe]] (the no-fork rule the oracles follow): stats of
+    * `df`'s docs given `occ`, the (idCol, pos, shingle) stream of
+    * duplicated-span occurrences.
+    */
+  private[operators] def spanStatsOver(df: DataFrame, occ: DataFrame,
+                                       textCol: String, idCol: String,
+                                       k: Int): DataFrame = {
     val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
     val covered = occ
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))

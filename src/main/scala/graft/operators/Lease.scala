@@ -58,9 +58,19 @@ object Lease {
       val in = fs.open(p)
       val raw =
         try {
-          val buf = new Array[Byte](4096)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8")
+          // read to EOF in a loop: a single read() may legally return a
+          // PREFIX on hdfs/object-store streams, and a truncated expiry
+          // ("17554" of "1755400000000") parses as a tiny number that
+          // makes a live lease look expired — the reclaim would put two
+          // writers on one store, the exact corruption leases prevent
+          val buf = new java.io.ByteArrayOutputStream(256)
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) {
+            buf.write(chunk, 0, n)
+            n = in.read(chunk)
+          }
+          new String(buf.toByteArray, "UTF-8")
         } finally in.close()
       raw.split("\n", 2) match {
         case Array(h, exp) => Some((h, exp.trim.toLong))
@@ -123,10 +133,36 @@ object Lease {
   /** Run `f` under the store's lease — the ingest lanes' per-batch
     * window. Released on every exit path; a crash inside leaves the
     * lease to expire (reclaimable after `ttlMs`).
+    *
+    * A daemon HEARTBEAT renews the lease every `ttlMs / 3` while `f`
+    * runs: without it, any single batch outliving the TTL (a
+    * compactEvery fold of a large stack, a corpus-sized forget) would
+    * let a competing lane reclaim mid-operation — the interleaving the
+    * lease exists to prevent would return exactly on the heaviest
+    * operations. A renewal failure (e.g. the lease was force-removed)
+    * stops the heartbeat; `f` keeps running and the next conflicting
+    * acquirer wins only after the last successful renewal expires.
     */
   def withLease[T](spark: SparkSession, storeDir: String, holder: String,
                    ttlMs: Long = DefaultTtlMs)(f: => T): T = {
     acquire(spark, storeDir, holder, ttlMs)
-    try f finally release(spark, storeDir, holder)
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(ttlMs / 3, 1000L))
+          acquire(spark, storeDir, holder, ttlMs) // re-entrant renew
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: IllegalStateException => () // lease lost: stop beating
+      }
+    }, s"graft-lease-heartbeat-$holder")
+    beat.setDaemon(true)
+    beat.start()
+    try f finally {
+      beat.interrupt()
+      beat.join(2000L)
+      release(spark, storeDir, holder)
+    }
   }
 }

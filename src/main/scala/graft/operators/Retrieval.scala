@@ -551,12 +551,8 @@ object Retrieval {
   }
 
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Seq[String] = {
-    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    if (!fs.exists(commitsDir)) Nil
-    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-  }
+                            root: org.apache.hadoop.fs.Path): Seq[String] =
+    StoreProtocol.committedKeys(fs, root)
 
   /** [[bm25TopK]] answered from the INCREMENTAL index: postings and
     * doc lengths union the marked ingests, doc_freq partials prune to

@@ -47,12 +47,8 @@ object SpanStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Seq[String] = {
-    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    if (!fs.exists(commitsDir)) Nil
-    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-  }
+                            root: org.apache.hadoop.fs.Path): Seq[String] =
+    StoreProtocol.committedKeys(fs, root)
 
   private def readMeta(spark: SparkSession, dir: String): (String, Int) = {
     val row = spark.read.parquet(s"$dir/meta").head()
@@ -72,9 +68,17 @@ object SpanStore {
     * pushed to parquet row-group stats, so the gate's read tracks the
     * overlapping row groups, not the corpus (the RetrievePipeline.append
     * argument).
+    *
+    * `spans` (optional): the batch's OWN [[Dedup.spanShingles]] stream,
+    * precomputed by a caller that also probes the same batch (the
+    * [[graft.streaming.IncrementalStream.spanIngest]] lane) — the
+    * shingle explode is the dominant per-batch cost, and recomputing it
+    * for the append would double it. Must cover the same (docs, k); the
+    * append semi-joins it down to the admitted docs itself.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
-             textCol: String, idCol: String = "doc_id", k: Int = 8): Long = {
+             textCol: String, idCol: String = "doc_id", k: Int = 8,
+             spans: Option[DataFrame] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
@@ -108,10 +112,14 @@ object SpanStore {
           .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1))))
         incoming0.join(gate, Seq(idCol), "left_anti")
       }
-    // one shingle pass feeds the partial AND the id/content stats
-    val sp = Dedup.spanShingles(incoming, textCol, idCol, k)
     val admittedIds = incoming.select(col(idCol)).distinct()
       .localCheckpoint(true)
+    // one shingle pass feeds the partial (reusing the caller's stream
+    // when provided — see the `spans` scaladoc)
+    val sp = spans match {
+      case Some(s) => s.join(admittedIds, Seq(idCol), "left_semi")
+      case None => Dedup.spanShingles(incoming, textCol, idCol, k)
+    }
     val stats = admittedIds
       .agg(count(lit(1)),
         format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
@@ -150,7 +158,7 @@ object SpanStore {
     */
   def probe(spark: SparkSession, dir: String, batch: DataFrame,
             textCol: String, idCol: String = "doc_id", k: Int = 8,
-            minDocs: Int = 2): DataFrame = {
+            minDocs: Int = 2, spans: Option[DataFrame] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
@@ -162,9 +170,11 @@ object SpanStore {
           s"got ($idCol, k=$k)")
     }
     // feeds the vocabulary, the batch partial and the occurrence join —
-    // eager localCheckpoint (the ngramJaccard reclaim argument)
-    val sp = Dedup.spanShingles(batch, textCol, idCol, k)
-      .localCheckpoint(true)
+    // eager localCheckpoint (the ngramJaccard reclaim argument); a
+    // caller-provided stream (`spans`, assumed materialized — the
+    // append's reuse contract) skips the recompute
+    val sp = spans.getOrElse(
+      Dedup.spanShingles(batch, textCol, idCol, k).localCheckpoint(true))
     val batchCnt = partialOf(sp, idCol)
     val totalCnt =
       if (committed.isEmpty) batchCnt
@@ -200,19 +210,7 @@ object SpanStore {
           .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
       }
     val dup = totalCnt.filter(col("n_docs") >= minDocs).select("shingle")
-    val occ = sp.join(dup, Seq("shingle"))
-    val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
-    val covered = occ
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
-      .distinct()
-      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
-    batch.select(col(idCol),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .join(covered, Seq(idCol), "left")
-      .na.fill(0L, Seq("dup_spans", "dup_tokens"))
-      .withColumn("dup_fraction",
-        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+    Dedup.spanStatsOver(batch, sp.join(dup, Seq("shingle")), textCol, idCol, k)
   }
 
   /** Fold the per-append ingest partitions into ONE retained partition

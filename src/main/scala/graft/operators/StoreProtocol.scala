@@ -29,6 +29,18 @@ private[graft] object StoreProtocol {
     ()
   }
 
+  /** The committed ingest keys of a marker-protocol store (`_commits/`
+    * entries under `root`) — shared by the incremental BM25 index and
+    * the span store (one implementation, the heal/swap consolidation
+    * argument applied to the marker read).
+    */
+  def committedKeys(fs: FileSystem, root: Path): Seq[String] = {
+    val commitsDir = new Path(root, "_commits")
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+  }
+
   /** Replace `path` with the fully-written `tmp` through the `__old`
     * two-rename swap; `op` names the caller in failure messages.
     */

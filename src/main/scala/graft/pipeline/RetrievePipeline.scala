@@ -403,12 +403,18 @@ object RetrievePipeline {
     // precondition, moved ahead of every store read so a bad batch
     // fails before costing anything, and (b) the prune key each
     // committed-side read below pushes into its parquet scan
-    val idStats = docs.agg(min(col(idCol).cast("long")),
+    val idStats = docs.agg(count(lit(1)), min(col(idCol).cast("long")),
       max(col(idCol).cast("long"))).head()
-    if (idStats.isNullAt(0))
+    if (idStats.getLong(0) == 0L)
       return Seq(Stage("chunks", 0L), Stage("bm25_chunks", 0L),
         Stage("ann_vectors", 0L))
-    val (loDoc, hiDoc) = (idStats.getLong(0), idStats.getLong(1))
+    // a NON-EMPTY batch whose ids all cast to null is a misconfigured
+    // idCol — fail loudly, not the silent never-grows no-op an early
+    // return here would be (the pre-range-prune code crashed on this)
+    require(!idStats.isNullAt(1),
+      s"RetrievePipeline.append: no value of id column '$idCol' casts to " +
+        "long — the packed-chunk-id scheme requires integral doc ids")
+    val (loDoc, hiDoc) = (idStats.getLong(1), idStats.getLong(2))
     require(loDoc >= 0 && hiDoc < (1L << (63 - ChunkBits)),
       s"doc ids [$loDoc, $hiDoc] fall outside " +
         s"[0, 2^${63 - ChunkBits}) — chunk-id packing requires non-negative, " +

@@ -978,19 +978,27 @@ object IncrementalStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sp = batch0.sparkSession
         val runKey = auditRunKey(sp, checkpointDir)
         graft.operators.Lease.withLease(sp, storeDir, s"span:$runKey") {
-          if (!batch.isEmpty) {
-            val offered = batch.count() // micro-batch-sized
+          if (!batch0.isEmpty) {
+            // pin the micro-batch AND its shingle stream once: the
+            // shingle explode is the dominant per-batch cost and feeds
+            // both the probe and the append (SpanStore's `spans` reuse
+            // contract); the count rides the pinned frame
+            val batch = batch0.localCheckpoint(true)
+            val offered = batch.count()
+            val spans = graft.operators.Dedup.spanShingles(batch,
+              textCol, idCol, k).localCheckpoint(true)
             statsDir.foreach { sd =>
               graft.operators.SpanStore.probe(sp, storeDir, batch,
-                  textCol, idCol, k, minDocs)
-                .write.mode("overwrite").parquet(s"$sd/batch=$batchId")
+                  textCol, idCol, k, minDocs, spans = Some(spans))
+                .write.mode("overwrite")
+                .parquet(s"${spanStatsRunDir(sp, sd, checkpointDir)}/batch=$batchId")
             }
             val admitted = graft.operators.SpanStore.append(sp, storeDir,
-              batch, textCol, idCol, k)
+              batch, textCol, idCol, k, spans = Some(spans))
             auditTable.foreach { at =>
               import sp.implicits._
               warehouse.foreach(_.idempotentAppend(at,
@@ -1006,6 +1014,23 @@ object IncrementalStream {
         ()
       }
       .start()
+  }
+
+  /** Run-scoped root for [[spanIngest]]'s per-batch stats: batch ids
+    * restart at 0 per checkpoint, so stats keyed by batchId alone would
+    * let a rotated checkpoint's batch 0 silently OVERWRITE the prior
+    * run's batch-0 stats for entirely different documents — the audit
+    * runKey lesson applied to the stats trail. The qualified checkpoint
+    * key is hashed because it is a URI, not a safe partition-directory
+    * value. Readers list runs under `statsDir` or resolve one with this
+    * same function.
+    */
+  def spanStatsRunDir(spark: SparkSession, statsDir: String,
+                      checkpointDir: String): String = {
+    val key = auditRunKey(spark, checkpointDir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$statsDir/run=$h"
   }
 
   /** The span store's TAKEDOWN lane — the retraction twin of

@@ -136,6 +136,16 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * batch touches instead of the whole committed table, and the write
     * lands partitioned: an append-forever table (the streaming audit
     * trails) stays O(batch) to append to at any table size.
+    *
+    * The requested layout is reconciled against the table's ON-DISK
+    * layout first: a `partitionCol` request against a table that already
+    * exists FLAT (created before its caller adopted partitioning)
+    * degrades to the unpartitioned path — appending `pc=`-directories
+    * beside flat files would give parquet a mixed-depth layout that
+    * fails every subsequent read, which is strictly worse than losing
+    * the prune. The reverse mismatch (no `partitionCol` against a
+    * partitioned table, or a different column) has no safe degradation
+    * and refuses loudly.
     */
   def idempotentAppend(table: String, incoming: DataFrame, keys: Seq[String],
                        orderCol: Option[String] = None,
@@ -143,6 +153,25 @@ class Warehouse(val spark: SparkSession, val root: String) {
     partitionCol.foreach(pc => require(keys.contains(pc),
       s"idempotentAppend: partitionCol '$pc' must be part of the key — a " +
         "key outside its partition would dodge the partition-scoped dedup"))
+    // on-disk layout reconciliation (see scaladoc)
+    val effectivePartitionCol: Option[String] = {
+      val dir = new java.io.File(path(table))
+      val entries = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      val onDisk = entries.filter(_.isDirectory).map(_.getName)
+        .filter(_.contains("=")).map(_.split("=")(0)).distinct
+      (partitionCol, onDisk) match {
+        case (pc, Nil) if entries.isEmpty => pc          // fresh table
+        case (Some(pc), Seq(d)) if d == pc => Some(pc)   // layouts agree
+        case (Some(_), Nil) => None                      // pre-partitioning table: degrade
+        case (None, Nil) => None
+        case (req, disk) => throw new IllegalArgumentException(
+          s"idempotentAppend: table '$table' is partitioned by " +
+            s"${disk.mkString("[", ",", "]")} on disk but the caller " +
+            s"requested partitionCol=$req — appending the requested " +
+            "layout would mix directory depths and break every read")
+      }
+    }
     val attempted = incoming.count()
     val deduped = orderCol match {
       case Some(c) =>
@@ -154,7 +183,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
     val toInsert = readIfExists(table) match {
       case Some(existing) =>
-        val scoped = partitionCol match {
+        val scoped = effectivePartitionCol match {
           case Some(pc) =>
             // bounded collect: a batch carries a handful of partition
             // values (one run, one day); the isin literal makes the
@@ -172,7 +201,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
     // count the planned insert set instead (same number, computed once).
     val insertedDf = toInsert.cache()
     val inserted = insertedDf.count()
-    if (inserted > 0) partitionCol match {
+    if (inserted > 0) effectivePartitionCol match {
       case Some(pc) =>
         insertedDf.write.mode("append").partitionBy(pc).parquet(path(table))
       case None => insertedDf.write.mode("append").parquet(path(table))

@@ -75,4 +75,22 @@ class LeaseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/doc_len")
       .filter(col("doc_id").isin(1L, 2L)).count() == 0)
   }
+
+  test("lease heartbeat: a batch outliving the TTL stays protected (no mid-operation reclaim)") {
+    val dir = tempDir("lease_beat")
+    // TTL 2 s, body runs 5 s: without the in-flight heartbeat the lease
+    // would expire at second 2 and lane-b's acquire would reclaim it
+    // while lane-a is still inside — the mid-operation interleaving the
+    // lease exists to prevent
+    Lease.withLease(spark, dir, "lane-a", ttlMs = 2000L) {
+      Thread.sleep(5000L)
+      val e = intercept[IllegalStateException] {
+        Lease.acquire(spark, dir, "lane-b", ttlMs = 2000L)
+      }
+      assert(e.getMessage.contains("lane-a"))
+    }
+    // released on exit: lane-b proceeds now
+    Lease.acquire(spark, dir, "lane-b")
+    Lease.release(spark, dir, "lane-b")
+  }
 }

@@ -69,6 +69,38 @@ class ScaleToolsSpec extends SparkSpec {
     assert(e.getMessage.contains("part of the key"))
   }
 
+  test("idempotentAppend layout reconciliation: a pre-partitioning flat table " +
+    "degrades safely; a layout mismatch refuses") {
+    val dir = tempDir("ipa_layout")
+    val wh = new Warehouse(spark, dir)
+    val keys = Seq("run", "batch_id", "store")
+    def rows(run: String, n: Int) =
+      (1 to n).map(i => (run, i.toLong, s"s$i", 10L))
+        .toDF("run", "batch_id", "store", "removed_count")
+    // the table is born FLAT (a deployment that audited before its
+    // caller adopted partitionCol)
+    assert(wh.idempotentAppend("audit_f", rows("r1", 5), keys).inserted == 5)
+    // a later partitionCol request must NOT write run= directories
+    // beside the flat files — mixed parquet depths break every read;
+    // it degrades to the flat path (dedup still exact, prune lost)
+    assert(wh.idempotentAppend("audit_f", rows("r2", 5), keys,
+      partitionCol = Some("run")).inserted == 5)
+    assert(wh.idempotentAppend("audit_f", rows("r1", 5), keys,
+      partitionCol = Some("run")).inserted == 0) // replay still dedups
+    assert(!new java.io.File(s"$dir/audit_f").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("run=")),
+      "a flat table must stay flat")
+    assert(wh.read("audit_f").count() == 10) // and stays readable
+    // the reverse has no safe degradation: flat rows into a partitioned
+    // table would mix depths the other way — refused loudly
+    assert(wh.idempotentAppend("audit_q", rows("r1", 3), keys,
+      partitionCol = Some("run")).inserted == 3)
+    val e = intercept[IllegalArgumentException] {
+      wh.idempotentAppend("audit_q", rows("r2", 3), keys)
+    }
+    assert(e.getMessage.contains("partitioned by"))
+  }
+
   test("dynamic partition overwrite: backfilled partition replaced, others untouched") {
     val wh = new Warehouse(spark, tempDir("dpo"))
     val init = Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3")).toDF("v", "day")

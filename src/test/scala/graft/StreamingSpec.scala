@@ -1293,8 +1293,9 @@ class StreamingSpec extends SparkSpec {
       else files.map(_.getName)
         .count(n => !n.startsWith(".") && !n.startsWith("_"))
     }
-    def statsOf(batchId: Long): Seq[(Long, Long, Long, Long, Double)] =
-      spark.read.parquet(s"$stats/batch=$batchId")
+    def statsOf(batchId: Long, c: String = ck): Seq[(Long, Long, Long, Long, Double)] =
+      spark.read.parquet(
+          s"${IncrementalStream.spanStatsRunDir(spark, stats, c)}/batch=$batchId")
         .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_fraction")
         .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     // the one-shot operator over a corpus prefix, restricted to a slice —
@@ -1310,12 +1311,16 @@ class StreamingSpec extends SparkSpec {
     assert(ingests() == 1)
     assert(statsOf(0) == oneShot(50, 0))
     // fresh-checkpoint replay re-fires the same files as its own batch 0:
-    // the K2 gate admits nothing, and the overwritten stats are VALUE-
-    // identical — the replayed docs count on the committed side instead
-    // of the batch side, same totals (the scaladoc's idempotency claim)
-    drain(tempDir("sp_ck2"))
+    // the K2 gate admits nothing, and the replay's stats land under its
+    // OWN run directory (a rotated checkpoint's batch 0 must not clobber
+    // the prior run's batch-0 trail) — VALUE-identical to the original,
+    // because the replayed docs count on the committed side instead of
+    // the batch side (the probe's doc-grain union)
+    val ck2 = tempDir("sp_ck2")
+    drain(ck2)
     assert(ingests() == 1, "a replayed drain must commit no new ingests")
     assert(statsOf(0) == oneShot(50, 0))
+    assert(statsOf(0, ck2) == oneShot(50, 0))
     docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
       .write.mode("append").parquet(in)
     drain() // batch 1: dup counted across committed A ∪ batch B
