@@ -70,12 +70,17 @@ object PipelineQueries {
     graft.operators.SpanStore.append(s, store,
       all.filter(col("doc_id") % 2 === 0), "text", "doc_id", k = 8)
     val batch = all.filter(col("doc_id") % 2 === 1)
+    // one shingle pass feeds probe AND append (the spanIngest lane's
+    // reuse contract — the explode is the dominant cost)
+    val spans = graft.operators.Dedup.spanShingles(batch, "text", "doc_id", 8)
+      .localCheckpoint(true)
     val stats = graft.operators.SpanStore.probe(s, store, batch,
-      "text", "doc_id", k = 8, minDocs = 2).localCheckpoint(true)
+      "text", "doc_id", k = 8, minDocs = 2, spans = Some(spans))
+      .localCheckpoint(true)
     // the growth path itself runs in-query (admitted count checked so a
     // silently-empty ingest can never pass green), output is the probe
     val admitted = graft.operators.SpanStore.append(s, store, batch,
-      "text", "doc_id", k = 8)
+      "text", "doc_id", k = 8, spans = Some(spans))
     require(admitted > 0L, s"span store ingest admitted $admitted docs")
     stats.orderBy("doc_id")
   }
