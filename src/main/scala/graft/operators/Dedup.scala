@@ -330,6 +330,40 @@ object Dedup {
     */
   def spanMask(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
                minDocs: Int = 2): DataFrame = {
+    val kept = spanMaskKept(df, textCol, idCol, k, minDocs)
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("masked_tokens"),
+        col("kept_tokens"),
+        // a fully-masked document rebuilds to the empty stream
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
+
+  /** [[spanMask]] emitting the REBUILT documents themselves —
+    * (idCol, textCol) with duplicated spans removed — for composition
+    * into a curation flow (CuratePipeline's optional span stage). The
+    * rebuilt text is the token stream re-joined by single spaces, i.e.
+    * the TOKENIZED (lowercased, trim-normalized) form every hash-keyed
+    * stage downstream already operates on; fully-masked documents come
+    * back with empty text (callers filter on length like any other
+    * rewrite stage).
+    */
+  def spanMaskText(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
+                   minDocs: Int = 2): DataFrame =
+    df.select(col(idCol))
+      .join(spanMaskKept(df, textCol, idCol, k, minDocs), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as(textCol))
+
+  /** The masking core shared by [[spanMask]] and [[spanMaskText]]
+    * (no-fork): per-doc (idCol, kept_tokens, clean_text) of the
+    * documents that kept at least one token; fully-masked docs are
+    * absent (callers left-join and coalesce).
+    */
+  private def spanMaskKept(df: DataFrame, textCol: String, idCol: String,
+                           k: Int, minDocs: Int): DataFrame = {
     val sp = spanShingles(df, textCol, idCol, k).localCheckpoint(true)
     val dup = sp.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("n_docs"))
@@ -341,24 +375,15 @@ object Dedup {
       .filter(struct(col(idCol), col("pos")) =!= col("keeper"))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
       .distinct()
-    val kept = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
+    graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("t", "tok")))
       .join(maskedPos, Seq(idCol, "t"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("kept_tokens"),
-        md5(concat_ws(" ", transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(struct(col("t"), col("tok")))),
-          s => s.getField("tok")))).as("clean_hash"))
-    df.select(col(idCol),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - col("kept_tokens")).as("masked_tokens"),
-        col("kept_tokens"),
-        // a fully-masked document rebuilds to the empty stream
-        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+          s => s.getField("tok"))).as("clean_text"))
   }
 
   /** MinHash signature column: for each of `numHashes` xxHash64 seeds, the

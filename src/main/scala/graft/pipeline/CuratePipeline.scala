@@ -62,11 +62,20 @@ object CuratePipeline {
     * first use, trains on the sample once and persists the artifact for
     * every later run. The artifact's family must match `tokenizer`.
     */
+  /** `maskSpans = true` inserts the span-grain rewrite between fuzzy
+    * dedup and decontamination (the Lee et al. 2021 ordering: doc-grain
+    * dedup removes whole near-dups, span masking then strips the
+    * cross-doc duplicated k-gram spans INSIDE the survivors —
+    * [[graft.operators.Dedup.spanMaskText]]); fully-masked docs drop.
+    * Off by default: the rewrite re-emits text in tokenized form, a
+    * semantic change a deployment opts into.
+    */
   def run(spark: SparkSession, sfDir: String,
           quotaPerSource: Int = Int.MaxValue,
           privacyGate: Option[PrivacyGate] = None,
           tokenizer: String = "bpe",
-          tokenizerDir: Option[String] = None): (Seq[Stage], DataFrame) = {
+          tokenizerDir: Option[String] = None,
+          maskSpans: Boolean = false): (Seq[Stage], DataFrame) = {
     require(tokenizer == "bpe" || tokenizer == "unigram",
       s"tokenizer must be bpe|unigram, got $tokenizer")
     val raw = graft.Tables.load(spark, sfDir, "documents")
@@ -111,7 +120,16 @@ object CuratePipeline {
     val pairs = Dedup.minhashLsh(exact, "text", "doc_id", k = 8, threshold = 0.3)
     val reps = Dedup.clusterReps(exact, pairs, "doc_id")
       .filter(col("doc_id") === col("rep_id")).select("doc_id")
-    val fuzzy = record("fuzzy_dedup", exact.join(reps, "doc_id"))
+    val fuzzy0 = record("fuzzy_dedup", exact.join(reps, "doc_id"))
+
+    // 4b (optional) — span-grain rewrite of the survivors (see the
+    // `maskSpans` scaladoc); count-visible as its own stage
+    val fuzzy = if (!maskSpans) fuzzy0
+      else record("span_mask",
+        Dedup.spanMaskText(fuzzy0, "text", "doc_id")
+          .join(fuzzy0.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("text"), col("source"))
+          .filter(length(col("text")) > 0))
 
     // 5 — decontamination: drop docs sharing 8-gram shingles with the
     // "benchmark" (stand-in: the 1% lowest-hash sample of the corpus)

@@ -26,6 +26,26 @@ class CuratePipelineSpec extends SparkSpec {
     }
   }
 
+  test("maskSpans option: span_mask stage appears after fuzzy dedup and strips cross-doc spans") {
+    val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
+      maskSpans = true)
+    val names = stages.map(_.stage)
+    assert(names == Seq("canonicalize", "boilerplate", "quality",
+      "exact_dedup", "fuzzy_dedup", "span_mask", "decontaminated",
+      "mixture", "packed_blocks"))
+    val byName = stages.map(s => s.stage -> s.docs).toMap
+    // the rewrite only DROPS docs (fully-masked ones); survivors may
+    // shrink but the doc count cannot grow
+    assert(byName("span_mask") <= byName("fuzzy_dedup"))
+    assert(byName("span_mask") > 0)
+    assert(byName("packed_blocks") > 0)
+    // blocks stay exact through the rewritten text
+    packed.collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(r => assert(r.getLong(2) == 512L, r))
+    }
+  }
+
   test("unigram tokenizer option: same chain, valid blocks, different token economy") {
     val (stages, packed) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
       tokenizer = "unigram")
