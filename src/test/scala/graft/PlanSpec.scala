@@ -119,6 +119,37 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("span store probe: committed partials prune to the BROADCAST batch " +
+    "vocabulary; the K2 gate's committed read carries a pushed id-range filter") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+      .localCheckpoint(true)
+    val dir = s"${tempDir("plan_span")}/store"
+    graft.operators.SpanStore.append(spark, dir,
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val probe = graft.operators.SpanStore.probe(spark, dir,
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val p = probe.queryExecution.executedPlan.toString
+    // the committed span_docs read must sit behind a broadcast semi-join
+    // against the batch's span hashes — point lookups, never a
+    // store-sized shuffle of the partials (the bm25 serve discipline)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      p.take(1500))
+    // the gate shape: a second append's committed doc_ids scan pushes the
+    // batch's id window to the parquet row-group stats (exact for any
+    // ordered id type). The gate runs inside append (eager), so assert on
+    // the same expression append builds.
+    val committedIds = spark.read.parquet(s"$dir/doc_ids/ingest=" +
+        new java.io.File(s"$dir/_commits").listFiles()
+          .map(_.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).head)
+      .filter(col("doc_id").between(1L, 99L))
+    val gp = committedIds.queryExecution.executedPlan.toString
+    assert(gp.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,1), LessThanOrEqual(doc_id,99)]"), gp.take(1200))
+  }
+
   test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
