@@ -307,6 +307,42 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Corpus-level span-duplication PROFILE — the datasheet row the
+    * per-doc [[spanStats]] rolls up to: how much of the corpus, by span
+    * and by token, is cross-document duplication, and how concentrated
+    * it is. One output row:
+    * (n_docs, n_spans, dup_spans, dup_span_frac, distinct_dup_shingles,
+    * dup_tokens, n_tokens, dup_token_frac). Purely aggregate (two
+    * shuffles on the span hash + one global fold) — the cheap first
+    * look that decides whether running the full mask/filter pass is
+    * worth the corpus scan it costs.
+    */
+  def spanProfile(df: DataFrame, textCol: String, idCol: String, k: Int = 8,
+                  minDocs: Int = 2): DataFrame = {
+    val sp = spanShingles(df, textCol, idCol, k).localCheckpoint(true)
+    val dup = sp.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("shingle")
+      .localCheckpoint(true) // feeds the occurrence join AND its own count
+    val occ = sp.join(dup, Seq("shingle"))
+    val covered = occ
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
+      .distinct()
+    val base = df.select(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("n_tokens"))
+    base.crossJoin(sp.agg(count(lit(1)).as("n_spans")))          // 1-row sides
+      .crossJoin(occ.agg(count(lit(1)).as("dup_spans")))
+      .crossJoin(dup.agg(count(lit(1)).as("distinct_dup_shingles")))
+      .crossJoin(covered.agg(count(lit(1)).as("dup_tokens")))
+      .select(col("n_docs"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / greatest(col("n_spans"), lit(1L)), 6)
+          .as("dup_span_frac"),
+        col("distinct_dup_shingles"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens").cast("double") / greatest(col("n_tokens"), lit(1L)), 6)
+          .as("dup_token_frac"))
+  }
+
   /** Span-grain REWRITE: mask every occurrence of a cross-document
     * duplicated k-token span except its first global occurrence
     * (ordered by (id, position) — the [[windowDedup]] keeper rule at

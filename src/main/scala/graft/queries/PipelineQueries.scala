@@ -56,6 +56,13 @@ object PipelineQueries {
     Dedup.spanMask(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Corpus-level span-duplication datasheet row (see
+    * [[Dedup.spanProfile]]) — the cheap first look before the full
+    * mask/filter pass.
+    */
+  def dedupSpanProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanProfile(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
+
   /** Incremental span dedup against a PERSISTED store (see
     * [[graft.operators.SpanStore]]): the even half ingests once, the odd
     * half probes (duplication counted across committed ∪ batch) and then
@@ -3027,6 +3034,27 @@ ORDER BY doc_id""")
     "dedup_span_stats" -> (spanChainCtes + spanStatsTailSql("")),
     "dedup_span_incremental" ->
       (spanChainCtes + spanStatsTailSql("WHERE b.doc_id % 2 = 1")),
+    "dedup_span_profile" -> (spanChainCtes +
+      """,
+         tot AS (SELECT count(*) AS n_spans FROM sp),
+         occ_c AS (SELECT count(*) AS dup_spans FROM occ),
+         dds AS (SELECT count(*) AS distinct_dup_shingles FROM dupsp),
+         cov0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM occ),
+         covc AS (SELECT count(*) AS dup_tokens
+                  FROM (SELECT DISTINCT doc_id, t FROM cov0)),
+         bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM base)
+       SELECT bs.n_docs,
+              CAST(tot.n_spans AS BIGINT) AS n_spans,
+              CAST(occ_c.dup_spans AS BIGINT) AS dup_spans,
+              round(CAST(occ_c.dup_spans AS DOUBLE) / greatest(tot.n_spans, 1), 6)
+                AS dup_span_frac,
+              CAST(dds.distinct_dup_shingles AS BIGINT) AS distinct_dup_shingles,
+              CAST(covc.dup_tokens AS BIGINT) AS dup_tokens,
+              bs.n_tokens,
+              round(CAST(covc.dup_tokens AS DOUBLE) / greatest(bs.n_tokens, 1), 6)
+                AS dup_token_frac
+       FROM bs, tot, occ_c, dds, covc"""),
     "dedup_span_mask" -> (spanChainCtes +
       // keeper = first global occurrence by (doc_id, pos); the combined
       // BIGINT key doc_id*2^20+pos mirrors the Scala struct-min (pos <
@@ -5031,6 +5059,7 @@ ORDER BY doc_id""")
     "dedup_span_stats" -> (dedupSpanStats _),
     "dedup_span_mask" -> (dedupSpanMask _),
     "dedup_span_incremental" -> (dedupSpanIncremental _),
+    "dedup_span_profile" -> (dedupSpanProfile _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_eval_lsh" -> (dedupEvalLsh _),
     "dedup_eval_simhash" -> (dedupEvalSimhash _),

@@ -124,6 +124,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mask(1) == ((21L, 10L, 5L, md5hex("q1 q2 q3 q4 q5"))))
     assert(mask(2)._2 == 0L && mask(3)._2 == 0L && mask(4)._2 == 0L)
     assert(mask(3)._4 == md5hex("tiny little doc"))
+    // the corpus roll-up: 5 docs, 46 tokens, 19 spans (6+8+5+0+0), of
+    // which 6 occurrences of 3 distinct cross-doc shingles, covering 20
+    // tokens (10 per involved doc)
+    val prof = Dedup.spanProfile(d, "text", "doc_id", k = 8, minDocs = 2)
+      .as[(Long, Long, Long, Double, Long, Long, Long, Double)].head()
+    assert(prof == ((5L, 19L, 6L, 0.315789, 3L, 20L, 46L, 0.434783)))
   }
 
   test("span mask: self-repeat of a cross-doc span masks non-keeper copies in the keeper doc too") {
