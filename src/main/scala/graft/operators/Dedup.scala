@@ -328,13 +328,23 @@ object Dedup {
     val covered = occ
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
       .distinct()
-    val base = df.select(
-      count(lit(1)).as("n_docs"),
-      sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("n_tokens"))
-    base.crossJoin(sp.agg(count(lit(1)).as("n_spans")))          // 1-row sides
-      .crossJoin(occ.agg(count(lit(1)).as("dup_spans")))
-      .crossJoin(dup.agg(count(lit(1)).as("distinct_dup_shingles")))
-      .crossJoin(covered.agg(count(lit(1)).as("dup_tokens")))
+    // the six counters fold through ONE tagged union + conditional
+    // aggregate — a 1-row crossJoin assembly would plan as a
+    // BroadcastNestedLoopJoin, the shape the blanket plan audit bans
+    // (PlanAuditSpec); the union is shuffle-free (partial+final agg)
+    def tagged(src: DataFrame, tag: String, v: Column = lit(1L)) =
+      src.select(lit(tag).as("m"), v.cast("long").as("v"))
+    val metrics = tagged(df, "n_docs")
+      .unionByName(tagged(df, "n_tokens",
+        size(TextAnalysis.tokens(col(textCol)))))
+      .unionByName(tagged(sp, "n_spans"))
+      .unionByName(tagged(occ, "dup_spans"))
+      .unionByName(tagged(dup, "dds"))
+      .unionByName(tagged(covered, "dup_tokens"))
+    def m(tag: String) = sum(when(col("m") === tag, col("v")).otherwise(0L))
+    metrics.agg(m("n_docs").as("n_docs"), m("n_spans").as("n_spans"),
+        m("dup_spans").as("dup_spans"), m("dds").as("distinct_dup_shingles"),
+        m("dup_tokens").as("dup_tokens"), m("n_tokens").as("n_tokens"))
       .select(col("n_docs"), col("n_spans"), col("dup_spans"),
         round(col("dup_spans").cast("double") / greatest(col("n_spans"), lit(1L)), 6)
           .as("dup_span_frac"),
