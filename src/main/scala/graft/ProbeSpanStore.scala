@@ -53,9 +53,18 @@ object ProbeSpanStore {
     val batch = fresh.unionByName(dupes).localCheckpoint(true)
 
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_ss").toString
-    time(s"build span store ($nDocs docs)") {
-      graft.operators.SpanStore.append(spark, s"$dir/store", docs,
-        "text", "doc_id")
+    // build as EIGHT drains, not one bulk load: a real store is the
+    // residue of many appends, and the flat-partial count (8 ingests'
+    // worth of per-shingle rows before compaction merges them) is
+    // exactly what the drain-probe scan pays for
+    time(s"build span store ($nDocs docs, 8 ingests)") {
+      val chunk = (maxId + 1L) / 8L + 1L
+      (0 until 8).foreach { i =>
+        graft.operators.SpanStore.append(spark, s"$dir/store",
+          docs.filter(col("doc_id") >= i * chunk &&
+            col("doc_id") < (i + 1) * chunk),
+          "text", "doc_id")
+      }
     }
     val stats = time(s"probe ($batchN docs)") {
       val s = graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
@@ -70,6 +79,36 @@ object ProbeSpanStore {
         "text", "doc_id")
     }
     println(s"  admitted: $admitted")
+    // r13: the LSM faces. Compaction merges cross-ingest partials (the
+    // row-count drop below is the real saving for drain-sized probes)
+    // and lands the base BUCKETED; a document-sized probe then prunes
+    // the base to its touched buckets by construction.
+    def partialRows(): Long = {
+      val commits = new java.io.File(s"$dir/store/_commits").listFiles()
+        .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      spark.read.parquet(
+        commits.map(k => s"$dir/store/span_docs/ingest=$k").toIndexedSeq: _*)
+        .count()
+    }
+    val flatRows = partialRows()
+    time(s"compact (${flatRows} partial rows)") {
+      graft.operators.SpanStore.compact(spark, s"$dir/store")
+    }
+    val baseRows = partialRows()
+    println(s"  partial rows: $flatRows flat -> $baseRows compacted")
+    time(s"probe ($batchN docs, compacted base)") {
+      graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
+          "text", "doc_id")
+        .agg(count(lit(1))).head()
+    }
+    val pointBatch = base.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + maxId + 1L + 2L * batchN).as("doc_id"),
+        col("text")).localCheckpoint(true)
+    time("probe (1 doc, compacted base — touched-bucket prune)") {
+      graft.operators.SpanStore.probe(spark, s"$dir/store", pointBatch,
+          "text", "doc_id")
+        .agg(count(lit(1))).head()
+    }
     spark.stop()
   }
 }

@@ -282,7 +282,11 @@ object Dedup {
     val dup = sp.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs).select("shingle")
-    spanStatsOver(df, sp.join(dup, Seq("shingle")), textCol, idCol, k)
+    // checkpoint: spanStatsOver consumes occ twice, and without this the
+    // shuffle-heavy dup aggregate + occurrence join re-execute once per
+    // consumer (the spanProfile pattern; ADVICE r12)
+    spanStatsOver(df, sp.join(dup, Seq("shingle")).localCheckpoint(true),
+      textCol, idCol, k)
   }
 
   /** The per-doc reporting tail shared by [[spanStats]] and
@@ -293,6 +297,11 @@ object Dedup {
   private[operators] def spanStatsOver(df: DataFrame, occ: DataFrame,
                                        textCol: String, idCol: String,
                                        k: Int): DataFrame = {
+    // occ is consumed TWICE below (per-doc count + coverage explode):
+    // callers that compute it through a shuffle (spanStats) checkpoint
+    // it first; SpanStore.probe deliberately stays lazy — its plan must
+    // keep the committed-partials semi-join visible (PlanSpec) and
+    // capture the ingest list at construction time
     val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
     val covered = occ
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + k - 1)).as("t"))
@@ -414,7 +423,10 @@ object Dedup {
     val dup = sp.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs).select("shingle")
-    val occ = sp.join(dup, Seq("shingle"))
+    // occ feeds the keeper aggregate AND the coverage join — checkpoint
+    // so the dup aggregate + occurrence join run once, not per consumer
+    // (the spanProfile pattern; ADVICE r12)
+    val occ = sp.join(dup, Seq("shingle")).localCheckpoint(true)
     val keeper = occ.groupBy("shingle")
       .agg(min(struct(col(idCol), col("pos"))).as("keeper"))
     val maskedPos = occ.join(keeper, Seq("shingle"))

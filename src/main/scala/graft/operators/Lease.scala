@@ -49,6 +49,15 @@ object Lease {
   private def leasePath(storeDir: String): Path =
     new Path(storeDir.stripSuffix("/") + "__lease")
 
+  /** Store leases the CURRENT THREAD's withLease windows hold (keyed by
+    * the qualified lease path, so spelling variants of one dir agree) —
+    * the re-entrancy fact the holder string cannot carry: see
+    * [[withLease]].
+    */
+  private val heldByThread = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   /** (holder, expiresAtMillis) of the current lease, if any. */
   def holderOf(spark: SparkSession, storeDir: String): Option[(String, Long)] = {
     val p = leasePath(storeDir)
@@ -142,14 +151,48 @@ object Lease {
     * operations. A renewal failure (e.g. the lease was force-removed)
     * stops the heartbeat; `f` keeps running and the next conflicting
     * acquirer wins only after the last successful renewal expires.
+    *
+    * RE-ENTRANT within one control flow: when the calling thread is
+    * already inside a `withLease` window for this same store (an ingest
+    * lane's in-batch compact hook calling a lease-guarded operator),
+    * the nested call runs `f` directly — the OUTER window owns the
+    * heartbeat and the release; a nested release would drop the lease
+    * out from under the still-running outer operation. The check is
+    * thread-scoped, NOT holder-name-scoped, deliberately: a nested call
+    * under a different operation name (the drain's compact hook) must
+    * pass, while a DIRECT maintenance call from outside the drain's
+    * control flow — even a copy-pasted holder string — must contest the
+    * lease and refuse with the holder's name (r12 verdict #5). TTLs
+    * under 3 s are refused (the ttl/3 heartbeat cannot renew a lease
+    * that expires faster than it beats).
     */
   def withLease[T](spark: SparkSession, storeDir: String, holder: String,
                    ttlMs: Long = DefaultTtlMs)(f: => T): T = {
+    // floor: the heartbeat renews every ttl/3; a TTL at or under the
+    // renewal granularity would expire before the first renewal lands,
+    // reopening the mid-operation reclaim window the heartbeat closes
+    require(ttlMs >= 3000L,
+      s"Lease.withLease: ttlMs=$ttlMs is below the 3000 ms floor — the " +
+        "ttl/3 heartbeat cannot renew a lease that expires faster than " +
+        "it beats")
+    val key = {
+      val p = leasePath(storeDir)
+      fsFor(spark, p).makeQualified(p).toString
+    }
+    if (heldByThread.get.contains(key))
+      return f // nested inside this thread's own window: the outer owns it
     acquire(spark, storeDir, holder, ttlMs)
+    heldByThread.set(heldByThread.get + key)
     val beat = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
-          Thread.sleep(math.max(ttlMs / 3, 1000L))
+          Thread.sleep(ttlMs / 3)
+          // re-check AFTER the sleep: an interrupt delivered while the
+          // renew below is blocked in FS I/O (which ignores interrupts)
+          // is only observable here — without it the thread could renew
+          // once more AFTER release() deleted the lease, stranding an
+          // orphan that wedges every other lane for up to ttlMs
+          if (Thread.interrupted()) throw new InterruptedException
           acquire(spark, storeDir, holder, ttlMs) // re-entrant renew
         }
       } catch {
@@ -160,9 +203,19 @@ object Lease {
     beat.setDaemon(true)
     beat.start()
     try f finally {
+      heldByThread.set(heldByThread.get - key)
       beat.interrupt()
-      beat.join(2000L)
-      release(spark, storeDir, holder)
+      // the join can time out while the heartbeat is blocked inside an
+      // FS call (interrupt-deaf); releasing once and walking away would
+      // let that in-flight renew re-create the lease as an orphan. Loop
+      // join+release until the thread is dead — the release after the
+      // final join is the one that sticks.
+      var tries = 0
+      do {
+        beat.join(2000L)
+        release(spark, storeDir, holder)
+        tries += 1
+      } while (beat.isAlive && tries < 150)
     }
   }
 }

@@ -132,7 +132,17 @@ object MediaHashStore {
     * (mediaDedupIngest's `compactEvery` does).
     */
   def compact(spark: SparkSession, dir: String,
-              idCol: String = "fid"): (Int, Int) = {
+              idCol: String = "fid"): (Int, Int) =
+    // lease-guarded: a DIRECT compact while an ingest lane's drain is
+    // mid-batch refuses with the holder's name instead of racing its
+    // writes (withLease is re-entrant within one control flow — r12
+    // verdict #5)
+    Lease.withLease(spark, dir, "MediaHashStore.compact") {
+      compactImpl(spark, dir, idCol)
+    }
+
+  private def compactImpl(spark: SparkSession, dir: String,
+                          idCol: String): (Int, Int) = {
     healed(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
@@ -193,7 +203,14 @@ object MediaHashStore {
     * SINGLE-WRITER: run between drains, like [[compact]].
     */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String = "doc_id"): Long = {
+             idCol: String = "doc_id"): Long =
+    // lease-guarded like [[compact]] (r12 verdict #5)
+    Lease.withLease(spark, dir, "MediaHashStore.forget") {
+      forgetImpl(spark, dir, ids, idCol)
+    }
+
+  private def forgetImpl(spark: SparkSession, dir: String, ids: DataFrame,
+                         idCol: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = fsOf(spark, path)
     if (!exists(spark, dir)) {

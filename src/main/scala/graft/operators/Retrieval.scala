@@ -554,6 +554,26 @@ object Retrieval {
                             root: org.apache.hadoop.fs.Path): Seq[String] =
     StoreProtocol.committedKeys(fs, root)
 
+  /** The incremental index's id-guard trade at this instant, for the
+    * growth lane's audit rows (the RetrievePipeline.gateInfo twin):
+    * (#committed ingests the guard would probe, pinned fpp).
+    */
+  private[graft] def bm25GateInfo(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): (Int, Double) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedKeys(fs, root)
+    if (committed.isEmpty) (0, 0.0)
+    else {
+      val meta = spark.read.parquet(s"$dir/meta")
+      val fpp =
+        if (meta.schema.fieldNames.contains("bloom_fpp"))
+          meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp"))
+        else 1e-4
+      (committed.length, fpp)
+    }
+  }
+
   /** [[bm25TopK]] answered from the INCREMENTAL index: postings and
     * doc lengths union the marked ingests, doc_freq partials prune to
     * the (broadcast) query vocabulary BEFORE merging — the merge
@@ -596,7 +616,13 @@ object Retrieval {
     */
   def forgetBm25Incremental(spark: org.apache.spark.sql.SparkSession,
                             dir: String, ids: DataFrame): Long =
-    consolidateBm25(spark, dir, Some(ids))
+    // lease-guarded: a DIRECT forget while an ingest lane's drain holds
+    // the index refuses with the holder's name instead of racing the
+    // lane's swap; the lanes' own calls pass through (withLease is
+    // re-entrant within one control flow — r12 verdict #5)
+    Lease.withLease(spark, dir, "Retrieval.forgetBm25Incremental") {
+      consolidateBm25(spark, dir, Some(ids))
+    }
 
   /** Fold the per-append ingest partitions into ONE retained partition
     * set (contents unchanged — the partition-count bound a long-lived
@@ -604,15 +630,19 @@ object Retrieval {
     * before, after).
     */
   def compactBm25Incremental(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): (Int, Int) = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    StoreProtocol.heal(fs, root)
-    val before = committedKeys(fs, root).length
-    if (before <= 1) return (before, before)
-    consolidateBm25(spark, dir, None)
-    (before, 1)
-  }
+                             dir: String): (Int, Int) =
+    // lease-guarded like [[forgetBm25Incremental]] (r12 verdict #5)
+    Lease.withLease(spark, dir, "Retrieval.compactBm25Incremental") {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      StoreProtocol.heal(fs, root)
+      val before = committedKeys(fs, root).length
+      if (before <= 1) (before, before)
+      else {
+        consolidateBm25(spark, dir, None)
+        (before, 1)
+      }
+    }
 
   private def consolidateBm25(spark: org.apache.spark.sql.SparkSession,
                               dir: String, ids: Option[DataFrame]): Long = {

@@ -20,6 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             the doc space (the K2 gate below), so the
   *                             corpus-wide distinct-doc count is the SUM
   *                             of partials — the doc_freq argument.
+  *                             TWO layouts, self-describing per ingest
+  *                             (the LSM pair, r12 verdict #2): append
+  *                             writes FLAT partials (one cheap file set,
+  *                             no small-files tax on a 500-doc batch);
+  *                             compact/forget write the consolidated
+  *                             base BUCKETED (`bucket = shingle mod 256`
+  *                             partition dirs), so a probe prunes the
+  *                             big base to the buckets its batch touches
+  *                             by construction — no row-group stats
+  *                             needed, which uniform hashes defeat.
   *   doc_ids/ingest=<key>/     committed doc ids (the K2 gate set)
   *   _commits/<key>            commit marker, written LAST
   *
@@ -28,15 +38,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * type, pushed to parquet row-group stats), then writes ONE
   * vocabulary-sized partial; nothing rewrites. [[probe]] joins committed
   * partials against the batch's span vocabulary (a broadcast semi-join):
-  * the store side never SHUFFLES, but it IS scanned — a map-only
-  * columnar read of the (shingle, n_docs) footprint whose cost grows
-  * sublinearly with the store (measured 3.6 s at 200k docs → 7.8 s at
-  * 1M docs for a 500-doc batch, ProbeSpanStore; span hashes are
-  * uniform, so no sort order or partition key can row-group-skip them —
-  * a store-size-independent probe would need a shingle-keyed point
-  * index, deliberately out of scope). [[probe]] is otherwise the
+  * the store side never SHUFFLES. What it READS is the LSM law: the
+  * flat tail (fresh partials since the last compact) is read whole —
+  * batch-sized × #uncompacted ingests — and the bucketed base is read
+  * at ~|touched buckets| / 256 of its footprint. A drain-sized batch
+  * (tens of thousands of distinct spans) touches every bucket, so ITS
+  * base read is a scan — compaction (3× fewer rows at 1M docs: merged
+  * partials dedup across ingests) is what keeps that face cheap, and a
+  * store-size-independent drain probe would need a shingle-keyed point
+  * index, still deliberately out of scope. A SMALL probe (a takedown
+  * check, a single document — ≲ a few hundred spans) prunes the base
+  * hard: read fraction ≈ touched/256. Numbers: ProbeSpanStore.
+  * [[probe]] is otherwise the
   * [[Dedup.spanStats]] tail over the batch. [[compact]] bounds the
-  * partition count (the SketchStore concern). [[forget]] is EXACT given
+  * partition count (the SketchStore concern) AND migrates the base to
+  * the bucketed layout. [[forget]] is EXACT given
   * the retracted docs' ingested TEXT (their span counts recompute and
   * decrement precisely); by ids alone it is impossible BY NATURE — the
   * store is an aggregate, a bare id cannot reveal which counts it
@@ -65,6 +81,51 @@ object SpanStore {
   private def partialOf(sp: DataFrame, idCol: String): DataFrame =
     sp.select(col("shingle"), col(idCol)).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+
+  /** Bucket count of the consolidated base's partition layout. 256:
+    * coarse enough that one compacted store is 256 directories (no
+    * listing tax), fine enough that a document-sized probe (~10²
+    * spans) reads well under half the base.
+    */
+  private[operators] val Buckets = 256
+
+  /** Split committed ingests by on-disk span_docs layout — BUCKETED
+    * (compact/forget output) vs FLAT (append partials). Self-describing:
+    * one directory listing per ingest, no meta versioning to drift.
+    */
+  private def splitLayout(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                          committed: Seq[String]): (Seq[String], Seq[String]) =
+    committed.partition { k =>
+      val d = new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$k")
+      fs.exists(d) && fs.listStatus(d).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    }
+
+  /** The committed (shingle, n_docs) partials, with the bucketed base
+    * pruned to `touched` buckets (None = no pruning — consolidation
+    * reads everything). Flat and bucketed ingests read separately (one
+    * multi-path read would refuse the mixed partition structure), then
+    * union by name with the partition column dropped.
+    */
+  private def readPartials(spark: SparkSession, dir: String,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           committed: Seq[String],
+                           touched: Option[Seq[Int]]): DataFrame = {
+    val (bucketed, flat) = splitLayout(fs, dir, committed)
+    val reads = Seq(
+      if (flat.isEmpty) None
+      else Some(spark.read
+        .parquet(flat.map(c => s"$dir/span_docs/ingest=$c"): _*)),
+      if (bucketed.isEmpty) None
+      else {
+        val base = spark.read
+          .parquet(bucketed.map(c => s"$dir/span_docs/ingest=$c"): _*)
+        Some(touched.fold(base)(t =>
+            base.filter(col("bucket").isin(t: _*)))
+          .select(col("shingle"), col("n_docs")))
+      }).flatten
+    reads.reduce(_.unionByName(_))
+  }
 
   /** Ingest a batch: docs whose id is already committed are dropped (K2
     * idempotent-append semantics), the rest commit as one marked ingest
@@ -185,8 +246,14 @@ object SpanStore {
     val totalCnt =
       if (committed.isEmpty) batchCnt
       else {
-        val committedCnt = spark.read
-          .parquet(committed.map(c => s"$dir/span_docs/ingest=$c"): _*)
+        // the batch's touched buckets — a bounded collect (≤ Buckets
+        // ints) that turns into a PARTITION filter on the compacted
+        // base: a small probe reads ~touched/256 of it by construction
+        val touched = sp
+          .select(pmod(col("shingle"), lit(Buckets.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val committedCnt =
+          readPartials(spark, dir, fs, committed, Some(touched))
           .join(broadcast(sp.select(col("shingle")).distinct()),
             Seq("shingle"), "left_semi")
           .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
@@ -223,15 +290,26 @@ object SpanStore {
     * set (contents unchanged — the partition-count bound a long-lived
     * ingest needs). Returns (ingests before, after).
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, root)
-    StoreProtocol.heal(fs, root)
-    val before = committedKeys(fs, root).length
-    if (before <= 1) return (before, before)
-    consolidate(spark, dir, None)
-    (before, 1)
-  }
+  def compact(spark: SparkSession, dir: String): (Int, Int) =
+    // lease-guarded: a DIRECT compact while an ingest lane's drain holds
+    // the store refuses with the holder's name instead of racing the
+    // lane's swap; the lane's own in-batch compact hook passes through
+    // (withLease is re-entrant within one control flow)
+    Lease.withLease(spark, dir, "SpanStore.compact") {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = fsOf(spark, root)
+      StoreProtocol.heal(fs, root)
+      val keys = committedKeys(fs, root)
+      val before = keys.length
+      // a single ingest still consolidates when it is a FLAT append
+      // partial: compaction is also the bucketed-layout migration
+      val alreadyBase = before == 1 && splitLayout(fs, dir, keys)._2.isEmpty
+      if (before == 0 || alreadyBase) (before, before)
+      else {
+        consolidate(spark, dir, None)
+        (before, 1)
+      }
+    }
 
   /** Retract documents: their span counts decrement EXACTLY (recomputed
     * from `retracted`'s text — which must be the text as ingested; a
@@ -244,8 +322,11 @@ object SpanStore {
     */
   def forget(spark: SparkSession, dir: String, retracted: DataFrame,
              textCol: String, idCol: String = "doc_id"): Long =
-    consolidate(spark, dir,
-      Some(retracted.select(col(idCol), col(textCol))))
+    // lease-guarded like [[compact]] (r12 verdict #5)
+    Lease.withLease(spark, dir, "SpanStore.forget") {
+      consolidate(spark, dir,
+        Some(retracted.select(col(idCol), col(textCol))))
+    }
 
   private def consolidate(spark: SparkSession, dir: String,
                           drop: Option[DataFrame]): Long = {
@@ -257,7 +338,7 @@ object SpanStore {
     val (idCol, k) = readMeta(spark, dir)
     def table(t: String) =
       spark.read.parquet(committed.map(c => s"$dir/$t/ingest=$c"): _*)
-    val summed = table("span_docs")
+    val summed = readPartials(spark, dir, fs, committed, touched = None)
       .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
     // only docs actually committed decrement (a takedown list routinely
     // carries ids this store never ingested)
@@ -310,7 +391,16 @@ object SpanStore {
     fs.mkdirs(tmp) // all-retracted leaves it empty: the swap un-commits
     if (survivors > 0L) {
       val key = s"r${committed.length}_${stats.getString(1).take(12)}"
-      merged.write.mode("overwrite").parquet(s"$tmp/span_docs/ingest=$key")
+      // the consolidated base lands BUCKETED (bucket = shingle mod 256
+      // partition dirs) so probes prune it by construction; repartition
+      // on the bucket first — without it every task writes files into
+      // every bucket dir (a 256× small-files tax)
+      merged
+        .withColumn("bucket",
+          pmod(col("shingle"), lit(Buckets.toLong)).cast("int"))
+        .repartition(Buckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$tmp/span_docs/ingest=$key")
       survivorIds.write.mode("overwrite").parquet(s"$tmp/doc_ids/ingest=$key")
       spark.read.parquet(s"$dir/meta")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, CorpusOps, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, CorpusOps, Lease, Retrieval, Similarity, TextAnalysis}
 
 /** End-to-end hybrid retrieval over a document corpus — the composition
   * the individual operators exist for, as one runnable lifecycle (the
@@ -266,6 +266,20 @@ object RetrievePipeline {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_"))
       .map(s => s.getPath.getName -> Seq(s.getPath.toString)).toSeq
     (if (base.nonEmpty) Seq("base" -> base) else Nil) ++ batches
+  }
+
+  /** The id-guard trade at this instant, for the growth lanes' audit
+    * rows (r12 verdict: a bloom fp silently drops a genuinely-new doc,
+    * and without a durable record of #parts × fpp at drain time an
+    * operator cannot bound realized fp exposure after the fact):
+    * (#committed parts the guard would probe, pinned fpp).
+    */
+  private[graft] def gateInfo(spark: SparkSession, dir: String): (Int, Double) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) (0, 0.0)
+    else (chunkParts(fs, dir).length,
+      pinnedFpp(spark.read.parquet(s"$dir/meta")))
   }
 
   /** One doc-id bloom over `chunksDf`'s distinct parent docs, written
@@ -544,7 +558,16 @@ object RetrievePipeline {
     * swap through the shared `__old` protocol (readers heal a mid-swap
     * crash). SINGLE-WRITER: run between drains.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    // lease-guarded: a DIRECT compact while an ingest lane's drain holds
+    // the stack refuses with the holder's name instead of racing the
+    // lane's swaps; the lane's own compactEvery hook passes through
+    // (withLease is re-entrant within one control flow — r12 verdict #5)
+    Lease.withLease(spark, dir, "RetrievePipeline.compact") {
+      compactImpl(spark, dir)
+    }
+
+  private def compactImpl(spark: SparkSession, dir: String): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
@@ -611,7 +634,14 @@ object RetrievePipeline {
     * instead (guarded). Returns the number of chunks removed.
     * Single-writer, like every graft maintenance operator.
     */
-  def forget(spark: SparkSession, dir: String, docIds: DataFrame): Long = {
+  def forget(spark: SparkSession, dir: String, docIds: DataFrame): Long =
+    // lease-guarded like [[compact]] (r12 verdict #5)
+    Lease.withLease(spark, dir, "RetrievePipeline.forget") {
+      forgetImpl(spark, dir, docIds)
+    }
+
+  private def forgetImpl(spark: SparkSession, dir: String,
+                         docIds: DataFrame): Long = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),

@@ -153,6 +153,13 @@ class Warehouse(val spark: SparkSession, val root: String) {
     partitionCol.foreach(pc => require(keys.contains(pc),
       s"idempotentAppend: partitionCol '$pc' must be part of the key — a " +
         "key outside its partition would dodge the partition-scoped dedup"))
+    // heal BEFORE reading the layout: a table stranded at <table>__old by
+    // a crashed overwrite lists as empty here, so without this a
+    // mismatched partitionCol request would pass reconciliation as a
+    // "fresh table" and write exactly the mixed-depth layout the check
+    // below exists to prevent (readIfExists would heal too late — the
+    // layout decision is already made by then)
+    recoverStranded(table)
     // on-disk layout reconciliation (see scaladoc)
     val effectivePartitionCol: Option[String] = {
       val dir = new java.io.File(path(table))

@@ -150,6 +150,31 @@ class PlanSpec extends SparkSpec {
       "GreaterThanOrEqual(doc_id,1), LessThanOrEqual(doc_id,99)]"), gp.take(1200))
   }
 
+  test("streaming ingest lanes' committed-id gate: the committed read " +
+    "carries a pushed id-range filter (decontam + fuzzy-dedup lanes " +
+    "share this exact helper)") {
+    import spark.implicits._
+    val dir = tempDir("plan_gate")
+    (0L until 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val committed = spark.read.parquet(s"$dir/docs")
+    val batch = Seq((5L, "a"), (40L, "b")).toDF("doc_id", "text")
+    // the gate the decontam/fuzzy-dedup foreachBatch bodies call: its
+    // committed side must prune to the batch's [min, max] id window,
+    // pushed to the parquet row-group stats — the read tracks the
+    // window's row groups, not the corpus (r12 verdict #1)
+    val gated = graft.streaming.IncrementalStream.gateCommittedIds(
+      batch, committed, "doc_id", "text")
+    val p = gated.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,5), LessThanOrEqual(doc_id,40)]"),
+      p.take(1500))
+    // and the anti-join itself broadcasts the pruned committed side
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(1500))
+    assert(gated.count() == 0) // both batch ids are committed
+  }
+
   test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

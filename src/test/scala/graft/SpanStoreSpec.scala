@@ -91,6 +91,38 @@ class SpanStoreSpec extends SparkSpec {
     assert(before == expected)
   }
 
+  test("compact migrates the base to the BUCKETED layout; the probe " +
+    "prunes it to the batch's touched buckets and stays value-identical; " +
+    "flat appends after a compact read as the LSM tail") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus.filter(col("doc_id") === 1L),
+      "text", "doc_id", k = 8)
+    // single FLAT ingest: compact is also the layout migration
+    assert(SpanStore.compact(spark, dir) == ((1, 1)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs"))
+      .filter(_.getPath.getName.startsWith("ingest="))
+    def bucketDirsOf(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    assert(baseDirs().forall(s => bucketDirsOf(s.getPath) > 0),
+      "the compacted base must land as bucket= partition dirs")
+    // an already-bucketed single base is a no-op (no churn per compact)
+    assert(SpanStore.compact(spark, dir) == ((1, 1)))
+    // LSM tail: a fresh flat append beside the bucketed base — the probe
+    // reads both layouts and the result matches the all-flat store
+    SpanStore.append(spark, dir, corpus.filter(col("doc_id") === 2L),
+      "text", "doc_id", k = 8)
+    assert(probeRows(dir) == expected)
+    // and the probe's base scan carries the touched-bucket PARTITION
+    // filter (pruning by construction — uniform hashes defeat row-group
+    // stats, bucket dirs don't care)
+    val plan = SpanStore.probe(spark, dir, batch, "text", "doc_id", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), plan.take(1500))
+  }
+
   test("forget with the ingested text decrements exactly and lifts the re-admission veto") {
     val dir = tmp()
     SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)

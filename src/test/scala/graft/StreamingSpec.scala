@@ -1158,6 +1158,16 @@ class StreamingSpec extends SparkSpec {
       "audited admitted chunks must equal the staged batch dirs' rows")
     // offered = the batch's doc count (125 per drain), on every stage row
     assert(audit0.filter(col("offered_count") =!= 125L).count() == 0)
+    // gate-trade columns (r12 verdict #3): mode, #parts the guard probed
+    // at drain time, fpp — gate_parts × gate_fpp is the realized silent-
+    // drop exposure an operator bounds after the fact; exact mode
+    // records fpp 0.0 (no drop risk)
+    assert(audit0.filter(col("gate_mode") =!= "exact").count() == 0)
+    assert(audit0.filter(col("gate_fpp") =!= 0.0).count() == 0)
+    assert(audit0.select("batch_id", "gate_parts").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+      == Set((0L, 1), (1L, 2)), // base part, then base + batch 0's dir
+      audit0.collect().mkString("\n"))
     val before = snapshot()
     drain(tempDir("si_ck2"))
     assert(snapshot() == before,
@@ -1234,6 +1244,13 @@ class StreamingSpec extends SparkSpec {
     assert(grow.select(org.apache.spark.sql.functions
       .sum("admitted_count")).head().getLong(0) == 100L)
     assert(grow.filter(col("store") === s"bm25:$idx").count() == 2)
+    // gate-trade columns (r12 verdict #3): fresh index probes 0 parts,
+    // the second drain probes batch 0's ingest; exact mode → fpp 0.0
+    assert(grow.filter(col("gate_mode") =!= "exact").count() == 0)
+    assert(grow.filter(col("gate_fpp") =!= 0.0).count() == 0)
+    assert(grow.select("batch_id", "gate_parts").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == Set((0L, 0), (1L, 1)),
+      grow.collect().mkString("\n"))
     // fresh-checkpoint FULL replay: the append's K2 anti-join admits
     // nothing — no new ingest partitions, serve unchanged; the replay
     // run's audit row is an honest admitted=0
@@ -1263,6 +1280,43 @@ class StreamingSpec extends SparkSpec {
     assert(Retrieval.forgetBm25Incremental(spark, idx,
       Seq(victim).toDF("doc_id")) >= 1L)
     assert(!serve().exists(_._3 == victim))
+  }
+
+  test("bm25 growth audit in BLOOM mode records the gate's trade — parts " +
+    "probed at drain time and the pinned fpp, so realized silent-drop " +
+    "exposure is bounded after the fact") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+      .localCheckpoint(true)
+    val in = tempDir("bb_in")
+    val ck = tempDir("bb_ck")
+    val idx = s"${tempDir("bb_idx")}/idx"
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("bb_wh"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(): Unit =
+      IncrementalStream.bm25Ingest(
+          spark.readStream.schema(schema).parquet(in), idx, ck,
+          idGuard = "bloom",
+          warehouse = Some(wh), auditTable = Some("bb_audit"))
+        .awaitTermination()
+    docs.filter(col("doc_id") < 30).write.mode("append").parquet(in)
+    drain() // batch 0: fresh index — the guard probed nothing
+    docs.filter(col("doc_id") >= 30).write.mode("append").parquet(in)
+    drain() // batch 1: one committed ingest's bloom probed at 1e-4
+    val rows = wh.read("bb_audit")
+      .select("batch_id", "gate_mode", "gate_parts", "gate_fpp")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rows == Set((0L, "bloom", 0, 0.0), (1L, "bloom", 1, 1e-4)),
+      rows.mkString("\n"))
+    // the serve reconciles: both drains' docs are in the index
+    assert(Retrieval.bm25TopKFromIncremental(spark, idx,
+        spark.createDataFrame(Seq((1L, "the"))).toDF("query_id", "term"), 5)
+      .count() > 0)
   }
 
   test("streaming span ingest: per-batch probe stats are incremental-exact " +
