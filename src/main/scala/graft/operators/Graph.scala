@@ -153,4 +153,154 @@ object Graph {
     }
     (ranks, ran)
   }
+
+  // ---------------------------------------------- graph primitives (r13)
+
+  /** Connected components over an undirected edge list — the public
+    * graph face of the min-label propagation core the dedup family
+    * already runs ([[Dedup.clusterReps]]: per-round neighbor-min +
+    * pointer jumping for O(log diameter) convergence, eager
+    * localCheckpoint lineage cuts, and a measured driver union-find
+    * fast path under the edge cap). Returns (idCol, component) for
+    * EVERY node in `nodes` — isolated nodes label themselves;
+    * `component` is the component's minimum node id, so labels are
+    * deterministic and engine-portable.
+    *
+    * `edges` carries two node columns (any names, first = one endpoint,
+    * second = the other); direction is ignored.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "node"): DataFrame = {
+    val Array(ea, eb) = edges.columns.take(2)
+    Dedup.clusterReps(nodes,
+        edges.select(col(ea).as("id_a"), col(eb).as("id_b")), idCol)
+      .withColumnRenamed("rep_id", "component")
+  }
+
+  /** Multi-source BFS hop distances over a DIRECTED edge list (src,
+    * dst) — pass both directions for an undirected graph. Returns
+    * (node, dist) for every node reachable within `maxDepth` hops of
+    * any source (sources themselves at dist 0; unreachable nodes are
+    * absent — callers outer-join if they want nulls).
+    *
+    * Scale shape: the classic frontier expansion — each round joins the
+    * FRONTIER (new nodes only, never the visited set) against the edge
+    * list, anti-joins the visited set, and checkpoints; total work is
+    * O(edges × 1) across all rounds (every edge relaxes at most once
+    * per endpoint discovery), rounds = min(eccentricity, maxDepth).
+    * The driver loop reads one count per round, never the data.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   maxDepth: Int = 30): DataFrame = {
+    val Array(es, ed) = edges.columns.take(2)
+    val sym = edges.select(col(es).as("src"), col(ed).as("dst"))
+      .localCheckpoint(true)
+    val srcCol = sources.columns.head
+    var dist = sources.select(col(srcCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var d = 0
+    var grew = frontier.count() > 0
+    while (grew && d < maxDepth) {
+      d += 1
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      grew = next.count() > 0
+      if (grew) dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist
+  }
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal (spam/bot subgraphs are triangle-dense, random
+    * ones are not). Input edges in any direction/duplication; self
+    * loops drop. Returns (node, n_triangles) for every node with at
+    * least one edge, zeros included.
+    *
+    * Scale shape: DEGREE-ORIENTED wedge counting (the compact-forward
+    * algorithm; Latapy 2008): each edge points from its lower
+    * (degree, id) endpoint to the higher, so every node's out-degree is
+    * O(√m) on any graph and the wedge self-join is Σ out-deg² ≤ O(m^1.5)
+    * — never the deg² blow-up of a hub node under the naive a<b<c
+    * formulation. Each triangle materializes exactly once (at its
+    * smallest-ordered apex), then credits all three corners through one
+    * explode + count.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val Array(ea, eb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ea), col(eb)).as("a"), greatest(col(ea), col(eb)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // total order (deg, id): orientation key + wedge ordering share it
+    val withK = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("n")).as("ka"),
+        struct(col("db").as("d"), col("b").as("n")).as("kb"))
+    val oriented = withK
+      .select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kv"))
+      .localCheckpoint(true)
+    // wedges at each apex u over its (small, by construction) out-set;
+    // the closing edge must itself be oriented low→high in the same
+    // total order, so one semi-join shape closes every triangle once
+    val wedges = oriented.alias("x").join(oriented.alias("y"), Seq("u"))
+      .filter(col("x.kv") < col("y.kv"))
+      .select(col("u").as("t0"), col("x.v").as("t1"), col("y.v").as("t2"))
+    val tris = wedges.join(oriented.select(col("u").as("t1"), col("v").as("t2")),
+      Seq("t1", "t2"), "left_semi")
+    val counts = tris
+      .select(explode(array(col("t0"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Co-neighbor Jaccard between RIGHT nodes of a bipartite edge list
+    * (leftCol, rightCol) — "items whose user sets overlap": for every
+    * right pair sharing ≥ 1 left node, |A∩B| / |A∪B| over their left
+    * neighborhoods, thresholded. Returns (id_a, id_b, shared, jaccard),
+    * id_a < id_b.
+    *
+    * Scale shape: the inverted-index discipline the n-gram Jaccard
+    * dedup established — pairs generate per LEFT node, so a hub left
+    * node (a user who touched everything) would explode the self-join
+    * quadratically on one key; left nodes with more than
+    * `maxLeftDegree` distinct right neighbors are dropped from pair
+    * GENERATION by declared side-local semantics (neighborhood sizes
+    * count over the same capped index, keeping the ratio internally
+    * consistent — the df-cap rule).
+    */
+  def coNeighborJaccard(edges: DataFrame, leftCol: String, rightCol: String,
+                        threshold: Double,
+                        maxLeftDegree: Int = 1000): DataFrame = {
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct().localCheckpoint(true)
+    val hot = e.groupBy("l").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxLeftDegree).select("l")
+    val kept = e.join(hot, Seq("l"), "left_anti").localCheckpoint(true)
+    val sizes = kept.groupBy("r").agg(count(lit(1)).as("n_l"))
+    val shared = kept.alias("x").join(kept.alias("y"), Seq("l"))
+      .filter(col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("id_a"), col("y.r").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("r").as("id_a"), col("n_l").as("na")), "id_a")
+      .join(sizes.select(col("r").as("id_b"), col("n_l").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

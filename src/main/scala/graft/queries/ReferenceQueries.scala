@@ -235,6 +235,83 @@ object ReferenceQueries {
       .orderBy("node")
   }
 
+  // ------------------------------------------------ graph primitives (r13)
+
+  /** The sparse bipartite purchase graph the graph-primitive queries
+    * share: user node = 2·user_id, item node = 2·props.k + 1 (disjoint
+    * id spaces in one long domain), one undirected edge per distinct
+    * high-value (user, item) purchase pair. The value gate keeps the
+    * graph sparse enough to carry non-trivial component structure; the
+    * operators themselves take any edge list.
+    */
+  private def purchaseGraphEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 95)
+      .select((col("user_id") * 2).as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** Connected components of the purchase graph — one label per node,
+    * min-node-id labeled ([[graft.operators.Graph.connectedComponents]]:
+    * the dedup family's min-label propagation core as a public graph
+    * face; log-diameter rounds, no driver collect above the measured
+    * fast-path cap).
+    */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseGraphEdges(s, dir).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    graft.operators.Graph.connectedComponents(nodes, e, "node")
+      .orderBy("node")
+  }
+
+  /** BFS hop distances from the graph's minimum node over the purchase
+    * graph (frontier expansion, one edges-join per level — never a
+    * visited-set scan). Unreachable nodes are absent.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseGraphEdges(s, dir).localCheckpoint(true)
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val source = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .agg(min(col("node")).as("node"))
+    graft.operators.Graph.bfsDistances(sym, source)
+      .orderBy("node")
+  }
+
+  /** The co-purchase ITEM graph: items whose purchaser sets share ≥ 2
+    * users (hub-capped inverted index), one undirected edge per
+    * qualifying pair — the unipartite projection the triangle and
+    * similarity queries run on.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coNeighborJaccard(
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+      "user_id", "item", threshold = 0.0)
+
+  /** Per-item triangle counts over the co-purchase graph — the local
+    * clustering signal, counted by degree-oriented wedges
+    * ([[graft.operators.Graph.triangleCounts]]: Σ out-deg² ≤ O(m^1.5),
+    * no hub blow-up).
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+        coPurchasePairs(s, dir).filter(col("shared") >= 2)
+          .select("id_a", "id_b"))
+      .orderBy("node")
+
+  /** Item-item co-purchase similarity — "users who bought A also bought
+    * B": co-neighbor Jaccard over purchaser sets at τ = 0.2
+    * ([[graft.operators.Graph.coNeighborJaccard]] — the n-gram-Jaccard
+    * inverted-index discipline on a bipartite graph).
+    */
+  def graphItemSim(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(s, dir).filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+
   /** Per-type equi-width histogram of event values: 10 bins over the
     * observed [min, max] per event type — one corpus pass for the bounds
     * (partial-agg'd), a broadcast join back, a map-side bin expression,
@@ -1020,6 +1097,35 @@ object ReferenceQueries {
   /** DuckDB oracle SQL per query — same table names, same aliases, same
     * ORDER BY, same decimal funneling.
     */
+  /** The graph oracles' shared sparse bipartite purchase graph — the SQL
+    * twin of [[purchaseGraphEdges]] (defs, not vals: referenced from the
+    * map literal below, and an object-init forward val reference would
+    * read null).
+    */
+  private def graphEdgeCtes: String =
+    """WITH RECURSIVE pe AS (
+         SELECT DISTINCT user_id * 2 AS src,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS dst
+         FROM events WHERE event_type = 'purchase' AND value > 95),
+       ed AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+       nodes AS (SELECT DISTINCT src AS node FROM ed)"""
+
+  /** The co-purchase projection's shared CTEs — the SQL twin of
+    * [[coPurchasePairs]] (hub cap 1000, sizes over the capped index —
+    * the df-cap side-local rule).
+    */
+  private def coPurchaseCtes: String =
+    """WITH pu AS (
+         SELECT DISTINCT user_id AS l,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS r
+         FROM events WHERE event_type = 'purchase'),
+       hot AS (SELECT l FROM pu GROUP BY l HAVING count(*) > 1000),
+       kept AS (SELECT pu.* FROM pu WHERE pu.l NOT IN (SELECT l FROM hot)),
+       sizes AS (SELECT r, count(*) AS n_l FROM kept GROUP BY r),
+       pr AS (SELECT x.r AS id_a, y.r AS id_b, count(*) AS shared
+              FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
+              GROUP BY x.r, y.r)"""
+
   val oracles: Map[String, String] = Map(
     "s2_scan_project" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
@@ -1103,6 +1209,52 @@ object ReferenceQueries {
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
+    // (graphEdgeCtes / coPurchaseCtes defined below the map — the graph
+    // oracles share one edge construction, the Spark queries' no-fork twin)
+    // min-label connected components as full reachability (every node
+    // adopts the minimum label that can reach it — recursive CTE over
+    // the symmetric edge list)
+    "graph_components" -> (graphEdgeCtes + """,
+         r(node, lbl) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.lbl FROM r JOIN ed e ON e.src = r.node)
+         SELECT node, min(lbl) AS component FROM r GROUP BY node
+         ORDER BY node"""),
+    "graph_bfs" -> (graphEdgeCtes + """,
+         s AS (SELECT min(node) AS node FROM nodes),
+         walk(node, dist) AS (
+           SELECT node, 0 FROM s
+           UNION
+           SELECT e.dst, walk.dist + 1 FROM walk JOIN ed e ON e.src = walk.node
+           WHERE walk.dist < 30)
+         SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM walk
+         GROUP BY node ORDER BY node"""),
+    // the naive a<b<c triangle enumeration — set-identical to the
+    // engine's degree-oriented wedge count, which is the whole point of
+    // orienting: same triangles, bounded join
+    "graph_triangles" -> (coPurchaseCtes + """,
+         e AS (SELECT id_a AS a, id_b AS b FROM pr WHERE shared >= 2),
+         tri AS (SELECT e1.a AS t0, e1.b AS t1, e2.b AS t2
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         gn AS (SELECT DISTINCT a AS node FROM e
+                UNION SELECT DISTINCT b FROM e),
+         cnt AS (SELECT node, count(*) AS n_triangles FROM (
+                   SELECT t0 AS node FROM tri
+                   UNION ALL SELECT t1 FROM tri
+                   UNION ALL SELECT t2 FROM tri)
+                 GROUP BY node)
+         SELECT gn.node, CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+         FROM gn LEFT JOIN cnt ON cnt.node = gn.node ORDER BY gn.node"""),
+    "graph_item_sim" -> (coPurchaseCtes + """
+         SELECT pr.id_a, pr.id_b, pr.shared,
+                round(CAST(pr.shared AS DOUBLE) / (sa.n_l + sb.n_l - pr.shared), 6) AS jaccard
+         FROM pr
+         JOIN sizes sa ON sa.r = pr.id_a
+         JOIN sizes sb ON sb.r = pr.id_b
+         WHERE round(CAST(pr.shared AS DOUBLE) / (sa.n_l + sb.n_l - pr.shared), 6) >= 0.2
+         ORDER BY pr.id_a, pr.id_b"""),
     // independent join-chain replay of the windowed-min funnel: each
     // step's min ts strictly after the previous step's, per user. The
     // universe is users with >=1 STEP-TYPE event (mirrors the operator's
@@ -1657,6 +1809,10 @@ object ReferenceQueries {
     "ev_retention" -> (eventsRetention _),
     "ev_markov" -> (eventsMarkov _),
     "ev_pagerank" -> (eventsPageRank _),
+    "graph_components" -> (graphComponents _),
+    "graph_bfs" -> (graphBfs _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_item_sim" -> (graphItemSim _),
     "ev_outliers" -> (eventsOutliers _),
     "ev_anomaly" -> (eventsAnomaly _),
     "j6_salted_join" -> (saltedJoinAgg _),

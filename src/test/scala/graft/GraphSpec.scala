@@ -86,4 +86,66 @@ class GraphSpec extends SparkSpec {
     val (_, ranFixed) = Graph.pageRankCounted(edges, "src", "dst", "n", iters = 7)
     assert(ranFixed == 7)
   }
+
+  test("connectedComponents: min-node labels per component, isolated " +
+    "nodes self-label, direction/duplication ignored") {
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("node")
+    // 3->2 reversed + a duplicate edge: both must collapse
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 2L), (5L, 6L)).toDF("x", "y")
+    val out = Graph.connectedComponents(nodes, edges, "node")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+  }
+
+  test("bfsDistances: hop distances from a source set; unreachable " +
+    "absent; direction honored; maxDepth truncates") {
+    // directed path 1->2->3->4, plus 4->1 closing a cycle, plus isolated 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val out = Graph.bfsDistances(edges, src)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+    // direction: nothing reaches 1's predecessors when the cycle edge flips
+    val dag = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val from3 = Graph.bfsDistances(dag, Seq(3L).toDF("node"))
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(from3 == Seq((3L, 0), (4L, 1)))
+    // maxDepth: the frontier stops expanding past the bound
+    val shallow = Graph.bfsDistances(dag, Seq(1L).toDF("node"), maxDepth = 1)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(shallow == Seq((1L, 0), (2L, 1)))
+  }
+
+  test("triangleCounts: K4 has three triangles per node; a pendant node " +
+    "has zero; reversed/duplicate edges collapse") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    // pendant 5 hangs off 1; one K4 edge duplicated reversed
+    val edges = (k4 ++ Seq((5L, 1L), (2L, 1L))).toDF("x", "y")
+    val out = Graph.triangleCounts(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 0L)))
+  }
+
+  test("coNeighborJaccard: hand-checked overlap ratios; a hub left node " +
+    "is dropped from pair generation (side-local df-cap semantics)") {
+    // users u1,u2 both touch items 10,20; u3 touches 20,30
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L))
+      .toDF("user", "item")
+    val out = Graph.coNeighborJaccard(e, "user", "item", threshold = 0.0)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Double)].collect().toSeq
+    // |N(10)|=2 {1,2}, |N(20)|=3 {1,2,3}, |N(30)|=1 {3}
+    assert(out == Seq(
+      (10L, 20L, 2L, round6(2.0 / 3.0)),
+      (20L, 30L, 1L, round6(1.0 / 3.0))))
+    // a hub user touching everything would mint every pair — capped out
+    val withHub = e.unionByName(
+      (1L to 5L).map(i => (99L, i * 10L)).toDF("user", "item"))
+    val capped = Graph.coNeighborJaccard(withHub, "user", "item",
+      threshold = 0.0, maxLeftDegree = 4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped == out, "the hub's pairs (and its size contributions) must not appear")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
