@@ -1373,6 +1373,33 @@ ORDER BY doc_id""")
       .orderBy("doc_id")
   }
 
+  /** [[corpusPipeline]] with the span-grain rewrite stage inserted after
+    * exact dedup — the board face of `CuratePipeline.run(maskSpans =
+    * true)` (r12 verdict #4): cross-document duplicated 8-token spans
+    * are masked out of the survivors ([[Dedup.spanMaskText]], keeper =
+    * first global occurrence), fully-masked docs drop, and the PACK runs
+    * on the rebuilt text — n_tokens is the kept-token count, so the bin
+    * layout reflects what would actually tokenize downstream.
+    */
+  def corpusPipelineSpanmask(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = TextAnalysis.quality(d, "text", "doc_id")
+      .filter(col("quality_score") >= 0.5).select("doc_id")
+    val qualityDocs = d.join(quality, "doc_id")
+    val keepIds = Dedup.exact(qualityDocs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val curated = qualityDocs.join(keepIds, "doc_id")
+    // the span-mask stage: duplication is counted over the CURATED set
+    // (the survivors the rewrite ships), not the raw corpus
+    val masked = Dedup.spanMaskText(curated, "text", "doc_id")
+      .filter(length(col("text")) > 0)
+    val sampled = graft.operators.CorpusOps.sampleByHash(masked, "doc_id", 0.5, "pipe")
+    graft.operators.CorpusOps.packSequential(sampled, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), budget = 1024, blocks = 4)
+      .select("doc_id", "block", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal plumbing ----------------------------------------------
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -1855,9 +1882,9 @@ ORDER BY doc_id""")
     * (occurrences of spans in ≥ 2 distinct docs) and `base` (per-doc
     * token counts) — both span oracles derive from here (no-fork rule).
     */
-  private val spanChainCtes: String =
-    """WITH toks AS (
-         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  private def spanChainBody(src: String): String =
+    s"""toks AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src),
        th AS (
          SELECT doc_id, len(w) AS n,
                 list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT)) AS h
@@ -1875,7 +1902,50 @@ ORDER BY doc_id""")
        occ AS (SELECT s.doc_id, s.pos, s.shingle FROM sp s JOIN dupsp d ON s.shingle = d.shingle),
        base AS (
          SELECT doc_id, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
-         FROM documents)"""
+         FROM $src)"""
+
+  private val spanChainCtes: String = "WITH " + spanChainBody("documents")
+
+  /** The simplified curation HEAD shared by the pipeline oracles
+    * (quality gate → exact-dedup keepers): defines `f` (features), `q`
+    * (quality survivors) and `k` (keepers, with original-text token
+    * counts). No-fork rule: corpus_pipeline and its span-mask variant
+    * must walk the identical head.
+    */
+  private val pipelineHeadCtes: String = {
+    val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""f AS (
+           SELECT doc_id, text,
+                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
+                  len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> x IN ($stop))) AS n_stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, n_tokens FROM f
+           WHERE round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                 + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0)
+                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.5),
+         k AS (
+           SELECT q.doc_id, q.n_tokens FROM q
+           WHERE q.doc_id IN (
+             SELECT min(f2.doc_id) FROM f f2
+             WHERE f2.doc_id IN (SELECT doc_id FROM q)
+             GROUP BY md5(f2.text)))"""
+  }
+
+  /** The sequential-pack tail over `smp` (doc_id, n_tokens, block) —
+    * shared by both pipeline oracles.
+    */
+  private val packTailSql: String =
+    """, st AS (
+           SELECT doc_id, block, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
+                    AS BIGINT) AS ss
+           FROM smp)
+         SELECT doc_id, block, n_tokens, CAST(ss // 1024 AS BIGINT) AS bin_id,
+                CAST(ss % 1024 AS BIGINT) AS bin_offset
+         FROM st ORDER BY doc_id"""
 
   /** The per-doc span-duplication stats tail over `occ`/`base` — shared
     * by the full-corpus oracle and the incremental-store oracle (which
@@ -3834,42 +3904,45 @@ ORDER BY doc_id""")
                                / scale, 0) AS INTEGER) END AS qval
          FROM q, range(64) i
          ORDER BY vec_id, dim""",
-    "corpus_pipeline" -> {
-      val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
-      s"""WITH f AS (
-           SELECT doc_id, text,
-                  len(string_split(lower(trim(text)), ' ')) AS n_tokens,
-                  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique,
-                  len(list_filter(string_split(lower(trim(text)), ' '),
-                      x -> x IN ($stop))) AS n_stop
-           FROM documents),
-         q AS (
-           SELECT doc_id, n_tokens FROM f
-           WHERE round(0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
-                 + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0)
-                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.5),
-         k AS (
-           SELECT q.doc_id, q.n_tokens FROM q
-           WHERE q.doc_id IN (
-             SELECT min(f2.doc_id) FROM f f2
-             WHERE f2.doc_id IN (SELECT doc_id FROM q)
-             GROUP BY md5(f2.text))),
+    "corpus_pipeline" -> (s"WITH $pipelineHeadCtes," +
+      s"""
          smp AS (
            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                   CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4
                     AS block
            FROM k
            WHERE CAST(('0x' || substr(md5('s:pipe:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
-                 / 16777216.0 < 0.5),
-         st AS (
-           SELECT doc_id, block, n_tokens,
-                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id) - n_tokens
-                    AS BIGINT) AS ss
-           FROM smp)
-         SELECT doc_id, block, n_tokens, CAST(ss // 1024 AS BIGINT) AS bin_id,
-                CAST(ss % 1024 AS BIGINT) AS bin_offset
-         FROM st ORDER BY doc_id"""
-    },
+                 / 16777216.0 < 0.5)
+         $packTailSql"""),
+    // the span_mask stage inserted after exact dedup (CuratePipeline's
+    // maskSpans seam, r12 verdict #4): the masked REBUILT text feeds the
+    // pack, so n_tokens is each survivor's kept-token count
+    "corpus_pipeline_spanmask" -> (s"WITH $pipelineHeadCtes," +
+      " cur AS (SELECT d.doc_id, d.text FROM documents d JOIN k ON k.doc_id = d.doc_id),\n" +
+      spanChainBody("cur") +
+      s""",
+         keeper AS (SELECT shingle, min(doc_id * 1048576 + pos) AS kk FROM occ GROUP BY shingle),
+         mocc AS (SELECT o.doc_id, o.pos FROM occ o JOIN keeper kp ON o.shingle = kp.shingle
+                  WHERE o.doc_id * 1048576 + o.pos <> kp.kk),
+         mpos0 AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS t FROM mocc),
+         mpos AS (SELECT DISTINCT doc_id, t FROM mpos0),
+         wtl AS (SELECT doc_id, list_transform(range(len(w)), i -> {'t': i, 'tok': w[i + 1]}) AS l
+                 FROM toks),
+         wt0 AS (SELECT doc_id, unnest(l) AS u FROM wtl),
+         wt AS (SELECT doc_id, u.t AS t, u.tok AS tok FROM wt0),
+         keptt AS (SELECT w.doc_id, w.t, w.tok FROM wt w
+                   LEFT JOIN mpos m ON m.doc_id = w.doc_id AND m.t = w.t
+                   WHERE m.doc_id IS NULL),
+         reb AS (SELECT doc_id, count(*) AS kept_tokens FROM keptt GROUP BY doc_id),
+         smp AS (
+           SELECT doc_id, CAST(kept_tokens AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4
+                    AS block
+           FROM reb
+           WHERE kept_tokens > 0
+             AND CAST(('0x' || substr(md5('s:pipe:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                 / 16777216.0 < 0.5)
+         $packTailSql"""),
     "mm_frames" ->
       """WITH b AS (
            SELECT doc_id, text,
@@ -5138,6 +5211,7 @@ ORDER BY doc_id""")
     "corpus_length_buckets" -> (corpusLengthBuckets _),
     "corpus_length_equidepth" -> (corpusLengthEquidepth _),
     "corpus_pipeline" -> (corpusPipeline _),
+    "corpus_pipeline_spanmask" -> (corpusPipelineSpanmask _),
     "corpus_dsir" -> (corpusDsir _),
     "text_naive_bayes" -> (textNaiveBayes _),
     "warehouse_diff" -> (warehouseDiff _),
