@@ -280,6 +280,30 @@ object ReferenceQueries {
       .orderBy("node")
   }
 
+  /** [[graphComponents]] through the PERSISTED store lifecycle
+    * ([[graft.operators.GraphStore]]): build the store from half the
+    * purchase edges (deterministic hash split), append the other half —
+    * committed components merge through the remap chain, no label row
+    * rewrites — and read the resolved labeling: ≡ one-shot CC over all
+    * edges, so the oracle is shared verbatim. The in-query ingest
+    * REQUIREs admitted work (the dedup_span_incremental rule: a
+    * silently-empty growth path can never pass green).
+    */
+  def graphComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseGraphEdges(s, dir).localCheckpoint(true)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q_graphstore").toString + "/store"
+    val split = pmod(xxhash64(col("src"), col("dst")), lit(2))
+    val (f1, _) = graft.operators.GraphStore.append(s, store,
+      e.filter(split === 0), "node")
+    val (f2, m2) = graft.operators.GraphStore.append(s, store,
+      e.filter(split === 1), "node")
+    require(f1 > 0 && f2 + m2 > 0,
+      s"graph_components_incremental: empty growth path (first $f1, " +
+        s"second $f2 fresh + $m2 merges) — the lifecycle under test did not run")
+    graft.operators.GraphStore.labels(s, store).orderBy("node")
+  }
+
   /** The co-purchase ITEM graph: items whose purchaser sets share ≥ 2
     * users (hub-capped inverted index), one undirected edge per
     * qualifying pair — the unipartite projection the triangle and
@@ -1126,6 +1150,18 @@ object ReferenceQueries {
               FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
               GROUP BY x.r, y.r)"""
 
+  /** Min-label connected components as full reachability (every node
+    * adopts the minimum label that can reach it) — shared by the
+    * one-shot and persisted-store queries.
+    */
+  private def graphComponentsSql: String = graphEdgeCtes + """,
+         r(node, lbl) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.lbl FROM r JOIN ed e ON e.src = r.node)
+         SELECT node, min(lbl) AS component FROM r GROUP BY node
+         ORDER BY node"""
+
   val oracles: Map[String, String] = Map(
     "s2_scan_project" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
@@ -1214,13 +1250,10 @@ object ReferenceQueries {
     // min-label connected components as full reachability (every node
     // adopts the minimum label that can reach it — recursive CTE over
     // the symmetric edge list)
-    "graph_components" -> (graphEdgeCtes + """,
-         r(node, lbl) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT e.dst, r.lbl FROM r JOIN ed e ON e.src = r.node)
-         SELECT node, min(lbl) AS component FROM r GROUP BY node
-         ORDER BY node"""),
+    "graph_components" -> graphComponentsSql,
+    // the persisted-store lifecycle lands on the identical labeling —
+    // oracle shared verbatim (the persisted-twin convention)
+    "graph_components_incremental" -> graphComponentsSql,
     "graph_bfs" -> (graphEdgeCtes + """,
          s AS (SELECT min(node) AS node FROM nodes),
          walk(node, dist) AS (
@@ -1810,6 +1843,7 @@ object ReferenceQueries {
     "ev_markov" -> (eventsMarkov _),
     "ev_pagerank" -> (eventsPageRank _),
     "graph_components" -> (graphComponents _),
+    "graph_components_incremental" -> (graphComponentsIncremental _),
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_item_sim" -> (graphItemSim _),

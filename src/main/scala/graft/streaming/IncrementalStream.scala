@@ -1053,6 +1053,60 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming GRAPH ingestion — the persisted connected-components
+    * store ([[graft.operators.GraphStore]]) wired into the lifecycle,
+    * next to [[spanIngest]]: every micro-batch of EDGES (two node
+    * columns) contracts against the committed labeling and commits its
+    * batch-sized label/remap/edge partials as one marked ingest —
+    * O(batch) work, no label row ever rewrites; every `compactEvery`
+    * batches the remap chain folds to zero inside the foreachBatch
+    * single-writer window. Replay idempotency is free by monotonicity:
+    * a re-delivered batch's endpoints are already labeled and its
+    * merges already applied, so nothing commits.
+    *
+    * Same lease + audit discipline as the other growth lanes: one
+    * (run, batch_id, store, offered_count, admitted_count, merged_count)
+    * row per non-empty batch — offered = edges, admitted = nodes first
+    * labeled, merged = committed components fused (the growth signal an
+    * entity-resolution operator actually watches).
+    */
+  def graphIngest(stream: DataFrame, storeDir: String, checkpointDir: String,
+                  nodeCol: String = "node",
+                  compactEvery: Int = 0,
+                  warehouse: Option[Warehouse] = None,
+                  auditTable: Option[String] = None): StreamingQuery = {
+    require(auditTable.isEmpty || warehouse.nonEmpty,
+      "graphIngest: auditTable requires a warehouse to write it to")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sp = batch0.sparkSession
+        val runKey = auditRunKey(sp, checkpointDir)
+        graft.operators.Lease.withLease(sp, storeDir, s"graph:$runKey") {
+          if (!batch0.isEmpty) {
+            val batch = batch0.localCheckpoint(true)
+            val offered = batch.count()
+            val (admitted, merged) = graft.operators.GraphStore.append(
+              sp, storeDir, batch, nodeCol)
+            auditTable.foreach { at =>
+              import sp.implicits._
+              warehouse.foreach(_.idempotentAppend(at,
+                Seq((runKey, batchId, s"graph:$storeDir", offered,
+                    admitted, merged))
+                  .toDF("run", "batch_id", "store", "offered_count",
+                    "admitted_count", "merged_count"),
+                Seq("run", "batch_id", "store"), partitionCol = Some("run")))
+            }
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.GraphStore.compact(sp, storeDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run-scoped root for [[spanIngest]]'s per-batch stats: batch ids
     * restart at 0 per checkpoint, so stats keyed by batchId alone would
     * let a rotated checkpoint's batch 0 silently OVERWRITE the prior

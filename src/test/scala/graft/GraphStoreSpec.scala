@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, GraphStore}
+
+/** Lifecycle of the persisted connected-components store: split appends
+  * ≡ one-shot CC, merge-by-remap without rewriting old label rows,
+  * replay idempotency, point lookups, compaction (remap chain folds to
+  * zero, base lands bucketed), and edge retraction priced as the exact
+  * rebuild it is.
+  */
+class GraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_graphstore_t").toString + "/store"
+
+  private def labelsOf(dir: String): Seq[(Long, Long)] =
+    GraphStore.labels(spark, dir)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+
+  test("split appends label identically to one-shot connectedComponents; " +
+    "a bridging edge merges committed components WITHOUT rewriting their " +
+    "label rows; replay is a no-op") {
+    val dir = tmp()
+    // ingest 1: two separate chains 1-2-3 and 10-11
+    assert(GraphStore.append(spark, dir,
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")) == ((5L, 0L)))
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // ingest 2: new chain 20-21 plus a BRIDGE 3-10 merging the first two
+    val (fresh, merges) = GraphStore.append(spark, dir,
+      Seq((20L, 21L), (3L, 10L)).toDF("a", "b"))
+    assert((fresh, merges) == ((2L, 1L)))
+    val after = labelsOf(dir)
+    assert(after == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 1L), (20L, 20L), (21L, 20L)))
+    // the merge lives in the remap chain, not in rewritten rows: ingest
+    // 1's label partition still says comp=10 on disk
+    val raw = spark.read.parquet(s"$dir/labels/ingest=*")
+      .filter(col("node") === 10L).select("comp").as[Long].collect().toSeq
+    assert(raw == Seq(10L), "old label rows must stay immutable; resolution is read-time")
+    // ≡ one-shot over the union of all edges
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (3L, 10L))
+      .toDF("a", "b").localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    val oneShot = Graph.connectedComponents(nodes, e, "node")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(after == oneShot)
+    // replay: both batches re-deliver — nothing admits, nothing merges
+    assert(GraphStore.append(spark, dir,
+      Seq((20L, 21L), (3L, 10L)).toDF("a", "b")) == ((0L, 0L)))
+    assert(labelsOf(dir) == after)
+  }
+
+  test("componentOf answers point lookups through the remap chain; " +
+    "unknown nodes are absent") {
+    val dir = tmp()
+    GraphStore.append(spark, dir, Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((2L, 10L)).toDF("a", "b")) // bridge
+    val got = GraphStore.componentOf(spark, dir,
+        Seq(11L, 99L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((11L, 1L)), "11 resolved through the merge; 99 never seen")
+  }
+
+  test("compact folds labels to one BUCKETED base with an empty remap " +
+    "chain; labels identical; point lookups prune to touched buckets") {
+    val dir = tmp()
+    GraphStore.append(spark, dir, Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((2L, 10L), (30L, 31L)).toDF("a", "b"))
+    val before = labelsOf(dir)
+    assert(GraphStore.compact(spark, dir) == ((2, 1)))
+    assert(labelsOf(dir) == before)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/remap")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/remap")).isEmpty,
+      "consolidation must fold the remap chain away")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels"))
+      .filter(_.getPath.getName.startsWith("ingest="))
+      .forall(s => fs.listStatus(s.getPath).exists(d =>
+        d.isDirectory && d.getPath.getName.startsWith("bucket="))),
+      "the compacted base must land as bucket= partition dirs")
+    // second compact is a no-op; appends after compact still work (LSM tail)
+    assert(GraphStore.compact(spark, dir) == ((1, 1)))
+    GraphStore.append(spark, dir, Seq((31L, 1L)).toDF("a", "b"))
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L),
+      (30L, 1L), (31L, 1L)))
+    val plan = GraphStore.componentOf(spark, dir, Seq(11L).toDF("node"))
+      .queryExecution.executedPlan.toString
+    // single-bucket probes plan as (bucket = n), multi-bucket as IN —
+    // match the partition filter either way
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
+      plan.take(1500))
+  }
+
+  test("forget retracts edges as the rebuild it is: components split " +
+    "back exactly; unknown edges are a no-op; orphaned nodes self-label") {
+    val dir = tmp()
+    GraphStore.append(spark, dir,
+      Seq((1L, 2L), (2L, 3L), (3L, 10L), (10L, 11L)).toDF("a", "b"))
+    assert(labelsOf(dir).forall(_._2 == 1L))
+    // cut the bridge (given reversed — the drop set is symmetric)
+    assert(GraphStore.forget(spark, dir, Seq((10L, 3L)).toDF("a", "b")) == 1L)
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)))
+    assert(GraphStore.forget(spark, dir, Seq((7L, 8L)).toDF("a", "b")) == 0L)
+    // retract everything: every node was once seen, so all self-label
+    assert(GraphStore.forget(spark, dir,
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")) == 3L)
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 2L), (3L, 3L),
+      (10L, 10L), (11L, 11L)))
+  }
+
+  test("node-column mismatch refuses loudly; unmarked ingest partitions " +
+    "are invisible and swept by the next append") {
+    val dir = tmp()
+    GraphStore.append(spark, dir, Seq((1L, 2L)).toDF("a", "b"), nodeCol = "node")
+    assert(intercept[IllegalArgumentException] {
+      GraphStore.append(spark, dir, Seq((3L, 4L)).toDF("a", "b"), nodeCol = "vertex")
+    }.getMessage.contains("keyed on"))
+    // orphan: label rows without a commit marker
+    Seq((50L, 50L)).toDF("node", "comp").write.mode("overwrite")
+      .parquet(s"$dir/labels/ingest=i9_deadbeef")
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L)))
+    GraphStore.append(spark, dir, Seq((3L, 4L)).toDF("a", "b"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/labels/ingest=i9_deadbeef")))
+  }
+}

@@ -1319,6 +1319,65 @@ class StreamingSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("streaming graph ingest: split edge drains label identically to " +
+    "one-shot CC; the audit separates growth from merges; replay admits " +
+    "nothing; in-lifecycle compaction folds the remap chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = tempDir("gi_in")
+    val ck = tempDir("gi_ck")
+    val store = s"${tempDir("gi_store")}/store"
+    val wh = new graft.warehouse.Warehouse(spark, tempDir("gi_wh"))
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    def drain(c: String = ck): Unit =
+      IncrementalStream.graphIngest(
+          spark.readStream.schema(schema).parquet(in), store, c,
+          compactEvery = 2,
+          warehouse = Some(wh), auditTable = Some("graph_audit"))
+        .awaitTermination()
+    def labels(): Seq[(Long, Long)] =
+      graft.operators.GraphStore.labels(spark, store)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      .write.mode("append").parquet(in)
+    drain() // batch 0: two components
+    Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+      .write.mode("append").parquet(in)
+    drain() // batch 1: bridge merges them, one fresh chain
+    val after = labels()
+    assert(after == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 1L), (20L, 20L), (21L, 20L)))
+    // audit: offered = edges, admitted = first-labeled nodes, merged =
+    // committed components fused — the ER growth signal
+    val audit = wh.read("graph_audit")
+      .select("batch_id", "offered_count", "admitted_count", "merged_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(audit == Set((0L, 3L, 5L, 0L), (1L, 2L, 2L, 1L)),
+      audit.mkString("\n"))
+    // fresh-checkpoint FULL replay: monotone merges make it a natural
+    // no-op — nothing admits, nothing merges, labels unchanged
+    drain(tempDir("gi_ck2"))
+    assert(labels() == after)
+    assert(wh.read("graph_audit")
+      .filter(col("admitted_count") === 0L && col("merged_count") === 0L)
+      .count() == 1, "the replay run records one honest no-op row")
+    // third drain (batchId 2 % compactEvery 2 == 0): ingests fold inside
+    // the batch's own lease window; resolution survives the fold
+    Seq((21L, 11L)).toDF("a", "b").write.mode("append").parquet(in)
+    drain()
+    assert(labels() == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 1L), (20L, 1L), (21L, 1L)))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/_commits"))
+      .map(_.getPath.getName)
+      .count(n => !n.startsWith(".") && !n.startsWith("_")) == 1,
+      "compactEvery must fold the ingests to one")
+  }
+
   test("streaming span ingest: per-batch probe stats are incremental-exact " +
     "vs the one-shot operator; replay admits nothing and rewrites value-" +
     "identical stats; in-lifecycle compaction") {
