@@ -40,10 +40,14 @@ object ProbeGraphStore {
           starEdges(i * chunk, math.min((i + 1) * chunk, n)))
       }
     }
+    // bridge hub spacing derives from n (a fixed stride would fall
+    // outside the committed node space on small sweeps and silently
+    // measure fresh-node labeling instead of committed merges): hubs at
+    // 0, s, 2s … 5s with 5s < n, each a committed star center
+    val s = math.max(10L, n / 6L / 10L * 10L)
     val batch = starEdges(n + 10L, n + 510L)
       .unionByName(spark.range(5)
-        .select((col("id") * 1000L * 10L).as("a"),
-          ((col("id") + 1L) * 1000L * 10L).as("b")))
+        .select((col("id") * s).as("a"), ((col("id") + 1L) * s).as("b")))
       .localCheckpoint(true)
     val probes = spark.range(10)
       .select((col("id") * (n / 10L)).as("node")).localCheckpoint(true)

@@ -185,10 +185,13 @@ object Graph {
     *
     * Scale shape: the classic frontier expansion — each round joins the
     * FRONTIER (new nodes only, never the visited set) against the edge
-    * list, anti-joins the visited set, and checkpoints; total work is
-    * O(edges × 1) across all rounds (every edge relaxes at most once
-    * per endpoint discovery), rounds = min(eccentricity, maxDepth).
-    * The driver loop reads one count per round, never the data.
+    * list and anti-joins the visited set. Only the per-round frontier is
+    * checkpointed; the visited set stays a lazy union of those
+    * checkpoints, so nothing accumulated re-materializes. Honest cost:
+    * the edge list and the visited union are each SCANNED once per
+    * round (rounds = min(eccentricity, maxDepth)) — O((E + V) × rounds)
+    * reads, O(V) total writes; shuffle work tracks the frontier. The
+    * driver loop reads one count per round, never the data.
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame,
                    maxDepth: Int = 30): DataFrame = {
@@ -196,23 +199,32 @@ object Graph {
     val sym = edges.select(col(es).as("src"), col(ed).as("dst"))
       .localCheckpoint(true)
     val srcCol = sources.columns.head
-    var dist = sources.select(col(srcCol).as("node")).distinct()
+    val start = sources.select(col(srcCol).as("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = dist
+    // each round's FRONTIER is checkpointed once; the visited set stays
+    // a lazy union of those checkpoints — re-materializing the whole
+    // accumulated set per round would cost O(V × rounds) checkpoint
+    // writes on top of the O(E) joins (review catch r13)
+    var frontiers = List(start)
+    var visited = start
+    var frontier = start
     var d = 0
     var grew = frontier.count() > 0
     while (grew && d < maxDepth) {
       d += 1
       val next = frontier.join(sym, frontier("node") === sym("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       grew = next.count() > 0
-      if (grew) dist = dist.unionByName(next).localCheckpoint(true)
+      if (grew) {
+        frontiers ::= next
+        visited = visited.unionByName(next)
+      }
       frontier = next
     }
-    dist
+    frontiers.reduce(_.unionByName(_))
   }
 
   /** Per-node triangle counts over an undirected edge list — the local
@@ -236,8 +248,12 @@ object Graph {
       .select(least(col(ea), col(eb)).as("a"), greatest(col(ea), col(eb)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // deg feeds BOTH withK joins and the final zero-fill — checkpoint so
+    // the explode+aggregate runs once, not per consumer (the spanStats
+    // discipline)
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // total order (deg, id): orientation key + wedge ordering share it
     val withK = und
       .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")

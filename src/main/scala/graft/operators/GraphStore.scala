@@ -50,18 +50,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and said so here rather than hidden (the SpanStore non-invertibility
   * honesty note, graph edition).
   *
-  * Replay idempotency needs no extra machinery: a re-delivered batch's
-  * endpoints are already labeled, its contracted edges connect already-
-  * merged roots, the merge set comes back empty, and nothing commits
-  * (the ingest key is content-deterministic, so even the write
-  * overwrites its own orphan).
+  * Replay idempotency is VALUE-level, not log-level: a re-delivered
+  * batch's endpoints are already labeled, its contracted edges connect
+  * already-merged roots, and the merge set comes back empty — labels
+  * and every query answer are untouched. The batch's edges still
+  * commit (an edges-only ingest): the store cannot distinguish a
+  * replay from a new-but-redundant edge without reading the whole log,
+  * and dropping either would hole the edge log [[forget]]'s exactness
+  * depends on. Duplicates collapse under the consolidation distinct;
+  * compact folds the extra ingests.
   *
   * Single-writer, like every graft maintenance operator (lease at the
   * streaming layer; [[compact]]/[[forget]] are lease-guarded directly).
   */
 object GraphStore {
-
-  private val Buckets = 256
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,44 +75,17 @@ object GraphStore {
   private def readMeta(spark: SparkSession, dir: String): String =
     spark.read.parquet(s"$dir/meta").head().getString(0)
 
-  /** Split committed label ingests by layout (bucketed base vs flat
-    * tail) — the SpanStore LSM discipline.
-    */
-  private def splitLayout(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                          committed: Seq[String]): (Seq[String], Seq[String]) =
-    committed.partition { k =>
-      val d = new org.apache.hadoop.fs.Path(s"$dir/labels/ingest=$k")
-      fs.exists(d) && fs.listStatus(d).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    }
-
-  /** Committed (node, comp) label rows; when `touched` is given, the
-    * bucketed base prunes to those nodes' buckets.
+  /** Committed (node, comp) label rows — the shared LSM pair
+    * ([[StoreProtocol.readLsm]]); when `touched` is given, the bucketed
+    * base prunes to those nodes' buckets.
     */
   private def readLabels(spark: SparkSession, dir: String,
                          fs: org.apache.hadoop.fs.FileSystem,
                          committed: Seq[String],
-                         touched: Option[DataFrame]): DataFrame = {
-    val (bucketed, flat) = splitLayout(fs, dir, committed)
-    val reads = Seq(
-      if (flat.isEmpty) None
-      else Some(spark.read
-        .parquet(flat.map(c => s"$dir/labels/ingest=$c"): _*)),
-      if (bucketed.isEmpty) None
-      else {
-        val base = spark.read
-          .parquet(bucketed.map(c => s"$dir/labels/ingest=$c"): _*)
-        val pruned = touched.fold(base) { t =>
-          // bounded collect: ≤ Buckets ints
-          val buckets = t.select(pmod(col("node"), lit(Buckets.toLong))
-              .cast("int").as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          base.filter(col("bucket").isin(buckets: _*))
-        }
-        Some(pruned.select(col("node"), col("comp")))
-      }).flatten
-    reads.reduce(_.unionByName(_))
-  }
+                         touched: Option[DataFrame]): DataFrame =
+    StoreProtocol.readLsm(spark, fs, s"$dir/labels", committed,
+      Seq("node", "comp"),
+      touched.map(t => StoreProtocol.touchedLsmBuckets(t, "node")))
 
   /** The committed remap chain, oldest ingest first (ingest keys carry
     * their generation prefix `i<n>_`/`r<n>_`, so lexicographic-by-
@@ -173,6 +148,7 @@ object GraphStore {
     val touched = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct()
       .localCheckpoint(true)
+    if (touched.isEmpty) return (0L, 0L) // empty batch: nothing to log
     // committed labels of touched nodes, fully resolved to current roots
     val known =
       if (committed.isEmpty) touched.limit(0).withColumn("comp", col("node"))
@@ -216,15 +192,26 @@ object GraphStore {
         coalesce(col("new_comp"), col("comp")).as("comp"))
       .localCheckpoint(true)
     val fresh = newNodes.count()
-    if (fresh == 0L && merges == 0L) return (0L, 0L)
-    // key hash over the TOUCHED set, not the new nodes: a replayed
-    // merge-only batch (zero fresh nodes) still needs a deterministic
-    // key so a crashed attempt's retry overwrites its own orphan
+    // EVERY non-empty batch commits, even when it labels nothing and
+    // merges nothing: a new-but-redundant edge (both endpoints known,
+    // same component) changes no label TODAY but must enter the edge
+    // log, or a later forget of a parallel path would split a component
+    // the true graph keeps connected — forget's exactness rides on the
+    // log being complete (review catch r13). A genuine replay therefore
+    // appends a duplicate edges-only ingest (distinct()-collapsed at
+    // consolidation, bounded by re-delivery count, folded by compact);
+    // labels and resolution are untouched either way.
+    //
+    // key hash over the TOUCHED set, not the new nodes: a replayed or
+    // merge-only batch still needs a deterministic key so a crashed
+    // attempt's retry overwrites its own orphan
     val contentHash = touched
       .agg(format_string("%016x", bit_xor(xxhash64(col("node").cast("string")))))
       .head().getString(0).take(12)
     val gen = committed.map(genOf).sorted.lastOption.getOrElse(-1) + 1
     val key = s"i${gen}_$contentHash"
+    // labels write is unconditional (possibly empty): every committed
+    // ingest must carry a labels dir for the multi-path reader
     newNodes.write.mode("overwrite").parquet(s"$dir/labels/ingest=$key")
     if (merges > 0L)
       merged.write.mode("overwrite").parquet(s"$dir/remap/ingest=$key")
@@ -289,7 +276,8 @@ object GraphStore {
       StoreProtocol.heal(fs, root)
       val keys = committedKeys(fs, root)
       val before = keys.length
-      val alreadyBase = before == 1 && splitLayout(fs, dir, keys)._2.isEmpty
+      val alreadyBase = before == 1 &&
+        StoreProtocol.splitLsmLayout(fs, s"$dir/labels", keys)._2.isEmpty
       if (before == 0 || alreadyBase) (before, before)
       else {
         consolidate(spark, dir, None)
@@ -350,11 +338,8 @@ object GraphStore {
     if (stats.getLong(0) > 0L) {
       val gen = committed.map(genOf).sorted.lastOption.getOrElse(-1) + 1
       val key = s"r${gen}_${stats.getString(1).take(12)}"
-      relabeled
-        .withColumn("bucket", pmod(col("node"), lit(Buckets.toLong)).cast("int"))
-        .repartition(Buckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$tmp/labels/ingest=$key")
+      StoreProtocol.writeLsmBase(relabeled, "node",
+        s"$tmp/labels/ingest=$key")
       survivors.write.mode("overwrite").parquet(s"$tmp/edges/ingest=$key")
       import spark.implicits._
       Seq(nodeCol).toDF("node_col")

@@ -216,6 +216,15 @@ object Lease {
         release(spark, storeDir, holder)
         tries += 1
       } while (beat.isAlive && tries < 150)
+      if (beat.isAlive)
+        // a renew blocked >5 min inside an interrupt-deaf FS call can
+        // still land after this release and strand an orphan lease for
+        // up to ttlMs — say so instead of failing silent (the next
+        // acquirer's error names this holder, and the TTL bounds it)
+        System.err.println(
+          s"Lease.withLease: heartbeat for '$holder' on $storeDir did " +
+            "not stop within the shutdown window — if its in-flight " +
+            s"renew lands it strands an orphan lease for up to $ttlMs ms")
     }
   }
 }

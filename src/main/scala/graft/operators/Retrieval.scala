@@ -420,12 +420,10 @@ object Retrieval {
       if (committed.isEmpty) bloomFpp
       else {
         val meta = spark.read.parquet(s"$dir/meta")
-        val row = meta.head()
-        require(row.getString(0) == idCol,
-          s"appendBm25Incremental: index is keyed on '${row.getString(0)}', got '$idCol'")
-        if (meta.schema.fieldNames.contains("bloom_fpp"))
-          row.getDouble(meta.schema.fieldIndex("bloom_fpp"))
-        else 1e-4
+        require(meta.head().getString(0) == idCol,
+          s"appendBm25Incremental: index is keyed on " +
+            s"'${meta.head().getString(0)}', got '$idCol'")
+        StoreProtocol.pinnedFpp(meta)
       }
     require(idGuard == "exact" || idGuard == "bloom",
       s"appendBm25Incremental: unknown idGuard '$idGuard' (exact | bloom)")
@@ -556,22 +554,19 @@ object Retrieval {
 
   /** The incremental index's id-guard trade at this instant, for the
     * growth lane's audit rows (the RetrievePipeline.gateInfo twin):
-    * (#committed ingests the guard would probe, pinned fpp).
+    * (#committed ingests the guard would probe, pinned fpp). `readFpp`
+    * = false skips the meta read (exact-mode audits record 0.0).
     */
   private[graft] def bm25GateInfo(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): (Int, Double) = {
+                                  dir: String,
+                                  readFpp: Boolean): (Int, Double) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = committedKeys(fs, root)
     if (committed.isEmpty) (0, 0.0)
-    else {
-      val meta = spark.read.parquet(s"$dir/meta")
-      val fpp =
-        if (meta.schema.fieldNames.contains("bloom_fpp"))
-          meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp"))
-        else 1e-4
-      (committed.length, fpp)
-    }
+    else (committed.length,
+      if (readFpp) StoreProtocol.pinnedFpp(spark.read.parquet(s"$dir/meta"))
+      else 0.0)
   }
 
   /** [[bm25TopK]] answered from the INCREMENTAL index: postings and
@@ -664,10 +659,7 @@ object Retrieval {
     // hardcoded rate here silently degraded a 1e-6 index to 1e-4 after
     // every compaction or forget (r11 advice); pre-pinning indexes
     // (meta without the column) keep the historical 1e-4
-    val fpp =
-      if (metaDf.schema.fieldNames.contains("bloom_fpp"))
-        metaRow.getDouble(metaDf.schema.fieldIndex("bloom_fpp"))
-      else 1e-4
+    val fpp = StoreProtocol.pinnedFpp(metaDf)
     def table(t: String) =
       spark.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
     val keep: DataFrame => DataFrame = ids match {

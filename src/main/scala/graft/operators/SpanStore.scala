@@ -82,50 +82,16 @@ object SpanStore {
     sp.select(col("shingle"), col(idCol)).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
 
-  /** Bucket count of the consolidated base's partition layout. 256:
-    * coarse enough that one compacted store is 256 directories (no
-    * listing tax), fine enough that a document-sized probe (~10²
-    * spans) reads well under half the base.
-    */
-  private[operators] val Buckets = 256
-
-  /** Split committed ingests by on-disk span_docs layout — BUCKETED
-    * (compact/forget output) vs FLAT (append partials). Self-describing:
-    * one directory listing per ingest, no meta versioning to drift.
-    */
-  private def splitLayout(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                          committed: Seq[String]): (Seq[String], Seq[String]) =
-    committed.partition { k =>
-      val d = new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$k")
-      fs.exists(d) && fs.listStatus(d).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    }
-
-  /** The committed (shingle, n_docs) partials, with the bucketed base
-    * pruned to `touched` buckets (None = no pruning — consolidation
-    * reads everything). Flat and bucketed ingests read separately (one
-    * multi-path read would refuse the mixed partition structure), then
-    * union by name with the partition column dropped.
+  /** The committed (shingle, n_docs) partials — the shared LSM pair
+    * ([[StoreProtocol.readLsm]]): flat append tail read whole, bucketed
+    * compacted base pruned to `touched` buckets.
     */
   private def readPartials(spark: SparkSession, dir: String,
                            fs: org.apache.hadoop.fs.FileSystem,
                            committed: Seq[String],
-                           touched: Option[Seq[Int]]): DataFrame = {
-    val (bucketed, flat) = splitLayout(fs, dir, committed)
-    val reads = Seq(
-      if (flat.isEmpty) None
-      else Some(spark.read
-        .parquet(flat.map(c => s"$dir/span_docs/ingest=$c"): _*)),
-      if (bucketed.isEmpty) None
-      else {
-        val base = spark.read
-          .parquet(bucketed.map(c => s"$dir/span_docs/ingest=$c"): _*)
-        Some(touched.fold(base)(t =>
-            base.filter(col("bucket").isin(t: _*)))
-          .select(col("shingle"), col("n_docs")))
-      }).flatten
-    reads.reduce(_.unionByName(_))
-  }
+                           touched: Option[Seq[Int]]): DataFrame =
+    StoreProtocol.readLsm(spark, fs, s"$dir/span_docs", committed,
+      Seq("shingle", "n_docs"), touched)
 
   /** Ingest a batch: docs whose id is already committed are dropped (K2
     * idempotent-append semantics), the rest commit as one marked ingest
@@ -246,12 +212,10 @@ object SpanStore {
     val totalCnt =
       if (committed.isEmpty) batchCnt
       else {
-        // the batch's touched buckets — a bounded collect (≤ Buckets
+        // the batch's touched buckets — a bounded collect (≤ LsmBuckets
         // ints) that turns into a PARTITION filter on the compacted
         // base: a small probe reads ~touched/256 of it by construction
-        val touched = sp
-          .select(pmod(col("shingle"), lit(Buckets.toLong)).cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val touched = StoreProtocol.touchedLsmBuckets(sp, "shingle")
         val committedCnt =
           readPartials(spark, dir, fs, committed, Some(touched))
           .join(broadcast(sp.select(col("shingle")).distinct()),
@@ -303,7 +267,8 @@ object SpanStore {
       val before = keys.length
       // a single ingest still consolidates when it is a FLAT append
       // partial: compaction is also the bucketed-layout migration
-      val alreadyBase = before == 1 && splitLayout(fs, dir, keys)._2.isEmpty
+      val alreadyBase = before == 1 &&
+        StoreProtocol.splitLsmLayout(fs, s"$dir/span_docs", keys)._2.isEmpty
       if (before == 0 || alreadyBase) (before, before)
       else {
         consolidate(spark, dir, None)
@@ -392,15 +357,9 @@ object SpanStore {
     if (survivors > 0L) {
       val key = s"r${committed.length}_${stats.getString(1).take(12)}"
       // the consolidated base lands BUCKETED (bucket = shingle mod 256
-      // partition dirs) so probes prune it by construction; repartition
-      // on the bucket first — without it every task writes files into
-      // every bucket dir (a 256× small-files tax)
-      merged
-        .withColumn("bucket",
-          pmod(col("shingle"), lit(Buckets.toLong)).cast("int"))
-        .repartition(Buckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$tmp/span_docs/ingest=$key")
+      // partition dirs) so probes prune it by construction
+      StoreProtocol.writeLsmBase(merged, "shingle",
+        s"$tmp/span_docs/ingest=$key")
       survivorIds.write.mode("overwrite").parquet(s"$tmp/doc_ids/ingest=$key")
       spark.read.parquet(s"$dir/meta")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The whole-directory crash protocol every persisted graft store shares
   * — ONE implementation (the r10 code-review consolidation: five heal
@@ -40,6 +42,91 @@ private[graft] object StoreProtocol {
     else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
       .filterNot(n => n.startsWith(".") || n.startsWith("_"))
   }
+
+  /** The pinned bloom fpp of a store's meta frame — the `bloom_fpp`
+    * column when present, else the historical 1e-4 default (pre-pinning
+    * stores). ONE implementation: the serving stack, the incremental
+    * BM25 index and the gate-info audit readers all pin at the same
+    * rate, so a default drift cannot skew one of them (r13 review
+    * catch: three hand-kept copies).
+    */
+  def pinnedFpp(meta: DataFrame): Double =
+    if (meta.schema.fieldNames.contains("bloom_fpp"))
+      meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp"))
+    else 1e-4
+
+  // ----------------------------------------------------- LSM bucket pair
+  //
+  // The hash-keyed stores (SpanStore's span_docs, GraphStore's labels)
+  // share one layout law: appends write FLAT per-batch partials (cheap,
+  // no small-files tax), consolidation lands the base PARTITIONED by
+  // `bucket = key mod LsmBuckets` so point reads prune it by
+  // construction (row-group stats can never prune uniform hashes), and
+  // layouts are self-describing per ingest. ONE implementation — the
+  // heal/swap consolidation argument applied to the bucket machinery
+  // (r13 review catch: two hand-kept copies had already appeared).
+
+  /** Bucket count of every consolidated base. 256: coarse enough that a
+    * compacted store is 256 directories (no listing tax), fine enough
+    * that a point probe (~10² keys) reads well under half the base.
+    */
+  val LsmBuckets = 256
+
+  /** Split committed ingests of `tableDir` (e.g. `<dir>/span_docs`) by
+    * on-disk layout — (bucketed base, flat tail). Self-describing: one
+    * directory listing per ingest, no meta versioning to drift.
+    */
+  def splitLsmLayout(fs: FileSystem, tableDir: String,
+                     committed: Seq[String]): (Seq[String], Seq[String]) =
+    committed.partition { k =>
+      val d = new Path(s"$tableDir/ingest=$k")
+      fs.exists(d) && fs.listStatus(d).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    }
+
+  /** The committed rows of an LSM table, with the bucketed base pruned
+    * to `touched` buckets (None = read everything — consolidation).
+    * Flat and bucketed ingests read separately (one multi-path read
+    * would refuse the mixed partition structure), then union by name
+    * over `columns` (the partition column drops out).
+    */
+  def readLsm(spark: SparkSession, fs: FileSystem, tableDir: String,
+              committed: Seq[String], columns: Seq[String],
+              touched: Option[Seq[Int]]): DataFrame = {
+    val (bucketed, flat) = splitLsmLayout(fs, tableDir, committed)
+    val cols = columns.map(col)
+    val reads = Seq(
+      if (flat.isEmpty) None
+      else Some(spark.read
+        .parquet(flat.map(c => s"$tableDir/ingest=$c"): _*)
+        .select(cols: _*)),
+      if (bucketed.isEmpty) None
+      else {
+        val base = spark.read
+          .parquet(bucketed.map(c => s"$tableDir/ingest=$c"): _*)
+        Some(touched.fold(base)(t =>
+            base.filter(col("bucket").isin(t: _*)))
+          .select(cols: _*))
+      }).flatten
+    reads.reduce(_.unionByName(_))
+  }
+
+  /** The ≤ [[LsmBuckets]] buckets `df`'s `keyCol` values touch — the
+    * bounded collect that becomes the base read's partition filter.
+    */
+  def touchedLsmBuckets(df: DataFrame, keyCol: String): Seq[Int] =
+    df.select(pmod(col(keyCol), lit(LsmBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Write `df` as a consolidated BUCKETED base at `path` — repartition
+    * on the bucket first, or every task writes files into every bucket
+    * dir (a 256× small-files tax).
+    */
+  def writeLsmBase(df: DataFrame, keyCol: String, path: String): Unit =
+    df.withColumn("bucket",
+        pmod(col(keyCol), lit(LsmBuckets.toLong)).cast("int"))
+      .repartition(LsmBuckets, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Replace `path` with the fully-written `tmp` through the `__old`
     * two-rename swap; `op` names the caller in failure messages.

@@ -247,9 +247,7 @@ object RetrievePipeline {
     * bloom_fpp column) read as the historical 1e-4 default.
     */
   private def pinnedFpp(meta: DataFrame): Double =
-    if (meta.schema.fieldNames.contains("bloom_fpp"))
-      meta.head().getDouble(meta.schema.fieldIndex("bloom_fpp"))
-    else 1e-4
+    graft.operators.StoreProtocol.pinnedFpp(meta)
 
   /** The chunk store's committed PARTS — the grain the doc-id blooms
     * are keyed on: the build/compact/forget flat files under the name
@@ -272,14 +270,17 @@ object RetrievePipeline {
     * rows (r12 verdict: a bloom fp silently drops a genuinely-new doc,
     * and without a durable record of #parts × fpp at drain time an
     * operator cannot bound realized fp exposure after the fact):
-    * (#committed parts the guard would probe, pinned fpp).
+    * (#committed parts the guard would probe, pinned fpp). `readFpp` =
+    * false (the exact-mode audit) skips the meta read — exposure is 0
+    * there and the parquet head() job would be pure waste per drain.
     */
-  private[graft] def gateInfo(spark: SparkSession, dir: String): (Int, Double) = {
+  private[graft] def gateInfo(spark: SparkSession, dir: String,
+                              readFpp: Boolean): (Int, Double) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) (0, 0.0)
     else (chunkParts(fs, dir).length,
-      pinnedFpp(spark.read.parquet(s"$dir/meta")))
+      if (readFpp) pinnedFpp(spark.read.parquet(s"$dir/meta")) else 0.0)
   }
 
   /** One doc-id bloom over `chunksDf`'s distinct parent docs, written

@@ -357,12 +357,16 @@ object IncrementalStream {
         var pinned = List.empty[DataFrame]
         def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
         try {
+          // pin the projected source once: the gate's min/max aggregate
+          // and the gated frame's own materialization would otherwise
+          // each re-scan the micro-batch source (review catch r13)
+          val src = pin(batch0.select(col(idCol), col(textCol)))
           val batch = pin(if (committed.nonEmpty)
-              gateCommittedIds(batch0,
+              gateCommittedIds(src,
                 sp.read.parquet(
                   committed.map(key => s"$outDir/docs/ingest=$key"): _*),
                 idCol, textCol)
-            else batch0.select(col(idCol), col(textCol)))
+            else src)
           if (!batch.isEmpty) {
             val dirty = graft.operators.Decontam.overlapPersisted(
               batch, artifactDir, textCol, idCol, k, minShared, portable)
@@ -439,10 +443,12 @@ object IncrementalStream {
         var pinned = List.empty[DataFrame]
         def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
         try {
+          // pin the projected source once (see decontamIngest's gate)
+          val src = pin(batch0.select(col(idCol), col(textCol)))
           val batch = pin(if (committed.nonEmpty)
-              gateCommittedIds(batch0,
+              gateCommittedIds(src,
                 sp.read.parquet(partDirs("docs"): _*), idCol, textCol)
-            else batch0.select(col(idCol), col(textCol)))
+            else src)
           if (!batch.isEmpty) {
             // one shingle+band pass serves matching AND the persisted state
             val (bBands, bSh) = graft.operators.Dedup.minhashState(
@@ -884,10 +890,9 @@ object IncrementalStream {
             // in bloom mode a false positive silently drops a new doc,
             // and gate_parts × gate_fpp is the realized-exposure bound
             // an operator reads back from the audit (r12 verdict #3);
-            // exact mode records fpp 0.0 — no drop risk to bound
-            val (gateParts, pinned) =
-              graft.pipeline.RetrievePipeline.gateInfo(sp, stackDir)
-            val gateFpp = if (idGuard == "bloom") pinned else 0.0
+            // exact mode records fpp 0.0 and skips the meta read
+            val (gateParts, gateFpp) = graft.pipeline.RetrievePipeline
+              .gateInfo(sp, stackDir, readFpp = idGuard == "bloom")
             val stages = graft.pipeline.RetrievePipeline.append(
               batch.select(col(idCol), col(textCol)), textCol, idCol,
               stackDir, idGuard)
@@ -955,9 +960,8 @@ object IncrementalStream {
             val offered = batch.count() // micro-batch-sized
             // gate trade at drain time (see servingIngest): the bloom
             // guard's realized drop exposure is gate_parts × gate_fpp
-            val (gateParts, pinned) =
-              graft.operators.Retrieval.bm25GateInfo(sp, indexDir)
-            val gateFpp = if (idGuard == "bloom") pinned else 0.0
+            val (gateParts, gateFpp) = graft.operators.Retrieval
+              .bm25GateInfo(sp, indexDir, readFpp = idGuard == "bloom")
             val admitted = graft.operators.Retrieval.appendBm25Incremental(
               sp, indexDir, batch, textCol, idCol, idGuard)
             auditTable.foreach { at =>
@@ -1060,9 +1064,12 @@ object IncrementalStream {
     * batch-sized label/remap/edge partials as one marked ingest —
     * O(batch) work, no label row ever rewrites; every `compactEvery`
     * batches the remap chain folds to zero inside the foreachBatch
-    * single-writer window. Replay idempotency is free by monotonicity:
-    * a re-delivered batch's endpoints are already labeled and its
-    * merges already applied, so nothing commits.
+    * single-writer window. Replay idempotency is value-level by
+    * monotonicity: a re-delivered batch's endpoints are already labeled
+    * and its merges already applied, so labels and query answers are
+    * untouched (the batch's edges re-enter the log as a duplicate
+    * edges-only ingest — see GraphStore.append on why the log must stay
+    * complete — and compact folds them).
     *
     * Same lease + audit discipline as the other growth lanes: one
     * (run, batch_id, store, offered_count, admitted_count, merged_count)

@@ -190,6 +190,21 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
     val toInsert = readIfExists(table) match {
       case Some(existing) =>
+        // column-set reconciliation (the on-disk-layout discipline at
+        // schema grain): appending a WIDER or NARROWER row set into an
+        // existing table writes mixed-schema parquet files whose reads
+        // nondeterministically drop the new columns (the footer-sampling
+        // read sees whichever file it samples first). Refuse loudly and
+        // point at the migration path instead of committing the mix —
+        // e.g. an audit table written before its lane gained columns
+        // must be migrated (migrateIfNeeded backfills defaults) first.
+        require(existing.columns.toSet == incoming.columns.toSet,
+          s"idempotentAppend: table '$table' has columns " +
+            s"${existing.columns.sorted.mkString("(", ",", ")")} but the " +
+            s"batch carries ${incoming.columns.sorted.mkString("(", ",", ")")}" +
+            " — appending would mix parquet schemas and make reads " +
+            "nondeterministic; run migrateIfNeeded (or rewrite the table) " +
+            "before appending the new shape")
         val scoped = effectivePartitionCol match {
           case Some(pc) =>
             // bounded collect: a batch carries a handful of partition

@@ -115,6 +115,23 @@ class GraphStoreSpec extends SparkSpec {
       (10L, 10L), (11L, 11L)))
   }
 
+  test("a new-but-redundant edge still enters the edge log: retracting " +
+    "a parallel path keeps the component connected (forget's exact-" +
+    "rebuild contract needs the log complete — r13 review catch)") {
+    val dir = tmp()
+    GraphStore.append(spark, dir, Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    // the closing edge labels nothing and merges nothing...
+    assert(GraphStore.append(spark, dir,
+      Seq((1L, 3L)).toDF("a", "b")) == ((0L, 0L)))
+    // ...but cutting (2,3) must leave {1,2,3} connected through it — the
+    // pre-fix store dropped the edge and would split 3 off here
+    assert(GraphStore.forget(spark, dir, Seq((2L, 3L)).toDF("a", "b")) == 1L)
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // and cutting the closing edge itself now genuinely splits
+    assert(GraphStore.forget(spark, dir, Seq((1L, 3L)).toDF("a", "b")) == 1L)
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
   test("node-column mismatch refuses loudly; unmarked ingest partitions " +
     "are invisible and swept by the next append") {
     val dir = tmp()
