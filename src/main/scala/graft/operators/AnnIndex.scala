@@ -571,7 +571,16 @@ object AnnIndex {
     * Partition layout and row contents are preserved exactly; returns
     * (filesBefore, filesAfter).
     */
-  def compactIvf(spark: SparkSession, dir: String): (Int, Int) = {
+  def compactIvf(spark: SparkSession, dir: String): (Int, Int) =
+    // lease-guarded: a DIRECT compact while an ingest lane's drain holds
+    // the index refuses with the holder's name; the lanes' own hooks
+    // pass through (withLease is re-entrant within one control flow —
+    // the r12 verdict #5 discipline, extended to the ANN ops in r13)
+    Lease.withLease(spark, dir, "AnnIndex.compactIvf") {
+      compactIvfImpl(spark, dir)
+    }
+
+  private def compactIvfImpl(spark: SparkSession, dir: String): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
     val fs = corpusPath.getFileSystem(conf)
@@ -617,7 +626,14 @@ object AnnIndex {
     * operator here.
     */
   def forgetIvf(spark: SparkSession, dir: String, ids: DataFrame,
-                idCol: String): Long = {
+                idCol: String): Long =
+    // lease-guarded like [[compactIvf]]
+    Lease.withLease(spark, dir, "AnnIndex.forgetIvf") {
+      forgetIvfImpl(spark, dir, ids, idCol)
+    }
+
+  private def forgetIvfImpl(spark: SparkSession, dir: String, ids: DataFrame,
+                            idCol: String): Long = {
     val corpus = readCorpus(spark, dir)
     val keys = ids.select(col(idCol)).distinct()
     val touched = corpus.join(keys, Seq(idCol), "left_semi")

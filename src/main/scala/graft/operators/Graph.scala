@@ -283,6 +283,48 @@ object Graph {
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core decomposition: iteratively peel nodes of degree < k until
+    * every survivor has degree ≥ k within the survivors — the densest-
+    * engagement skeleton of an interaction graph (bot rings and real
+    * communities sit in deep cores; pendant chains and drive-by nodes
+    * peel off). Returns (node, core_degree) for the k-core's nodes;
+    * an empty frame when the whole graph peels away.
+    *
+    * Scale shape: each peel round is one degree aggregate over the
+    * surviving edges plus two anti-joins — O(E) per round, rounds
+    * bounded by the peeling depth (the degeneracy ordering's layer
+    * count, typically ≤ tens on real graphs; `maxRounds` guards the
+    * pathological chain). Edges checkpoint per round (lineage cut);
+    * the driver reads one emptiness probe per round, never the data.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    val Array(ea, eb) = edges.columns.take(2)
+    var cur = edges
+      .select(least(col(ea), col(eb)).as("a"), greatest(col(ea), col(eb)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = cur.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("c"))
+      val weak = deg.filter(col("c") < k).select("n").localCheckpoint(true)
+      if (weak.isEmpty) done = true
+      else {
+        cur = cur
+          .join(weak.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("n").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    require(done, s"kCore did not converge within $maxRounds peel rounds " +
+      "(pathological peeling depth) — raise maxRounds")
+    cur.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Co-neighbor Jaccard between RIGHT nodes of a bipartite edge list
     * (leftCol, rightCol) — "items whose user sets overlap": for every
     * right pair sharing ≥ 1 left node, |A∩B| / |A∪B| over their left

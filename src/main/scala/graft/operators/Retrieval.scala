@@ -180,7 +180,14 @@ object Retrieval {
     * maintenance operator.
     */
   def forgetBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 ids: DataFrame): Long = {
+                 ids: DataFrame): Long =
+    // lease-guarded like the incremental twin (r12 verdict #5 discipline)
+    Lease.withLease(spark, dir, "Retrieval.forgetBm25") {
+      forgetBm25Impl(spark, dir, ids)
+    }
+
+  private def forgetBm25Impl(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, ids: DataFrame): Long = {
     import spark.implicits._
     healIndex(spark, dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")

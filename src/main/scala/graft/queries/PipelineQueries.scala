@@ -484,6 +484,29 @@ object PipelineQueries {
         "lang", "source")
       .orderBy("metric")
 
+  /** Cross-SOURCE span-contamination matrix — the datasheet face of the
+    * span family at corpus-composition grain: for every source pair,
+    * how many distinct 8-token spans they share (and the Jaccard of
+    * their span vocabularies). "Which feeds are re-publishing each
+    * other" answered as one group-by-shaped query: the span chain
+    * collapses to a (shingle, source) bipartite edge list and
+    * [[graft.operators.Graph.coNeighborJaccard]] does the rest —
+    * shingles present in more than 100 sources (boilerplate) are
+    * dropped from pair generation by the df-cap rule, so a web-wide
+    * licence header cannot mint |sources|² rows.
+    */
+  def corpusOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ss = Dedup.spanShingles(d, "text", "doc_id", 8)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .select(col("shingle"), col("source"))
+    graft.operators.Graph.coNeighborJaccard(ss, "shingle", "source",
+        threshold = 0.0, maxLeftDegree = 100)
+      .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
+        col("shared").as("shared_spans"), col("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
@@ -3125,6 +3148,23 @@ ORDER BY doc_id""")
               round(CAST(covc.dup_tokens AS DOUBLE) / greatest(bs.n_tokens, 1), 6)
                 AS dup_token_frac
        FROM bs, tot, occ_c, dds, covc"""),
+    // the span chain collapsed to a (shingle, source) bipartite edge
+    // list, then the coNeighborJaccard CTE shape (hub cap 100)
+    "corpus_overlap_matrix" -> (spanChainCtes + """,
+         ss AS (SELECT DISTINCT d2.source AS r, s.shingle AS l
+                FROM sp s JOIN documents d2 ON d2.doc_id = s.doc_id),
+         shot AS (SELECT l FROM ss GROUP BY l HAVING count(*) > 100),
+         skept AS (SELECT ss.* FROM ss WHERE ss.l NOT IN (SELECT l FROM shot)),
+         ssizes AS (SELECT r, count(*) AS n_l FROM skept GROUP BY r),
+         spr AS (SELECT x.r AS source_a, y.r AS source_b, count(*) AS shared_spans
+                 FROM skept x JOIN skept y ON x.l = y.l AND x.r < y.r
+                 GROUP BY 1, 2)
+         SELECT spr.source_a, spr.source_b, spr.shared_spans,
+                round(CAST(spr.shared_spans AS DOUBLE)
+                      / (sa.n_l + sb.n_l - spr.shared_spans), 6) AS jaccard
+         FROM spr JOIN ssizes sa ON sa.r = spr.source_a
+                  JOIN ssizes sb ON sb.r = spr.source_b
+         ORDER BY source_a, source_b"""),
     "dedup_span_mask" -> (spanChainCtes +
       // keeper = first global occurrence by (doc_id, pos); the combined
       // BIGINT key doc_id*2^20+pos mirrors the Scala struct-min (pos <
@@ -5173,6 +5213,7 @@ ORDER BY doc_id""")
     "text_tokens" -> (textTokens _),
     "text_nfc" -> (textNfc _),
     "corpus_datasheet" -> (corpusDatasheet _),
+    "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),

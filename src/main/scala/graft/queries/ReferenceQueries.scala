@@ -316,6 +316,18 @@ object ReferenceQueries {
           get_json_object(col("props"), "$.k").cast("long").as("item")),
       "user_id", "item", threshold = 0.0)
 
+  /** The 2-core of the purchase graph ([[graft.operators.Graph.kCore]]):
+    * peel pendant users/items until every survivor keeps ≥ 2 edges —
+    * the engagement skeleton (drive-by purchases peel off in layers;
+    * 5 peel rounds at sf0.01). Oracle = the peel unrolled as a CTE
+    * chain (the Lloyd/Viterbi unroll convention — extra rounds are
+    * no-ops once the core is stable, so a generous fixed unroll equals
+    * the engine's fixpoint).
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(purchaseGraphEdges(s, dir), k = 2)
+      .orderBy("node")
+
   /** Per-item triangle counts over the co-purchase graph — the local
     * clustering signal, counted by degree-oriented wedges
     * ([[graft.operators.Graph.triangleCounts]]: Σ out-deg² ≤ O(m^1.5),
@@ -1162,6 +1174,32 @@ object ReferenceQueries {
          SELECT node, min(lbl) AS component FROM r GROUP BY node
          ORDER BY node"""
 
+  /** The k=2 peel unrolled: 12 rounds (measured fixpoint is 5 at
+    * sf0.01, 1 at sf0.1; extra rounds are no-ops on a stable core).
+    */
+  private def graphKcoreSql: String = {
+    val rounds = 12
+    // MATERIALIZED is load-bearing: each ei references e(i-1) several
+    // times (degree union + weak-set subqueries), and inlined CTEs
+    // would expand the base scan ~3^12-fold — DuckDB runs out of file
+    // handles before it runs out of patience
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS c FROM (
+             SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           GROUP BY n),
+         w$i AS MATERIALIZED (SELECT n FROM d$i WHERE c < 2),
+         e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+                 WHERE e.a NOT IN (SELECT n FROM w$i)
+                   AND e.b NOT IN (SELECT n FROM w$i))"""
+    }.mkString(",\n")
+    graphEdgeCtes + s""",
+         e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM pe),
+         $peels
+         SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+           SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         GROUP BY n ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
     "s2_scan_project" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
@@ -1254,6 +1292,7 @@ object ReferenceQueries {
     // the persisted-store lifecycle lands on the identical labeling —
     // oracle shared verbatim (the persisted-twin convention)
     "graph_components_incremental" -> graphComponentsSql,
+    "graph_kcore" -> graphKcoreSql,
     "graph_bfs" -> (graphEdgeCtes + """,
          s AS (SELECT min(node) AS node FROM nodes),
          walk(node, dist) AS (
@@ -1844,6 +1883,7 @@ object ReferenceQueries {
     "ev_pagerank" -> (eventsPageRank _),
     "graph_components" -> (graphComponents _),
     "graph_components_incremental" -> (graphComponentsIncremental _),
+    "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_item_sim" -> (graphItemSim _),

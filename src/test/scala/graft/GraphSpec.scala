@@ -126,6 +126,23 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 0L)))
   }
 
+  test("kCore: pendant chains peel layer by layer, the triangle core " +
+    "survives; a coreless graph peels to empty") {
+    // triangle {1,2,3} with tail 3-4-5: k=2 peels 5 (deg 1), then 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val core = Graph.kCore(edges, k = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // a bare path has no 2-core
+    assert(Graph.kCore(Seq((1L, 2L), (2L, 3L)).toDF("x", "y"), k = 2)
+      .isEmpty)
+    // k=1 keeps every non-isolated node with its true degree
+    val k1 = Graph.kCore(edges, k = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(k1 == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
+  }
+
   test("coNeighborJaccard: hand-checked overlap ratios; a hub left node " +
     "is dropped from pair generation (side-local df-cap semantics)") {
     // users u1,u2 both touch items 10,20; u3 touches 20,30
