@@ -20,7 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                            space (a node's row is written once, by
   *                            the ingest that first saw it). Flat from
   *                            appends; compact lands the consolidated
-  *                            base BUCKETED (bucket = node mod 256) so
+  *                            base BUCKETED (bucket = node mod the
+  *                            store's pinned count — meta `lsm_buckets`,
+  *                            4096 for new stores, 256 pre-pinning) so
   *                            point lookups prune it (the SpanStore LSM
   *                            pair).
   *   remap/ingest=<key>/      (old_comp, new_comp) — the merges this
@@ -72,20 +74,29 @@ object GraphStore {
                             root: org.apache.hadoop.fs.Path): Seq[String] =
     StoreProtocol.committedKeys(fs, root)
 
+  private def metaOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/meta")
+
   private def readMeta(spark: SparkSession, dir: String): String =
-    spark.read.parquet(s"$dir/meta").head().getString(0)
+    metaOf(spark, dir).select("node_col").head().getString(0)
+
+  private def bucketsOf(spark: SparkSession, dir: String): Int =
+    StoreProtocol.pinnedLsmBuckets(metaOf(spark, dir))
 
   /** Committed (node, comp) label rows — the shared LSM pair
     * ([[StoreProtocol.readLsm]]); when `touched` is given, the bucketed
-    * base prunes to those nodes' buckets.
+    * base prunes to those nodes' buckets under the store's PINNED
+    * modulus (meta `lsm_buckets`; 256 for pre-pinning layouts).
     */
   private def readLabels(spark: SparkSession, dir: String,
                          fs: org.apache.hadoop.fs.FileSystem,
                          committed: Seq[String],
-                         touched: Option[DataFrame]): DataFrame =
+                         touched: Option[DataFrame],
+                         buckets: Int): DataFrame =
     StoreProtocol.readLsm(spark, fs, s"$dir/labels", committed,
       Seq("node", "comp"),
-      touched.map(t => StoreProtocol.touchedLsmBuckets(t, "node")))
+      touched.map(t => StoreProtocol.touchedLsmBuckets(t, "node", buckets)),
+      buckets)
 
   /** The committed remap chain, oldest ingest first (ingest keys carry
     * their generation prefix `i<n>_`/`r<n>_`, so lexicographic-by-
@@ -122,17 +133,21 @@ object GraphStore {
     * (new nodes labeled, components merged).
     */
   def append(spark: SparkSession, dir: String, edges: DataFrame,
-             nodeCol: String = "node"): (Long, Long) = {
+             nodeCol: String = "node",
+             lsmBuckets: Int = StoreProtocol.WideLsmBuckets): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
     val committed = committedKeys(fs, root)
-    if (committed.nonEmpty) {
-      val storedNode = readMeta(spark, dir)
-      require(storedNode == nodeCol,
-        s"GraphStore.append: store at $dir is keyed on '$storedNode', " +
-          s"got '$nodeCol'")
-    }
+    val pinnedBuckets =
+      if (committed.isEmpty) lsmBuckets
+      else {
+        val storedNode = readMeta(spark, dir)
+        require(storedNode == nodeCol,
+          s"GraphStore.append: store at $dir is keyed on '$storedNode', " +
+            s"got '$nodeCol'")
+        bucketsOf(spark, dir) // recorded layout is authoritative
+      }
     // sweep orphans (the SpanStore append discipline)
     Seq("labels", "remap", "edges").foreach { t =>
       val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
@@ -153,7 +168,7 @@ object GraphStore {
     val known =
       if (committed.isEmpty) touched.limit(0).withColumn("comp", col("node"))
       else resolve(
-        readLabels(spark, dir, fs, committed, Some(touched))
+        readLabels(spark, dir, fs, committed, Some(touched), pinnedBuckets)
           .join(broadcast(touched), Seq("node"), "left_semi"),
         remapTables(spark, dir, fs, committed))
         .localCheckpoint(true)
@@ -218,7 +233,9 @@ object GraphStore {
     e.write.mode("overwrite").parquet(s"$dir/edges/ingest=$key")
     if (committed.isEmpty) {
       import spark.implicits._
-      Seq(nodeCol).toDF("node_col")
+      require(lsmBuckets >= 1,
+        s"GraphStore.append: lsmBuckets must be >= 1, got $lsmBuckets")
+      Seq((nodeCol, lsmBuckets)).toDF("node_col", "lsm_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
@@ -237,7 +254,8 @@ object GraphStore {
     val committed = committedKeys(fs, root)
     require(committed.nonEmpty, s"GraphStore.labels: nothing committed at $dir")
     val nodeCol = readMeta(spark, dir)
-    resolve(readLabels(spark, dir, fs, committed, touched = None),
+    resolve(readLabels(spark, dir, fs, committed, touched = None,
+          bucketsOf(spark, dir)),
         remapTables(spark, dir, fs, committed))
       .select(col("node").as(nodeCol), col("comp").as("component"))
   }
@@ -258,7 +276,8 @@ object GraphStore {
     val want = nodes.select(col(nodes.columns.head).cast("long").as("node"))
       .distinct().localCheckpoint(true)
     resolve(
-        readLabels(spark, dir, fs, committed, Some(want))
+        readLabels(spark, dir, fs, committed, Some(want),
+            bucketsOf(spark, dir))
           .join(broadcast(want), Seq("node"), "left_semi"),
         remapTables(spark, dir, fs, committed))
       .select(col("node").as(nodeCol), col("comp").as("component"))
@@ -269,18 +288,21 @@ object GraphStore {
     * to zero joins) and re-laid out bucketed; edges concatenate.
     * Returns (ingests before, after).
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) =
+  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0): (Int, Int) =
     Lease.withLease(spark, dir, "GraphStore.compact") {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = fsOf(spark, root)
       StoreProtocol.heal(fs, root)
       val keys = committedKeys(fs, root)
       val before = keys.length
-      val alreadyBase = before == 1 &&
+      val sameLayout = lsmBuckets == 0 ||
+        (before > 0 && lsmBuckets == bucketsOf(spark, dir))
+      val alreadyBase = before == 1 && sameLayout &&
         StoreProtocol.splitLsmLayout(fs, s"$dir/labels", keys)._2.isEmpty
       if (before == 0 || alreadyBase) (before, before)
       else {
-        consolidate(spark, dir, None)
+        consolidate(spark, dir, None,
+          if (lsmBuckets > 0) Some(lsmBuckets) else None)
         (before, 1)
       }
     }
@@ -301,13 +323,15 @@ object GraphStore {
     }
 
   private def consolidate(spark: SparkSession, dir: String,
-                          drop: Option[DataFrame]): Long = {
+                          drop: Option[DataFrame],
+                          migrateBuckets: Option[Int] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
     val committed = committedKeys(fs, root)
     if (committed.isEmpty) return 0L
     val nodeCol = readMeta(spark, dir)
+    val buckets = migrateBuckets.getOrElse(bucketsOf(spark, dir))
     val allEdges = spark.read
       .parquet(committed.map(c => s"$dir/edges/ingest=$c"): _*)
       .distinct().localCheckpoint(true)
@@ -323,7 +347,8 @@ object GraphStore {
       case None => (allEdges, 0L)
     }
     if (drop.isDefined && removed == 0L) return 0L
-    val nodes = readLabels(spark, dir, fs, committed, touched = None)
+    val nodes = readLabels(spark, dir, fs, committed, touched = None,
+        buckets)
       .select(col("node")).distinct().localCheckpoint(true)
     val relabeled = Dedup.clusterReps(nodes,
         survivors.select(col("a").as("id_a"), col("b").as("id_b")), "node")
@@ -339,10 +364,10 @@ object GraphStore {
       val gen = committed.map(genOf).sorted.lastOption.getOrElse(-1) + 1
       val key = s"r${gen}_${stats.getString(1).take(12)}"
       StoreProtocol.writeLsmBase(relabeled, "node",
-        s"$tmp/labels/ingest=$key")
+        s"$tmp/labels/ingest=$key", buckets)
       survivors.write.mode("overwrite").parquet(s"$tmp/edges/ingest=$key")
       import spark.implicits._
-      Seq(nodeCol).toDF("node_col")
+      Seq((nodeCol, buckets)).toDF("node_col", "lsm_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
       fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)

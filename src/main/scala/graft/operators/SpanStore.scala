@@ -25,11 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             writes FLAT partials (one cheap file set,
   *                             no small-files tax on a 500-doc batch);
   *                             compact/forget write the consolidated
-  *                             base BUCKETED (`bucket = shingle mod 256`
-  *                             partition dirs), so a probe prunes the
-  *                             big base to the buckets its batch touches
-  *                             by construction — no row-group stats
-  *                             needed, which uniform hashes defeat.
+  *                             base BUCKETED (`bucket = shingle mod` the
+  *                             store's pinned count — meta `lsm_buckets`,
+  *                             4096 for new stores, 256 for pre-pinning
+  *                             layouts; r14 parameterization), so a probe
+  *                             prunes the big base to the buckets its
+  *                             batch touches by construction — no
+  *                             row-group stats needed, which uniform
+  *                             hashes defeat.
   *   doc_ids/ingest=<key>/     committed doc ids (the K2 gate set)
   *   _commits/<key>            commit marker, written LAST
   *
@@ -41,14 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the store side never SHUFFLES. What it READS is the LSM law: the
   * flat tail (fresh partials since the last compact) is read whole —
   * batch-sized × #uncompacted ingests — and the bucketed base is read
-  * at ~|touched buckets| / 256 of its footprint. A drain-sized batch
+  * at ~|touched buckets| / lsm_buckets of its footprint. A drain-sized batch
   * (tens of thousands of distinct spans) touches every bucket, so ITS
   * base read is a scan — compaction (3× fewer rows at 1M docs: merged
   * partials dedup across ingests) is what keeps that face cheap, and a
   * store-size-independent drain probe would need a shingle-keyed point
   * index, still deliberately out of scope. A SMALL probe (a takedown
   * check, a single document — ≲ a few hundred spans) prunes the base
-  * hard: read fraction ≈ touched/256. Numbers: ProbeSpanStore.
+  * hard: read fraction ≈ touched/lsm_buckets (≈ 2% at the 4096
+  * default). Numbers: ProbeSpanStore.
   * [[probe]] is otherwise the
   * [[Dedup.spanStats]] tail over the batch. [[compact]] bounds the
   * partition count (the SketchStore concern) AND migrates the base to
@@ -72,8 +76,11 @@ object SpanStore {
                             root: org.apache.hadoop.fs.Path): Seq[String] =
     StoreProtocol.committedKeys(fs, root)
 
+  private def metaOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/meta")
+
   private def readMeta(spark: SparkSession, dir: String): (String, Int) = {
-    val row = spark.read.parquet(s"$dir/meta").head()
+    val row = metaOf(spark, dir).select("id_col", "k").head()
     (row.getString(0), row.getInt(1))
   }
 
@@ -89,9 +96,10 @@ object SpanStore {
   private def readPartials(spark: SparkSession, dir: String,
                            fs: org.apache.hadoop.fs.FileSystem,
                            committed: Seq[String],
-                           touched: Option[Seq[Int]]): DataFrame =
+                           touched: Option[Seq[Int]],
+                           buckets: Int = StoreProtocol.DefaultLsmBuckets): DataFrame =
     StoreProtocol.readLsm(spark, fs, s"$dir/span_docs", committed,
-      Seq("shingle", "n_docs"), touched)
+      Seq("shingle", "n_docs"), touched, buckets)
 
   /** Ingest a batch: docs whose id is already committed are dropped (K2
     * idempotent-append semantics), the rest commit as one marked ingest
@@ -108,10 +116,17 @@ object SpanStore {
     * shingle explode is the dominant per-batch cost, and recomputing it
     * for the append would double it. Must cover the same (docs, k); the
     * append semi-joins it down to the admitted docs itself.
+    *
+    * `lsmBuckets` is recorded in the store's meta at the FIRST ingest
+    * and fixes the compacted base's partition modulus from then on (a
+    * later [[compact]] can migrate it); on an existing store the
+    * recorded layout is authoritative and the argument is ignored —
+    * appends write flat partials either way.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
              textCol: String, idCol: String = "doc_id", k: Int = 8,
-             spans: Option[DataFrame] = None): Long = {
+             spans: Option[DataFrame] = None,
+             lsmBuckets: Int = StoreProtocol.WideLsmBuckets): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
@@ -167,7 +182,9 @@ object SpanStore {
     admittedIds.write.mode("overwrite").parquet(s"$dir/doc_ids/ingest=$key")
     if (committed.isEmpty) {
       import spark.implicits._
-      Seq((idCol, k)).toDF("id_col", "k")
+      require(lsmBuckets >= 1,
+        s"SpanStore.append: lsmBuckets must be >= 1, got $lsmBuckets")
+      Seq((idCol, k, lsmBuckets)).toDF("id_col", "k", "lsm_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_commits"))
@@ -196,12 +213,16 @@ object SpanStore {
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
     val committed = committedKeys(fs, root)
-    if (committed.nonEmpty) {
-      val (storedId, storedK) = readMeta(spark, dir)
-      require(storedId == idCol && storedK == k,
-        s"SpanStore.probe: store at $dir is keyed ($storedId, k=$storedK), " +
-          s"got ($idCol, k=$k)")
-    }
+    val pinnedBuckets =
+      if (committed.isEmpty) StoreProtocol.DefaultLsmBuckets
+      else {
+        val meta = metaOf(spark, dir)
+        val row = meta.select("id_col", "k").head()
+        require(row.getString(0) == idCol && row.getInt(1) == k,
+          s"SpanStore.probe: store at $dir is keyed (${row.getString(0)}, " +
+            s"k=${row.getInt(1)}), got ($idCol, k=$k)")
+        StoreProtocol.pinnedLsmBuckets(meta)
+      }
     // feeds the vocabulary, the batch partial and the occurrence join —
     // eager localCheckpoint (the ngramJaccard reclaim argument); a
     // caller-provided stream (`spans`, assumed materialized — the
@@ -212,12 +233,14 @@ object SpanStore {
     val totalCnt =
       if (committed.isEmpty) batchCnt
       else {
-        // the batch's touched buckets — a bounded collect (≤ LsmBuckets
-        // ints) that turns into a PARTITION filter on the compacted
-        // base: a small probe reads ~touched/256 of it by construction
-        val touched = StoreProtocol.touchedLsmBuckets(sp, "shingle")
+        // the batch's touched buckets — a bounded collect (≤ the store's
+        // pinned bucket count, ints) that turns into a PARTITION filter
+        // on the compacted base: a small probe reads ~touched/buckets of
+        // it by construction
+        val touched =
+          StoreProtocol.touchedLsmBuckets(sp, "shingle", pinnedBuckets)
         val committedCnt =
-          readPartials(spark, dir, fs, committed, Some(touched))
+          readPartials(spark, dir, fs, committed, Some(touched), pinnedBuckets)
           .join(broadcast(sp.select(col("shingle")).distinct()),
             Seq("shingle"), "left_semi")
           .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
@@ -253,8 +276,15 @@ object SpanStore {
   /** Fold the per-append ingest partitions into ONE retained partition
     * set (contents unchanged — the partition-count bound a long-lived
     * ingest needs). Returns (ingests before, after).
+    *
+    * `lsmBuckets` > 0 MIGRATES the base layout to that modulus (base
+    * rewritten and meta re-pinned in the same atomic directory swap —
+    * readers see the old layout or the new, never a mix); 0 (default)
+    * keeps the store's recorded count. A compact is already a full base
+    * rewrite, so migration costs nothing extra — it is the sanctioned
+    * path for re-bucketing a store that outgrew its modulus.
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) =
+  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0): (Int, Int) =
     // lease-guarded: a DIRECT compact while an ingest lane's drain holds
     // the store refuses with the holder's name instead of racing the
     // lane's swap; the lane's own in-batch compact hook passes through
@@ -265,13 +295,17 @@ object SpanStore {
       StoreProtocol.heal(fs, root)
       val keys = committedKeys(fs, root)
       val before = keys.length
+      val sameLayout = lsmBuckets == 0 || (before > 0 &&
+        lsmBuckets == StoreProtocol.pinnedLsmBuckets(metaOf(spark, dir)))
       // a single ingest still consolidates when it is a FLAT append
-      // partial: compaction is also the bucketed-layout migration
-      val alreadyBase = before == 1 &&
+      // partial (compaction is also the bucketed-layout migration) or
+      // when a different bucket count was requested
+      val alreadyBase = before == 1 && sameLayout &&
         StoreProtocol.splitLsmLayout(fs, s"$dir/span_docs", keys)._2.isEmpty
       if (before == 0 || alreadyBase) (before, before)
       else {
-        consolidate(spark, dir, None)
+        consolidate(spark, dir, None,
+          if (lsmBuckets > 0) Some(lsmBuckets) else None)
         (before, 1)
       }
     }
@@ -294,13 +328,16 @@ object SpanStore {
     }
 
   private def consolidate(spark: SparkSession, dir: String,
-                          drop: Option[DataFrame]): Long = {
+                          drop: Option[DataFrame],
+                          migrateBuckets: Option[Int] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
     val committed = committedKeys(fs, root)
     if (committed.isEmpty) return 0L
     val (idCol, k) = readMeta(spark, dir)
+    val buckets =
+      migrateBuckets.getOrElse(StoreProtocol.pinnedLsmBuckets(metaOf(spark, dir)))
     def table(t: String) =
       spark.read.parquet(committed.map(c => s"$dir/$t/ingest=$c"): _*)
     val summed = readPartials(spark, dir, fs, committed, touched = None)
@@ -356,12 +393,14 @@ object SpanStore {
     fs.mkdirs(tmp) // all-retracted leaves it empty: the swap un-commits
     if (survivors > 0L) {
       val key = s"r${committed.length}_${stats.getString(1).take(12)}"
-      // the consolidated base lands BUCKETED (bucket = shingle mod 256
-      // partition dirs) so probes prune it by construction
+      // the consolidated base lands BUCKETED (bucket = shingle mod the
+      // store's pinned count) so probes prune it by construction; a
+      // migration re-pins the meta in the SAME swap as the new layout
       StoreProtocol.writeLsmBase(merged, "shingle",
-        s"$tmp/span_docs/ingest=$key")
+        s"$tmp/span_docs/ingest=$key", buckets)
       survivorIds.write.mode("overwrite").parquet(s"$tmp/doc_ids/ingest=$key")
-      spark.read.parquet(s"$dir/meta")
+      metaOf(spark, dir).select("id_col", "k")
+        .withColumn("lsm_buckets", lit(buckets))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
       fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)

@@ -60,17 +60,50 @@ private[graft] object StoreProtocol {
   // The hash-keyed stores (SpanStore's span_docs, GraphStore's labels)
   // share one layout law: appends write FLAT per-batch partials (cheap,
   // no small-files tax), consolidation lands the base PARTITIONED by
-  // `bucket = key mod LsmBuckets` so point reads prune it by
-  // construction (row-group stats can never prune uniform hashes), and
-  // layouts are self-describing per ingest. ONE implementation — the
-  // heal/swap consolidation argument applied to the bucket machinery
-  // (r13 review catch: two hand-kept copies had already appeared).
+  // `bucket = key mod <store's bucket count>` so point reads prune it
+  // by construction (row-group stats can never prune uniform hashes),
+  // and layouts are self-describing per ingest. ONE implementation —
+  // the heal/swap consolidation argument applied to the bucket
+  // machinery (r13 review catch: two hand-kept copies had already
+  // appeared).
+  //
+  // The bucket count is PER STORE, recorded in its meta frame
+  // (`lsm_buckets` column) at the first ingest and re-recorded by every
+  // consolidation — r13's fixed 256 saturated on drain-sized batches (a
+  // batch with ≥ 256 distinct keys touched every bucket and re-read the
+  // whole base per append: ProbeGraphStore's 2.6 → 3.9 s drift), and a
+  // hard-coded constant cannot be raised without silently breaking the
+  // prune on every store compacted under the old modulus. Readers pin
+  // the recorded count ([[pinnedLsmBuckets]] — absent column = the
+  // historical 256 layout), consolidation migrates the layout to a new
+  // count atomically with the meta (same directory swap), and a base
+  // whose bucket dirs exceed the pinned count refuses loudly
+  // ([[readLsm]]'s guard) instead of returning silently-pruned-wrong
+  // rows.
 
-  /** Bucket count of every consolidated base. 256: coarse enough that a
-    * compacted store is 256 directories (no listing tax), fine enough
-    * that a point probe (~10² keys) reads well under half the base.
+  /** The historical bucket count — pinned for stores whose meta predates
+    * the `lsm_buckets` column (their on-disk base IS mod-256).
     */
-  val LsmBuckets = 256
+  val DefaultLsmBuckets = 256
+
+  /** Default for NEW stores: at 4096 a drain-sized batch (~10³ distinct
+    * keys) still prunes the base to ~¼ instead of saturating, and a
+    * point probe (~10² keys) reads ~2% of it. The dir-count tax is one
+    * directory listing per read ([[splitLsmLayout]] already pays it).
+    */
+  val WideLsmBuckets = 4096
+
+  /** The pinned bucket count of a store's meta frame — `lsm_buckets`
+    * when present, else the historical 256 (pre-parameterization
+    * stores, whose compacted base is mod-256 on disk). ONE
+    * implementation, the pinnedFpp argument: every reader of one store
+    * must pin the same modulus or the prune silently drops rows.
+    */
+  def pinnedLsmBuckets(meta: DataFrame): Int =
+    if (meta.schema.fieldNames.contains("lsm_buckets")) {
+      val row = meta.head()
+      row.getInt(row.fieldIndex("lsm_buckets"))
+    } else DefaultLsmBuckets
 
   /** Split committed ingests of `tableDir` (e.g. `<dir>/span_docs`) by
     * on-disk layout — (bucketed base, flat tail). Self-describing: one
@@ -88,12 +121,30 @@ private[graft] object StoreProtocol {
     * to `touched` buckets (None = read everything — consolidation).
     * Flat and bucketed ingests read separately (one multi-path read
     * would refuse the mixed partition structure), then union by name
-    * over `columns` (the partition column drops out).
+    * over `columns` (the partition column drops out). `buckets` is the
+    * store's PINNED count ([[pinnedLsmBuckets]]); a pruned read first
+    * verifies every on-disk bucket dir sits under it — a base laid out
+    * under a DIFFERENT modulus (a hand-copied store, a meta edited out
+    * of band) would otherwise return silently incomplete rows, the one
+    * failure mode worse than a full scan. Unpruned reads skip the check
+    * (every row is read regardless of modulus).
     */
   def readLsm(spark: SparkSession, fs: FileSystem, tableDir: String,
               committed: Seq[String], columns: Seq[String],
-              touched: Option[Seq[Int]]): DataFrame = {
+              touched: Option[Seq[Int]],
+              buckets: Int = DefaultLsmBuckets): DataFrame = {
     val (bucketed, flat) = splitLsmLayout(fs, tableDir, committed)
+    if (touched.isDefined) bucketed.foreach { k =>
+      val dirs = fs.listStatus(new Path(s"$tableDir/ingest=$k"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+      require(dirs.forall(_ < buckets),
+        s"readLsm: $tableDir/ingest=$k holds bucket dirs up to " +
+          s"${dirs.max} but the store pins lsm_buckets=$buckets — the " +
+          "base was laid out under a different modulus; a pruned read " +
+          "would silently drop rows. Re-compact the store (or fix the " +
+          "meta) before probing it.")
+    }
     val cols = columns.map(col)
     val reads = Seq(
       if (flat.isEmpty) None
@@ -111,21 +162,26 @@ private[graft] object StoreProtocol {
     reads.reduce(_.unionByName(_))
   }
 
-  /** The ≤ [[LsmBuckets]] buckets `df`'s `keyCol` values touch — the
-    * bounded collect that becomes the base read's partition filter.
+  /** The ≤ `buckets` buckets `df`'s `keyCol` values touch — the bounded
+    * collect that becomes the base read's partition filter.
     */
-  def touchedLsmBuckets(df: DataFrame, keyCol: String): Seq[Int] =
-    df.select(pmod(col(keyCol), lit(LsmBuckets.toLong)).cast("int").as("b"))
+  def touchedLsmBuckets(df: DataFrame, keyCol: String,
+                        buckets: Int = DefaultLsmBuckets): Seq[Int] =
+    df.select(pmod(col(keyCol), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
-  /** Write `df` as a consolidated BUCKETED base at `path` — repartition
-    * on the bucket first, or every task writes files into every bucket
-    * dir (a 256× small-files tax).
+  /** Write `df` as a consolidated BUCKETED base at `path` — hash-
+    * repartitioned BY the bucket column first so each bucket's rows land
+    * in one task (one file per bucket dir; without it every task writes
+    * files into every bucket dir — a `buckets`× small-files tax). Task
+    * count follows `spark.sql.shuffle.partitions`, so write parallelism
+    * scales with the session, not the modulus.
     */
-  def writeLsmBase(df: DataFrame, keyCol: String, path: String): Unit =
+  def writeLsmBase(df: DataFrame, keyCol: String, path: String,
+                   buckets: Int = DefaultLsmBuckets): Unit =
     df.withColumn("bucket",
-        pmod(col(keyCol), lit(LsmBuckets.toLong)).cast("int"))
-      .repartition(LsmBuckets, col("bucket"))
+        pmod(col(keyCol), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Replace `path` with the fully-written `tmp` through the `__old`

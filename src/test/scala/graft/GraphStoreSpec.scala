@@ -97,6 +97,31 @@ class GraphStoreSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("the bucket count is pinned per store and compact migrates it; " +
+    "appends against an existing store follow the RECORDED layout") {
+    val dir = tmp()
+    GraphStore.append(spark, dir, Seq((1L, 2L), (10L, 11L)).toDF("a", "b"),
+      lsmBuckets = 8)
+    def metaBuckets() = graft.operators.StoreProtocol
+      .pinnedLsmBuckets(spark.read.parquet(s"$dir/meta"))
+    assert(metaBuckets() == 8)
+    // a later append asking for a different count is ignored — the
+    // store's recorded layout is authoritative (no silent re-moduling)
+    GraphStore.append(spark, dir, Seq((2L, 10L)).toDF("a", "b"),
+      lsmBuckets = 64)
+    assert(metaBuckets() == 8)
+    val before = labelsOf(dir)
+    assert(GraphStore.compact(spark, dir) == ((2, 1)))
+    assert(metaBuckets() == 8 && labelsOf(dir) == before)
+    // migrate to a new modulus: base + meta move in one swap; a
+    // post-migration append still prunes correctly under the new count
+    assert(GraphStore.compact(spark, dir, lsmBuckets = 4) == ((1, 1)))
+    assert(metaBuckets() == 4 && labelsOf(dir) == before)
+    GraphStore.append(spark, dir, Seq((11L, 30L)).toDF("a", "b"))
+    assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (10L, 1L),
+      (11L, 1L), (30L, 1L)))
+  }
+
   test("forget retracts edges as the rebuild it is: components split " +
     "back exactly; unknown edges are a no-op; orphaned nodes self-label") {
     val dir = tmp()

@@ -123,6 +123,45 @@ class SpanStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [bucket"), plan.take(1500))
   }
 
+  test("the bucket count is pinned per store (meta lsm_buckets), compact " +
+    "MIGRATES the layout to a requested count, and a base laid out under " +
+    "a different modulus refuses a pruned read loudly") {
+    val dir = tmp()
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8,
+      lsmBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def metaBuckets() = graft.operators.StoreProtocol
+      .pinnedLsmBuckets(spark.read.parquet(s"$dir/meta"))
+    def maxBucketDir() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs"))
+      .filter(_.getPath.getName.startsWith("ingest="))
+      .flatMap(s => fs.listStatus(s.getPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+      .max
+    assert(metaBuckets() == 8, "first append records the store's modulus")
+    assert(SpanStore.compact(spark, dir) == ((1, 1)))
+    assert(metaBuckets() == 8 && maxBucketDir() < 8,
+      "compact with no override keeps the recorded layout")
+    assert(probeRows(dir) == expected)
+    // migrate: base rewritten mod 4, meta re-pinned in the same swap
+    assert(SpanStore.compact(spark, dir, lsmBuckets = 4) == ((1, 1)))
+    assert(metaBuckets() == 4 && maxBucketDir() < 4)
+    assert(probeRows(dir) == expected, "migration is value-invisible")
+    // same-count re-compact of an already-bucketed base stays a no-op
+    assert(SpanStore.compact(spark, dir, lsmBuckets = 4) == ((1, 1)))
+    // corrupt layout: a bucket dir beyond the pinned modulus means the
+    // base was written under a DIFFERENT one — a pruned probe must
+    // refuse (silently dropping rows is the one outcome worse than a
+    // full scan); the injected dir only needs to exist to be detected
+    val ingest = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs"))
+      .filter(_.getPath.getName.startsWith("ingest=")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ingest, "bucket=99"))
+    assert(intercept[IllegalArgumentException] { probeRows(dir) }
+      .getMessage.contains("modulus"))
+  }
+
   test("forget with the ingested text decrements exactly and lifts the re-admission veto") {
     val dir = tmp()
     SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)
