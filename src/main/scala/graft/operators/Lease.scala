@@ -221,10 +221,42 @@ object Lease {
         // still land after this release and strand an orphan lease for
         // up to ttlMs — say so instead of failing silent (the next
         // acquirer's error names this holder, and the TTL bounds it)
-        System.err.println(
-          s"Lease.withLease: heartbeat for '$holder' on $storeDir did " +
-            "not stop within the shutdown window — if its in-flight " +
-            s"renew lands it strands an orphan lease for up to $ttlMs ms")
+        recordOrphanRisk(spark, storeDir, holder, ttlMs)
     }
+  }
+
+  /** Sibling marker a stuck shutdown leaves behind. */
+  private[graft] def orphanRiskPath(storeDir: String): Path =
+    new Path(storeDir.stripSuffix("/") + "__lease_risk")
+
+  /** Make the one failure mode [[withLease]] can only BOUND, not
+    * prevent, OBSERVABLE (r13 verdict #7): when the heartbeat refuses
+    * to die within the shutdown window, an in-flight renew may still
+    * land after the release and strand an orphan lease for up to
+    * `ttlMs`. That used to be a System.err line — correct, but the one
+    * diagnostic in the codebase nothing could assert or query. Now it
+    * ALSO writes a sibling marker `<storeDir>__lease_risk` holding
+    * `holder \n ttlMs \n wallClockMillis` (overwriting an older one —
+    * the latest risk is the live one), so an operator's monitoring can
+    * list for it and a stuck lane's blast radius is a filesystem fact
+    * rather than a lost log line. The marker is INERT to acquisition
+    * (the TTL already bounds the orphan) and cheap to clear by hand;
+    * the write itself is best-effort — a failing filesystem here must
+    * not mask the original shutdown path.
+    */
+  private[graft] def recordOrphanRisk(spark: SparkSession, storeDir: String,
+                                      holder: String, ttlMs: Long): Unit = {
+    System.err.println(
+      s"Lease.withLease: heartbeat for '$holder' on $storeDir did " +
+        "not stop within the shutdown window — if its in-flight " +
+        s"renew lands it strands an orphan lease for up to $ttlMs ms")
+    try {
+      val p = orphanRiskPath(storeDir)
+      val fs = fsFor(spark, p)
+      val out = fs.create(p, true)
+      try out.write(
+        s"$holder\n$ttlMs\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
   }
 }

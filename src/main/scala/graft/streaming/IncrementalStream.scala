@@ -340,50 +340,66 @@ object IncrementalStream {
                      checkpointDir: String, textCol: String = "text",
                      idCol: String = "doc_id", k: Int = 8,
                      minShared: Long = 1,
-                     portable: Boolean = false): StreamingQuery =
+                     portable: Boolean = false,
+                     compactEvery: Int = 0,
+                     compactWhenUncompactedExceeds: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        val root = new org.apache.hadoop.fs.Path(outDir)
-        val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-        val committed: Seq[String] =
-          if (fs.exists(commitsDir))
-            fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-              .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-          else Nil
-        var pinned = List.empty[DataFrame]
-        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
-        try {
-          // pin the projected source once: the gate's min/max aggregate
-          // and the gated frame's own materialization would otherwise
-          // each re-scan the micro-batch source (review catch r13)
-          val src = pin(batch0.select(col(idCol), col(textCol)))
-          val batch = pin(if (committed.nonEmpty)
-              gateCommittedIds(src,
-                sp.read.parquet(
-                  committed.map(key => s"$outDir/docs/ingest=$key"): _*),
-                idCol, textCol)
-            else src)
-          if (!batch.isEmpty) {
-            val dirty = graft.operators.Decontam.overlapPersisted(
-              batch, artifactDir, textCol, idCol, k, minShared, portable)
-              .select(col(idCol))
-            val accepted = pin(batch.join(dirty, Seq(idCol), "left_anti"))
-            if (!accepted.isEmpty) {
-              val contentHash = accepted
-                .agg(format_string("%016x",
-                  bit_xor(xxhash64(col(idCol).cast("string")))))
-                .head().getString(0).take(12)
-              val key = s"${batchId}_$contentHash"
-              accepted.write.mode("overwrite").parquet(s"$outDir/docs/ingest=$key")
-              fs.mkdirs(commitsDir)
-              fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+        val runKey = auditRunKey(sp, checkpointDir)
+        // per-batch lease (the growth-lane discipline): a direct
+        // compactDecontamCorpus during a live drain refuses instead of
+        // racing this batch's commit; the in-batch trigger below passes
+        // through re-entrantly
+        graft.operators.Lease.withLease(sp, outDir, s"decontam:$runKey") {
+          val root = new org.apache.hadoop.fs.Path(outDir)
+          val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          healSwap(fs, root) // a compaction crashed mid-swap parks the
+                             // whole corpus at __old — restore it first
+          val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+          val committed: Seq[String] =
+            if (fs.exists(commitsDir))
+              fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+                .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+            else Nil
+          var pinned = List.empty[DataFrame]
+          def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+          try {
+            // pin the projected source once: the gate's min/max aggregate
+            // and the gated frame's own materialization would otherwise
+            // each re-scan the micro-batch source (review catch r13)
+            val src = pin(batch0.select(col(idCol), col(textCol)))
+            val batch = pin(if (committed.nonEmpty)
+                gateCommittedIds(src, sp, outDir, committed, idCol, textCol)
+              else src)
+            if (!batch.isEmpty) {
+              val dirty = graft.operators.Decontam.overlapPersisted(
+                batch, artifactDir, textCol, idCol, k, minShared, portable)
+                .select(col(idCol))
+              val accepted = pin(batch.join(dirty, Seq(idCol), "left_anti"))
+              if (!accepted.isEmpty) {
+                val contentHash = accepted
+                  .agg(format_string("%016x",
+                    bit_xor(xxhash64(col(idCol).cast("string")))))
+                  .head().getString(0).take(12)
+                val key = s"${batchId}_$contentHash"
+                accepted.write.mode("overwrite").parquet(s"$outDir/docs/ingest=$key")
+                fs.mkdirs(commitsDir)
+                fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+              }
             }
-          }
-        } finally pinned.foreach(_.unpersist())
+            // schedule OR depth trigger (the spanIngest policy): fold the
+            // per-batch docs ingests and build the bucketed gate base once
+            // the flat tail outgrows the bound
+            if ((compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+                || (compactWhenUncompactedExceeds > 0 &&
+                  uncompactedGateIngests(sp, outDir)
+                    > compactWhenUncompactedExceeds))
+              compactDecontamCorpus(sp, outDir, idCol)
+          } finally pinned.foreach(_.unpersist())
+        }
         ()
       }
       .start()
@@ -415,100 +431,112 @@ object IncrementalStream {
   def fuzzyDedupIngest(stream: DataFrame, stateDir: String,
                        checkpointDir: String, textCol: String = "text",
                        idCol: String = "doc_id", k: Int = 8,
-                       threshold: Double = 0.3): StreamingQuery =
+                       threshold: Double = 0.3,
+                       compactEvery: Int = 0,
+                       compactWhenUncompactedExceeds: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        val hadoopConf = sp.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = root.getFileSystem(hadoopConf)
-        healSwap(fs, root) // a forgetFuzzyState crashed mid-swap parks
-                           // the whole state at __old — restore it first
-        val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-        val committed: Seq[String] =
-          if (fs.exists(commitsDir))
-            fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-              .filterNot(n => n.startsWith(".") || n.startsWith("_")) // fs sidecars (.crc)
-          else Nil
-        def partDirs(table: String): Seq[String] =
-          committed.map(key => s"$stateDir/$table/ingest=$key")
-        // this batch's OWN pinned frames, released in finally — scoped
-        // cleanup, NOT catalog.clearCache(): an embedding application's
-        // unrelated caches in the same session must survive each batch
-        // (spec-pinned); the dedup operators' internal intermediates are
-        // on the eager-localCheckpoint discipline and ContextCleaner-
-        // reclaimed once the batch's references drop
-        var pinned = List.empty[DataFrame]
-        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
-        try {
-          // pin the projected source once (see decontamIngest's gate)
-          val src = pin(batch0.select(col(idCol), col(textCol)))
-          val batch = pin(if (committed.nonEmpty)
-              gateCommittedIds(src,
-                sp.read.parquet(partDirs("docs"): _*), idCol, textCol)
-            else src)
-          if (!batch.isEmpty) {
-            // one shingle+band pass serves matching AND the persisted state
-            val (bBands, bSh) = graft.operators.Dedup.minhashState(
-              batch, textCol, idCol, k)
-            val pairs =
-              if (committed.nonEmpty)
-                graft.operators.Dedup.minhashLshIncrementalFromState(
-                  bBands, bSh,
-                  sp.read.parquet(partDirs("bands"): _*),
-                  sp.read.parquet(partDirs("shingles"): _*),
-                  idCol, threshold)
-              else
-                graft.operators.Dedup.verifyJaccard(
-                  bBands.alias("x").join(bBands.alias("y"), Seq("band_key"))
-                    .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-                    .filter(col("id_a") < col("id_b")).distinct(),
-                  bSh, idCol, threshold)
-            val p = pin(pairs)
-            p.count()
-            val batchIdsB = batch.select(col(idCol).as("id_b"))
-            // id_b outside the batch = a committed corpus doc -> drop id_a
-            val corpusHit = p.join(batchIdsB, Seq("id_b"), "left_anti")
-              .select(col("id_a").as(idCol))
-            val internal = p.join(batchIdsB, Seq("id_b"), "left_semi")
-            val internalDrop = graft.operators.Dedup.clusterReps(batch, internal, idCol)
-              .filter(col("rep_id") =!= col(idCol)).select(col(idCol))
-            val accepted = pin(batch
-              .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti"))
-            if (!accepted.isEmpty) {
-              // commit key: stable under same-checkpoint re-delivery (same
-              // batchId + content -> overwrite in place), collision-free
-              // across fresh-checkpoint re-reads (content hash differs).
-              // Order-free O(1)-state hash: bit_xor of per-id xxhash64 —
-              // the collect_list alternative funnels every accepted id
-              // into ONE row (tens of MB through one task on a large
-              // micro-batch) for the same 48–64-bit collision resistance
-              val contentHash = accepted
-                .agg(format_string("%016x",
-                  bit_xor(xxhash64(col(idCol).cast("string")))))
-                .head().getString(0).take(12)
-              val key = s"${batchId}_$contentHash"
-              val acceptedIds = accepted.select(col(idCol))
-              def acceptedOnly(df: DataFrame) =
-                df.join(acceptedIds, Seq(idCol), "left_semi")
-              acceptedOnly(bBands).write.mode("overwrite")
-                .parquet(s"$stateDir/bands/ingest=$key")
-              // normalize to (id, shingle): dropHotKeys' USING join emits
-              // (shingle, id), and the state table is a public contract
-              acceptedOnly(bSh).select(col(idCol), col("shingle"))
-                .write.mode("overwrite").parquet(s"$stateDir/shingles/ingest=$key")
-              accepted.write.mode("overwrite").parquet(s"$stateDir/docs/ingest=$key")
-              fs.mkdirs(commitsDir)
-              fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+        val runKey = auditRunKey(sp, checkpointDir)
+        // per-batch lease (see decontamIngest) — forgetFuzzyState /
+        // compactFuzzyState contending with a live drain refuse loudly
+        graft.operators.Lease.withLease(sp, stateDir, s"fuzzy:$runKey") {
+          val hadoopConf = sp.sparkContext.hadoopConfiguration
+          val root = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = root.getFileSystem(hadoopConf)
+          healSwap(fs, root) // a forgetFuzzyState crashed mid-swap parks
+                             // the whole state at __old — restore it first
+          val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+          val committed: Seq[String] =
+            if (fs.exists(commitsDir))
+              fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+                .filterNot(n => n.startsWith(".") || n.startsWith("_")) // fs sidecars (.crc)
+            else Nil
+          def partDirs(table: String): Seq[String] =
+            committed.map(key => s"$stateDir/$table/ingest=$key")
+          // this batch's OWN pinned frames, released in finally — scoped
+          // cleanup, NOT catalog.clearCache(): an embedding application's
+          // unrelated caches in the same session must survive each batch
+          // (spec-pinned); the dedup operators' internal intermediates are
+          // on the eager-localCheckpoint discipline and ContextCleaner-
+          // reclaimed once the batch's references drop
+          var pinned = List.empty[DataFrame]
+          def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+          try {
+            // pin the projected source once (see decontamIngest's gate)
+            val src = pin(batch0.select(col(idCol), col(textCol)))
+            val batch = pin(if (committed.nonEmpty)
+                gateCommittedIds(src, sp, stateDir, committed, idCol, textCol)
+              else src)
+            if (!batch.isEmpty) {
+              // one shingle+band pass serves matching AND the persisted state
+              val (bBands, bSh) = graft.operators.Dedup.minhashState(
+                batch, textCol, idCol, k)
+              val pairs =
+                if (committed.nonEmpty)
+                  graft.operators.Dedup.minhashLshIncrementalFromState(
+                    bBands, bSh,
+                    sp.read.parquet(partDirs("bands"): _*),
+                    sp.read.parquet(partDirs("shingles"): _*),
+                    idCol, threshold)
+                else
+                  graft.operators.Dedup.verifyJaccard(
+                    bBands.alias("x").join(bBands.alias("y"), Seq("band_key"))
+                      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+                      .filter(col("id_a") < col("id_b")).distinct(),
+                    bSh, idCol, threshold)
+              val p = pin(pairs)
+              p.count()
+              val batchIdsB = batch.select(col(idCol).as("id_b"))
+              // id_b outside the batch = a committed corpus doc -> drop id_a
+              val corpusHit = p.join(batchIdsB, Seq("id_b"), "left_anti")
+                .select(col("id_a").as(idCol))
+              val internal = p.join(batchIdsB, Seq("id_b"), "left_semi")
+              val internalDrop = graft.operators.Dedup.clusterReps(batch, internal, idCol)
+                .filter(col("rep_id") =!= col(idCol)).select(col(idCol))
+              val accepted = pin(batch
+                .join(corpusHit.union(internalDrop).distinct(), Seq(idCol), "left_anti"))
+              if (!accepted.isEmpty) {
+                // commit key: stable under same-checkpoint re-delivery (same
+                // batchId + content -> overwrite in place), collision-free
+                // across fresh-checkpoint re-reads (content hash differs).
+                // Order-free O(1)-state hash: bit_xor of per-id xxhash64 —
+                // the collect_list alternative funnels every accepted id
+                // into ONE row (tens of MB through one task on a large
+                // micro-batch) for the same 48–64-bit collision resistance
+                val contentHash = accepted
+                  .agg(format_string("%016x",
+                    bit_xor(xxhash64(col(idCol).cast("string")))))
+                  .head().getString(0).take(12)
+                val key = s"${batchId}_$contentHash"
+                val acceptedIds = accepted.select(col(idCol))
+                def acceptedOnly(df: DataFrame) =
+                  df.join(acceptedIds, Seq(idCol), "left_semi")
+                acceptedOnly(bBands).write.mode("overwrite")
+                  .parquet(s"$stateDir/bands/ingest=$key")
+                // normalize to (id, shingle): dropHotKeys' USING join emits
+                // (shingle, id), and the state table is a public contract
+                acceptedOnly(bSh).select(col(idCol), col("shingle"))
+                  .write.mode("overwrite").parquet(s"$stateDir/shingles/ingest=$key")
+                accepted.write.mode("overwrite").parquet(s"$stateDir/docs/ingest=$key")
+                fs.mkdirs(commitsDir)
+                fs.create(new org.apache.hadoop.fs.Path(commitsDir, key), true).close()
+              }
             }
+            // schedule OR depth trigger (the spanIngest policy)
+            if ((compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+                || (compactWhenUncompactedExceeds > 0 &&
+                  uncompactedGateIngests(sp, stateDir)
+                    > compactWhenUncompactedExceeds))
+              compactFuzzyState(sp, stateDir, idCol)
+          } finally {
+            // release ONLY this batch's pinned frames — a long-lived stream
+            // must not grow storage memory, and it must not evict caches the
+            // surrounding application owns
+            pinned.foreach(_.unpersist())
           }
-        } finally {
-          // release ONLY this batch's pinned frames — a long-lived stream
-          // must not grow storage memory, and it must not evict caches the
-          // surrounding application owns
-          pinned.foreach(_.unpersist())
         }
         ()
       }
@@ -527,26 +555,180 @@ object IncrementalStream {
     * already deduped (r11 advice).
     */
   /** The committed-id K2 gate shared by the ingest lanes (decontam,
-    * fuzzy-dedup): anti-join the batch against the committed ids,
-    * RANGE-PRUNED to the batch's own [min, max] id window — exact for
-    * any ordered id type (an id outside the window cannot collide) and
-    * pushed to parquet row-group stats, so the gate's read tracks the
-    * overlapping row groups, not the corpus (the SpanStore.append /
-    * RetrievePipeline.append argument — these two lanes were the last
-    * O(corpus-id) per-batch reads, r12 verdict #1). An empty batch
-    * short-circuits to an empty frame.
+    * fuzzy-dedup): anti-join the batch against the committed ids, with
+    * TWO exact prunes layered by on-disk layout (r13 verdict #2 — the
+    * between() window alone is tight for monotone feeds but degrades to
+    * a full id scan on scattered-id batches):
+    *
+    *  - FLAT ingests (fresh appends since the last compact) read their
+    *    `docs` ids range-pruned to the batch's [min, max] id window —
+    *    exact for any ordered id type (an id outside the window cannot
+    *    collide) and pushed to parquet row-group stats.
+    *  - The COMPACTED `gate_ids` base (written by [[compactDecontamCorpus]]
+    *    / [[compactFuzzyState]], partitioned `bucket = xxhash64(id) mod`
+    *    the store's pinned count) reads pruned to the batch's touched
+    *    buckets — a PARTITION filter that holds by construction for ANY
+    *    id distribution, the StoreProtocol LSM discipline applied to the
+    *    gate. The window filter still applies on top (free, exact).
+    *
+    * An empty batch short-circuits to an empty frame. A base whose
+    * bucket dirs exceed the pinned modulus refuses loudly (the readLsm
+    * guard — a silently mis-pruned gate would re-admit committed docs).
     */
-  private[graft] def gateCommittedIds(batch: DataFrame,
-                                      committedIds: DataFrame,
+  private[graft] def gateCommittedIds(batch: DataFrame, sp: SparkSession,
+                                      storeDir: String,
+                                      committed: Seq[String],
                                       idCol: String,
                                       textCol: String): DataFrame = {
     val w = batch.agg(min(col(idCol)), max(col(idCol))).head()
-    if (w.isNullAt(0)) batch.select(col(idCol), col(textCol)).limit(0)
-    else batch.select(col(idCol), col(textCol))
-      .join(committedIds.select(col(idCol))
-          .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1)))),
-        Seq(idCol), "left_anti")
+    if (w.isNullAt(0)) return batch.select(col(idCol), col(textCol)).limit(0)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val (indexed, flat) = committed.partition(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k")))
+    val reads = Seq(
+      if (flat.isEmpty) None
+      else Some(sp.read
+        .parquet(flat.map(k => s"$storeDir/docs/ingest=$k"): _*)
+        .select(col(idCol))),
+      if (indexed.isEmpty) None
+      else {
+        val buckets = gateBucketsOf(sp, fs, storeDir)
+        indexed.foreach { k =>
+          val dirs = fs
+            .listStatus(new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k"))
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+            .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+          require(dirs.forall(_ < buckets),
+            s"gateCommittedIds: $storeDir/gate_ids/ingest=$k holds bucket " +
+              s"dirs up to ${dirs.max} but the store pins lsm_buckets=" +
+              s"$buckets — a mis-moduled prune would re-admit committed " +
+              "docs; re-compact the store first")
+        }
+        val touched = batch
+          .select(gateBucketExpr(col(idCol), buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(sp.read
+          .parquet(indexed.map(k => s"$storeDir/gate_ids/ingest=$k"): _*)
+          .filter(col("bucket").isin(touched: _*))
+          .select(col(idCol)))
+      }).flatten
+    val gate = reads.reduce(_.unionByName(_))
+      .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1))))
+    batch.select(col(idCol), col(textCol)).join(gate, Seq(idCol), "left_anti")
   }
+
+  /** The gate's bucket assignment: hash-then-mod, NOT the bare key mod
+    * of the node/shingle stores — gate ids are caller-typed (strings
+    * included) and often sequential, and xxhash64 gives both a total
+    * numeric domain and a uniform spread.
+    */
+  private def gateBucketExpr(id: org.apache.spark.sql.Column,
+                             buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(id.cast("string")), lit(buckets.toLong)).cast("int")
+
+  /** The pinned modulus of a gate store's compacted base (`gate_meta`,
+    * written in the same swap as every base) — defaulting is safe: a
+    * store with no meta has no bucketed base to prune.
+    */
+  private def gateBucketsOf(sp: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            storeDir: String): Int = {
+    val m = new org.apache.hadoop.fs.Path(s"$storeDir/gate_meta")
+    if (!fs.exists(m)) graft.operators.StoreProtocol.WideLsmBuckets
+    else graft.operators.StoreProtocol
+      .pinnedLsmBuckets(sp.read.parquet(m.toString))
+  }
+
+  /** Committed ingests of a gate store still lacking a `gate_ids` base
+    * — the flat-tail depth the lanes' compaction policy bounds. One
+    * directory listing per batch.
+    */
+  private def uncompactedGateIngests(sp: SparkSession,
+                                     storeDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    if (!fs.exists(commitsDir)) 0
+    else fs.listStatus(commitsDir).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .count(k => !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k")))
+  }
+
+  /** Fold a gate store's per-batch ingests into ONE `retained_<n>`
+    * ingest per table and build the bucketed `gate_ids` base beside it
+    * (+ `gate_meta` pinning the modulus), all landed by the
+    * whole-directory swap. `tables` lists the marker-shared tables
+    * (decontam: docs; fuzzy: docs/bands/shingles — they share one
+    * commit key, so they must fold together or readers lose dirs).
+    * Returns (ingests before, after).
+    */
+  private def consolidateGateStore(sp: SparkSession, dir: String,
+                                   tables: Seq[String],
+                                   idCol: String): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    healSwap(fs, root)
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    val committed: Seq[String] =
+      if (fs.exists(commitsDir))
+        fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      else Nil
+    val before = committed.length
+    val alreadyCompact = before == 1 && fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=${committed.head}"))
+    if (before == 0 || alreadyCompact) return (before, before)
+    val key = s"retained_$before" // the forgetFuzzyState key convention
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
+    fs.delete(tmp, true)
+    tables.foreach { t =>
+      sp.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
+        .write.mode("overwrite").parquet(s"$tmp/$t/ingest=$key")
+    }
+    val buckets = graft.operators.StoreProtocol.WideLsmBuckets
+    sp.read.parquet(s"$tmp/docs/ingest=$key")
+      .select(col(idCol)).distinct()
+      .withColumn("bucket", gateBucketExpr(col(idCol), buckets))
+      .repartition(col("bucket")) // one file per bucket dir, session-sized tasks
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$tmp/gate_ids/ingest=$key")
+    import sp.implicits._
+    Seq(buckets).toDF("lsm_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gate_meta")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)
+      .close()
+    graft.operators.StoreProtocol.swapInto(fs, tmp, root,
+      "consolidateGateStore")
+    (before, 1)
+  }
+
+  /** Compaction face of [[decontamIngest]]'s accepted-corpus store:
+    * fold the per-batch `docs` ingests to one and index their ids as
+    * the bucketed gate base ([[gateCommittedIds]]'s scatter-proof
+    * prune). Lease-guarded like every maintenance entry point; the
+    * lane's own in-batch trigger passes through re-entrantly.
+    */
+  def compactDecontamCorpus(spark: SparkSession, outDir: String,
+                            idCol: String = "doc_id"): (Int, Int) =
+    graft.operators.Lease.withLease(spark, outDir, "compactDecontamCorpus") {
+      consolidateGateStore(spark, outDir, Seq("docs"), idCol)
+    }
+
+  /** Compaction face of [[fuzzyDedupIngest]]'s persisted state: all
+    * three marker-shared tables fold together (they share commit keys)
+    * and the docs ids land as the bucketed gate base. Contents
+    * unchanged — matching semantics are unaffected; this bounds the
+    * partition count and makes the K2 gate prune by construction.
+    */
+  def compactFuzzyState(spark: SparkSession, stateDir: String,
+                        idCol: String = "doc_id"): (Int, Int) =
+    graft.operators.Lease.withLease(spark, stateDir, "compactFuzzyState") {
+      consolidateGateStore(spark, stateDir,
+        Seq("docs", "bands", "shingles"), idCol)
+    }
 
   private def auditRunKey(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
@@ -557,6 +739,22 @@ object IncrementalStream {
   private def healSwap(fs: org.apache.hadoop.fs.FileSystem,
                        path: org.apache.hadoop.fs.Path): Unit =
     graft.operators.StoreProtocol.heal(fs, path)
+
+  /** Committed ingests of `storeDir/table` still in the FLAT append
+    * layout — the depth the LSM-store lanes' compaction policy bounds:
+    * every uncompacted ingest is one more flat partial in each read
+    * (and, for the graph store, one more broadcast join in the remap
+    * chain), so a lane that never folds accrues unbounded read cost.
+    * One directory listing per batch, no data read.
+    */
+  private def uncompactedIngests(sp: SparkSession, storeDir: String,
+                                 table: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val keys = graft.operators.StoreProtocol.committedKeys(fs, root)
+    graft.operators.StoreProtocol
+      .splitLsmLayout(fs, s"$storeDir/$table", keys)._2.length
+  }
 
   /** Retraction from the persisted fuzzy-dedup state
     * ([[fuzzyDedupIngest]]'s `stateDir` layout): drop the given doc ids
@@ -898,6 +1096,16 @@ object IncrementalStream {
               stackDir, idGuard)
             auditTable.foreach { at =>
               import sp.implicits._
+              // auto-migrate a pre-gate-columns audit table (r13 advice:
+              // the lanes gained gate_mode/parts/fpp in r13, and the
+              // column-set guard in idempotentAppend would otherwise
+              // fail every drain on an upgraded deployment until a
+              // manual migration) — defaults record the historical
+              // behavior: exact gate, nothing probed, zero fpp
+              warehouse.foreach(_.migrateIfNeeded(at, Map(
+                "gate_mode" -> lit("exact"),
+                "gate_parts" -> lit(0),
+                "gate_fpp" -> lit(0.0)), partitionCol = Some("run")))
               warehouse.foreach(_.idempotentAppend(at,
                 stages.map(st =>
                     (runKey, batchId, s"retrieve:$stackDir:${st.stage}",
@@ -966,6 +1174,16 @@ object IncrementalStream {
               sp, indexDir, batch, textCol, idCol, idGuard)
             auditTable.foreach { at =>
               import sp.implicits._
+              // auto-migrate a pre-gate-columns audit table (r13 advice:
+              // the lanes gained gate_mode/parts/fpp in r13, and the
+              // column-set guard in idempotentAppend would otherwise
+              // fail every drain on an upgraded deployment until a
+              // manual migration) — defaults record the historical
+              // behavior: exact gate, nothing probed, zero fpp
+              warehouse.foreach(_.migrateIfNeeded(at, Map(
+                "gate_mode" -> lit("exact"),
+                "gate_parts" -> lit(0),
+                "gate_fpp" -> lit(0.0)), partitionCol = Some("run")))
               warehouse.foreach(_.idempotentAppend(at,
                 Seq((runKey, batchId, s"bm25:$indexDir", offered, admitted,
                     idGuard, gateParts, gateFpp))
@@ -994,6 +1212,11 @@ object IncrementalStream {
     * single-writer window. Probe-before-append is what makes the stats
     * incremental-exact: the batch's own docs count toward duplication
     * exactly once (SpanStore.probe's committed ∪ batch contract).
+    * Compaction fires on EITHER trigger: the `compactEvery` batch
+    * schedule, or — by default — whenever the committed flat tail
+    * exceeds `compactWhenUncompactedExceeds` ingests (64), so a lane
+    * left running bounds its own read cost instead of depending on
+    * operator discipline (r13 verdict #3); 0 disables either trigger.
     *
     * Idempotency: the store's K2 gate drops committed ids, so a
     * re-delivered batch admits nothing — but its PROBE now counts those
@@ -1012,6 +1235,7 @@ object IncrementalStream {
                  k: Int = 8, minDocs: Int = 2,
                  statsDir: Option[String] = None,
                  compactEvery: Int = 0,
+                 compactWhenUncompactedExceeds: Int = 64,
                  warehouse: Option[Warehouse] = None,
                  auditTable: Option[String] = None): StreamingQuery = {
     require(auditTable.isEmpty || warehouse.nonEmpty,
@@ -1049,7 +1273,17 @@ object IncrementalStream {
                 Seq("run", "batch_id", "store"), partitionCol = Some("run")))
             }
           }
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          // two compaction triggers, either sufficient (r13 verdict #3:
+          // the defaults used to be "never", leaving the flat LSM tail —
+          // and the graph lane's remap chain — unbounded unless the
+          // operator remembered to fold): the batch-count schedule
+          // (`compactEvery`) plus a DEPTH trigger that fires whenever
+          // the committed flat tail outgrows the policy bound, so a
+          // lane left running folds its own store by construction
+          if ((compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              || (compactWhenUncompactedExceeds > 0 &&
+                uncompactedIngests(sp, storeDir, "span_docs")
+                  > compactWhenUncompactedExceeds))
             graft.operators.SpanStore.compact(sp, storeDir)
         }
         ()
@@ -1075,11 +1309,15 @@ object IncrementalStream {
     * (run, batch_id, store, offered_count, admitted_count, merged_count)
     * row per non-empty batch — offered = edges, admitted = nodes first
     * labeled, merged = committed components fused (the growth signal an
-    * entity-resolution operator actually watches).
+    * entity-resolution operator actually watches). Compaction fires on
+    * the `compactEvery` schedule OR the `compactWhenUncompactedExceeds`
+    * depth trigger (default 64) — the latter also caps the remap-chain
+    * depth, i.e. the per-read broadcast-join count (r13 verdict #3).
     */
   def graphIngest(stream: DataFrame, storeDir: String, checkpointDir: String,
                   nodeCol: String = "node",
                   compactEvery: Int = 0,
+                  compactWhenUncompactedExceeds: Int = 64,
                   warehouse: Option[Warehouse] = None,
                   auditTable: Option[String] = None): StreamingQuery = {
     require(auditTable.isEmpty || warehouse.nonEmpty,
@@ -1106,7 +1344,14 @@ object IncrementalStream {
                 Seq("run", "batch_id", "store"), partitionCol = Some("run")))
             }
           }
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          // schedule OR depth trigger (see spanIngest): for this store
+          // the depth bound is ALSO the remap-chain bound — resolution
+          // applies one broadcast join per uncompacted ingest, so the
+          // policy caps read cost, not just file counts
+          if ((compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              || (compactWhenUncompactedExceeds > 0 &&
+                uncompactedIngests(sp, storeDir, "labels")
+                  > compactWhenUncompactedExceeds))
             graft.operators.GraphStore.compact(sp, storeDir)
         }
         ()
@@ -1275,73 +1520,82 @@ object IncrementalStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        var pinned = List.empty[DataFrame]
-        def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
-        try {
-          if (!batch0.isEmpty) {
-            // fid packs (doc, frame) — frame counts are codec-bounded
-            // (images/audio 1, video ≤ stride-sampled frames); 20 bits
-            // matches the chunk-id convention
-            val hashes = pin(graft.operators.Multimodal
-              .visualHashes(batch0, frameStride = frameStride)
-              .filter(col("dhash").isNotNull)
-              .select(col("doc_id"), col("frame_idx"), col("grid"), col("dhash"),
-                (col("doc_id") * (1L << 20) + col("frame_idx")).as("fid")))
-            if (!hashes.isEmpty) {
-              // id-space guards (the RetrievePipeline.build discipline):
-              // the (doc, frame) pack needs non-negative bounded doc ids
-              // and < 2^20 frames per clip — one small agg on the cached
-              // batch, failing fast before anything commits
-              val b = hashes.agg(min(col("doc_id")), max(col("doc_id")),
-                max(col("frame_idx"))).head()
-              require(b.getLong(0) >= 0 && b.getLong(1) < (1L << 43),
-                s"mediaDedupIngest: doc ids [${b.getLong(0)}, ${b.getLong(1)}] " +
-                  "outside [0, 2^43) — the (doc, frame) packing would overflow")
-              require(b.getLong(2) < (1L << 20),
-                s"mediaDedupIngest: frame_idx ${b.getLong(2)} overflows the " +
-                  "20-bit frame space — raise frameStride")
-              val corpusDupDocs =
-                if (!graft.operators.MediaHashStore.exists(sp, storeDir))
-                  hashes.select("doc_id").limit(0)
-                else graft.operators.MediaHashStore.screenUnits(
-                    sp, storeDir,
-                    hashes.select(col("fid"), col("grid"), col("dhash")),
-                    "fid", maxHamming, maxL1)
-                  // exact unpack: ids are non-negative (guarded above),
-                  // so the shift is the packing's inverse — a long/long
-                  // `/` would detour through double and lose exactness
-                  // above 2^53
-                  .select(shiftright(col("id_a"), 20).as("doc_id"))
-                  .distinct()
-              val survivors = pin(
-                hashes.join(corpusDupDocs, Seq("doc_id"), "left_anti"))
-              if (!survivors.isEmpty) {
-                // in-batch: doc-level pairs from any frame-level match
-                val framePairs = graft.operators.Dedup.dhashPairs(
-                  survivors.select(col("fid"), col("grid"), col("dhash")),
-                  "fid", maxHamming, maxL1, maxBucket)
-                val docPairs = framePairs
-                  .select(shiftright(col("id_a"), 20).as("id_a"),
-                    shiftright(col("id_b"), 20).as("id_b"))
-                  .filter(col("id_a") =!= col("id_b")) // intra-doc frame dups are fine
-                  .distinct()
-                val docs = survivors.select(col("doc_id")).distinct()
-                val reps = graft.operators.Dedup.clusterReps(
-                  docs, docPairs, "doc_id")
-                graft.operators.MediaHashStore.append(sp, storeDir,
-                  survivors
-                    .join(reps.filter(col("rep_id") === col("doc_id"))
-                      .select(col("doc_id")), Seq("doc_id"))
-                    .select("fid", "doc_id", "frame_idx", "grid", "dhash"))
+        // per-batch store lease (r13 advice): the direct
+        // MediaHashStore.compact/forget guards only bite when the drain
+        // itself HOLDS the lease — without this window a maintenance
+        // call could acquire the free lease mid-batch and race the
+        // append's swap; the compactEvery hook below passes through
+        // re-entrantly
+        graft.operators.Lease.withLease(sp, storeDir,
+            s"media:${auditRunKey(sp, checkpointDir)}") {
+          var pinned = List.empty[DataFrame]
+          def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
+          try {
+            if (!batch0.isEmpty) {
+              // fid packs (doc, frame) — frame counts are codec-bounded
+              // (images/audio 1, video ≤ stride-sampled frames); 20 bits
+              // matches the chunk-id convention
+              val hashes = pin(graft.operators.Multimodal
+                .visualHashes(batch0, frameStride = frameStride)
+                .filter(col("dhash").isNotNull)
+                .select(col("doc_id"), col("frame_idx"), col("grid"), col("dhash"),
+                  (col("doc_id") * (1L << 20) + col("frame_idx")).as("fid")))
+              if (!hashes.isEmpty) {
+                // id-space guards (the RetrievePipeline.build discipline):
+                // the (doc, frame) pack needs non-negative bounded doc ids
+                // and < 2^20 frames per clip — one small agg on the cached
+                // batch, failing fast before anything commits
+                val b = hashes.agg(min(col("doc_id")), max(col("doc_id")),
+                  max(col("frame_idx"))).head()
+                require(b.getLong(0) >= 0 && b.getLong(1) < (1L << 43),
+                  s"mediaDedupIngest: doc ids [${b.getLong(0)}, ${b.getLong(1)}] " +
+                    "outside [0, 2^43) — the (doc, frame) packing would overflow")
+                require(b.getLong(2) < (1L << 20),
+                  s"mediaDedupIngest: frame_idx ${b.getLong(2)} overflows the " +
+                    "20-bit frame space — raise frameStride")
+                val corpusDupDocs =
+                  if (!graft.operators.MediaHashStore.exists(sp, storeDir))
+                    hashes.select("doc_id").limit(0)
+                  else graft.operators.MediaHashStore.screenUnits(
+                      sp, storeDir,
+                      hashes.select(col("fid"), col("grid"), col("dhash")),
+                      "fid", maxHamming, maxL1)
+                    // exact unpack: ids are non-negative (guarded above),
+                    // so the shift is the packing's inverse — a long/long
+                    // `/` would detour through double and lose exactness
+                    // above 2^53
+                    .select(shiftright(col("id_a"), 20).as("doc_id"))
+                    .distinct()
+                val survivors = pin(
+                  hashes.join(corpusDupDocs, Seq("doc_id"), "left_anti"))
+                if (!survivors.isEmpty) {
+                  // in-batch: doc-level pairs from any frame-level match
+                  val framePairs = graft.operators.Dedup.dhashPairs(
+                    survivors.select(col("fid"), col("grid"), col("dhash")),
+                    "fid", maxHamming, maxL1, maxBucket)
+                  val docPairs = framePairs
+                    .select(shiftright(col("id_a"), 20).as("id_a"),
+                      shiftright(col("id_b"), 20).as("id_b"))
+                    .filter(col("id_a") =!= col("id_b")) // intra-doc frame dups are fine
+                    .distinct()
+                  val docs = survivors.select(col("doc_id")).distinct()
+                  val reps = graft.operators.Dedup.clusterReps(
+                    docs, docPairs, "doc_id")
+                  graft.operators.MediaHashStore.append(sp, storeDir,
+                    survivors
+                      .join(reps.filter(col("rep_id") === col("doc_id"))
+                        .select(col("doc_id")), Seq("doc_id"))
+                      .select("fid", "doc_id", "frame_idx", "grid", "dhash"))
+                }
               }
             }
-          }
-          // same in-foreachBatch single-writer window as the sketch
-          // compaction hooks: fold per-batch bucket files periodically
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-              graft.operators.MediaHashStore.exists(sp, storeDir))
-            graft.operators.MediaHashStore.compact(sp, storeDir)
-        } finally pinned.foreach(_.unpersist())
+            // same in-foreachBatch single-writer window as the sketch
+            // compaction hooks: fold per-batch bucket files periodically
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+                graft.operators.MediaHashStore.exists(sp, storeDir))
+              graft.operators.MediaHashStore.compact(sp, storeDir)
+          } finally pinned.foreach(_.unpersist())
+        }
         ()
       }
       .start()
@@ -1514,10 +1768,17 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        screenAndAppend(batch0.select(col(idCol), col(vecCol)), indexDir,
-          vecCol, idCol, threshold, nprobe, bits, tables, maxBucket, adc)
-        maintainIndex(batch0.sparkSession, indexDir, vecCol, idCol, adc,
-          maintenance, batchId)
+        // per-batch index lease (r13 advice — see mediaDedupIngest):
+        // the guarded AnnIndex.compactIvf/forgetIvf only refuse a
+        // concurrent maintenance call when the drain holds the lease;
+        // maintainIndex's own hooks pass through re-entrantly
+        graft.operators.Lease.withLease(batch0.sparkSession, indexDir,
+            s"ann:${auditRunKey(batch0.sparkSession, checkpointDir)}") {
+          screenAndAppend(batch0.select(col(idCol), col(vecCol)), indexDir,
+            vecCol, idCol, threshold, nprobe, bits, tables, maxBucket, adc)
+          maintainIndex(batch0.sparkSession, indexDir, vecCol, idCol, adc,
+            maintenance, batchId)
+        }
         ()
       }
       .start()
@@ -1598,12 +1859,16 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        screenAndAppend(
-          graft.operators.Similarity.hashEmbed(
-            batch0.select(col(idCol), col(textCol)), textCol, idCol, dim, salt),
-          indexDir, "embedding", idCol, threshold, nprobe, bits, tables, maxBucket)
-        maintainIndex(batch0.sparkSession, indexDir, "embedding", idCol,
-          adc = false, maintenance, batchId)
+        // per-batch index lease (see embeddingDedupIngest)
+        graft.operators.Lease.withLease(batch0.sparkSession, indexDir,
+            s"ann:${auditRunKey(batch0.sparkSession, checkpointDir)}") {
+          screenAndAppend(
+            graft.operators.Similarity.hashEmbed(
+              batch0.select(col(idCol), col(textCol)), textCol, idCol, dim, salt),
+            indexDir, "embedding", idCol, threshold, nprobe, bits, tables, maxBucket)
+          maintainIndex(batch0.sparkSession, indexDir, "embedding", idCol,
+            adc = false, maintenance, batchId)
+        }
         ()
       }
       .start()

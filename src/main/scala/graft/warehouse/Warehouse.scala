@@ -79,7 +79,8 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
 
-  def overwrite(table: String, df: DataFrame): Unit = {
+  def overwrite(table: String, df: DataFrame,
+                partitionCol: Option[String] = None): Unit = {
     // Write to a temp dir then swap: a reader sees either the old or the
     // new table — never a half-written one — but there IS a brief window
     // between the two moves where the path is absent, and a crash inside
@@ -89,7 +90,15 @@ class Warehouse(val spark: SparkSession, val root: String) {
     // table format with an atomic commit protocol.
     recoverStranded(table) // a stranded __old must not outlive this write
     val tmp = path(table) + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    partitionCol match {
+      // preserve a partitioned table's layout through the rewrite — a
+      // flat overwrite of a run-partitioned audit table would silently
+      // degrade every later append's partition prune (the layout
+      // reconciliation in idempotentAppend tolerates it, but the scan
+      // cost does not)
+      case Some(pc) => df.write.mode("overwrite").partitionBy(pc).parquet(tmp)
+      case None => df.write.mode("overwrite").parquet(tmp)
+    }
     val dst = Paths.get(path(table))
     if (Files.exists(dst)) {
       val old = Paths.get(path(table) + "__old")
@@ -503,7 +512,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * given columns, rebuild it with defaults (reference
     * scr/etl_incremental_audit.py:112-155; defaults at :144-145).
     */
-  def migrateIfNeeded(table: String, defaults: Map[String, org.apache.spark.sql.Column]): Boolean = {
+  def migrateIfNeeded(table: String,
+                      defaults: Map[String, org.apache.spark.sql.Column],
+                      partitionCol: Option[String] = None): Boolean = {
     readIfExists(table) match {
       case Some(df) =>
         val missing = defaults.filter { case (c, _) => !df.columns.contains(c) }
@@ -512,7 +523,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
           val migrated = missing.foldLeft(df) { case (d, (c, default)) =>
             d.withColumn(c, default)
           }
-          overwrite(table, migrated)
+          overwrite(table, migrated, partitionCol)
           true
         }
       case None => false

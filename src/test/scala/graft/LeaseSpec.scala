@@ -143,4 +143,34 @@ class LeaseSpec extends SparkSpec {
     assert(graft.operators.SpanStore.forget(spark, store,
       docs.filter(col("doc_id") === 0L), "text", "doc_id") == 1L)
   }
+
+  test("a stuck heartbeat's give-up is OBSERVABLE: the orphan-risk marker " +
+    "records holder/ttl on disk; a clean withLease leaves none and the " +
+    "marker is inert to later acquisition (r13 verdict #7)") {
+    val dir = tempDir("lease_risk") + "/store"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = Lease.orphanRiskPath(dir)
+    // the happy path must not cry wolf
+    Lease.withLease(spark, dir, "clean-holder") { () }
+    assert(!fs.exists(marker), "a clean shutdown must leave no risk marker")
+    // the give-up path (driven directly — forcing a real >5-minute-deaf
+    // heartbeat would stall the suite; the record IS the contract)
+    Lease.recordOrphanRisk(spark, dir, "stuck-holder", 30000L)
+    assert(fs.exists(marker))
+    val in = fs.open(marker)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(h, ttl, ts) = content.split("\n")
+    assert(h == "stuck-holder" && ttl.toLong == 30000L && ts.toLong > 0L)
+    // inert: the marker neither blocks nor fakes a lease — a fresh
+    // acquire on the same store proceeds normally
+    Lease.withLease(spark, dir, "next-holder") { () }
+    // a later give-up overwrites (the latest risk is the live one)
+    Lease.recordOrphanRisk(spark, dir, "stuck-holder-2", 60000L)
+    val in2 = fs.open(marker)
+    val content2 = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+      finally in2.close()
+    assert(content2.startsWith("stuck-holder-2\n60000\n"))
+  }
 }

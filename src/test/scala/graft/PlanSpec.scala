@@ -150,21 +150,23 @@ class PlanSpec extends SparkSpec {
       "GreaterThanOrEqual(doc_id,1), LessThanOrEqual(doc_id,99)]"), gp.take(1200))
   }
 
-  test("streaming ingest lanes' committed-id gate: the committed read " +
-    "carries a pushed id-range filter (decontam + fuzzy-dedup lanes " +
-    "share this exact helper)") {
+  test("streaming ingest lanes' committed-id gate: flat ingests carry " +
+    "the pushed id-range filter; the compacted gate_ids base carries a " +
+    "touched-bucket PARTITION filter (scatter-proof — r13 verdict #2)") {
     import spark.implicits._
     val dir = tempDir("plan_gate")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0L until 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
-      .write.parquet(s"$dir/docs")
-    val committed = spark.read.parquet(s"$dir/docs")
+      .write.parquet(s"$dir/docs/ingest=b0")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/b0"), true).close()
     val batch = Seq((5L, "a"), (40L, "b")).toDF("doc_id", "text")
-    // the gate the decontam/fuzzy-dedup foreachBatch bodies call: its
-    // committed side must prune to the batch's [min, max] id window,
-    // pushed to the parquet row-group stats — the read tracks the
-    // window's row groups, not the corpus (r12 verdict #1)
+    // FLAT layout: the committed side must prune to the batch's
+    // [min, max] id window, pushed to the parquet row-group stats — the
+    // read tracks the window's row groups, not the corpus (r12 verdict #1)
     val gated = graft.streaming.IncrementalStream.gateCommittedIds(
-      batch, committed, "doc_id", "text")
+      batch, spark, dir, Seq("b0"), "doc_id", "text")
     val p = gated.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
       "GreaterThanOrEqual(doc_id,5), LessThanOrEqual(doc_id,40)]"),
@@ -173,6 +175,18 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(1500))
     assert(gated.count() == 0) // both batch ids are committed
+    // BUCKETED base: after compaction the same gate prunes the gate_ids
+    // read to the batch's touched buckets — a partition filter that
+    // holds for ANY id distribution, where the window prune above
+    // degrades to a full scan on scattered ids
+    assert(graft.streaming.IncrementalStream
+      .compactDecontamCorpus(spark, dir) == ((1, 1)))
+    val gated2 = graft.streaming.IncrementalStream.gateCommittedIds(
+      batch, spark, dir, Seq("retained_1"), "doc_id", "text")
+    val p2 = gated2.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p2).nonEmpty,
+      p2.take(1500))
+    assert(gated2.count() == 0, "the pruned gate must still veto both ids")
   }
 
   test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {

@@ -240,6 +240,54 @@ class StreamingSpec extends SparkSpec {
     assert(committedDocs == Set(1L, 2L, 11L, 30L)) // orphan never matched
   }
 
+  test("fuzzy-state compaction (depth trigger): the three tables fold to " +
+    "one retained ingest with a bucketed gate_ids base; matching, the " +
+    "K2 gate and replay are value-identical across the fold") {
+    import spark.implicits._
+    val in = tempDir("fzc_in")
+    val state = tempDir("fzc_state")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def writeJson(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    def drain(ck: String): Unit =
+      IncrementalStream.fuzzyDedupIngest(
+          spark.readStream.schema(schema).json(in), state, tempDir(ck),
+          compactWhenUncompactedExceeds = 1)
+        .awaitTermination()
+    writeJson("b1.json", Seq(1L -> base,
+      2L -> "one two three four five six seven eight nine ten eleven twelve"))
+    drain("fzc_ck1") // 1 uncompacted ingest: under the bound, no fold
+    writeJson("b2.json", Seq(11L ->
+      "red orange yellow green blue indigo violet cyan magenta black white gray"))
+    drain("fzc_ck2") // 2 > 1: the lane folds its own store mid-lease
+    val keys = new java.io.File(s"$state/_commits").listFiles.map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq
+    assert(keys == Seq("retained_2"), s"expected one folded ingest, got $keys")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$state/gate_ids/ingest=retained_2"))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")),
+      "the fold must build the bucketed gate base")
+    // post-fold lifecycle: a replayed committed id drops at the (now
+    // bucket-pruned) gate, a near-dup of a committed doc drops at the
+    // match, a fresh doc admits
+    writeJson("b3.json", Seq(11L ->
+      "red orange yellow green blue indigo violet cyan magenta black white gray",
+      100L -> (base + " nu"),
+      101L -> "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"))
+    drain("fzc_ck3")
+    val docs = new java.io.File(s"$state/_commits").listFiles.map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .flatMap(k => spark.read.parquet(s"$state/docs/ingest=$k")
+        .select("doc_id").as[Long].collect()).toSet
+    assert(docs == Set(1L, 2L, 11L, 101L))
+  }
+
   test("fuzzy ingest: unrelated session caches survive a batch; commit key stable under re-delivery") {
     import spark.implicits._
     val in = tempDir("fz2_in")
@@ -1376,6 +1424,51 @@ class StreamingSpec extends SparkSpec {
       .map(_.getPath.getName)
       .count(n => !n.startsWith(".") && !n.startsWith("_")) == 1,
       "compactEvery must fold the ingests to one")
+  }
+
+  test("the depth trigger folds a lane's own store: a graph drain whose " +
+    "flat tail outgrows compactWhenUncompactedExceeds compacts mid-drain " +
+    "with no compactEvery schedule, bounding the remap chain by policy") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = tempDir("gd_in")
+    val ck = tempDir("gd_ck")
+    val store = s"${tempDir("gd_store")}/store"
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    // four 1-file writes + maxFilesPerTrigger=1 → four micro-batches in
+    // ONE drain; each bridges into the previous chain so every batch
+    // also grows the remap chain the policy must bound
+    Seq(Seq((1L, 2L), (2L, 3L)), Seq((3L, 4L)), Seq((4L, 5L)), Seq((5L, 6L)))
+      .foreach(_.toDF("a", "b").coalesce(1).write.mode("append").parquet(in))
+    IncrementalStream.graphIngest(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        store, ck, compactEvery = 0, compactWhenUncompactedExceeds = 2)
+      .awaitTermination()
+    val labels = graft.operators.GraphStore.labels(spark, store)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(labels == (1L to 6L).map((_, 1L)),
+      "split drain ≡ one-shot CC regardless of when the fold fired")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$store/_commits"))
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
+    assert(commits.length < 4 && commits.exists(_.startsWith("r")),
+      s"the depth trigger must have folded mid-drain, got $commits")
+    // the policy's bound holds at drain end: flat tail AND remap chain
+    // both ≤ the threshold (labels/ingest=i* = flat; remap dirs = chain)
+    def dirsOf(t: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$store/$t")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => commits.contains(
+        s.getPath.getName.stripPrefix("ingest=")) &&
+        s.getPath.getName.stripPrefix("ingest=").startsWith("i"))
+    }
+    assert(dirsOf("labels") <= 2, "flat tail must respect the bound")
+    assert(dirsOf("remap") <= 2, "remap chain must respect the bound")
   }
 
   test("streaming span ingest: per-batch probe stats are incremental-exact " +
