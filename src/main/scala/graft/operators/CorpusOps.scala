@@ -460,4 +460,44 @@ object CorpusOps {
       .withColumn("bucket", least(floor(col("n_tokens") / bucketWidth), lit(maxBucket)))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  /** PageRank centrality of SOURCES in the cross-source span-
+    * contamination graph — the web-graph seed-propagation pattern
+    * applied to corpus composition (r13 verdict #5): sources collapse
+    * to a (shingle, source) bipartite projection (the
+    * corpus_overlap_matrix chain), pairs sharing k-token spans become
+    * weighted undirected edges (weight = distinct shared spans, hub
+    * shingles df-capped so boilerplate cannot mint |sources|² rows),
+    * and [[Graph.pageRank]] runs `iters` fixed synchronous rounds over
+    * the model-sized source graph. A high rank marks a RE-PUBLICATION
+    * HUB — content that flows everywhere (syndication, mirrors, spam
+    * networks); curation uses it as a down-weighting prior
+    * ([[graft.pipeline.CuratePipeline]]'s `sourceRankCap`).
+    *
+    * Scale shape: one corpus-scale shingle pass (the span chain the
+    * overlap matrix already pays), then everything is |sources|-sized —
+    * the rank iterations never touch documents. Sources with NO shared
+    * spans are absent (no edges — callers treat absence as the
+    * baseline prior); an overlap-free corpus returns an empty frame
+    * rather than erroring.
+    */
+  def sourceRank(docs: DataFrame, textCol: String, idCol: String,
+                 sourceCol: String, k: Int = 8, maxShingleDf: Int = 100,
+                 iters: Int = 5): DataFrame = {
+    val ss = Dedup.spanShingles(docs, textCol, idCol, k)
+      .join(docs.select(col(idCol), col(sourceCol)), idCol)
+      .select(col("shingle"), col(sourceCol).as("source"))
+    val sim = Graph.coNeighborJaccard(ss, "shingle", "source",
+        threshold = 0.0, maxLeftDegree = maxShingleDf)
+      .localCheckpoint(true) // model-sized (≤ |sources|²)
+    if (sim.isEmpty)
+      return sim.select(col("id_a").as("source"),
+        lit(0.0).as("rank")).limit(0)
+    val edges = sim.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("shared").as("w"))
+      .unionByName(sim.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("shared").as("w")))
+    Graph.pageRank(edges, "src", "dst", "w", iters)
+      .select(col("node").as("source"), col("rank"))
+  }
+
 }

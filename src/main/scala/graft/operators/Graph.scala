@@ -291,22 +291,50 @@ object Graph {
     * an empty frame when the whole graph peels away.
     *
     * Scale shape: each peel round is one degree aggregate over the
-    * surviving edges plus two anti-joins — O(E) per round, rounds
-    * bounded by the peeling depth (the degeneracy ordering's layer
-    * count, typically ≤ tens on real graphs; `maxRounds` guards the
-    * pathological chain). Edges checkpoint per round (lineage cut);
-    * the driver reads one emptiness probe per round, never the data.
+    * surviving edges plus two anti-joins — O(E) per round, and every
+    * round already removes ALL currently-weak nodes at once (batch
+    * peeling — the fewest synchronous rounds any exact peel can do).
+    * Rounds are bounded by the peel DEPTH, which is small (≤ tens) on
+    * real graphs but O(n) by construction on chain-like graphs: a
+    * 1000-node path at k=2 loses only its two endpoints per round —
+    * that is the true data dependency (node i cannot peel before the
+    * chain reaches it), not an implementation artifact, so inputs of
+    * that shape need `maxRounds` raised at the call site rather than a
+    * different algorithm (r13 advice; rounds are cheap there — the
+    * surviving edge set shrinks as the peel walks inward). Edges
+    * checkpoint per round (lineage cut); the driver reads one
+    * emptiness probe per round, never the data.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
+    val cur = peelTo(normalizeUndirected(edges), k, maxRounds, "kCore")._1
+    cur.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Canonical undirected edge list: (a < b), self-loops dropped,
+    * duplicates collapsed, checkpointed.
+    */
+  private def normalizeUndirected(edges: DataFrame): DataFrame = {
     val Array(ea, eb) = edges.columns.take(2)
-    var cur = edges
+    edges
       .select(least(col(ea), col(eb)).as("a"), greatest(col(ea), col(eb)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+  }
+
+  /** Batch-peel `cur` to its stable k-core: every round removes ALL
+    * nodes currently under degree k (the shared inner loop of [[kCore]]
+    * and [[coreness]]). Returns (stable edge set, rounds used ≤ budget);
+    * refuses loudly past the budget (see [[kCore]] on which graph
+    * shapes legitimately need it raised).
+    */
+  private def peelTo(cur0: DataFrame, k: Int, budget: Int,
+                     op: String): (DataFrame, Int) = {
+    var cur = cur0
     var rounds = 0
     var done = false
-    while (!done && rounds < maxRounds) {
+    while (!done && rounds < budget) {
       val deg = cur.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("c"))
       val weak = deg.filter(col("c") < k).select("n").localCheckpoint(true)
@@ -319,10 +347,51 @@ object Graph {
         rounds += 1
       }
     }
-    require(done, s"kCore did not converge within $maxRounds peel rounds " +
-      "(pathological peeling depth) — raise maxRounds")
-    cur.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    require(done, s"$op did not converge within $budget peel rounds " +
+      "(pathological peeling depth — chain-like graphs peel O(n) rounds " +
+      "by data dependency) — raise maxRounds")
+    (cur, rounds)
+  }
+
+  /** FULL coreness decomposition: the core NUMBER of every node with at
+    * least one edge — max k such that the node survives the k-core peel
+    * (coreness ≥ 1 by construction for any non-isolated node). The
+    * number the one-k [[kCore]] query can't give: a per-node engagement
+    * DEPTH usable as a ranking/quality signal rather than a single
+    * in-or-out skeleton cut (r13 verdict #6).
+    *
+    * Scale shape: iterated [[kCore]] peel phases — phase k peels the
+    * stable (k)-core down to the (k+1)-core and labels the difference
+    * set with coreness k; phases stop when the core empties, so total
+    * inner rounds = the graph's full peel depth (degeneracy-bounded,
+    * the sum of the per-phase depths). Each round stays the O(E) degree
+    * aggregate + anti-joins; phase boundaries cost one node-set
+    * anti-join each. Labels are emitted per phase and unioned lazily —
+    * every node is written exactly once.
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 1000): DataFrame = {
+    var cur = normalizeUndirected(edges)
+    def nodesOf(e: DataFrame) =
+      e.select(explode(array(col("a"), col("b"))).as("node")).distinct()
+    var remaining = nodesOf(cur).localCheckpoint(true)
+    if (cur.isEmpty)
+      return remaining.withColumn("coreness", lit(0L)) // both empty
+    var out = List.empty[DataFrame]
+    var k = 1
+    var budget = maxRounds
+    var emptied = false
+    while (!emptied) {
+      val (core, used) = peelTo(cur, k + 1, budget, "coreness")
+      budget -= used
+      val surviving = nodesOf(core).localCheckpoint(true)
+      out ::= remaining.join(surviving, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("coreness"))
+      cur = core
+      remaining = surviving
+      emptied = core.isEmpty
+      k += 1
+    }
+    out.reduce(_.unionByName(_))
   }
 
   /** Co-neighbor Jaccard between RIGHT nodes of a bipartite edge list

@@ -69,13 +69,26 @@ object CuratePipeline {
     * [[graft.operators.Dedup.spanMaskText]]); fully-masked docs drop.
     * Off by default: the rewrite re-emits text in tokenized form, a
     * semantic change a deployment opts into.
+    *
+    * `sourceRankCap` (optional — the maskSpans opt-in discipline, r13
+    * verdict #5) inserts a SOURCE-graph quality gate between
+    * decontamination and the mixture: sources whose PageRank in the
+    * cross-source span-contamination graph reaches the cap are
+    * re-publication hubs (syndication/mirror/spam networks — their
+    * content exists elsewhere, their marginal value is lowest), and all
+    * their documents drop before the mixture re-balances what remains
+    * ([[graft.operators.CorpusOps.sourceRank]] — the web-graph
+    * seed-quality-propagation pattern at source grain). Sources absent
+    * from the graph (no cross-source spans) are never hubs and always
+    * pass.
     */
   def run(spark: SparkSession, sfDir: String,
           quotaPerSource: Int = Int.MaxValue,
           privacyGate: Option[PrivacyGate] = None,
           tokenizer: String = "bpe",
           tokenizerDir: Option[String] = None,
-          maskSpans: Boolean = false): (Seq[Stage], DataFrame) = {
+          maskSpans: Boolean = false,
+          sourceRankCap: Option[Double] = None): (Seq[Stage], DataFrame) = {
     require(tokenizer == "bpe" || tokenizer == "unigram",
       s"tokenizer must be bpe|unigram, got $tokenizer")
     val raw = graft.Tables.load(spark, sfDir, "documents")
@@ -139,9 +152,20 @@ object CuratePipeline {
       .except(bench.select("doc_id")) // the bench docs themselves stay
     val clean = record("decontaminated", fuzzy.join(dirty, Seq("doc_id"), "left_anti"))
 
+    // 5b (optional) — source-graph quality gate (see the sourceRankCap
+    // scaladoc): hub sources' documents drop, count-visible as a stage
+    val gated = sourceRankCap match {
+      case None => clean
+      case Some(cap) =>
+        val hubs = CorpusOps.sourceRank(clean, "text", "doc_id", "source")
+          .filter(col("rank") >= cap).select("source")
+        record("source_rank_gate",
+          clean.join(broadcast(hubs), Seq("source"), "left_anti"))
+    }
+
     // 6 — temperature-balanced source mixture (α=0.5, keep ~80%)
     val mixed = record("mixture", CorpusOps.mixtureTemperature(
-      clean, "doc_id", "source", alpha = 0.5, targetFraction = 0.8))
+      gated, "doc_id", "source", alpha = 0.5, targetFraction = 0.8))
 
     // 7 — privacy release gates: audit the corpus that is ABOUT to ship
     // (post-mixture), fail closed before tokenization spends anything

@@ -507,6 +507,19 @@ object PipelineQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Source centrality in the contamination graph
+    * ([[graft.operators.CorpusOps.sourceRank]]): PageRank over the
+    * span-overlap source graph — the curation prior behind
+    * CuratePipeline's `sourceRankCap` gate, board-visible. Oracle =
+    * the overlap-matrix chain composed with the ev_pagerank unrolled-
+    * iteration replay (same qsum grid, same IEEE literal forms).
+    */
+  def corpusSourceRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.sourceRank(docs(s, dir), "text", "doc_id",
+        "source")
+      .select(col("source"), round(col("rank"), 6).as("rank"))
+      .orderBy("source")
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
@@ -1929,6 +1942,54 @@ ORDER BY doc_id""")
 
   private val spanChainCtes: String = "WITH " + spanChainBody("documents")
 
+  /** The contamination-graph PageRank unrolled (corpus_source_rank):
+    * the overlap-matrix (shingle, source) chain collapsed to a weighted
+    * undirected edge list, then the ev_pagerank replay — every cross-row
+    * sum through the fixed-point qsum grid, literals in the same IEEE
+    * double forms Spark computes, one MATERIALIZED CTE per iteration.
+    */
+  private def corpusSourceRankSql(iters: Int = 5): String = {
+    def qsumRaw(term: String) =
+      s"CAST(sum(CAST(floor(least(greatest($term, -1.0e6), 1.0e6) * 1.0e12) " +
+        s"AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12"
+    val sb = new StringBuilder(spanChainCtes)
+    sb.append("""
+     ,
+     ss AS (SELECT DISTINCT d2.source AS r, s.shingle AS l
+            FROM sp s JOIN documents d2 ON d2.doc_id = s.doc_id),
+     shot AS (SELECT l FROM ss GROUP BY l HAVING count(*) > 100),
+     skept AS (SELECT ss.* FROM ss WHERE ss.l NOT IN (SELECT l FROM shot)),
+     spr AS (SELECT x.r AS source_a, y.r AS source_b, count(*) AS shared
+             FROM skept x JOIN skept y ON x.l = y.l AND x.r < y.r
+             GROUP BY 1, 2),
+     gedges AS MATERIALIZED (
+       SELECT source_a AS src, source_b AS dst, CAST(shared AS DOUBLE) AS w FROM spr
+       UNION ALL
+       SELECT source_b AS src, source_a AS dst, CAST(shared AS DOUBLE) AS w FROM spr),
+     outw AS (SELECT src, CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS out_w
+              FROM gedges GROUP BY src),
+     pe2 AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.out_w AS p
+                         FROM gedges e JOIN outw o USING (src)),
+     gnodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       (SELECT src AS node FROM gedges UNION ALL SELECT dst FROM gedges)),
+     nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM gnodes),
+     r0 AS MATERIALIZED (SELECT node, 1.0 / nd AS rank FROM gnodes, nn)""")
+    (1 to iters).foreach { t =>
+      sb.append(s""",
+      i$t AS (SELECT pe2.dst, ${qsumRaw("r.rank * pe2.p")} AS inc
+              FROM pe2 JOIN r${t - 1} r ON pe2.src = r.node GROUP BY pe2.dst),
+      dg$t AS (SELECT coalesce(${qsumRaw("r.rank")}, 0.0) AS dang FROM r${t - 1} r
+               WHERE NOT EXISTS (SELECT 1 FROM pe2 WHERE pe2.src = r.node)),
+      r$t AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - 0.85) / nn.nd + 0.85 * (coalesce(i.inc, 0.0) + d.dang / nn.nd) AS rank
+        FROM gnodes n LEFT JOIN i$t i ON n.node = i.dst, dg$t d, nn)""")
+    }
+    sb.append(s"""
+     SELECT node AS source, round(rank, 6) AS rank FROM r$iters ORDER BY source""")
+    sb.toString
+  }
+
   /** The simplified curation HEAD shared by the pipeline oracles
     * (quality gate → exact-dedup keepers): defines `f` (features), `q`
     * (quality survivors) and `k` (keepers, with original-text token
@@ -3165,6 +3226,7 @@ ORDER BY doc_id""")
          FROM spr JOIN ssizes sa ON sa.r = spr.source_a
                   JOIN ssizes sb ON sb.r = spr.source_b
          ORDER BY source_a, source_b"""),
+    "corpus_source_rank" -> corpusSourceRankSql(),
     "dedup_span_mask" -> (spanChainCtes +
       // keeper = first global occurrence by (doc_id, pos); the combined
       // BIGINT key doc_id*2^20+pos mirrors the Scala struct-min (pos <
@@ -5214,6 +5276,7 @@ ORDER BY doc_id""")
     "text_nfc" -> (textNfc _),
     "corpus_datasheet" -> (corpusDatasheet _),
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
+    "corpus_source_rank" -> (corpusSourceRank _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_redact" -> (textPiiRedact _),

@@ -328,6 +328,19 @@ object ReferenceQueries {
     graft.operators.Graph.kCore(purchaseGraphEdges(s, dir), k = 2)
       .orderBy("node")
 
+  /** FULL coreness decomposition of the purchase graph
+    * ([[graft.operators.Graph.coreness]]): every node's core NUMBER —
+    * the engagement depth the single-k `graph_kcore` cut cannot give
+    * (max coreness 2 at sf0.01, 4 at sf0.1). Oracle = the phase peel
+    * unrolled as MATERIALIZED CTEs (thresholds 2..7 × 10 rounds each),
+    * with per-phase convergence AND final-core-emptiness guards that
+    * error() loudly if the data ever outgrows the unroll (the
+    * graph_kcore guard discipline).
+    */
+  def graphCoreness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coreness(purchaseGraphEdges(s, dir))
+      .orderBy("node")
+
   /** Per-item triangle counts over the co-purchase graph — the local
     * clustering signal, counted by degree-oriented wedges
     * ([[graft.operators.Graph.triangleCounts]]: Σ out-deg² ≤ O(m^1.5),
@@ -1176,6 +1189,11 @@ object ReferenceQueries {
 
   /** The k=2 peel unrolled: 12 rounds (measured fixpoint is 5 at
     * sf0.01, 1 at sf0.1; extra rounds are no-ops on a stable core).
+    * GUARDED (r13 advice): a dataset whose peel depth exceeds the
+    * unroll would silently leave a supergraph of the true core — the
+    * final select asserts the last two rounds are identical and calls
+    * DuckDB's error() otherwise, so a deeper peel fails LOUDLY at the
+    * oracle instead of red-flagging the engine.
     */
   private def graphKcoreSql: String = {
     val rounds = 12
@@ -1194,10 +1212,71 @@ object ReferenceQueries {
     }.mkString(",\n")
     graphEdgeCtes + s""",
          e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM pe),
-         $peels
+         $peels,
+         conv AS (SELECT CASE
+             WHEN (SELECT count(*) FROM e$rounds)
+                = (SELECT count(*) FROM e${rounds - 1}) THEN 1
+             ELSE CAST(error('graph_kcore oracle: the peel is not ' ||
+               'converged at $rounds unrolled rounds — deepen the ' ||
+               'unroll') AS INT) END AS ok)
          SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree FROM (
            SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         WHERE (SELECT ok FROM conv) = 1
          GROUP BY n ORDER BY node"""
+  }
+
+  /** The full coreness decomposition unrolled: phase k (thresholds
+    * 2..7) peels the stable (k-1)-core to the k-core in 10 MATERIALIZED
+    * rounds, labels the dropped node set coreness k-1, and GUARDS both
+    * per-phase convergence and final-core emptiness with error() (the
+    * graphKcoreSql discipline — measured depths: 2 phases × ≤5 rounds
+    * at sf0.01, 4 × ≤4 at sf0.1, so the unroll carries ≥ 2× headroom
+    * and fails loudly rather than silently diverging if outgrown).
+    */
+  private def graphCorenessSql: String = {
+    val maxK = 7
+    val rounds = 10
+    val sb = new StringBuilder(graphEdgeCtes)
+    sb.append(""",
+         c1 AS MATERIALIZED (SELECT src AS a, dst AS b FROM pe),
+         n1 AS MATERIALIZED (SELECT DISTINCT a AS node FROM c1
+                UNION SELECT DISTINCT b FROM c1)""")
+    (2 to maxK).foreach { k =>
+      sb.append(s""",
+         e${k}_0 AS MATERIALIZED (SELECT * FROM c${k - 1})""")
+      (1 to rounds).foreach { i =>
+        sb.append(s""",
+         d${k}_$i AS MATERIALIZED (SELECT n, count(*) AS c FROM (
+             SELECT a AS n FROM e${k}_${i - 1} UNION ALL SELECT b FROM e${k}_${i - 1})
+           GROUP BY n),
+         w${k}_$i AS MATERIALIZED (SELECT n FROM d${k}_$i WHERE c < $k),
+         e${k}_$i AS MATERIALIZED (SELECT e.a, e.b FROM e${k}_${i - 1} e
+                 WHERE e.a NOT IN (SELECT n FROM w${k}_$i)
+                   AND e.b NOT IN (SELECT n FROM w${k}_$i))""")
+      }
+      sb.append(s""",
+         conv$k AS (SELECT CASE
+             WHEN (SELECT count(*) FROM e${k}_$rounds)
+                = (SELECT count(*) FROM e${k}_${rounds - 1}) THEN 1
+             ELSE CAST(error('graph_coreness oracle: phase $k peel not ' ||
+               'converged at $rounds unrolled rounds') AS INT) END AS ok),
+         c$k AS MATERIALIZED (SELECT * FROM e${k}_$rounds
+                WHERE (SELECT ok FROM conv$k) = 1),
+         n$k AS MATERIALIZED (SELECT DISTINCT a AS node FROM c$k
+                UNION SELECT DISTINCT b FROM c$k),
+         drop${k - 1} AS (SELECT node, CAST(${k - 1} AS BIGINT) AS coreness FROM n${k - 1}
+                WHERE node NOT IN (SELECT node FROM n$k))""")
+    }
+    val union = (1 until maxK)
+      .map(j => s"SELECT node, coreness FROM drop$j").mkString(" UNION ALL ")
+    sb.append(s""",
+         fin AS (SELECT CASE WHEN (SELECT count(*) FROM c$maxK) = 0 THEN 1
+             ELSE CAST(error('graph_coreness oracle: coreness exceeds ' ||
+               '${maxK - 1} — deepen the phase unroll') AS INT) END AS ok)
+         SELECT node, coreness FROM ($union)
+         WHERE (SELECT ok FROM fin) = 1
+         ORDER BY node""")
+    sb.toString
   }
 
   val oracles: Map[String, String] = Map(
@@ -1293,6 +1372,7 @@ object ReferenceQueries {
     // oracle shared verbatim (the persisted-twin convention)
     "graph_components_incremental" -> graphComponentsSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_coreness" -> graphCorenessSql,
     "graph_bfs" -> (graphEdgeCtes + """,
          s AS (SELECT min(node) AS node FROM nodes),
          walk(node, dist) AS (
@@ -1884,6 +1964,7 @@ object ReferenceQueries {
     "graph_components" -> (graphComponents _),
     "graph_components_incremental" -> (graphComponentsIncremental _),
     "graph_kcore" -> (graphKcore _),
+    "graph_coreness" -> (graphCoreness _),
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_item_sim" -> (graphItemSim _),

@@ -67,6 +67,40 @@ class CuratePipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("bpe|unigram"))
   }
 
+  test("sourceRank: re-publishing sources rank (symmetric pair at exactly " +
+    "0.5 each), overlap-free sources are absent, an overlap-free corpus " +
+    "is empty; the pipeline gate stage wires in count-visibly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, s"a1 a2 $span", "A"),   // A and B re-publish the same span
+      (2L, s"b1 $span b2", "B"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "C")) // C shares nothing
+      .toDF("doc_id", "text", "source")
+    val ranks = graft.operators.CorpusOps
+      .sourceRank(docs, "text", "doc_id", "source")
+      .select(col("source"), org.apache.spark.sql.functions.round(col("rank"), 6).as("rank"))
+      .as[(String, Double)].collect().toSet
+    // the 2-node symmetric graph's fixpoint is uniform 0.5 — and the
+    // uniform start IS the fixpoint, so every iteration count agrees
+    assert(ranks == Set(("A", 0.5), ("B", 0.5)),
+      s"hub pair must rank, the clean source must be absent: $ranks")
+    // no cross-source overlap at all → empty frame, not an error
+    assert(graft.operators.CorpusOps.sourceRank(
+      docs.filter(col("doc_id") === 3L), "text", "doc_id", "source").isEmpty)
+    // pipeline wiring: the gate stage records between decontamination
+    // and mixture; an unreachable cap drops nothing (count-identical)
+    val (stages, _) = CuratePipeline.run(spark, "/root/testdata/sf0.001",
+      sourceRankCap = Some(2.0))
+    assert(stages.map(_.stage) == Seq("canonicalize", "boilerplate",
+      "quality", "exact_dedup", "fuzzy_dedup", "decontaminated",
+      "source_rank_gate", "mixture", "packed_blocks"))
+    val byName = stages.map(s => s.stage -> s.docs).toMap
+    assert(byName("source_rank_gate") == byName("decontaminated"),
+      "a rank cap above the total mass (1.0) can never mark a hub")
+  }
+
   test("privacy gate: clean corpus ships, violating corpus is blocked before packing") {
     // clean: every source carries far more than 2 docs — zero violations,
     // the gate stage records 0 and the pipeline completes

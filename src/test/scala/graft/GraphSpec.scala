@@ -143,6 +143,27 @@ class GraphSpec extends SparkSpec {
     assert(k1 == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
   }
 
+  test("coreness: full decomposition hand-checked — pendant chain 1, " +
+    "triangle 2, K4 3; agrees with kCore at every k; edgeless input " +
+    "is empty") {
+    // K4 {1,2,3,4} + triangle {4,5,6} + tail 6-7-8
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L)))
+      .toDF("x", "y")
+    val out = Graph.coreness(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L),
+      (5L, 2L), (6L, 2L), (7L, 1L), (8L, 1L)))
+    // cross-check the decomposition against the one-k operator: the
+    // k-core's node set must be exactly {coreness >= k} for every k
+    (1 to 3).foreach { k =>
+      val core = Graph.kCore(edges, k)
+        .select("node").as[Long].collect().toSet
+      assert(core == out.filter(_._2 >= k).map(_._1).toSet, s"k=$k")
+    }
+    assert(Graph.coreness(edges.limit(0)).isEmpty)
+  }
+
   test("coNeighborJaccard: hand-checked overlap ratios; a hub left node " +
     "is dropped from pair generation (side-local df-cap semantics)") {
     // users u1,u2 both touch items 10,20; u3 touches 20,30
