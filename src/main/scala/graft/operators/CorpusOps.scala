@@ -482,8 +482,13 @@ object CorpusOps {
     */
   def sourceRank(docs: DataFrame, textCol: String, idCol: String,
                  sourceCol: String, k: Int = 8, maxShingleDf: Int = 100,
-                 iters: Int = 5): DataFrame = {
-    val ss = Dedup.spanShingles(docs, textCol, idCol, k)
+                 iters: Int = 5,
+                 spans: Option[DataFrame] = None): DataFrame = {
+    // `spans`: a caller that already shingled the same (docs, k) — a
+    // pipeline whose dedup/decontam stages just paid the explode — can
+    // hand its stream in (the SpanStore.append reuse contract: the
+    // shingle explode is the dominant corpus-scale cost here)
+    val ss = spans.getOrElse(Dedup.spanShingles(docs, textCol, idCol, k))
       .join(docs.select(col(idCol), col(sourceCol)), idCol)
       .select(col("shingle"), col(sourceCol).as("source"))
     val sim = Graph.coNeighborJaccard(ss, "shingle", "source",

@@ -241,8 +241,11 @@ object Lease {
     * list for it and a stuck lane's blast radius is a filesystem fact
     * rather than a lost log line. The marker is INERT to acquisition
     * (the TTL already bounds the orphan) and cheap to clear by hand;
-    * the write itself is best-effort — a failing filesystem here must
-    * not mask the original shutdown path.
+    * the write itself is best-effort — ANY non-fatal failure here is
+    * swallowed (Hadoop filesystems throw RuntimeExceptions, not just
+    * IOExceptions), because this runs in withLease's finally path and
+    * must never replace the exception the guarded operation failed
+    * with.
     */
   private[graft] def recordOrphanRisk(spark: SparkSession, storeDir: String,
                                       holder: String, ttlMs: Long): Unit = {
@@ -257,6 +260,6 @@ object Lease {
       try out.write(
         s"$holder\n$ttlMs\n${System.currentTimeMillis()}".getBytes("UTF-8"))
       finally out.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

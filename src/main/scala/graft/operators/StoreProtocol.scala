@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The whole-directory crash protocol every persisted graft store shares
   * — ONE implementation (the r10 code-review consolidation: five heal
@@ -133,18 +133,21 @@ private[graft] object StoreProtocol {
               committed: Seq[String], columns: Seq[String],
               touched: Option[Seq[Int]],
               buckets: Int = DefaultLsmBuckets): DataFrame = {
-    val (bucketed, flat) = splitLsmLayout(fs, tableDir, committed)
-    if (touched.isDefined) bucketed.foreach { k =>
-      val dirs = fs.listStatus(new Path(s"$tableDir/ingest=$k"))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-      require(dirs.forall(_ < buckets),
-        s"readLsm: $tableDir/ingest=$k holds bucket dirs up to " +
-          s"${dirs.max} but the store pins lsm_buckets=$buckets — the " +
-          "base was laid out under a different modulus; a pruned read " +
-          "would silently drop rows. Re-compact the store (or fix the " +
-          "meta) before probing it.")
+    // ONE listing per ingest dir serves both the layout split and the
+    // modulus guard (r14 review: the split + a separate guard listing
+    // doubled LIST round-trips per pruned read — 4096-entry listings on
+    // the probe hot path)
+    val listed = committed.map { k =>
+      (k, fs.listStatus(new Path(s"$tableDir/ingest=$k")))
     }
+    val (bucketedL, flatL) = listed.partition { case (_, st) =>
+      st.exists(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+    }
+    if (touched.isDefined) bucketedL.foreach { case (k, st) =>
+      verifyLsmModulus(st, s"$tableDir/ingest=$k", buckets)
+    }
+    val bucketed = bucketedL.map(_._1)
+    val flat = flatL.map(_._1)
     val cols = columns.map(col)
     val reads = Seq(
       if (flat.isEmpty) None
@@ -170,19 +173,70 @@ private[graft] object StoreProtocol {
     df.select(pmod(col(keyCol), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Guard a bucketed base's layout against the PINNED modulus, given
+    * the ingest dir's (already fetched) listing — ONE implementation
+    * shared by [[readLsm]] and the gate-store reader (r14 review: the
+    * copies had reappeared). Two checks, both needed:
+    *
+    *  - the `_lsm_buckets_<n>` marker [[writeLsmBaseBy]] drops beside
+    *    the bucket dirs (invisible to parquet — underscore-prefixed)
+    *    must EQUAL the pinned count: this catches the direction dir
+    *    names cannot (a mod-256 base copied under a 4096-pinning meta
+    *    has every dir < 4096 yet prunes wrong). Bases written before
+    *    the marker existed (r13) have no marker and fall through —
+    *    that residual is only reachable by editing a meta out of band.
+    *  - every bucket dir must sit UNDER the pinned count: catches the
+    *    coarse direction on marker-less bases and injected dirs.
+    */
+  def verifyLsmModulus(entries: Seq[org.apache.hadoop.fs.FileStatus],
+                       where: String, buckets: Int): Unit = {
+    entries.map(_.getPath.getName).find(_.startsWith("_lsm_buckets_"))
+      .map(_.stripPrefix("_lsm_buckets_").toInt)
+      .foreach(m => require(m == buckets,
+        s"$where is laid out mod $m but the store pins lsm_buckets=" +
+          s"$buckets — a pruned read would silently drop rows; " +
+          "re-compact the store (or fix the meta) before probing it."))
+    val dirs = entries
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    require(dirs.forall(_ < buckets),
+      s"$where holds bucket dirs up to ${if (dirs.isEmpty) -1 else dirs.max} " +
+        s"but the store pins lsm_buckets=$buckets — the base was laid " +
+        "out under a different modulus; a pruned read would silently " +
+        "drop rows. Re-compact the store (or fix the meta) first.")
+  }
+
   /** Write `df` as a consolidated BUCKETED base at `path` — hash-
     * repartitioned BY the bucket column first so each bucket's rows land
     * in one task (one file per bucket dir; without it every task writes
     * files into every bucket dir — a `buckets`× small-files tax). Task
     * count follows `spark.sql.shuffle.partitions`, so write parallelism
-    * scales with the session, not the modulus.
+    * scales with the session, not the modulus. A `_lsm_buckets_<n>`
+    * marker file lands beside the bucket dirs so the layout's modulus is
+    * self-describing ([[verifyLsmModulus]] — costs nothing to read, it
+    * rides the listing the reader already fetches). The name must NOT
+    * contain '=': Spark's hidden-file filter exempts underscore names
+    * with '=' (partition-ish), and the reader would try to parse the
+    * marker as a parquet footer.
     */
   def writeLsmBase(df: DataFrame, keyCol: String, path: String,
                    buckets: Int = DefaultLsmBuckets): Unit =
-    df.withColumn("bucket",
-        pmod(col(keyCol), lit(buckets.toLong)).cast("int"))
+    writeLsmBaseBy(df, pmod(col(keyCol), lit(buckets.toLong)).cast("int"),
+      path, buckets)
+
+  /** [[writeLsmBase]] with an explicit bucket EXPRESSION — the gate
+    * stores bucket by xxhash64(id) (caller-typed ids, often sequential)
+    * where the hash-keyed stores bucket by the bare key.
+    */
+  def writeLsmBaseBy(df: DataFrame, bucket: Column, path: String,
+                     buckets: Int): Unit = {
+    df.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val p = new Path(path, s"_lsm_buckets_$buckets")
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
 
   /** Replace `path` with the fully-written `tmp` through the `__old`
     * two-rename swap; `op` names the caller in failure messages.

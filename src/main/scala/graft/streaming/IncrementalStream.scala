@@ -360,10 +360,7 @@ object IncrementalStream {
                              // whole corpus at __old — restore it first
           val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
           val committed: Seq[String] =
-            if (fs.exists(commitsDir))
-              fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-                .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-            else Nil
+            graft.operators.StoreProtocol.committedKeys(fs, root)
           var pinned = List.empty[DataFrame]
           def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
           try {
@@ -450,10 +447,7 @@ object IncrementalStream {
                              // the whole state at __old — restore it first
           val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
           val committed: Seq[String] =
-            if (fs.exists(commitsDir))
-              fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-                .filterNot(n => n.startsWith(".") || n.startsWith("_")) // fs sidecars (.crc)
-            else Nil
+            graft.operators.StoreProtocol.committedKeys(fs, root)
           def partDirs(table: String): Seq[String] =
             committed.map(key => s"$stateDir/$table/ingest=$key")
           // this batch's OWN pinned frames, released in finally — scoped
@@ -594,16 +588,14 @@ object IncrementalStream {
       if (indexed.isEmpty) None
       else {
         val buckets = gateBucketsOf(sp, fs, storeDir)
+        // the shared two-way modulus guard (marker + dir bound) on the
+        // one listing per base — a mis-moduled prune would re-admit
+        // committed docs
         indexed.foreach { k =>
-          val dirs = fs
-            .listStatus(new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k"))
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-            .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-          require(dirs.forall(_ < buckets),
-            s"gateCommittedIds: $storeDir/gate_ids/ingest=$k holds bucket " +
-              s"dirs up to ${dirs.max} but the store pins lsm_buckets=" +
-              s"$buckets — a mis-moduled prune would re-admit committed " +
-              "docs; re-compact the store first")
+          graft.operators.StoreProtocol.verifyLsmModulus(
+            fs.listStatus(new org.apache.hadoop.fs.Path(
+              s"$storeDir/gate_ids/ingest=$k")).toSeq,
+            s"$storeDir/gate_ids/ingest=$k", buckets)
         }
         val touched = batch
           .select(gateBucketExpr(col(idCol), buckets).as("b"))
@@ -648,10 +640,7 @@ object IncrementalStream {
                                      storeDir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    if (!fs.exists(commitsDir)) 0
-    else fs.listStatus(commitsDir).map(_.getPath.getName)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    graft.operators.StoreProtocol.committedKeys(fs, root)
       .count(k => !fs.exists(
         new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k")))
   }
@@ -670,12 +659,7 @@ object IncrementalStream {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     healSwap(fs, root)
-    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    val committed: Seq[String] =
-      if (fs.exists(commitsDir))
-        fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-          .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-      else Nil
+    val committed = graft.operators.StoreProtocol.committedKeys(fs, root)
     val before = committed.length
     val alreadyCompact = before == 1 && fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=${committed.head}"))
@@ -687,22 +671,34 @@ object IncrementalStream {
       sp.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
         .write.mode("overwrite").parquet(s"$tmp/$t/ingest=$key")
     }
-    val buckets = graft.operators.StoreProtocol.WideLsmBuckets
-    sp.read.parquet(s"$tmp/docs/ingest=$key")
-      .select(col(idCol)).distinct()
-      .withColumn("bucket", gateBucketExpr(col(idCol), buckets))
-      .repartition(col("bucket")) // one file per bucket dir, session-sized tasks
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$tmp/gate_ids/ingest=$key")
-    import sp.implicits._
-    Seq(buckets).toDF("lsm_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gate_meta")
+    writeGateBase(sp, fs, tmp.toString, key,
+      sp.read.parquet(s"$tmp/docs/ingest=$key"), idCol)
     fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
     fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)
       .close()
     graft.operators.StoreProtocol.swapInto(fs, tmp, root,
       "consolidateGateStore")
     (before, 1)
+  }
+
+  /** Write the bucketed `gate_ids` base + pinning `gate_meta` for one
+    * retained ingest under a store STAGING dir — shared by the gate
+    * compaction and [[forgetFuzzyState]]'s rebuild (which must carry
+    * the base forward or one retraction silently reinstates the
+    * scattered-id full scan the base exists to prevent — r14 review).
+    */
+  private def writeGateBase(sp: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            stagingDir: String, key: String,
+                            docs: DataFrame, idCol: String): Unit = {
+    val buckets = graft.operators.StoreProtocol.WideLsmBuckets
+    graft.operators.StoreProtocol.writeLsmBaseBy(
+      docs.select(col(idCol)).distinct(),
+      gateBucketExpr(col(idCol), buckets),
+      s"$stagingDir/gate_ids/ingest=$key", buckets)
+    import sp.implicits._
+    Seq(buckets).toDF("lsm_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/gate_meta")
   }
 
   /** Compaction face of [[decontamIngest]]'s accepted-corpus store:
@@ -783,47 +779,65 @@ object IncrementalStream {
     * active ingest. Returns the number of docs removed.
     */
   def forgetFuzzyState(spark: SparkSession, stateDir: String,
-                       ids: DataFrame, idCol: String = "doc_id"): Long = {
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healSwap(fs, root)
-    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    if (!fs.exists(commitsDir)) return 0L
-    val committed = fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-    if (committed.isEmpty) return 0L
-    def readState(table: String) = spark.read.parquet(
-      committed.map(key => s"$stateDir/$table/ingest=$key"): _*)
-    val docs = readState("docs")
-    // cast to the STATE's key type: a string feed against long ids
-    // would otherwise coerce both join sides to double and lose
-    // exactness above 2^53
-    val keys = ids.select(col(idCol).cast(docs.schema(idCol).dataType))
-      .distinct().localCheckpoint(true)
-    val removed = docs.join(keys, Seq(idCol), "left_semi").count()
-    if (removed == 0L) return 0L
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + "__forget")
-    fs.delete(tmp, true)
-    val survivors = removed < docs.count()
-    if (survivors) {
-      val gen = committed.length // retained_<n>: collision-free vs batch
-                                 // keys (those start with a digit + '_')
-      Seq("docs", "bands", "shingles").foreach { table =>
-        readState(table).join(keys, Seq(idCol), "left_anti")
-          .write.mode("overwrite")
-          .parquet(s"$tmp/$table/ingest=retained_$gen")
+                       ids: DataFrame, idCol: String = "doc_id"): Long =
+    // lease-guarded like every maintenance entry point (r14 review: the
+    // fuzzy lane's per-batch lease only protects drains from callers
+    // that CONTEST it — an unguarded forget would swap the state out
+    // from under a mid-flight batch); retractionIngest's own leased()
+    // wrapper passes through re-entrantly
+    graft.operators.Lease.withLease(spark, stateDir, "forgetFuzzyState") {
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      healSwap(fs, root)
+      val committed = graft.operators.StoreProtocol.committedKeys(fs, root)
+      def readState(table: String) = spark.read.parquet(
+        committed.map(key => s"$stateDir/$table/ingest=$key"): _*)
+      // expression form, not early returns — a non-local return from a
+      // withLease closure unwinds by exception
+      if (committed.isEmpty) 0L
+      else {
+        val docs = readState("docs")
+        // cast to the STATE's key type: a string feed against long ids
+        // would otherwise coerce both join sides to double and lose
+        // exactness above 2^53
+        val keys = ids.select(col(idCol).cast(docs.schema(idCol).dataType))
+          .distinct().localCheckpoint(true)
+        val removed = docs.join(keys, Seq(idCol), "left_semi").count()
+        if (removed == 0L) 0L
+        else {
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__forget")
+        fs.delete(tmp, true)
+        val survivors = removed < docs.count()
+        if (survivors) {
+          val gen = committed.length // retained_<n>: collision-free vs
+                                     // batch keys (digit + '_' prefixed)
+          Seq("docs", "bands", "shingles").foreach { table =>
+            readState(table).join(keys, Seq(idCol), "left_anti")
+              .write.mode("overwrite")
+              .parquet(s"$tmp/$table/ingest=retained_$gen")
+          }
+          // the rebuild must CARRY the bucketed gate base forward (r14
+          // review): the swap replaces the whole directory, and a
+          // retained ingest without gate_ids reads as flat — one
+          // retraction would silently reinstate the scattered-id full
+          // scan for every later batch until the depth trigger
+          // re-compacts
+          writeGateBase(spark, fs, tmp.toString, s"retained_$gen",
+            spark.read.parquet(s"$tmp/docs/ingest=retained_$gen"), idCol)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+          fs.create(new org.apache.hadoop.fs.Path(tmp,
+            s"_commits/retained_$gen"), true).close()
+        } else {
+          // everything retracted: an empty-committed state (no markers)
+          // — readers treat it exactly like a fresh stateDir
+          fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
+        }
+        graft.operators.StoreProtocol.swapInto(fs, tmp, root,
+          "forgetFuzzyState")
+        removed
+        }
       }
-      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
-      fs.create(new org.apache.hadoop.fs.Path(tmp,
-        s"_commits/retained_$gen"), true).close()
-    } else {
-      // everything retracted: an empty-committed state (no markers) —
-      // readers treat it exactly like a fresh stateDir
-      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
     }
-    graft.operators.StoreProtocol.swapInto(fs, tmp, root, "forgetFuzzyState")
-    removed
-  }
 
   /** The stores a [[retractionIngest]] applies each takedown batch to.
     * Every field is optional/empty — configure the stores the pipeline
