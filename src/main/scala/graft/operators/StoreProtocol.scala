@@ -146,23 +146,45 @@ private[graft] object StoreProtocol {
     if (touched.isDefined) bucketedL.foreach { case (k, st) =>
       verifyLsmModulus(st, s"$tableDir/ingest=$k", buckets)
     }
-    val bucketed = bucketedL.map(_._1)
     val flat = flatL.map(_._1)
     val cols = columns.map(col)
+    // the bucketed base reads its LEAF bucket dirs DIRECTLY, addressed
+    // from the listing already in hand — never through Spark partition
+    // discovery, which lists every one of the (up to 4096) bucket dirs
+    // per read regardless of how few the probe touches (measured: a
+    // ~9 s flat tax on every post-compact point lookup at the 4096
+    // default). Leaf addressing costs one listing per TOUCHED dir
+    // instead; the partition column is implied by the path and never
+    // selected, so nothing is lost.
+    val tset = touched.map(_.toSet)
+    val leafDirs = bucketedL.flatMap { case (_, st) =>
+      st.filter(e =>
+          e.isDirectory && e.getPath.getName.startsWith("bucket=") &&
+          tset.forall(_.contains(
+            e.getPath.getName.stripPrefix("bucket=").toInt)))
+        .map(_.getPath.toString)
+    }
     val reads = Seq(
       if (flat.isEmpty) None
       else Some(spark.read
         .parquet(flat.map(c => s"$tableDir/ingest=$c"): _*)
         .select(cols: _*)),
-      if (bucketed.isEmpty) None
-      else {
-        val base = spark.read
-          .parquet(bucketed.map(c => s"$tableDir/ingest=$c"): _*)
-        Some(touched.fold(base)(t =>
-            base.filter(col("bucket").isin(t: _*)))
-          .select(cols: _*))
-      }).flatten
-    reads.reduce(_.unionByName(_))
+      if (leafDirs.isEmpty) None
+      else Some(spark.read.parquet(leafDirs: _*).select(cols: _*))
+    ).flatten
+    if (reads.nonEmpty) reads.reduce(_.unionByName(_))
+    else {
+      // every committed row is bucketed and the probe touches only
+      // ABSENT buckets: an empty frame with the store's schema, typed
+      // off any existing leaf (a bucketed ingest has ≥ 1 bucket dir by
+      // construction — splitLsmLayout classified it on that evidence)
+      val any = bucketedL.flatMap { case (_, st) =>
+        st.filter(e =>
+            e.isDirectory && e.getPath.getName.startsWith("bucket="))
+          .map(_.getPath.toString)
+      }
+      spark.read.parquet(any.head).select(cols: _*).limit(0)
+    }
   }
 
   /** The ≤ `buckets` buckets `df`'s `keyCol` values touch — the bounded

@@ -588,26 +588,42 @@ object IncrementalStream {
       if (indexed.isEmpty) None
       else {
         val buckets = gateBucketsOf(sp, fs, storeDir)
+        val listedIdx = indexed.map { k =>
+          (k, fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$storeDir/gate_ids/ingest=$k")).toSeq)
+        }
         // the shared two-way modulus guard (marker + dir bound) on the
         // one listing per base — a mis-moduled prune would re-admit
         // committed docs
-        indexed.foreach { k =>
-          graft.operators.StoreProtocol.verifyLsmModulus(
-            fs.listStatus(new org.apache.hadoop.fs.Path(
-              s"$storeDir/gate_ids/ingest=$k")).toSeq,
+        listedIdx.foreach { case (k, st) =>
+          graft.operators.StoreProtocol.verifyLsmModulus(st,
             s"$storeDir/gate_ids/ingest=$k", buckets)
         }
         val touched = batch
           .select(gateBucketExpr(col(idCol), buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        Some(sp.read
-          .parquet(indexed.map(k => s"$storeDir/gate_ids/ingest=$k"): _*)
-          .filter(col("bucket").isin(touched: _*))
-          .select(col(idCol)))
+          .distinct().collect().map(_.getInt(0)).toSet
+        // LEAF bucket dirs addressed directly off the listing in hand —
+        // partition discovery over a 4096-dir base costs seconds per
+        // read no matter how few buckets the batch touches (the readLsm
+        // lesson); a touched bucket with no dir holds nothing to veto
+        val leaf = listedIdx.flatMap { case (_, st) =>
+          st.filter(e =>
+              e.isDirectory && e.getPath.getName.startsWith("bucket=") &&
+              touched.contains(
+                e.getPath.getName.stripPrefix("bucket=").toInt))
+            .map(_.getPath.toString)
+        }
+        if (leaf.isEmpty) None
+        else Some(sp.read.parquet(leaf: _*).select(col(idCol)))
       }).flatten
-    val gate = reads.reduce(_.unionByName(_))
-      .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1))))
-    batch.select(col(idCol), col(textCol)).join(gate, Seq(idCol), "left_anti")
+    if (reads.isEmpty)
+      // nothing committed overlaps the batch's touched buckets: no veto
+      batch.select(col(idCol), col(textCol))
+    else {
+      val gate = reads.reduce(_.unionByName(_))
+        .filter(col(idCol).between(lit(w.get(0)), lit(w.get(1))))
+      batch.select(col(idCol), col(textCol)).join(gate, Seq(idCol), "left_anti")
+    }
   }
 
   /** The gate's bucket assignment: hash-then-mod, NOT the bare key mod

@@ -89,12 +89,19 @@ class GraphStoreSpec extends SparkSpec {
     GraphStore.append(spark, dir, Seq((31L, 1L)).toDF("a", "b"))
     assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L),
       (30L, 1L), (31L, 1L)))
-    val plan = GraphStore.componentOf(spark, dir, Seq(11L).toDF("node"))
-      .queryExecution.executedPlan.toString
-    // single-bucket probes plan as (bucket = n), multi-bucket as IN —
-    // match the partition filter either way
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
-      plan.take(1500))
+    // the base read addresses the touched bucket's LEAF dir directly
+    // (one path for a one-node lookup) — never a partition-discovery
+    // scan of the whole base (r14 review: discovery lists every bucket
+    // dir per read); rootPaths inspected programmatically — the plan
+    // string truncates Location before the bucket segment
+    val scans = GraphStore.componentOf(spark, dir, Seq(11L).toDF("node"))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }
+    val leaf = scans.filter(_.exists(_.contains("/bucket=")))
+    assert(leaf.nonEmpty && leaf.forall(_.length == 1),
+      s"expected exactly one bucket-leaf path in the base scan: $scans")
   }
 
   test("the bucket count is pinned per store and compact migrates it; " +

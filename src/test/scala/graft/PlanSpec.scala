@@ -152,7 +152,7 @@ class PlanSpec extends SparkSpec {
 
   test("streaming ingest lanes' committed-id gate: flat ingests carry " +
     "the pushed id-range filter; the compacted gate_ids base carries a " +
-    "touched-bucket PARTITION filter (scatter-proof — r13 verdict #2)") {
+    "touched-bucket LEAF-dir read (scatter-proof — r13 verdict #2)") {
     import spark.implicits._
     val dir = tempDir("plan_gate")
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -183,9 +183,17 @@ class PlanSpec extends SparkSpec {
       .compactDecontamCorpus(spark, dir) == ((1, 1)))
     val gated2 = graft.streaming.IncrementalStream.gateCommittedIds(
       batch, spark, dir, Seq("retained_1"), "doc_id", "text")
-    val p2 = gated2.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p2).nonEmpty,
-      p2.take(1500))
+    // two batch ids → at most two touched-bucket LEAF dirs addressed
+    // directly, never a whole-base discovery scan (rootPaths inspected
+    // programmatically — the plan string truncates Location)
+    val scans2 = gated2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }
+    val leaf2 = scans2.filter(_.exists(_.contains("/bucket=")))
+    assert(leaf2.nonEmpty && leaf2.forall(ps =>
+        ps.size <= 2 && ps.forall(_.contains("/bucket="))),
+      s"expected <=2 bucket-leaf paths in the gate scan: $scans2")
     assert(gated2.count() == 0, "the pruned gate must still veto both ids")
   }
 

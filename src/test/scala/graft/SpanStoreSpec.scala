@@ -115,12 +115,17 @@ class SpanStoreSpec extends SparkSpec {
     SpanStore.append(spark, dir, corpus.filter(col("doc_id") === 2L),
       "text", "doc_id", k = 8)
     assert(probeRows(dir) == expected)
-    // and the probe's base scan carries the touched-bucket PARTITION
-    // filter (pruning by construction — uniform hashes defeat row-group
-    // stats, bucket dirs don't care)
-    val plan = SpanStore.probe(spark, dir, batch, "text", "doc_id", k = 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bucket"), plan.take(1500))
+    // and the probe's base scan addresses touched bucket LEAF dirs
+    // directly (pruning by construction — uniform hashes defeat
+    // row-group stats; and leaf addressing, unlike a partition filter,
+    // never pays a whole-base partition-discovery listing)
+    val scans = SpanStore.probe(spark, dir, batch, "text", "doc_id", k = 8)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }
+    assert(scans.exists(ps => ps.nonEmpty && ps.forall(_.contains("/bucket="))),
+      s"expected a bucket-leaf base scan: $scans")
   }
 
   test("the bucket count is pinned per store (meta lsm_buckets), compact " +
