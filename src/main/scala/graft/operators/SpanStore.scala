@@ -27,8 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                             compact/forget write the consolidated
   *                             base BUCKETED (`bucket = shingle mod` the
   *                             store's pinned count — meta `lsm_buckets`,
-  *                             4096 for new stores, 256 for pre-pinning
-  *                             layouts; r14 parameterization), so a probe
+  *                             default 256: drain probes touch every
+  *                             bucket at any modulus, so fine bucketing
+  *                             only taxes them with file opens; see
+  *                             append's scaladoc), so a probe
   *                             prunes the big base to the buckets its
   *                             batch touches by construction — no
   *                             row-group stats needed, which uniform
@@ -51,8 +53,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * store-size-independent drain probe would need a shingle-keyed point
   * index, still deliberately out of scope. A SMALL probe (a takedown
   * check, a single document — ≲ a few hundred spans) prunes the base
-  * hard: read fraction ≈ touched/lsm_buckets (≈ 2% at the 4096
-  * default). Numbers: ProbeSpanStore.
+  * hard: read fraction ≈ touched/lsm_buckets. Numbers: ProbeSpanStore.
   * [[probe]] is otherwise the
   * [[Dedup.spanStats]] tail over the batch. [[compact]] bounds the
   * partition count (the SketchStore concern) AND migrates the base to
@@ -121,12 +122,20 @@ object SpanStore {
     * and fixes the compacted base's partition modulus from then on (a
     * later [[compact]] can migrate it); on an existing store the
     * recorded layout is authoritative and the argument is ignored —
-    * appends write flat partials either way.
+    * appends write flat partials either way. The default is the COARSE
+    * 256, not the graph store's 4096: this store's hot read is the
+    * DRAIN-shaped probe (every spanIngest batch, tens of thousands of
+    * distinct shingles), which touches every bucket at any plausible
+    * modulus — so its cost is the per-file open tax, measured 1.8 s at
+    * 256 dirs vs ~10 s at 4096 (ProbeSpanStore, r14) — while the fine
+    * modulus only helps the RARE point probe (flat ~1.2 s either way).
+    * A takedown-heavy deployment doing mostly single-document checks
+    * can migrate: `compact(dir, lsmBuckets = 4096)`.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
              textCol: String, idCol: String = "doc_id", k: Int = 8,
              spans: Option[DataFrame] = None,
-             lsmBuckets: Int = StoreProtocol.WideLsmBuckets): Long = {
+             lsmBuckets: Int = StoreProtocol.DefaultLsmBuckets): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     StoreProtocol.heal(fs, root)
