@@ -68,6 +68,23 @@ object ProbeGraphStore {
       graft.operators.GraphStore.append(spark, dir, batch)
     }
     println(s"  replay admitted: $f2 fresh, $m2 merges")
+    // r15: the INCREMENTAL fold (r14 verdict #1) — with a bucketed base
+    // in place, a further tail compact must cost ∝ tail + touched
+    // buckets, NOT ∝ corpus (the first compact above, which folds the
+    // whole flat store, is the old full-rewrite law's price; this one is
+    // the new law's)
+    val tail = starEdges(n + 1000L, n + 1500L)
+      .unionByName(spark.range(2)
+        .select((col("id") * s + 10L).as("a"),
+          ((col("id") + 2L) * s + 10L).as("b")))
+      .localCheckpoint(true)
+    time("append (500-edge tail + 2 bridges, post-compact)") {
+      graft.operators.GraphStore.append(spark, dir, tail)
+    }
+    time(s"compact (INCREMENTAL: tail into touched buckets of $n nodes)") {
+      graft.operators.GraphStore.compact(spark, dir)
+    }
+    lookup("point lookup x10 (two generations + composed remap)")
     spark.stop()
   }
 }

@@ -109,6 +109,24 @@ object ProbeSpanStore {
           "text", "doc_id")
         .agg(count(lit(1))).head()
     }
+    // r15: the INCREMENTAL fold (r14 verdict #1) — a further batch
+    // lands a flat tail beside the bucketed base; its compact must cost
+    // ∝ tail + the tail's touched buckets, NOT ∝ corpus (the first
+    // compact above pays the fold-everything price once)
+    val tail = batch.select((col("doc_id") + 4L * batchN).as("doc_id"),
+      col("text")).localCheckpoint(true)
+    time(s"append ($batchN docs, post-compact tail)") {
+      graft.operators.SpanStore.append(spark, s"$dir/store", tail,
+        "text", "doc_id")
+    }
+    time(s"compact (INCREMENTAL: $batchN-doc tail vs $nDocs-doc base)") {
+      graft.operators.SpanStore.compact(spark, s"$dir/store")
+    }
+    time(s"probe ($batchN docs, two generations)") {
+      graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
+          "text", "doc_id")
+        .agg(count(lit(1))).head()
+    }
     spark.stop()
   }
 }

@@ -29,12 +29,22 @@ object Decontam {
   def overlap(corpus: DataFrame, bench: DataFrame, textCol: String,
               idCol: String, k: Int = 8, minShared: Long = 1,
               portable: Boolean = false,
-              broadcastBench: Boolean = true): DataFrame = {
+              broadcastBench: Boolean = true,
+              corpusShingles: Option[DataFrame] = None): DataFrame = {
     def sh(d: DataFrame) =
       if (portable) Dedup.shingleHashesPortable(d, textCol, idCol, k)
       else Dedup.shingleHashes(d, textCol, idCol, k)
+    // `corpusShingles`: a caller that already exploded the same
+    // (corpus, k) — the shingle explode is the corpus-scale cost here,
+    // and a pipeline using the stream twice (decontamination + the
+    // source-rank projection — r14 verdict #3) should pay it once. Must
+    // carry (idCol, shingle) under the SAME hash family as `portable`;
+    // extra columns are dropped, duplicate rows are harmless (the
+    // aggregate counts distinct)
+    val c = corpusShingles.map(_.select(col(idCol), col("shingle")))
+      .getOrElse(sh(corpus))
     val b = sh(bench).select(col(idCol).as("bench_id"), col("shingle"))
-    sh(corpus).join(if (broadcastBench) broadcast(b) else b, Seq("shingle"))
+    c.join(if (broadcastBench) broadcast(b) else b, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

@@ -334,12 +334,21 @@ object Graph {
     var cur = cur0
     var rounds = 0
     var done = false
-    while (!done && rounds < budget) {
+    while (!done) {
+      // the stability probe runs BEFORE any budget check: an
+      // already-stable (or empty) core converges in zero rounds even at
+      // budget 0 — [[coreness]] shares one budget across phases, and a
+      // phase boundary landing exactly on exhaustion must not fail a
+      // core that needs no further peeling (r14 advice)
       val deg = cur.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("c"))
       val weak = deg.filter(col("c") < k).select("n").localCheckpoint(true)
       if (weak.isEmpty) done = true
       else {
+        require(rounds < budget,
+          s"$op did not converge within $budget peel rounds " +
+            "(pathological peeling depth — chain-like graphs peel O(n) " +
+            "rounds by data dependency) — raise maxRounds")
         cur = cur
           .join(weak.select(col("n").as("a")), Seq("a"), "left_anti")
           .join(weak.select(col("n").as("b")), Seq("b"), "left_anti")
@@ -347,9 +356,6 @@ object Graph {
         rounds += 1
       }
     }
-    require(done, s"$op did not converge within $budget peel rounds " +
-      "(pathological peeling depth — chain-like graphs peel O(n) rounds " +
-      "by data dependency) — raise maxRounds")
     (cur, rounds)
   }
 

@@ -70,9 +70,12 @@ object GraphStore {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Reader-visible ingests: committed minus incremental-consolidation
+    * retirees ([[StoreProtocol.visibleKeys]]).
+    */
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path): Seq[String] =
-    StoreProtocol.committedKeys(fs, root)
+    StoreProtocol.visibleKeys(fs, root)
 
   private def metaOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/meta")
@@ -110,8 +113,7 @@ object GraphStore {
       if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
 
-  private def genOf(key: String): Int =
-    key.drop(1).takeWhile(_.isDigit).toInt
+  private def genOf(key: String): Int = StoreProtocol.genOf(key)
 
   /** Resolve `df`'s `comp` column through the remap chain: apply each
     * merge-sized remap table in append order (each at most once — the
@@ -148,13 +150,16 @@ object GraphStore {
             s"got '$nodeCol'")
         bucketsOf(spark, dir) // recorded layout is authoritative
       }
-    // sweep orphans (the SpanStore append discipline)
+    // sweep orphans (the SpanStore append discipline) — keyed off MARKER
+    // presence, not visibility: a superseded-but-uncleaned key's dirs
+    // belong to the consolidation's cleanup, not this sweep
+    val marked = StoreProtocol.committedKeys(fs, root)
     Seq("labels", "remap", "edges").foreach { t =>
       val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (fs.exists(tdir))
         fs.listStatus(tdir).map(_.getPath)
           .filter(p => p.getName.startsWith("ingest=") &&
-            !committed.contains(p.getName.stripPrefix("ingest=")))
+            !marked.contains(p.getName.stripPrefix("ingest=")))
           .foreach(p => fs.delete(p, true))
     }
     val Array(ea, eb) = edges.columns.take(2)
@@ -260,6 +265,35 @@ object GraphStore {
       .select(col("node").as(nodeCol), col("comp").as("component"))
   }
 
+  /** Exact coreness decomposition at READ time over the store's
+    * complete edge log — the incremental face of [[Graph.coreness]]
+    * (r14 verdict #5). Coreness is not merge-monotone the way
+    * components are (a new edge can RAISE core numbers arbitrarily far
+    * from where it lands), so there is no label-plus-remap shortcut:
+    * the store's contract is the complete, distinct-collapsed edge log
+    * it already keeps for [[forget]], and the decomposition recomputes
+    * over it — read cost ∝ committed edges × peel depth, priced here
+    * rather than hidden. Output is (nodeCol, coreness), identical to
+    * running [[Graph.coreness]] on every edge ever appended.
+    */
+  def coreness(spark: SparkSession, dir: String,
+               maxRounds: Int = 1000): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, root)
+    StoreProtocol.heal(fs, root)
+    val committed = committedKeys(fs, root)
+    require(committed.nonEmpty,
+      s"GraphStore.coreness: nothing committed at $dir")
+    val nodeCol = readMeta(spark, dir)
+    // raw log in; Graph.coreness canonicalizes (a<b, de-duped) itself,
+    // which also collapses replayed ingests' duplicate edges
+    val edges = spark.read
+      .parquet(committed.map(c => s"$dir/edges/ingest=$c"): _*)
+      .select(col("a"), col("b"))
+    Graph.coreness(edges, maxRounds)
+      .select(col("node").as(nodeCol), col("coreness"))
+  }
+
   /** Point lookup: current components of `nodes` (one column). Nodes
     * never ingested are absent. The label read prunes to the nodes'
     * buckets once the base is compacted.
@@ -283,29 +317,187 @@ object GraphStore {
       .select(col("node").as(nodeCol), col("comp").as("component"))
   }
 
-  /** Fold the ingest partitions into ONE retained set: labels fully
-    * resolved (remap chain becomes empty — read-time resolution resets
-    * to zero joins) and re-laid out bucketed; edges concatenate.
-    * Returns (ingests before, after).
+  /** Fold the flat ingest partials into the bucketed base. Returns
+    * (visible ingests before, after).
+    *
+    * BUCKET-SCOPED, not a full-base rewrite (r14 verdict #1): the tail's
+    * new-node labels merge into ONLY the buckets they touch — resolved
+    * to current roots on the way — landed as a new base GENERATION via
+    * the supersede flip ([[StoreProtocol.commitIncremental]]); untouched
+    * bucket dirs stay byte-identical. The tail's remap tables fold into
+    * ONE path-compressed table carried by the new generation, so
+    * read-time resolution is a single broadcast join after every compact
+    * (re-applying it to already-resolved rows is a no-op by the root
+    * lifecycle: a remap's old_comp is a DEAD root, a resolved row's comp
+    * is a LIVE one). The tail's edge logs concatenate into the new
+    * generation — O(tail), the complete-log contract intact.
+    *
+    * Two cases still take the whole-directory rewrite, and say so:
+    * `lsmBuckets` migration (every row changes bucket; the swap re-pins
+    * the meta atomically with the layout), and a composed remap grown
+    * past [[MaxComposedRemap]] (it rides every read as a broadcast —
+    * a full fold resets it to zero, amortized against the merge volume
+    * that grew it, not against ingest count).
     */
-  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0): (Int, Int) =
+  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0,
+              maxGens: Int = StoreProtocol.MaxBaseGens): (Int, Int) =
     Lease.withLease(spark, dir, "GraphStore.compact") {
+      require(maxGens >= 1, s"GraphStore.compact: maxGens >= 1, got $maxGens")
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = fsOf(spark, root)
       StoreProtocol.heal(fs, root)
+      StoreProtocol.sweepSuperseded(fs, root, Seq("labels", "remap", "edges"))
       val keys = committedKeys(fs, root)
       val before = keys.length
-      val sameLayout = lsmBuckets == 0 ||
-        (before > 0 && lsmBuckets == bucketsOf(spark, dir))
-      val alreadyBase = before == 1 && sameLayout &&
-        StoreProtocol.splitLsmLayout(fs, s"$dir/labels", keys)._2.isEmpty
-      if (before == 0 || alreadyBase) (before, before)
+      if (before == 0) (0, 0)
       else {
-        consolidate(spark, dir, None,
-          if (lsmBuckets > 0) Some(lsmBuckets) else None)
-        (before, 1)
+        val pinned = bucketsOf(spark, dir)
+        val migrating = lsmBuckets > 0 && lsmBuckets != pinned
+        if (migrating) {
+          consolidate(spark, dir, None, Some(lsmBuckets))
+          (before, 1)
+        } else {
+          val (gens, flat) =
+            StoreProtocol.splitLsmLayout(fs, s"$dir/labels", keys)
+          StoreProtocol.sweepStaleBuckets(fs, s"$dir/labels", gens)
+          sweepStaleRemaps(fs, dir, gens)
+          if (flat.isEmpty && gens.length <= maxGens)
+            (before, before)
+          else
+            (before,
+              consolidateIncremental(spark, dir, fs, root, keys, gens,
+                flat, pinned, maxGens))
+        }
       }
     }
+
+  /** Composed-remap size bound: past it a compact falls back to the full
+    * fold (remap resets to zero) rather than carrying an ever-growing
+    * broadcast on every read. 2M (old_comp, new_comp) longs ≈ 32 MB —
+    * comfortably broadcastable; growth tracks MERGE volume (dead roots),
+    * which stalls as a graph's components stabilize.
+    */
+  val MaxComposedRemap = 2000000L
+
+  /** The bucket-scoped merge behind [[compact]]'s common path. Returns
+    * the visible ingest count after the flip, delegating to the full
+    * fold when the composed remap outgrows [[MaxComposedRemap]].
+    */
+  private def consolidateIncremental(spark: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      keys: Seq[String], gens0: Seq[String], flat: Seq[String],
+      buckets: Int, maxGens: Int): Int = {
+    val gens = gens0.sortBy(k => (genOf(k), k))
+    val keep = math.max(maxGens - 1, 0)
+    val folded =
+      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    val retired = flat ++ folded
+    if (retired.isEmpty) return keys.length
+    val live = gens.drop(folded.length)
+    // the full visible chain, composed to one path-compressed table the
+    // new generation carries for the LIVE older generations' unresolved
+    // rows — when everything folds into the new generation there are
+    // none, the chain folds AWAY (the full-fold contract), and no
+    // composition is needed at all. Merge-sized joins, count bounded
+    // before anything rewrites.
+    val remaps = remapTables(spark, dir, fs, keys)
+    val composed = if (live.isEmpty) None else composeRemaps(remaps)
+    val composedCount = composed.map(_.count()).getOrElse(0L)
+    if (composedCount > MaxComposedRemap) {
+      consolidate(spark, dir, None)
+      return 1
+    }
+    val tail =
+      if (flat.isEmpty) None
+      else Some(spark.read
+        .parquet(flat.map(k => s"$dir/labels/ingest=$k"): _*)
+        .select(col("node"), col("comp")))
+    val tailTouched = tail.map(t =>
+      StoreProtocol.touchedLsmBuckets(t, "node", buckets)).getOrElse(Nil)
+    val foldedTouched = folded.flatMap { k =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels/ingest=$k"))
+        .toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    }
+    val touched = (tailTouched ++ foldedTouched).distinct
+    val baseTouched =
+      if (gens.isEmpty || touched.isEmpty) None
+      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/labels", gens,
+        Seq("node", "comp"), Some(touched), buckets))
+    val mergedLabels = (tail.toSeq ++ baseTouched.toSeq) match {
+      case Nil =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("node", LongType),
+            StructField("comp", LongType))))
+      case pieces =>
+        // node rows are disjoint across ingests by construction (a node
+        // is written once, by the ingest that first saw it; stale bucket
+        // copies are excluded by newest-wins) — resolve to CURRENT roots
+        // so the rewritten buckets need no chain at read time
+        resolve(pieces.reduce(_.unionByName(_)), remaps)
+    }
+    val gen = keys.map(genOf).max + 1
+    val key = s"r${gen}_${StoreProtocol.keyHash(retired)}"
+    StoreProtocol.writeLsmBase(mergedLabels, "node",
+      s"$dir/labels/ingest=$key", buckets)
+    composed.filter(_ => composedCount > 0L).foreach(
+      _.write.mode("overwrite").parquet(s"$dir/remap/ingest=$key"))
+    spark.read.parquet(retired.map(k => s"$dir/edges/ingest=$k"): _*)
+      .write.mode("overwrite").parquet(s"$dir/edges/ingest=$key")
+    StoreProtocol.commitIncremental(fs, root,
+      Seq("labels", "remap", "edges"), key, retired)
+    StoreProtocol.sweepStaleBuckets(fs, s"$dir/labels", live :+ key)
+    // older generations' composed remaps are subsets of the new one (each
+    // was composed from the chain visible at its creation, which the new
+    // composition consumed) — redundant, and re-applying them is a no-op,
+    // but every read broadcasts them: sweep
+    sweepStaleRemaps(fs, dir, live :+ key)
+    live.length + 1
+  }
+
+  /** Fold the visible remap chain into one path-compressed table:
+    * old_comp → FINAL root, every intermediate hop collapsed. Each step
+    * re-points the accumulated entries through the next table and adds
+    * that table's fresh ones — merge-sized broadcast joins, chain-depth
+    * many of them.
+    */
+  private def composeRemaps(remaps: Seq[DataFrame]): Option[DataFrame] =
+    remaps match {
+      case Seq() => None
+      case head +: rest => Some(rest.foldLeft(head.localCheckpoint(true)) {
+        (acc, r0) =>
+          val r = r0.select(col("old_comp").as("o2"),
+            col("new_comp").as("n2")).localCheckpoint(true)
+          val repointed = acc
+            .join(broadcast(r), acc("new_comp") === col("o2"), "left")
+            .select(acc("old_comp"),
+              coalesce(col("n2"), acc("new_comp")).as("new_comp"))
+          val fresh = r
+            .join(acc.select(col("old_comp")),
+              col("o2") === col("old_comp"), "left_anti")
+            .select(col("o2").as("old_comp"), col("n2").as("new_comp"))
+          repointed.unionByName(fresh).localCheckpoint(true)
+      })
+    }
+
+  /** Delete every bucketed generation's remap table except the newest
+    * generation that carries one — each composed table subsumes the
+    * older ones by construction (safe even interrupted: re-applying a
+    * subsumed table is a no-op).
+    */
+  private def sweepStaleRemaps(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, gens: Seq[String]): Unit = {
+    val withRemap = gens.filter(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/remap/ingest=$k")))
+    if (withRemap.length > 1) {
+      val newest = withRemap.maxBy(k => (genOf(k), k))
+      withRemap.filterNot(_ == newest).foreach(k =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/remap/ingest=$k"), true))
+    }
+  }
 
   /** Retract EDGES (two node columns, same shape as [[append]]'s input).
     * Splits are fundamental here: removing an edge can disconnect

@@ -73,9 +73,12 @@ object SpanStore {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Reader-visible ingests: committed minus incremental-consolidation
+    * retirees ([[StoreProtocol.visibleKeys]]).
+    */
   private def committedKeys(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path): Seq[String] =
-    StoreProtocol.committedKeys(fs, root)
+    StoreProtocol.visibleKeys(fs, root)
 
   private def metaOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/meta")
@@ -149,13 +152,16 @@ object SpanStore {
     // sweep orphans a crashed append may have stranded (an interleaved
     // successful commit bumps the generation, so a retry writes a NEW
     // key; unmarked dirs are invisible to readers — deleting them is
-    // race-free under the single-writer contract)
+    // race-free under the single-writer contract). The sweep keys off
+    // MARKER presence, not visibility: a superseded-but-uncleaned key's
+    // dirs belong to the consolidation's cleanup, not this sweep.
+    val marked = StoreProtocol.committedKeys(fs, root)
     Seq("span_docs", "doc_ids").foreach { t =>
       val tdir = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (fs.exists(tdir))
         fs.listStatus(tdir).map(_.getPath)
           .filter(p => p.getName.startsWith("ingest=") &&
-            !committed.contains(p.getName.stripPrefix("ingest=")))
+            !marked.contains(p.getName.stripPrefix("ingest=")))
           .foreach(p => fs.delete(p, true))
     }
     val incoming0 = docs.select(col(idCol), col(textCol))
@@ -282,42 +288,129 @@ object SpanStore {
     Dedup.spanStatsOver(batch, sp.join(dup, Seq("shingle")), textCol, idCol, k)
   }
 
-  /** Fold the per-append ingest partitions into ONE retained partition
-    * set (contents unchanged — the partition-count bound a long-lived
-    * ingest needs). Returns (ingests before, after).
+  /** Fold the flat per-append partials into the bucketed base (contents
+    * unchanged — the partition-count bound a long-lived ingest needs).
+    * Returns (visible ingests before, after).
     *
-    * `lsmBuckets` > 0 MIGRATES the base layout to that modulus (base
-    * rewritten and meta re-pinned in the same atomic directory swap —
-    * readers see the old layout or the new, never a mix); 0 (default)
-    * keeps the store's recorded count. A compact is already a full base
-    * rewrite, so migration costs nothing extra — it is the sanctioned
-    * path for re-bucketing a store that outgrew its modulus.
+    * BUCKET-SCOPED, not a full-base rewrite (r14 verdict #1): the flat
+    * tail merges into ONLY the buckets its shingles touch, landed as a
+    * new base GENERATION beside the old one — untouched bucket dirs stay
+    * byte-identical on disk, so the fold's cost is ∝ tail + touched
+    * fraction, not ∝ corpus. Atomicity is the supersede protocol
+    * ([[StoreProtocol.commitIncremental]]): the new generation's commit
+    * marker is the single instant it appears and the tail vanishes.
+    * Generations are capped ([[StoreProtocol.MaxBaseGens]]) by folding
+    * the oldest back in — tiered merging, the occasional rewrite
+    * proportional to those generations' own footprint.
+    *
+    * `lsmBuckets` > 0 MIGRATES the base layout to that modulus — a
+    * migration IS a full rewrite by nature (every row changes bucket),
+    * so it keeps the whole-directory swap, which re-pins the meta
+    * atomically with the new layout.
     */
-  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0): (Int, Int) =
+  def compact(spark: SparkSession, dir: String, lsmBuckets: Int = 0,
+              maxGens: Int = StoreProtocol.MaxBaseGens): (Int, Int) =
     // lease-guarded: a DIRECT compact while an ingest lane's drain holds
     // the store refuses with the holder's name instead of racing the
     // lane's swap; the lane's own in-batch compact hook passes through
     // (withLease is re-entrant within one control flow)
     Lease.withLease(spark, dir, "SpanStore.compact") {
+      require(maxGens >= 1, s"SpanStore.compact: maxGens >= 1, got $maxGens")
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = fsOf(spark, root)
       StoreProtocol.heal(fs, root)
+      StoreProtocol.sweepSuperseded(fs, root, Seq("span_docs", "doc_ids"))
       val keys = committedKeys(fs, root)
       val before = keys.length
-      val sameLayout = lsmBuckets == 0 || (before > 0 &&
-        lsmBuckets == StoreProtocol.pinnedLsmBuckets(metaOf(spark, dir)))
-      // a single ingest still consolidates when it is a FLAT append
-      // partial (compaction is also the bucketed-layout migration) or
-      // when a different bucket count was requested
-      val alreadyBase = before == 1 && sameLayout &&
-        StoreProtocol.splitLsmLayout(fs, s"$dir/span_docs", keys)._2.isEmpty
-      if (before == 0 || alreadyBase) (before, before)
+      if (before == 0) (0, 0)
       else {
-        consolidate(spark, dir, None,
-          if (lsmBuckets > 0) Some(lsmBuckets) else None)
-        (before, 1)
+        val pinned = StoreProtocol.pinnedLsmBuckets(metaOf(spark, dir))
+        val migrating = lsmBuckets > 0 && lsmBuckets != pinned
+        if (migrating) {
+          consolidate(spark, dir, None, Some(lsmBuckets))
+          (before, 1)
+        } else {
+          val (gens, flat) =
+            StoreProtocol.splitLsmLayout(fs, s"$dir/span_docs", keys)
+          StoreProtocol.sweepStaleBuckets(fs, s"$dir/span_docs", gens)
+          if (flat.isEmpty && gens.length <= maxGens)
+            (before, before)
+          else
+            (before,
+              consolidateIncremental(spark, dir, fs, root, keys, gens,
+                flat, pinned, maxGens))
+        }
       }
     }
+
+  /** The bucket-scoped merge behind [[compact]]'s non-migrating path:
+    * tail partials + the touched buckets' authoritative rows (newest
+    * generation wins) re-aggregate into a new generation; the retired
+    * keys' doc_ids rows carry over (the K2 gate reads them forever);
+    * oldest generations beyond the cap fold in wholesale. Returns the
+    * visible ingest count after the flip.
+    */
+  private def consolidateIncremental(spark: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      keys: Seq[String], gens0: Seq[String], flat: Seq[String],
+      buckets: Int, maxGens: Int): Int = {
+    val gens = gens0.sortBy(k => (StoreProtocol.genOf(k), k))
+    val keep = math.max(maxGens - 1, 0)
+    val folded =
+      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    val retired = flat ++ folded
+    if (retired.isEmpty) return keys.length
+    val live = gens.drop(folded.length)
+    val tail =
+      if (flat.isEmpty) None
+      else Some(spark.read
+        .parquet(flat.map(k => s"$dir/span_docs/ingest=$k"): _*)
+        .select(col("shingle"), col("n_docs")))
+    // touched = the tail's buckets plus EVERY bucket the folded
+    // generations own — the merge reads exactly those leaves and nothing
+    // else; untouched dirs are never opened, let alone rewritten
+    val tailTouched = tail.map(t =>
+      StoreProtocol.touchedLsmBuckets(t, "shingle", buckets)).getOrElse(Nil)
+    val foldedTouched = folded.flatMap { k =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$k"))
+        .toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    }
+    val touched = (tailTouched ++ foldedTouched).distinct
+    val baseTouched =
+      if (gens.isEmpty || touched.isEmpty) None
+      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/span_docs", gens,
+        Seq("shingle", "n_docs"), Some(touched), buckets))
+    val merged = (tail.toSeq ++ baseTouched.toSeq) match {
+      case Nil =>
+        // a fold of marker-empty generations (zero-span corpus): a typed
+        // empty base — the store's partial schema is fixed by protocol
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("shingle", LongType),
+            StructField("n_docs", LongType))))
+      case pieces => pieces.reduce(_.unionByName(_))
+        .groupBy(col("shingle")).agg(sum(col("n_docs")).as("n_docs"))
+    }
+    val carried = spark.read
+      .parquet(retired.map(k => s"$dir/doc_ids/ingest=$k"): _*)
+    // deterministic key: same retired set + same generation → same key,
+    // so a crashed merge's retry overwrites its own orphan (no data
+    // read needed — the retired names already identify the content)
+    val gen = keys.map(StoreProtocol.genOf).max + 1
+    val key = s"r${gen}_${StoreProtocol.keyHash(retired)}"
+    StoreProtocol.writeLsmBase(merged, "shingle",
+      s"$dir/span_docs/ingest=$key", buckets)
+    carried.write.mode("overwrite").parquet(s"$dir/doc_ids/ingest=$key")
+    StoreProtocol.commitIncremental(fs, root, Seq("span_docs", "doc_ids"),
+      key, retired)
+    // live older generations' copies of the buckets the new generation
+    // now owns are stale — sweep them (reads ignore them either way)
+    StoreProtocol.sweepStaleBuckets(fs, s"$dir/span_docs", live :+ key)
+    live.length + 1
+  }
 
   /** Retract documents: their span counts decrement EXACTLY (recomputed
     * from `retracted`'s text — which must be the text as ingested; a

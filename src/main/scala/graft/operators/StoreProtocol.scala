@@ -43,6 +43,164 @@ private[graft] object StoreProtocol {
       .filterNot(n => n.startsWith(".") || n.startsWith("_"))
   }
 
+  /** The generation number of an ingest key — the digits after the
+    * letter prefix (`i7_…`/`r12_…` span/graph keys, `retained_3` gate
+    * keys, `5_…` raw batch keys all parse). −1 for a key with no digits
+    * (never minted by graft writers; sorts before everything so a
+    * foreign dir cannot shadow a real generation).
+    */
+  def genOf(key: String): Int = {
+    val d = key.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+    if (d.isEmpty) -1 else d.toInt
+  }
+
+  // ------------------------------------- incremental-consolidation flip
+  //
+  // The swap protocol above replaces a WHOLE directory — correct, but a
+  // consolidation that rides it rewrites every committed row per fold,
+  // and the r14 depth trigger fires one automatically every ~64 ingests:
+  // amortized O(corpus/64) per batch, the last corpus-sized per-batch
+  // term (r14 verdict #1). The incremental protocol below lands a
+  // consolidation as a NEW INGEST inside the live store instead:
+  //
+  //   1. write the new generation's dirs UNMARKED (invisible — the
+  //      orphan sweep covers a crash here);
+  //   2. write `_supersedes/<newKey>` listing the keys the generation
+  //      replaces (still invisible: only a COMMITTED key's note counts);
+  //   3. create `_commits/<newKey>` — THE atomic flip: one rename-free
+  //      file creation makes the new generation visible and hides every
+  //      retired key at the same instant, so no reader ever sees a row
+  //      twice (the flat partial AND its merged copy) or zero times;
+  //   4. clean up: retired markers first, then the note, then the dirs —
+  //      every prefix of that order is a correct on-disk state, and
+  //      [[sweepSuperseded]] re-runs an interrupted cleanup at the next
+  //      consolidation.
+  //
+  // Readers switch from [[committedKeys]] to [[visibleKeys]]; stores
+  // that never consolidate incrementally have no `_supersedes` dir and
+  // read identically (one exists() probe).
+
+  private def supersedesDir(root: Path) = new Path(root, "_supersedes")
+
+  /** Committed keys minus those retired by a committed key's supersede
+    * note — what every reader of an incrementally-consolidated store
+    * must use in place of [[committedKeys]].
+    */
+  def visibleKeys(fs: FileSystem, root: Path): Seq[String] = {
+    val committed = committedKeys(fs, root)
+    val sup = supersedesDir(root)
+    if (committed.isEmpty || !fs.exists(sup)) committed
+    else {
+      val cset = committed.toSet
+      val retired = fs.listStatus(sup).toSeq
+        .filter(s => cset.contains(s.getPath.getName))
+        .flatMap(s => readTextLines(fs, s.getPath)).toSet
+      committed.filterNot(retired)
+    }
+  }
+
+  /** Flip an incremental consolidation live: supersede note, commit
+    * marker (the atomic instant), then cleanup of the retired keys'
+    * markers, note and `tables` dirs. The new generation's dirs must be
+    * fully written (unmarked) before calling.
+    */
+  def commitIncremental(fs: FileSystem, root: Path, tables: Seq[String],
+                        newKey: String, retired: Seq[String]): Unit = {
+    require(retired.nonEmpty, "commitIncremental: nothing to retire")
+    fs.mkdirs(supersedesDir(root))
+    writeTextFile(fs, new Path(supersedesDir(root), newKey), retired)
+    fs.mkdirs(new Path(root, "_commits"))
+    fs.create(new Path(root, s"_commits/$newKey"), true).close()
+    cleanupRetired(fs, root, tables, newKey, retired)
+  }
+
+  /** The cleanup tail of [[commitIncremental]], idempotent and safe to
+    * re-run after a crash at any point: ALL retired markers go before
+    * the note (a note outliving its targets' markers is harmless; the
+    * reverse would resurrect them), dirs go last (unmarked dirs are
+    * invisible and orphan-swept anyway).
+    */
+  def cleanupRetired(fs: FileSystem, root: Path, tables: Seq[String],
+                     newKey: String, retired: Seq[String]): Unit = {
+    retired.foreach { k =>
+      fs.delete(new Path(root, s"_commits/$k"), false)
+      // a retired key may carry its own (already-applied) note
+      fs.delete(new Path(supersedesDir(root), k), false)
+    }
+    fs.delete(new Path(supersedesDir(root), newKey), false)
+    retired.foreach { k =>
+      tables.foreach(t =>
+        fs.delete(new Path(root, s"$t/ingest=$k"), true))
+    }
+    ()
+  }
+
+  /** Re-run any interrupted [[cleanupRetired]]: a committed key whose
+    * note survives may have retired keys with live markers (hidden by
+    * the note, but one lost note away from double-reading). Writers call
+    * this at consolidation start, inside their lease.
+    */
+  def sweepSuperseded(fs: FileSystem, root: Path,
+                      tables: Seq[String]): Unit = {
+    val sup = supersedesDir(root)
+    if (fs.exists(sup)) {
+      val committed = committedKeys(fs, root).toSet
+      fs.listStatus(sup).foreach { s =>
+        val k = s.getPath.getName
+        if (committed.contains(k))
+          cleanupRetired(fs, root, tables, k, readTextLines(fs, s.getPath))
+        else fs.delete(s.getPath, false) // note of a never-committed key
+      }
+    }
+  }
+
+  /** Delete older generations' copies of buckets a newer generation
+    * owns — the leftovers an interrupted post-commit sweep leaves (reads
+    * never see them: newest-wins in [[readLsm]]). `keys` are the live
+    * BUCKETED generations of `tableDir`.
+    */
+  def sweepStaleBuckets(fs: FileSystem, tableDir: String,
+                        keys: Seq[String]): Unit = {
+    val listed = keys.flatMap { k =>
+      val d = new Path(s"$tableDir/ingest=$k")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+        .map(e => (e.getPath.getName.stripPrefix("bucket=").toInt,
+          genOf(k), k, e.getPath))
+    }
+    listed.groupBy(_._1).values.foreach { owners =>
+      if (owners.length > 1) {
+        val newest = owners.maxBy(o => (o._2, o._3))
+        owners.filterNot(_ eq newest).foreach(o => fs.delete(o._4, true))
+      }
+    }
+  }
+
+  /** Deterministic 12-hex content hash of a key set — the suffix of an
+    * incremental consolidation's generation key (same retired set + same
+    * generation → same key, so a crashed merge's retry overwrites its
+    * own orphan).
+    */
+  def keyHash(keys: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(keys.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  private def writeTextFile(fs: FileSystem, p: Path,
+                            lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readTextLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
   /** The pinned bloom fpp of a store's meta frame — the `bloom_fpp`
     * column when present, else the historical 1e-4 default (pre-pinning
     * stores). ONE implementation: the serving stack, the incremental
@@ -93,6 +251,16 @@ private[graft] object StoreProtocol {
     */
   val WideLsmBuckets = 4096
 
+  /** Cap on live base GENERATIONS: each incremental consolidation adds
+    * one (the flat tail merges into a new generation, untouched buckets
+    * stay in the old), so an uncapped chain would re-grow the per-read
+    * listing count the fold exists to bound. When a consolidation would
+    * exceed the cap it folds the OLDEST generations back into the new
+    * one — tiered merging: the occasional rewrite is proportional to
+    * those generations' own footprint, never triggered per batch.
+    */
+  val MaxBaseGens = 8
+
   /** The pinned bucket count of a store's meta frame — `lsm_buckets`
     * when present, else the historical 256 (pre-parameterization
     * stores, whose compacted base is mod-256 on disk). ONE
@@ -107,14 +275,19 @@ private[graft] object StoreProtocol {
 
   /** Split committed ingests of `tableDir` (e.g. `<dir>/span_docs`) by
     * on-disk layout — (bucketed base, flat tail). Self-describing: one
-    * directory listing per ingest, no meta versioning to drift.
+    * directory listing per ingest, no meta versioning to drift. An
+    * ingest counts as bucketed when it has `bucket=` dirs OR the
+    * `_lsm_buckets_` marker alone — a generation whose buckets all
+    * migrated to newer generations (or whose merge was empty) keeps its
+    * marker so it never reads as a flat partial.
     */
   def splitLsmLayout(fs: FileSystem, tableDir: String,
                      committed: Seq[String]): (Seq[String], Seq[String]) =
     committed.partition { k =>
       val d = new Path(s"$tableDir/ingest=$k")
       fs.exists(d) && fs.listStatus(d).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        (s.isDirectory && s.getPath.getName.startsWith("bucket=")) ||
+          s.getPath.getName.startsWith("_lsm_buckets_"))
     }
 
   /** The committed rows of an LSM table, with the bucketed base pruned
@@ -136,12 +309,22 @@ private[graft] object StoreProtocol {
     // ONE listing per ingest dir serves both the layout split and the
     // modulus guard (r14 review: the split + a separate guard listing
     // doubled LIST round-trips per pruned read — 4096-entry listings on
-    // the probe hot path)
+    // the probe hot path). A committed key whose table dir is missing
+    // (hand-pruned or partially copied store) fails with a named,
+    // actionable error instead of a raw FileNotFoundException (r14
+    // advice) — splitLsmLayout's exists-guard discipline.
     val listed = committed.map { k =>
-      (k, fs.listStatus(new Path(s"$tableDir/ingest=$k")))
+      val d = new Path(s"$tableDir/ingest=$k")
+      require(fs.exists(d),
+        s"readLsm: committed ingest '$k' has no table dir at $d — the " +
+          "store was hand-pruned or partially copied; restore the dir " +
+          s"or remove its _commits marker before reading $tableDir")
+      (k, fs.listStatus(d))
     }
     val (bucketedL, flatL) = listed.partition { case (_, st) =>
-      st.exists(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+      st.exists(e =>
+        (e.isDirectory && e.getPath.getName.startsWith("bucket=")) ||
+          e.getPath.getName.startsWith("_lsm_buckets_"))
     }
     if (touched.isDefined) bucketedL.foreach { case (k, st) =>
       verifyLsmModulus(st, s"$tableDir/ingest=$k", buckets)
@@ -156,14 +339,31 @@ private[graft] object StoreProtocol {
     // default). Leaf addressing costs one listing per TOUCHED dir
     // instead; the partition column is implied by the path and never
     // selected, so nothing is lost.
+    //
+    // NEWEST WINS per bucket across base GENERATIONS: an incremental
+    // consolidation rewrites only the touched buckets into a new, higher
+    // generation, leaving the untouched dirs byte-identical in the older
+    // one — so a bucket present in several generations is authoritative
+    // only at the highest (an older copy is the stale leftover of an
+    // interrupted post-commit sweep; reading both would double-count).
     val tset = touched.map(_.toSet)
-    val leafDirs = bucketedL.flatMap { case (_, st) =>
-      st.filter(e =>
-          e.isDirectory && e.getPath.getName.startsWith("bucket=") &&
-          tset.forall(_.contains(
-            e.getPath.getName.stripPrefix("bucket=").toInt)))
-        .map(_.getPath.toString)
+    val chosen = scala.collection.mutable.Map
+      .empty[Int, (Int, String, String)] // bucket -> (gen, key, path)
+    bucketedL.foreach { case (k, st) =>
+      val g = genOf(k)
+      st.foreach { e =>
+        if (e.isDirectory && e.getPath.getName.startsWith("bucket=")) {
+          val b = e.getPath.getName.stripPrefix("bucket=").toInt
+          if (tset.forall(_.contains(b))) {
+            val better = chosen.get(b).forall { case (cg, ck, _) =>
+              g > cg || (g == cg && k > ck)
+            }
+            if (better) chosen(b) = (g, k, e.getPath.toString)
+          }
+        }
+      }
     }
+    val leafDirs = chosen.values.map(_._3).toSeq
     val reads = Seq(
       if (flat.isEmpty) None
       else Some(spark.read
@@ -176,13 +376,17 @@ private[graft] object StoreProtocol {
     else {
       // every committed row is bucketed and the probe touches only
       // ABSENT buckets: an empty frame with the store's schema, typed
-      // off any existing leaf (a bucketed ingest has ≥ 1 bucket dir by
-      // construction — splitLsmLayout classified it on that evidence)
+      // off any existing leaf
       val any = bucketedL.flatMap { case (_, st) =>
         st.filter(e =>
             e.isDirectory && e.getPath.getName.startsWith("bucket="))
           .map(_.getPath.toString)
       }
+      require(any.nonEmpty,
+        s"readLsm: $tableDir holds only marker-empty bucketed ingests " +
+          "(no bucket dir anywhere to type an empty frame from) — the " +
+          "store has no data rows; callers must guard committed.nonEmpty " +
+          "against stores whose every ingest was empty")
       spark.read.parquet(any.head).select(cols: _*).limit(0)
     }
   }
@@ -255,9 +459,17 @@ private[graft] object StoreProtocol {
     df.withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    val p = new Path(path, s"_lsm_buckets_$buckets")
-    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .create(p, true).close()
+    val fs = new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // an EMPTY base (every ingested row merged away / zero-span corpus)
+    // writes no bucket dirs under partitionBy — land one schema-bearing
+    // empty dir so readers can always type an empty frame off a leaf
+    val hasLeaf = fs.listStatus(new Path(path)).exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith("bucket="))
+    if (!hasLeaf)
+      df.limit(0).drop("bucket").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/bucket=0")
+    fs.create(new Path(path, s"_lsm_buckets_$buckets"), true).close()
   }
 
   /** Replace `path` with the fully-written `tmp` through the `__old`

@@ -145,19 +145,33 @@ object CuratePipeline {
           .filter(length(col("text")) > 0))
 
     // 5 — decontamination: drop docs sharing 8-gram shingles with the
-    // "benchmark" (stand-in: the 1% lowest-hash sample of the corpus)
+    // "benchmark" (stand-in: the 1% lowest-hash sample of the corpus).
+    // With the source-rank gate ON, the corpus-scale shingle explode is
+    // paid ONCE and shared with the gate's projection (r14 verdict #3 —
+    // the gate used to re-explode the same documents right after this
+    // stage): materialized via localCheckpoint (spill-backed blocks,
+    // O(corpus shingles) storage traded for the second full pass), and
+    // only materialized when something reuses it. sourceRank's source-
+    // similarity is hash-family-agnostic (its projection distincts
+    // (shingle, source) pairs), so the decontam stream serves both.
     val bench = CorpusOps.sampleByHash(canon, "doc_id", rate = 0.01)
-    val dirty = Decontam.overlap(fuzzy, bench, "text", "doc_id", k = 8)
+    val sharedShingles = sourceRankCap.map(_ =>
+      Dedup.shingleHashes(fuzzy, "text", "doc_id", 8).localCheckpoint(true))
+    val dirty = Decontam.overlap(fuzzy, bench, "text", "doc_id", k = 8,
+        corpusShingles = sharedShingles)
       .filter(col("doc_id").isNotNull).select("doc_id")
       .except(bench.select("doc_id")) // the bench docs themselves stay
     val clean = record("decontaminated", fuzzy.join(dirty, Seq("doc_id"), "left_anti"))
 
     // 5b (optional) — source-graph quality gate (see the sourceRankCap
-    // scaladoc): hub sources' documents drop, count-visible as a stage
+    // scaladoc): hub sources' documents drop, count-visible as a stage.
+    // The shared stream covers the FUZZY set ⊇ clean; sourceRank's own
+    // id join restricts it to the docs it is given.
     val gated = sourceRankCap match {
       case None => clean
       case Some(cap) =>
-        val hubs = CorpusOps.sourceRank(clean, "text", "doc_id", "source")
+        val hubs = CorpusOps.sourceRank(clean, "text", "doc_id", "source",
+            spans = sharedShingles)
           .filter(col("rank") >= cap).select("source")
         record("source_rank_gate",
           clean.join(broadcast(hubs), Seq("source"), "left_anti"))

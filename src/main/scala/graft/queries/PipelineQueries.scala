@@ -2842,7 +2842,76 @@ ORDER BY doc_id""")
              FROM rc)
            WHERE chunk_text <> '')"""
 
+  /** The store-health datasheet ([[graft.operators.StoreHealth]], r14
+    * verdict #4) over four lanes built IN-QUERY from literal batches —
+    * deliberately sf-independent: the readout is protocol facts (ingest
+    * counts, layouts, pinned moduli, gate id counts), not data volume,
+    * so the oracle is the expected datasheet as a VALUES literal. A span
+    * store folded once with a fresh flat tail, a graph store with its
+    * chain un-folded (one merge visible as remap_depth), a decontam gate
+    * store folded to its bucketed id base, and a lane whose store does
+    * not exist yet (the dashboard shows it, never crashes). Lease
+    * columns are null by construction here (every operator releases) —
+    * the wall-clock-dependent faces (live holder, `__lease_risk`) are
+    * spec-pinned instead (StoreHealthSpec).
+    */
+  def storeHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q_health").toString
+    val span = s"$base/span"
+    graft.operators.SpanStore.append(s, span,
+      Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8, lsmBuckets = 16)
+    graft.operators.SpanStore.append(s, span,
+      Seq((2L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    graft.operators.SpanStore.compact(s, span)
+    graft.operators.SpanStore.append(s, span,
+      Seq((3L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    val graph = s"$base/graph"
+    graft.operators.GraphStore.append(s, graph,
+      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), lsmBuckets = 32)
+    graft.operators.GraphStore.append(s, graph,
+      Seq((2L, 10L)).toDF("a", "b"))
+    val gate = s"$base/gate"
+    val fs = new org.apache.hadoop.fs.Path(gate)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+      .write.parquet(s"$gate/docs/ingest=0_aa")
+    Seq((3L, "z")).toDF("doc_id", "text")
+      .write.parquet(s"$gate/docs/ingest=1_bb")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gate/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$gate/_commits/0_aa"), true)
+      .close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$gate/_commits/1_bb"), true)
+      .close()
+    graft.streaming.IncrementalStream.compactDecontamCorpus(s, gate)
+    graft.operators.StoreHealth.scan(s, Seq(
+        ("span", span), ("graph", graph), ("gate", gate),
+        ("pending", s"$base/pending")))
+      .orderBy("store")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    // store_health: the datasheet is fully determined by the literal
+    // build flow above — counts of ingests and layouts, the pinned
+    // moduli, the exact gate id count; nothing wall-clock-dependent
+    "store_health" ->
+      """SELECT * FROM (VALUES
+           ('gate',    1, 1, 0, 1, 0, 0, 4096,
+            CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+           ('graph',   2, 2, 2, 0, 1, 0, 32,
+            CAST(NULL AS BIGINT), NULL, NULL),
+           ('pending', 0, 0, 0, 0, 0, 0, CAST(NULL AS INTEGER),
+            CAST(NULL AS BIGINT), NULL, NULL),
+           ('span',    2, 2, 1, 1, 0, 0, 16,
+            CAST(NULL AS BIGINT), NULL, NULL)
+         ) AS t(store, committed_ingests, visible_ingests, flat_tail,
+                base_generations, remap_depth, pending_supersedes,
+                lsm_buckets, committed_ids, lease_holder, lease_risk_holder)
+         ORDER BY store""",
     // the build's per-stage row counts, each independently derivable:
     // the chunker replay, the postings aggregate over it, and the
     // hashEmbed chain's row count (hashEmbed emits no row for token-less
@@ -5318,6 +5387,7 @@ ORDER BY doc_id""")
     "corpus_pipeline_spanmask" -> (corpusPipelineSpanmask _),
     "corpus_dsir" -> (corpusDsir _),
     "text_naive_bayes" -> (textNaiveBayes _),
+    "store_health" -> (storeHealth _),
     "warehouse_diff" -> (warehouseDiff _),
     "warehouse_forget" -> (warehouseForget _),
     "warehouse_profile" -> (warehouseProfile _),

@@ -304,6 +304,27 @@ object ReferenceQueries {
     graft.operators.GraphStore.labels(s, store).orderBy("node")
   }
 
+  /** Coreness at READ time over the persisted store's complete edge log
+    * ([[graft.operators.GraphStore.coreness]], r14 verdict #5) — the
+    * store built by split appends (the `graph_components_incremental`
+    * lifecycle) plus one REPLAYED batch, pinning that the duplicate
+    * edges-only ingest cannot inflate core numbers (the log
+    * distinct-collapses before peeling). ≡ the one-shot
+    * [[graft.operators.Graph.coreness]] on the same edges, so the
+    * oracle is `graph_coreness`'s verbatim (the persisted-twin
+    * convention).
+    */
+  def graphCorenessIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseGraphEdges(s, dir).localCheckpoint(true)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q_corestore").toString + "/store"
+    val split = pmod(xxhash64(col("src"), col("dst")), lit(2))
+    graft.operators.GraphStore.append(s, store, e.filter(split === 0), "node")
+    graft.operators.GraphStore.append(s, store, e.filter(split === 1), "node")
+    graft.operators.GraphStore.append(s, store, e.filter(split === 1), "node")
+    graft.operators.GraphStore.coreness(s, store).orderBy("node")
+  }
+
   /** The co-purchase ITEM graph: items whose purchaser sets share ≥ 2
     * users (hub-capped inverted index), one undirected edge per
     * qualifying pair — the unipartite projection the triangle and
@@ -1373,6 +1394,9 @@ object ReferenceQueries {
     "graph_components_incremental" -> graphComponentsSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_coreness" -> graphCorenessSql,
+    // the persisted edge log distinct-collapses to the same graph —
+    // oracle shared verbatim (the persisted-twin convention)
+    "graph_coreness_incremental" -> graphCorenessSql,
     "graph_bfs" -> (graphEdgeCtes + """,
          s AS (SELECT min(node) AS node FROM nodes),
          walk(node, dist) AS (
@@ -1965,6 +1989,7 @@ object ReferenceQueries {
     "graph_components_incremental" -> (graphComponentsIncremental _),
     "graph_kcore" -> (graphKcore _),
     "graph_coreness" -> (graphCoreness _),
+    "graph_coreness_incremental" -> (graphCorenessIncremental _),
     "graph_bfs" -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_item_sim" -> (graphItemSim _),

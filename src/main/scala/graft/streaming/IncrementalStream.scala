@@ -360,7 +360,7 @@ object IncrementalStream {
                              // whole corpus at __old — restore it first
           val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
           val committed: Seq[String] =
-            graft.operators.StoreProtocol.committedKeys(fs, root)
+            graft.operators.StoreProtocol.visibleKeys(fs, root)
           var pinned = List.empty[DataFrame]
           def pin(df: DataFrame): DataFrame = { pinned ::= df.cache(); df }
           try {
@@ -447,7 +447,7 @@ object IncrementalStream {
                              // the whole state at __old — restore it first
           val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
           val committed: Seq[String] =
-            graft.operators.StoreProtocol.committedKeys(fs, root)
+            graft.operators.StoreProtocol.visibleKeys(fs, root)
           def partDirs(table: String): Seq[String] =
             committed.map(key => s"$stateDir/$table/ingest=$key")
           // this batch's OWN pinned frames, released in finally — scoped
@@ -568,54 +568,93 @@ object IncrementalStream {
     * An empty batch short-circuits to an empty frame. A base whose
     * bucket dirs exceed the pinned modulus refuses loudly (the readLsm
     * guard — a silently mis-pruned gate would re-admit committed docs).
+    *
+    * READ POLICY (r14 verdict #2): the bucketed base is not free — leaf
+    * addressing opens one file set per touched dir, a measured
+    * 2.3–3.8 s constant — while the flat docs scan costs ∝ corpus but
+    * starts at ~0.7 s. Below the measured crossover
+    * ([[GateFlatScanCrossoverIds]], ~4–8M ids locally) the per-batch
+    * choice therefore falls back to ONE range-pruned scan of every
+    * visible key's docs ids; at or above it (or when the committed
+    * count is unknown — old stores' gate_meta predates the counter) the
+    * scatter-proof leaf prune wins. `gate_meta.committed_ids` is
+    * maintained exactly by the fold (the K2 gate makes tail ids new by
+    * construction), advisory by protocol: a stale count mis-prices a
+    * read, never mis-answers it.
     */
   private[graft] def gateCommittedIds(batch: DataFrame, sp: SparkSession,
                                       storeDir: String,
                                       committed: Seq[String],
                                       idCol: String,
-                                      textCol: String): DataFrame = {
+                                      textCol: String,
+                                      flatScanCrossoverIds: Long =
+                                        GateFlatScanCrossoverIds): DataFrame = {
     val w = batch.agg(min(col(idCol)), max(col(idCol))).head()
     if (w.isNullAt(0)) return batch.select(col(idCol), col(textCol)).limit(0)
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val (indexed, flat) = committed.partition(k =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k")))
-    val reads = Seq(
-      if (flat.isEmpty) None
-      else Some(sp.read
-        .parquet(flat.map(k => s"$storeDir/docs/ingest=$k"): _*)
-        .select(col(idCol))),
-      if (indexed.isEmpty) None
-      else {
-        val buckets = gateBucketsOf(sp, fs, storeDir)
-        val listedIdx = indexed.map { k =>
-          (k, fs.listStatus(new org.apache.hadoop.fs.Path(
-            s"$storeDir/gate_ids/ingest=$k")).toSeq)
-        }
-        // the shared two-way modulus guard (marker + dir bound) on the
-        // one listing per base — a mis-moduled prune would re-admit
-        // committed docs
-        listedIdx.foreach { case (k, st) =>
-          graft.operators.StoreProtocol.verifyLsmModulus(st,
-            s"$storeDir/gate_ids/ingest=$k", buckets)
-        }
-        val touched = batch
-          .select(gateBucketExpr(col(idCol), buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        // LEAF bucket dirs addressed directly off the listing in hand —
-        // partition discovery over a 4096-dir base costs seconds per
-        // read no matter how few buckets the batch touches (the readLsm
-        // lesson); a touched bucket with no dir holds nothing to veto
-        val leaf = listedIdx.flatMap { case (_, st) =>
-          st.filter(e =>
-              e.isDirectory && e.getPath.getName.startsWith("bucket=") &&
-              touched.contains(
-                e.getPath.getName.stripPrefix("bucket=").toInt))
-            .map(_.getPath.toString)
-        }
-        if (leaf.isEmpty) None
-        else Some(sp.read.parquet(leaf: _*).select(col(idCol)))
-      }).flatten
+    val baseWins = indexed.nonEmpty &&
+      gateMetaIdCount(sp, fs, storeDir).forall(_ >= flatScanCrossoverIds)
+    val reads =
+      if (indexed.nonEmpty && !baseWins)
+        // below the crossover: one pruned scan over every visible key's
+        // docs ids (the indexed keys' docs are their folded tables) —
+        // row-group stats take the between() window
+        Seq(sp.read
+          .parquet(committed.map(k => s"$storeDir/docs/ingest=$k"): _*)
+          .select(col(idCol)))
+      else Seq(
+        if (flat.isEmpty) None
+        else Some(sp.read
+          .parquet(flat.map(k => s"$storeDir/docs/ingest=$k"): _*)
+          .select(col(idCol))),
+        if (indexed.isEmpty) None
+        else {
+          val buckets = gateBucketsOf(sp, fs, storeDir)
+          val listedIdx = indexed.map { k =>
+            (k, fs.listStatus(new org.apache.hadoop.fs.Path(
+              s"$storeDir/gate_ids/ingest=$k")).toSeq)
+          }
+          // the shared two-way modulus guard (marker + dir bound) on the
+          // one listing per base — a mis-moduled prune would re-admit
+          // committed docs
+          listedIdx.foreach { case (k, st) =>
+            graft.operators.StoreProtocol.verifyLsmModulus(st,
+              s"$storeDir/gate_ids/ingest=$k", buckets)
+          }
+          val touched = batch
+            .select(gateBucketExpr(col(idCol), buckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          // LEAF bucket dirs addressed directly off the listing in hand —
+          // partition discovery over a 4096-dir base costs seconds per
+          // read no matter how few buckets the batch touches (the readLsm
+          // lesson); a touched bucket with no dir holds nothing to veto.
+          // NEWEST generation wins per bucket: an incremental fold
+          // rewrites touched buckets into a higher generation and an
+          // interrupted sweep can leave the older copy behind (duplicate
+          // ids would not mis-gate, but reading them is waste)
+          val chosen = scala.collection.mutable.Map
+            .empty[Int, (Int, String, String)]
+          listedIdx.foreach { case (k, st) =>
+            val g = graft.operators.StoreProtocol.genOf(k)
+            st.foreach { e =>
+              if (e.isDirectory && e.getPath.getName.startsWith("bucket=")) {
+                val b = e.getPath.getName.stripPrefix("bucket=").toInt
+                if (touched.contains(b)) {
+                  val better = chosen.get(b).forall { case (cg, ck, _) =>
+                    g > cg || (g == cg && k > ck)
+                  }
+                  if (better) chosen(b) = (g, k, e.getPath.toString)
+                }
+              }
+            }
+          }
+          val leaf = chosen.values.map(_._3).toSeq
+          if (leaf.isEmpty) None
+          else Some(sp.read.parquet(leaf: _*).select(col(idCol)))
+        }).flatten
     if (reads.isEmpty)
       // nothing committed overlaps the batch's touched buckets: no veto
       batch.select(col(idCol), col(textCol))
@@ -626,6 +665,15 @@ object IncrementalStream {
     }
   }
 
+  /** The measured flat-vs-bucketed crossover for the committed-id gate
+    * (ProbeIngestGate, r14: flat scan 0.7–1.7 s growing with corpus;
+    * leaf addressing 2.3–3.8 s flat; curves cross at ~4–8M committed
+    * ids on local[32]). Stores below it gate faster through one pruned
+    * docs scan; above it the bucketed base's distribution-independent
+    * bound wins.
+    */
+  val GateFlatScanCrossoverIds = 4000000L
+
   /** The gate's bucket assignment: hash-then-mod, NOT the bare key mod
     * of the node/shingle stores — gate ids are caller-typed (strings
     * included) and often sequential, and xxhash64 gives both a total
@@ -635,20 +683,43 @@ object IncrementalStream {
                              buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(id.cast("string")), lit(buckets.toLong)).cast("int")
 
-  /** The pinned modulus of a gate store's compacted base (`gate_meta`,
-    * written in the same swap as every base) — defaulting is safe: a
-    * store with no meta has no bucketed base to prune.
+  /** The pinned modulus of a gate store's compacted base. `gate_ids`
+    * and `gate_meta` land together (one swap or one fold), so a base
+    * without its meta is a protocol violation — pruning it under a
+    * GUESSED modulus could silently re-admit committed docs, the one
+    * failure mode worse than refusing. Callers reach here only when
+    * indexed ingests exist (r14 advice: fail loudly, don't default).
     */
   private def gateBucketsOf(sp: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             storeDir: String): Int = {
     val m = new org.apache.hadoop.fs.Path(s"$storeDir/gate_meta")
-    if (!fs.exists(m)) graft.operators.StoreProtocol.WideLsmBuckets
-    else graft.operators.StoreProtocol
+    require(fs.exists(m),
+      s"$storeDir has a gate_ids base but no gate_meta — they land " +
+        "together by protocol, so the meta was deleted out of band; " +
+        "re-compact the store (compactDecontamCorpus/compactFuzzyState) " +
+        "rather than guessing the base's modulus")
+    graft.operators.StoreProtocol
       .pinnedLsmBuckets(sp.read.parquet(m.toString))
   }
 
-  /** Committed ingests of a gate store still lacking a `gate_ids` base
+  /** The exact committed-id count `gate_meta` carries for the read
+    * policy — None when the meta (or the column) predates the counter;
+    * the policy then defaults to the scatter-proof bucketed path.
+    */
+  private def gateMetaIdCount(sp: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              storeDir: String): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(s"$storeDir/gate_meta")
+    if (!fs.exists(m)) None
+    else {
+      val meta = sp.read.parquet(m.toString)
+      if (!meta.schema.fieldNames.contains("committed_ids")) None
+      else Some(meta.head().getLong(meta.schema.fieldIndex("committed_ids")))
+    }
+  }
+
+  /** Visible ingests of a gate store still lacking a `gate_ids` base
     * — the flat-tail depth the lanes' compaction policy bounds. One
     * directory listing per batch.
     */
@@ -656,65 +727,133 @@ object IncrementalStream {
                                      storeDir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    graft.operators.StoreProtocol.committedKeys(fs, root)
+    graft.operators.StoreProtocol.visibleKeys(fs, root)
       .count(k => !fs.exists(
         new org.apache.hadoop.fs.Path(s"$storeDir/gate_ids/ingest=$k")))
   }
 
-  /** Fold a gate store's per-batch ingests into ONE `retained_<n>`
-    * ingest per table and build the bucketed `gate_ids` base beside it
-    * (+ `gate_meta` pinning the modulus), all landed by the
-    * whole-directory swap. `tables` lists the marker-shared tables
-    * (decontam: docs; fuzzy: docs/bands/shingles — they share one
-    * commit key, so they must fold together or readers lose dirs).
-    * Returns (ingests before, after).
+  /** Fold a gate store's flat per-batch ingests into the bucketed
+    * `gate_ids` base. `tables` lists the marker-shared tables (decontam:
+    * docs; fuzzy: docs/bands/shingles — they share one commit key, so
+    * they must fold together or readers lose dirs). Returns (visible
+    * ingests before, after).
+    *
+    * BUCKET-SCOPED like the span/graph folds (r14 verdict #1): the tail
+    * keys' tables concatenate into one new `retained_<gen>_<hash>`
+    * ingest (O(tail) — the key is monotone + content-hashed, so two
+    * successive folds can never reuse one key: r14 advice), its ids
+    * merge into ONLY the `gate_ids` buckets they hash to (a new
+    * generation; untouched bucket dirs stay byte-identical), and the
+    * supersede flip retires the tail atomically
+    * ([[graft.operators.StoreProtocol.commitIncremental]]). Oldest
+    * generations beyond [[graft.operators.StoreProtocol.MaxBaseGens]]
+    * fold back in (tiered). `gate_meta.committed_ids` updates exactly —
+    * the K2 gate makes every tail id new by construction, so the count
+    * is prior + tail (seeded by one full count on a pre-counter store);
+    * it is written BEFORE the flip (a crash leaves an overcount on an
+    * invisible generation — the meta is advisory, the modulus constant).
     */
   private def consolidateGateStore(sp: SparkSession, dir: String,
-                                   tables: Seq[String],
-                                   idCol: String): (Int, Int) = {
+                                   tables: Seq[String], idCol: String,
+                                   maxGens: Int): (Int, Int) = {
+    val proto = graft.operators.StoreProtocol
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     healSwap(fs, root)
-    val committed = graft.operators.StoreProtocol.committedKeys(fs, root)
-    val before = committed.length
-    val alreadyCompact = before == 1 && fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=${committed.head}"))
-    if (before == 0 || alreadyCompact) return (before, before)
-    val key = s"retained_$before" // the forgetFuzzyState key convention
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
-    fs.delete(tmp, true)
+    proto.sweepSuperseded(fs, root, tables :+ "gate_ids")
+    val visible = proto.visibleKeys(fs, root)
+    val before = visible.length
+    if (before == 0) return (0, 0)
+    val (indexed, flat) = visible.partition(k => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=$k")))
+    val gens = indexed.sortBy(k => (proto.genOf(k), k))
+    if (gens.nonEmpty) proto.sweepStaleBuckets(fs, s"$dir/gate_ids", gens)
+    if (flat.isEmpty && gens.length <= maxGens)
+      return (before, before)
+    val buckets =
+      if (gens.isEmpty) proto.WideLsmBuckets else gateBucketsOf(sp, fs, dir)
+    val keep = math.max(maxGens - 1, 0)
+    val folded =
+      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    val retired = flat ++ folded
+    val live = gens.drop(folded.length)
+    val gen = visible.map(proto.genOf).max + 1
+    val key = s"retained_${gen}_${proto.keyHash(retired)}"
     tables.foreach { t =>
-      sp.read.parquet(committed.map(k => s"$dir/$t/ingest=$k"): _*)
-        .write.mode("overwrite").parquet(s"$tmp/$t/ingest=$key")
+      sp.read.parquet(retired.map(k => s"$dir/$t/ingest=$k"): _*)
+        .write.mode("overwrite").parquet(s"$dir/$t/ingest=$key")
     }
-    writeGateBase(sp, fs, tmp.toString, key,
-      sp.read.parquet(s"$tmp/docs/ingest=$key"), idCol)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
-    fs.create(new org.apache.hadoop.fs.Path(tmp, s"_commits/$key"), true)
-      .close()
-    graft.operators.StoreProtocol.swapInto(fs, tmp, root,
-      "consolidateGateStore")
-    (before, 1)
+    val tailIds =
+      if (flat.isEmpty) None
+      else Some(sp.read
+        .parquet(flat.map(k => s"$dir/docs/ingest=$k"): _*)
+        .select(col(idCol)).distinct().localCheckpoint(true))
+    val tailTouched = tailIds.map(
+        _.select(gateBucketExpr(col(idCol), buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq)
+      .getOrElse(Nil)
+    val foldedTouched = folded.flatMap { k =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=$k"))
+        .toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+    }
+    val touched = (tailTouched ++ foldedTouched).distinct
+    val baseTouched =
+      if (gens.isEmpty || touched.isEmpty) None
+      else Some(proto.readLsm(sp, fs, s"$dir/gate_ids", gens,
+        Seq(idCol), Some(touched), buckets))
+    val ids = (tailIds.toSeq ++ baseTouched.toSeq) match {
+      case Nil =>
+        // unreachable for a store with committed docs; typed off the
+        // just-written fold so the write below still lands a schema
+        sp.read.parquet(s"$dir/docs/ingest=$key").select(col(idCol)).limit(0)
+      case pieces => pieces.reduce(_.unionByName(_)).distinct()
+    }
+    proto.writeLsmBaseBy(ids, gateBucketExpr(col(idCol), buckets),
+      s"$dir/gate_ids/ingest=$key", buckets)
+    val tailCount = tailIds.map(_.count()).getOrElse(0L)
+    val total = gateMetaIdCount(sp, fs, dir) match {
+      case Some(prev) => prev + tailCount
+      case None if gens.isEmpty => tailCount
+      case None => // pre-counter store: one-time full seed
+        proto.readLsm(sp, fs, s"$dir/gate_ids", gens, Seq(idCol),
+          touched = None, buckets).count() + tailCount
+    }
+    writeGateMeta(sp, dir, buckets, total)
+    proto.commitIncremental(fs, root, tables :+ "gate_ids", key, retired)
+    proto.sweepStaleBuckets(fs, s"$dir/gate_ids", live :+ key)
+    (before, live.length + 1)
   }
 
-  /** Write the bucketed `gate_ids` base + pinning `gate_meta` for one
-    * retained ingest under a store STAGING dir — shared by the gate
-    * compaction and [[forgetFuzzyState]]'s rebuild (which must carry
-    * the base forward or one retraction silently reinstates the
-    * scattered-id full scan the base exists to prevent — r14 review).
+  /** Write the bucketed `gate_ids` base + `gate_meta` for one retained
+    * ingest under a store STAGING dir — [[forgetFuzzyState]]'s rebuild
+    * (which must carry the base forward or one retraction silently
+    * reinstates the scattered-id full scan the base exists to prevent —
+    * r14 review). The meta records the exact surviving id count for the
+    * read policy.
     */
   private def writeGateBase(sp: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             stagingDir: String, key: String,
                             docs: DataFrame, idCol: String): Unit = {
     val buckets = graft.operators.StoreProtocol.WideLsmBuckets
+    val ids = docs.select(col(idCol)).distinct().localCheckpoint(true)
     graft.operators.StoreProtocol.writeLsmBaseBy(
-      docs.select(col(idCol)).distinct(),
-      gateBucketExpr(col(idCol), buckets),
+      ids, gateBucketExpr(col(idCol), buckets),
       s"$stagingDir/gate_ids/ingest=$key", buckets)
+    writeGateMeta(sp, stagingDir, buckets, ids.count())
+  }
+
+  /** The gate store's pinned modulus + exact committed-id count, one
+    * row. Rewritten per fold — advisory for the count (the read policy),
+    * authoritative for the modulus (which never changes incrementally).
+    */
+  private def writeGateMeta(sp: SparkSession, storeDir: String,
+                            buckets: Int, committedIds: Long): Unit = {
     import sp.implicits._
-    Seq(buckets).toDF("lsm_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stagingDir/gate_meta")
+    Seq((buckets, committedIds)).toDF("lsm_buckets", "committed_ids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/gate_meta")
   }
 
   /** Compaction face of [[decontamIngest]]'s accepted-corpus store:
@@ -724,9 +863,11 @@ object IncrementalStream {
     * lane's own in-batch trigger passes through re-entrantly.
     */
   def compactDecontamCorpus(spark: SparkSession, outDir: String,
-                            idCol: String = "doc_id"): (Int, Int) =
+                            idCol: String = "doc_id",
+                            maxGens: Int =
+                              graft.operators.StoreProtocol.MaxBaseGens): (Int, Int) =
     graft.operators.Lease.withLease(spark, outDir, "compactDecontamCorpus") {
-      consolidateGateStore(spark, outDir, Seq("docs"), idCol)
+      consolidateGateStore(spark, outDir, Seq("docs"), idCol, maxGens)
     }
 
   /** Compaction face of [[fuzzyDedupIngest]]'s persisted state: all
@@ -736,10 +877,12 @@ object IncrementalStream {
     * partition count and makes the K2 gate prune by construction.
     */
   def compactFuzzyState(spark: SparkSession, stateDir: String,
-                        idCol: String = "doc_id"): (Int, Int) =
+                        idCol: String = "doc_id",
+                        maxGens: Int =
+                          graft.operators.StoreProtocol.MaxBaseGens): (Int, Int) =
     graft.operators.Lease.withLease(spark, stateDir, "compactFuzzyState") {
       consolidateGateStore(spark, stateDir,
-        Seq("docs", "bands", "shingles"), idCol)
+        Seq("docs", "bands", "shingles"), idCol, maxGens)
     }
 
   private def auditRunKey(spark: SparkSession, checkpointDir: String): String = {
@@ -763,7 +906,7 @@ object IncrementalStream {
                                  table: String): Int = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val keys = graft.operators.StoreProtocol.committedKeys(fs, root)
+    val keys = graft.operators.StoreProtocol.visibleKeys(fs, root)
     graft.operators.StoreProtocol
       .splitLsmLayout(fs, s"$storeDir/$table", keys)._2.length
   }
@@ -805,7 +948,7 @@ object IncrementalStream {
       val root = new org.apache.hadoop.fs.Path(stateDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       healSwap(fs, root)
-      val committed = graft.operators.StoreProtocol.committedKeys(fs, root)
+      val committed = graft.operators.StoreProtocol.visibleKeys(fs, root)
       def readState(table: String) = spark.read.parquet(
         committed.map(key => s"$stateDir/$table/ingest=$key"): _*)
       // expression form, not early returns — a non-local return from a
@@ -825,12 +968,17 @@ object IncrementalStream {
         fs.delete(tmp, true)
         val survivors = removed < docs.count()
         if (survivors) {
-          val gen = committed.length // retained_<n>: collision-free vs
-                                     // batch keys (digit + '_' prefixed)
+          // monotone generation + content hash: two successive rebuilds
+          // can never reuse one key (r14 advice — the old retained_<count>
+          // repeated after fold/grow/fold cycles)
+          val gen = committed
+            .map(graft.operators.StoreProtocol.genOf).max + 1
+          val retainedKey =
+            s"retained_${gen}_${graft.operators.StoreProtocol.keyHash(committed)}"
           Seq("docs", "bands", "shingles").foreach { table =>
             readState(table).join(keys, Seq(idCol), "left_anti")
               .write.mode("overwrite")
-              .parquet(s"$tmp/$table/ingest=retained_$gen")
+              .parquet(s"$tmp/$table/ingest=$retainedKey")
           }
           // the rebuild must CARRY the bucketed gate base forward (r14
           // review): the swap replaces the whole directory, and a
@@ -838,11 +986,11 @@ object IncrementalStream {
           // retraction would silently reinstate the scattered-id full
           // scan for every later batch until the depth trigger
           // re-compacts
-          writeGateBase(spark, fs, tmp.toString, s"retained_$gen",
-            spark.read.parquet(s"$tmp/docs/ingest=retained_$gen"), idCol)
+          writeGateBase(spark, fs, tmp.toString, retainedKey,
+            spark.read.parquet(s"$tmp/docs/ingest=$retainedKey"), idCol)
           fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "_commits"))
           fs.create(new org.apache.hadoop.fs.Path(tmp,
-            s"_commits/retained_$gen"), true).close()
+            s"_commits/$retainedKey"), true).close()
         } else {
           // everything retracted: an empty-committed state (no markers)
           // — readers treat it exactly like a fresh stateDir

@@ -164,6 +164,115 @@ class GraphStoreSpec extends SparkSpec {
     assert(labelsOf(dir) == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
   }
 
+  test("compact is BUCKET-SCOPED (r14 verdict #1): the tail folds into a " +
+    "new generation carrying ONE composed remap; untouched label files " +
+    "stay byte-identical; labels and lookups are value-identical") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraphStore.append(spark, dir,
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b"), lsmBuckets = 8)
+    assert(GraphStore.compact(spark, dir) == ((1, 1)))
+    def ingests() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest=")).toSeq.sorted
+    val baseKey = ingests().head
+    def bucketFiles(key: String): Map[String, (Long, Long)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels/ingest=$key"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString,
+        (st.getModificationTime, st.getLen))).toMap
+    // tail: new nodes AND a bridge merging two committed components —
+    // the merge must survive the fold as the composed remap
+    GraphStore.append(spark, dir, Seq((30L, 31L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((2L, 10L)).toDF("a", "b"))
+    val before = labelsOf(dir)
+    val beforeFiles = bucketFiles(baseKey)
+    assert(beforeFiles.nonEmpty)
+    assert(GraphStore.compact(spark, dir) == ((3, 2)),
+      "old base generation + the new one")
+    assert(labelsOf(dir) == before)
+    // surviving old-generation files untouched (never rewritten in place)
+    val afterFiles = bucketFiles(baseKey)
+    afterFiles.foreach { case (p, meta) =>
+      assert(beforeFiles.get(p).contains(meta),
+        s"untouched base file rewritten by the fold: $p")
+    }
+    // exactly ONE remap table remains — the new generation's composed
+    // chain (the old generations' copies are subsumed and swept)
+    val remapKeys = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/remap"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest=")).toSeq
+    assert(remapKeys.length == 1 && !remapKeys.head.contains(baseKey),
+      s"expected one composed remap on the new generation: $remapKeys")
+    // an OLD node's stale on-disk label resolves through the composed
+    // remap: 10's row (old generation, untouched) still says comp=10
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/labels/ingest=$baseKey")
+      .filter(col("node") === 10L).select("comp").as[Long].collect().toSeq
+    assert(raw == Seq(10L), "the fold must not rewrite untouched rows")
+    val got = GraphStore.componentOf(spark, dir, Seq(10L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L)), "merge resolved through the composed remap")
+    // lifecycle continues: a further merge against the folded store
+    GraphStore.append(spark, dir, Seq((21L, 30L)).toDF("a", "b"))
+    assert(GraphStore.componentOf(spark, dir, Seq(31L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq == Seq((31L, 20L)))
+    // forget still exact across generations (the edge log carried)
+    assert(GraphStore.forget(spark, dir, Seq((2L, 10L)).toDF("a", "b")) == 1L)
+    assert(GraphStore.componentOf(spark, dir, Seq(10L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq == Seq((10L, 10L)))
+  }
+
+  test("generation cap bounds visible generations across repeated folds; " +
+    "labels stay ≡ one-shot CC") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = Seq(
+      Seq((1L, 2L)), Seq((3L, 4L)), Seq((5L, 6L)),
+      Seq((2L, 3L)), // merge
+      Seq((7L, 8L)), Seq((4L, 5L))) // merge
+    batches.foreach { es =>
+      GraphStore.append(spark, dir, es.toDF("a", "b"), lsmBuckets = 8)
+      GraphStore.compact(spark, dir, maxGens = 2)
+    }
+    val committed = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq
+    assert(committed.length <= 2, s"cap must hold, got $committed")
+    val e = batches.flatten.toDF("a", "b").localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    val oneShot = Graph.connectedComponents(nodes, e, "node")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(labelsOf(dir) == oneShot)
+  }
+
+  test("coreness over the store ≡ one-shot Graph.coreness over every " +
+    "edge ever appended, replayed ingests collapsed") {
+    val dir = tmp()
+    // triangle + pendant chain, appended in parts with a replay
+    GraphStore.append(spark, dir, Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((1L, 3L), (3L, 4L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((1L, 3L), (3L, 4L)).toDF("a", "b")) // replay
+    val got = GraphStore.coreness(spark, dir)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val oneShot = Graph.coreness(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == oneShot)
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L)))
+    // and the store face survives a fold (edge log carried by generation)
+    GraphStore.compact(spark, dir)
+    assert(GraphStore.coreness(spark, dir)
+      .orderBy("node").as[(Long, Long)].collect().toSeq == got)
+  }
+
   test("node-column mismatch refuses loudly; unmarked ingest partitions " +
     "are invisible and swept by the next append") {
     val dir = tmp()

@@ -181,8 +181,31 @@ class PlanSpec extends SparkSpec {
     // degrades to a full scan on scattered ids
     assert(graft.streaming.IncrementalStream
       .compactDecontamCorpus(spark, dir) == ((1, 1)))
+    val retained = new java.io.File(s"$dir/_commits").listFiles()
+      .map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+    assert(retained.length == 1 && retained.head.startsWith("retained_"))
+    // READ POLICY (r14 verdict #2): 200 committed ids sit far below the
+    // measured crossover, so the default policy reads ONE window-pruned
+    // docs scan — no leaf dirs opened at all
+    val gatedFlat = graft.streaming.IncrementalStream.gateCommittedIds(
+      batch, spark, dir, retained, "doc_id", "text")
+    val scansF = gatedFlat.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }
+    assert(scansF.nonEmpty && scansF.forall(_.forall(p =>
+        !p.contains("/bucket="))),
+      s"below the crossover the gate must choose the flat docs scan: $scansF")
+    val pf = gatedFlat.queryExecution.executedPlan.toString
+    assert(pf.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,5), LessThanOrEqual(doc_id,40)]"),
+      pf.take(1500))
+    assert(gatedFlat.count() == 0, "the flat-policy gate must veto both ids")
+    // forcing the crossover to 0 exercises the bucketed choice
     val gated2 = graft.streaming.IncrementalStream.gateCommittedIds(
-      batch, spark, dir, Seq("retained_1"), "doc_id", "text")
+      batch, spark, dir, retained, "doc_id", "text",
+      flatScanCrossoverIds = 0L)
     // two batch ids → at most two touched-bucket LEAF dirs addressed
     // directly, never a whole-base discovery scan (rootPaths inspected
     // programmatically — the plan string truncates Location)
@@ -195,6 +218,30 @@ class PlanSpec extends SparkSpec {
         ps.size <= 2 && ps.forall(_.contains("/bucket="))),
       s"expected <=2 bucket-leaf paths in the gate scan: $scans2")
     assert(gated2.count() == 0, "the pruned gate must still veto both ids")
+  }
+
+  test("decontam overlap with a precomputed corpus shingle stream pays " +
+    "ONE explode (the bench side) — the corpus side reads the shared " +
+    "checkpointed blocks (r14 verdict #3); values identical to the bare " +
+    "call, which pays two") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h z"),
+      (3L, "q w e r t y u i o")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val shared = graft.operators.Dedup.shingleHashes(docs, "text", "doc_id", 8)
+      .localCheckpoint(true)
+    val hooked = graft.operators.Decontam.overlap(docs, bench, "text",
+      "doc_id", k = 8, corpusShingles = Some(shared))
+    val gen = hooked.queryExecution.sparkPlan.toString
+      .linesIterator.count(_.contains("Generate"))
+    assert(gen == 1, s"expected one explode (bench side only), got $gen")
+    val bare = graft.operators.Decontam.overlap(docs, bench, "text",
+      "doc_id", k = 8)
+    assert(bare.queryExecution.sparkPlan.toString
+      .linesIterator.count(_.contains("Generate")) == 2,
+      "the bare call pays the corpus-side explode too")
+    assert(hooked.orderBy("doc_id").collect().toSeq ==
+      bare.orderBy("doc_id").collect().toSeq)
   }
 
   test("decontaminate: bench side broadcast — corpus shingles never shuffle for the join") {

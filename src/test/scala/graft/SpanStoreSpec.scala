@@ -230,6 +230,117 @@ class SpanStoreSpec extends SparkSpec {
       s"$dir/doc_ids/ingest=i9_deadbeef")))
   }
 
+  test("compact is BUCKET-SCOPED (r14 verdict #1): the flat tail merges " +
+    "into a NEW base generation, untouched bucket files stay " +
+    "byte-identical (mtime+length pinned), the retired tail vanishes " +
+    "atomically, and probe results are value-identical") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8,
+      lsmBuckets = 8)
+    assert(SpanStore.compact(spark, dir) == ((1, 1)))
+    def ingests() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest=")).toSeq.sorted
+    val baseKey = ingests().head
+    // data files of the base generation's bucket dirs: path → (mtime, len)
+    def bucketFiles(key: String): Map[String, (Long, Long)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$key"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString,
+        (st.getModificationTime, st.getLen))).toMap
+    // tail: ONE single-span doc — touches exactly one of the 8 buckets
+    SpanStore.append(spark, dir,
+      Seq((21L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    val beforeFiles = bucketFiles(baseKey)
+    assert(beforeFiles.nonEmpty)
+    val probeBefore = probeRows(dir)
+    assert(SpanStore.compact(spark, dir) == ((2, 2)),
+      "old base generation + the new one")
+    assert(probeRows(dir) == probeBefore)
+    assert(probeBefore == expected)
+    // every file still in the old generation is BYTE-IDENTICAL (the fold
+    // never rewrites untouched buckets; the touched bucket's dir, if the
+    // base had one, moved to the new generation and was swept here)
+    val afterFiles = bucketFiles(baseKey)
+    afterFiles.foreach { case (p, meta) =>
+      assert(beforeFiles.get(p).contains(meta),
+        s"untouched base file rewritten by the fold: $p")
+    }
+    val goneBuckets = (beforeFiles.keySet -- afterFiles.keySet)
+      .map(p => p.split("/bucket=")(1).split("/")(0)).toSet
+    assert(goneBuckets.size <= 1,
+      s"a one-span tail may claim at most one base bucket: $goneBuckets")
+    // the retired flat key is gone — markers, dirs and the supersede note
+    val keys = ingests()
+    assert(keys.length == 2 && keys.contains(baseKey))
+    val sup = new org.apache.hadoop.fs.Path(s"$dir/_supersedes")
+    assert(!fs.exists(sup) || fs.listStatus(sup).isEmpty,
+      "cleanup must retire the supersede note once the markers are gone")
+    // crash shape: a supersede note whose key never committed is inert —
+    // it cannot hide the keys it names
+    fs.mkdirs(sup)
+    val bogus = fs.create(new org.apache.hadoop.fs.Path(sup, "r99_bogus"), true)
+    bogus.write(baseKey.getBytes("UTF-8")); bogus.close()
+    assert(probeRows(dir) == probeBefore,
+      "an uncommitted note must not hide a live generation")
+    fs.delete(new org.apache.hadoop.fs.Path(sup, "r99_bogus"), false)
+    // the K2 gate reads the carried doc_ids: the folded tail doc stays
+    // vetoed, and the whole original corpus does too
+    assert(SpanStore.append(spark, dir,
+      Seq((21L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8) == 0L)
+    assert(SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8) == 0L)
+  }
+
+  test("generation cap: repeated append+compact cycles keep the visible " +
+    "generation count bounded (oldest generations fold back in); values " +
+    "and the K2 gate are unaffected") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = (1 to 6).map(i =>
+      (100L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"))
+    docs.foreach { case (id, t) =>
+      SpanStore.append(spark, dir, Seq((id, t)).toDF("doc_id", "text"),
+        "text", "doc_id", k = 8, lsmBuckets = 8)
+      SpanStore.compact(spark, dir, maxGens = 2)
+    }
+    val committed = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq
+    assert(committed.length <= 2,
+      s"the cap must bound generations, got $committed")
+    // every doc ever ingested still gates (doc_ids carried through folds)
+    docs.foreach { case (id, t) =>
+      assert(SpanStore.append(spark, dir,
+        Seq((id, t)).toDF("doc_id", "text"), "text", "doc_id", k = 8) == 0L,
+        s"doc $id lost its gate row in a fold")
+    }
+    // and the merged counts are intact: a probe sharing doc 3's span dups
+    import spark.implicits._
+    val hit = SpanStore.probe(spark, dir,
+        Seq((999L, docs(2)._2)).toDF("doc_id", "text"),
+        "text", "doc_id", k = 8, minDocs = 2)
+      .select("doc_id", "dup_spans").as[(Long, Long)].collect().toSeq
+    assert(hit == Seq((999L, 1L)))
+    // maxGens = 1 folds everything to one generation (the full-fold shape
+    // through the incremental machinery)
+    SpanStore.append(spark, dir,
+      Seq((200L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    assert(SpanStore.compact(spark, dir, maxGens = 1)._2 == 1)
+    assert(SpanStore.append(spark, dir,
+      Seq((200L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8) == 0L)
+  }
+
   test("k / id-column mismatches refuse loudly") {
     val dir = tmp()
     SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8)

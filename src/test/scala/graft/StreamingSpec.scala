@@ -266,11 +266,12 @@ class StreamingSpec extends SparkSpec {
     drain("fzc_ck2") // 2 > 1: the lane folds its own store mid-lease
     val keys = new java.io.File(s"$state/_commits").listFiles.map(_.getName)
       .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq
-    assert(keys == Seq("retained_2"), s"expected one folded ingest, got $keys")
+    assert(keys.length == 1 && keys.head.startsWith("retained_"),
+      s"expected one folded ingest, got $keys")
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(
-        s"$state/gate_ids/ingest=retained_2"))
+        s"$state/gate_ids/ingest=${keys.head}"))
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")),
       "the fold must build the bucketed gate base")
     // post-fold lifecycle: a replayed committed id drops at the (now
