@@ -69,10 +69,10 @@ object ProbeGraphStore {
     }
     println(s"  replay admitted: $f2 fresh, $m2 merges")
     // r15: the INCREMENTAL fold (r14 verdict #1) — with a bucketed base
-    // in place, a further tail compact must cost ∝ tail + touched
-    // buckets, NOT ∝ corpus (the first compact above, which folds the
-    // whole flat store, is the old full-rewrite law's price; this one is
-    // the new law's)
+    // in place, a further tail compact is ADDITIVE: the tail lands as
+    // its own generation, so the fold must cost ∝ tail alone, NOT
+    // ∝ corpus (the first compact above, which folds the whole flat
+    // store, is the one-time full-aggregation price)
     val tail = starEdges(n + 1000L, n + 1500L)
       .unionByName(spark.range(2)
         .select((col("id") * s + 10L).as("a"),
@@ -81,10 +81,21 @@ object ProbeGraphStore {
     time("append (500-edge tail + 2 bridges, post-compact)") {
       graft.operators.GraphStore.append(spark, dir, tail)
     }
-    time(s"compact (INCREMENTAL: tail into touched buckets of $n nodes)") {
+    time(s"compact (INCREMENTAL: O(tail) fold beside $n committed nodes)") {
       graft.operators.GraphStore.compact(spark, dir)
     }
     lookup("point lookup x10 (two generations + composed remap)")
+    // r15: the TIER fold at the generation cap — size-aware selection
+    // must retire the SMALL second generation, not the n-node base, so
+    // its cost is ∝ (tail + small generation), corpus-independent
+    val tail2 = starEdges(n + 2000L, n + 2500L).localCheckpoint(true)
+    time("append (500-edge tail, pre-tier-fold)") {
+      graft.operators.GraphStore.append(spark, dir, tail2)
+    }
+    time(s"compact (TIER FOLD at maxGens=2: small gen + tail, base kept)") {
+      graft.operators.GraphStore.compact(spark, dir, maxGens = 2)
+    }
+    lookup("point lookup x10 (post tier fold)")
     spark.stop()
   }
 }

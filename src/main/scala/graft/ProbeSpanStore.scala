@@ -110,8 +110,11 @@ object ProbeSpanStore {
         .agg(count(lit(1))).head()
     }
     // r15: the INCREMENTAL fold (r14 verdict #1) — a further batch
-    // lands a flat tail beside the bucketed base; its compact must cost
-    // ∝ tail + the tail's touched buckets, NOT ∝ corpus (the first
+    // lands a flat tail beside the bucketed base; its compact is
+    // ADDITIVE (the aggregated tail becomes its own generation), so it
+    // must cost ∝ tail alone, NOT ∝ corpus — even though this
+    // drain-shaped tail touches every bucket, the shape where a
+    // bucket-merging fold would still be a full base rewrite (the first
     // compact above pays the fold-everything price once)
     val tail = batch.select((col("doc_id") + 4L * batchN).as("doc_id"),
       col("text")).localCheckpoint(true)
@@ -119,10 +122,27 @@ object ProbeSpanStore {
       graft.operators.SpanStore.append(spark, s"$dir/store", tail,
         "text", "doc_id")
     }
-    time(s"compact (INCREMENTAL: $batchN-doc tail vs $nDocs-doc base)") {
+    time(s"compact (INCREMENTAL: O(tail) fold, $batchN-doc tail beside $nDocs-doc base)") {
       graft.operators.SpanStore.compact(spark, s"$dir/store")
     }
     time(s"probe ($batchN docs, two generations)") {
+      graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
+          "text", "doc_id")
+        .agg(count(lit(1))).head()
+    }
+    // r15: the TIER fold at the generation cap — size-aware selection
+    // must retire the SMALL batch-sized generation, not the corpus base,
+    // so its cost is ∝ (tail + small generation), corpus-independent
+    val tail2 = batch.select((col("doc_id") + 6L * batchN).as("doc_id"),
+      col("text")).localCheckpoint(true)
+    time(s"append ($batchN docs, pre-tier-fold tail)") {
+      graft.operators.SpanStore.append(spark, s"$dir/store", tail2,
+        "text", "doc_id")
+    }
+    time(s"compact (TIER FOLD at maxGens=2: small gen + tail, base kept)") {
+      graft.operators.SpanStore.compact(spark, s"$dir/store", maxGens = 2)
+    }
+    time(s"probe ($batchN docs, post tier fold)") {
       graft.operators.SpanStore.probe(spark, s"$dir/store", batch,
           "text", "doc_id")
         .agg(count(lit(1))).head()

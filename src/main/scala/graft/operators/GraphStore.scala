@@ -320,11 +320,13 @@ object GraphStore {
   /** Fold the flat ingest partials into the bucketed base. Returns
     * (visible ingests before, after).
     *
-    * BUCKET-SCOPED, not a full-base rewrite (r14 verdict #1): the tail's
-    * new-node labels merge into ONLY the buckets they touch — resolved
-    * to current roots on the way — landed as a new base GENERATION via
-    * the supersede flip ([[StoreProtocol.commitIncremental]]); untouched
-    * bucket dirs stay byte-identical. The tail's remap tables fold into
+    * ADDITIVE, never a base rewrite (r14 verdict #1, sharpened in r15):
+    * a node's label row is written ONCE, by the ingest that first saw
+    * it, so generations hold disjoint node sets by construction — the
+    * tail's new-node labels (resolved to current roots on the way) land
+    * as their OWN bucketed generation via the supersede flip
+    * ([[StoreProtocol.commitIncremental]]); no surviving generation is
+    * read or written, and the fold costs O(tail) for every tail shape. The tail's remap tables fold into
     * ONE path-compressed table carried by the new generation, so
     * read-time resolution is a single broadcast join after every compact
     * (re-applying it to already-resolved rows is a no-op by the root
@@ -359,7 +361,6 @@ object GraphStore {
         } else {
           val (gens, flat) =
             StoreProtocol.splitLsmLayout(fs, s"$dir/labels", keys)
-          StoreProtocol.sweepStaleBuckets(fs, s"$dir/labels", gens)
           sweepStaleRemaps(fs, dir, gens)
           if (flat.isEmpty && gens.length <= maxGens)
             (before, before)
@@ -379,9 +380,12 @@ object GraphStore {
     */
   val MaxComposedRemap = 2000000L
 
-  /** The bucket-scoped merge behind [[compact]]'s common path. Returns
-    * the visible ingest count after the flip, delegating to the full
-    * fold when the composed remap outgrows [[MaxComposedRemap]].
+  /** The additive fold behind [[compact]]'s common path: the retired
+    * keys' labels (flat tail + any tier-folded small generations)
+    * resolve to current roots and land as ONE new bucketed generation;
+    * no surviving generation is read or written. Returns the visible
+    * ingest count after the flip, delegating to the full fold when the
+    * composed remap outgrows [[MaxComposedRemap]].
     */
   private def consolidateIncremental(spark: SparkSession, dir: String,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
@@ -389,11 +393,15 @@ object GraphStore {
       buckets: Int, maxGens: Int): Int = {
     val gens = gens0.sortBy(k => (genOf(k), k))
     val keep = math.max(maxGens - 1, 0)
-    val folded =
-      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    // tier folds retire the SMALLEST generations, never "the oldest" —
+    // the oldest is the original full base, and age-ordered folding
+    // would rewrite it every `keep` folds (StoreProtocol.tierFoldSelection)
+    val folded = StoreProtocol.tierFoldSelection(
+      fs, s"$dir/labels", gens, keep)
     val retired = flat ++ folded
     if (retired.isEmpty) return keys.length
-    val live = gens.drop(folded.length)
+    val foldedSet = folded.toSet
+    val live = gens.filterNot(foldedSet)
     // the full visible chain, composed to one path-compressed table the
     // new generation carries for the LIVE older generations' unresolved
     // rows — when everything folds into the new generation there are
@@ -412,20 +420,13 @@ object GraphStore {
       else Some(spark.read
         .parquet(flat.map(k => s"$dir/labels/ingest=$k"): _*)
         .select(col("node"), col("comp")))
-    val tailTouched = tail.map(t =>
-      StoreProtocol.touchedLsmBuckets(t, "node", buckets)).getOrElse(Nil)
-    val foldedTouched = folded.flatMap { k =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels/ingest=$k"))
-        .toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
-        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-    }
-    val touched = (tailTouched ++ foldedTouched).distinct
-    val baseTouched =
-      if (gens.isEmpty || touched.isEmpty) None
-      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/labels", gens,
-        Seq("node", "comp"), Some(touched), buckets))
-    val mergedLabels = (tail.toSeq ++ baseTouched.toSeq) match {
+    // the folded small generations read WHOLE (they are the fold's own
+    // cost, chosen smallest-first); live generations are never opened
+    val foldedRows =
+      if (folded.isEmpty) None
+      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/labels", folded,
+        Seq("node", "comp"), touched = None, buckets))
+    val mergedLabels = (tail.toSeq ++ foldedRows.toSeq) match {
       case Nil =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(
@@ -434,9 +435,8 @@ object GraphStore {
             StructField("comp", LongType))))
       case pieces =>
         // node rows are disjoint across ingests by construction (a node
-        // is written once, by the ingest that first saw it; stale bucket
-        // copies are excluded by newest-wins) — resolve to CURRENT roots
-        // so the rewritten buckets need no chain at read time
+        // is written once, by the ingest that first saw it) — resolve to
+        // CURRENT roots so the new generation needs no chain at read time
         resolve(pieces.reduce(_.unionByName(_)), remaps)
     }
     val gen = keys.map(genOf).max + 1
@@ -449,7 +449,6 @@ object GraphStore {
       .write.mode("overwrite").parquet(s"$dir/edges/ingest=$key")
     StoreProtocol.commitIncremental(fs, root,
       Seq("labels", "remap", "edges"), key, retired)
-    StoreProtocol.sweepStaleBuckets(fs, s"$dir/labels", live :+ key)
     // older generations' composed remaps are subsets of the new one (each
     // was composed from the chain visible at its creation, which the new
     // composition consumed) — redundant, and re-applying them is a no-op,

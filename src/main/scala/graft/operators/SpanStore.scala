@@ -292,16 +292,22 @@ object SpanStore {
     * unchanged — the partition-count bound a long-lived ingest needs).
     * Returns (visible ingests before, after).
     *
-    * BUCKET-SCOPED, not a full-base rewrite (r14 verdict #1): the flat
-    * tail merges into ONLY the buckets its shingles touch, landed as a
-    * new base GENERATION beside the old one — untouched bucket dirs stay
-    * byte-identical on disk, so the fold's cost is ∝ tail + touched
-    * fraction, not ∝ corpus. Atomicity is the supersede protocol
+    * ADDITIVE, never a base rewrite (r14 verdict #1, sharpened in r15):
+    * span partials SUM by protocol — the corpus-wide count is the sum
+    * over visible ingests — so the fold aggregates the flat tail and
+    * lands it as its OWN bucketed generation; no older generation is
+    * read, let alone rewritten, and the fold costs O(tail) for every
+    * tail shape (a bucket-merging fold would re-read the touched base
+    * fraction, and a drain-shaped tail touches every bucket — the
+    * corpus-sized term would survive exactly where it matters).
+    * Atomicity is the supersede protocol
     * ([[StoreProtocol.commitIncremental]]): the new generation's commit
     * marker is the single instant it appears and the tail vanishes.
     * Generations are capped ([[StoreProtocol.MaxBaseGens]]) by folding
-    * the oldest back in — tiered merging, the occasional rewrite
-    * proportional to those generations' own footprint.
+    * the SMALLEST together ([[StoreProtocol.tierFoldSelection]]) —
+    * tiered merging, the occasional rewrite proportional to those
+    * generations' own footprint; the original full base is never
+    * rewritten by any incremental path.
     *
     * `lsmBuckets` > 0 MIGRATES the base layout to that modulus — a
     * migration IS a full rewrite by nature (every row changes bucket),
@@ -332,7 +338,6 @@ object SpanStore {
         } else {
           val (gens, flat) =
             StoreProtocol.splitLsmLayout(fs, s"$dir/span_docs", keys)
-          StoreProtocol.sweepStaleBuckets(fs, s"$dir/span_docs", gens)
           if (flat.isEmpty && gens.length <= maxGens)
             (before, before)
           else
@@ -343,12 +348,16 @@ object SpanStore {
       }
     }
 
-  /** The bucket-scoped merge behind [[compact]]'s non-migrating path:
-    * tail partials + the touched buckets' authoritative rows (newest
-    * generation wins) re-aggregate into a new generation; the retired
-    * keys' doc_ids rows carry over (the K2 gate reads them forever);
-    * oldest generations beyond the cap fold in wholesale. Returns the
-    * visible ingest count after the flip.
+  /** The additive fold behind [[compact]]'s non-migrating path: the
+    * retired keys' partials (flat tail + any tier-folded small
+    * generations) re-aggregate into ONE new bucketed generation; no
+    * surviving generation is read or written. The retired keys' doc_ids
+    * rows carry over (the K2 gate reads them forever). A shingle
+    * present in several generations keeps one row per generation —
+    * probe sums partials by protocol, so values are identical and the
+    * duplicate rows retire when a tier merge or migration eventually
+    * folds those generations together. Returns the visible ingest count
+    * after the flip.
     */
   private def consolidateIncremental(spark: SparkSession, dir: String,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
@@ -356,33 +365,27 @@ object SpanStore {
       buckets: Int, maxGens: Int): Int = {
     val gens = gens0.sortBy(k => (StoreProtocol.genOf(k), k))
     val keep = math.max(maxGens - 1, 0)
-    val folded =
-      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    // tier folds retire the SMALLEST generations, never "the oldest" —
+    // the oldest is the original full base, and age-ordered folding
+    // would rewrite it every `keep` folds (StoreProtocol.tierFoldSelection)
+    val folded = StoreProtocol.tierFoldSelection(
+      fs, s"$dir/span_docs", gens, keep)
     val retired = flat ++ folded
     if (retired.isEmpty) return keys.length
-    val live = gens.drop(folded.length)
+    val foldedSet = folded.toSet
+    val live = gens.filterNot(foldedSet)
     val tail =
       if (flat.isEmpty) None
       else Some(spark.read
         .parquet(flat.map(k => s"$dir/span_docs/ingest=$k"): _*)
         .select(col("shingle"), col("n_docs")))
-    // touched = the tail's buckets plus EVERY bucket the folded
-    // generations own — the merge reads exactly those leaves and nothing
-    // else; untouched dirs are never opened, let alone rewritten
-    val tailTouched = tail.map(t =>
-      StoreProtocol.touchedLsmBuckets(t, "shingle", buckets)).getOrElse(Nil)
-    val foldedTouched = folded.flatMap { k =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$k"))
-        .toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
-        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-    }
-    val touched = (tailTouched ++ foldedTouched).distinct
-    val baseTouched =
-      if (gens.isEmpty || touched.isEmpty) None
-      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/span_docs", gens,
-        Seq("shingle", "n_docs"), Some(touched), buckets))
-    val merged = (tail.toSeq ++ baseTouched.toSeq) match {
+    // the folded small generations read WHOLE (they are the fold's own
+    // cost, chosen smallest-first); live generations are never opened
+    val foldedRows =
+      if (folded.isEmpty) None
+      else Some(StoreProtocol.readLsm(spark, fs, s"$dir/span_docs", folded,
+        Seq("shingle", "n_docs"), touched = None, buckets))
+    val merged = (tail.toSeq ++ foldedRows.toSeq) match {
       case Nil =>
         // a fold of marker-empty generations (zero-span corpus): a typed
         // empty base — the store's partial schema is fixed by protocol
@@ -406,9 +409,6 @@ object SpanStore {
     carried.write.mode("overwrite").parquet(s"$dir/doc_ids/ingest=$key")
     StoreProtocol.commitIncremental(fs, root, Seq("span_docs", "doc_ids"),
       key, retired)
-    // live older generations' copies of the buckets the new generation
-    // now owns are stale — sweep them (reads ignore them either way)
-    StoreProtocol.sweepStaleBuckets(fs, s"$dir/span_docs", live :+ key)
     live.length + 1
   }
 

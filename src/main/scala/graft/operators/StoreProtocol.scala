@@ -154,28 +154,28 @@ private[graft] object StoreProtocol {
     }
   }
 
-  /** Delete older generations' copies of buckets a newer generation
-    * owns — the leftovers an interrupted post-commit sweep leaves (reads
-    * never see them: newest-wins in [[readLsm]]). `keys` are the live
-    * BUCKETED generations of `tableDir`.
+  /** The generations a tier fold retires when the live chain holds more
+    * than `keep`: the SMALLEST by on-disk footprint of their `tableDir`
+    * ingest dirs, not the oldest. Folding by age re-reads the original
+    * full base — the biggest generation by construction — every
+    * `keep` folds, re-growing the amortized corpus-sized term the
+    * incremental protocol exists to kill; folding by size is safe
+    * because generations are ADDITIVE (each holds its own
+    * disjoint-by-protocol contribution, so any subset folds without
+    * touching the rest), and it bounds the tier fold's cost by the
+    * small generations' own footprint — the classic LSM amortization.
+    * Deterministic: ties break by (generation, key), and the sizes
+    * themselves are a pure function of the committed data. One
+    * `getContentSummary` RPC per generation, ≤ [[MaxBaseGens]] of them.
     */
-  def sweepStaleBuckets(fs: FileSystem, tableDir: String,
-                        keys: Seq[String]): Unit = {
-    val listed = keys.flatMap { k =>
-      val d = new Path(s"$tableDir/ingest=$k")
-      if (!fs.exists(d)) Nil
-      else fs.listStatus(d).toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
-        .map(e => (e.getPath.getName.stripPrefix("bucket=").toInt,
-          genOf(k), k, e.getPath))
-    }
-    listed.groupBy(_._1).values.foreach { owners =>
-      if (owners.length > 1) {
-        val newest = owners.maxBy(o => (o._2, o._3))
-        owners.filterNot(_ eq newest).foreach(o => fs.delete(o._4, true))
-      }
-    }
-  }
+  def tierFoldSelection(fs: FileSystem, tableDir: String,
+                        gens: Seq[String], keep: Int): Seq[String] =
+    if (gens.length <= keep) Nil
+    else gens.map { k =>
+      val p = new Path(s"$tableDir/ingest=$k")
+      val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      (len, genOf(k), k)
+    }.sorted.take(gens.length - keep).map(_._3)
 
   /** Deterministic 12-hex content hash of a key set — the suffix of an
     * incremental consolidation's generation key (same retired set + same
@@ -252,12 +252,15 @@ private[graft] object StoreProtocol {
   val WideLsmBuckets = 4096
 
   /** Cap on live base GENERATIONS: each incremental consolidation adds
-    * one (the flat tail merges into a new generation, untouched buckets
-    * stay in the old), so an uncapped chain would re-grow the per-read
-    * listing count the fold exists to bound. When a consolidation would
-    * exceed the cap it folds the OLDEST generations back into the new
-    * one — tiered merging: the occasional rewrite is proportional to
-    * those generations' own footprint, never triggered per batch.
+    * one (the aggregated flat tail lands as its own generation; older
+    * generations are never touched), so an uncapped chain would re-grow
+    * the per-read listing count the fold exists to bound. When a
+    * consolidation would exceed the cap it folds the SMALLEST
+    * generations together ([[tierFoldSelection]]) — tiered merging: the
+    * occasional rewrite is proportional to those generations' own
+    * footprint, never triggered per batch, and the original full base
+    * (the biggest generation) is never rewritten by any incremental
+    * path — only an explicit migration compact reshapes it.
     */
   val MaxBaseGens = 8
 
@@ -340,30 +343,24 @@ private[graft] object StoreProtocol {
     // instead; the partition column is implied by the path and never
     // selected, so nothing is lost.
     //
-    // NEWEST WINS per bucket across base GENERATIONS: an incremental
-    // consolidation rewrites only the touched buckets into a new, higher
-    // generation, leaving the untouched dirs byte-identical in the older
-    // one — so a bucket present in several generations is authoritative
-    // only at the highest (an older copy is the stale leftover of an
-    // interrupted post-commit sweep; reading both would double-count).
+    // Generations are ADDITIVE (r15): an incremental fold lands the
+    // aggregated tail as its OWN generation and never rewrites older
+    // ones, so a bucket present in several generations holds each
+    // generation's disjoint-by-protocol contribution — span partials
+    // sum, graph labels and gate ids are written once — and the read is
+    // the union of every visible generation's touched leaves. Row-level
+    // visibility is the commit-marker + supersede-note flip alone: a
+    // retired key's dirs are hidden by its note until cleanup, so no
+    // interrupted fold can double-count.
     val tset = touched.map(_.toSet)
-    val chosen = scala.collection.mutable.Map
-      .empty[Int, (Int, String, String)] // bucket -> (gen, key, path)
-    bucketedL.foreach { case (k, st) =>
-      val g = genOf(k)
-      st.foreach { e =>
-        if (e.isDirectory && e.getPath.getName.startsWith("bucket=")) {
+    val leafDirs = bucketedL.flatMap { case (_, st) =>
+      st.filter { e =>
+        e.isDirectory && e.getPath.getName.startsWith("bucket=") && {
           val b = e.getPath.getName.stripPrefix("bucket=").toInt
-          if (tset.forall(_.contains(b))) {
-            val better = chosen.get(b).forall { case (cg, ck, _) =>
-              g > cg || (g == cg && k > ck)
-            }
-            if (better) chosen(b) = (g, k, e.getPath.toString)
-          }
+          tset.forall(_.contains(b))
         }
-      }
+      }.map(_.getPath.toString)
     }
-    val leafDirs = chosen.values.map(_._3).toSeq
     val reads = Seq(
       if (flat.isEmpty) None
       else Some(spark.read

@@ -631,27 +631,17 @@ object IncrementalStream {
           // partition discovery over a 4096-dir base costs seconds per
           // read no matter how few buckets the batch touches (the readLsm
           // lesson); a touched bucket with no dir holds nothing to veto.
-          // NEWEST generation wins per bucket: an incremental fold
-          // rewrites touched buckets into a higher generation and an
-          // interrupted sweep can leave the older copy behind (duplicate
-          // ids would not mis-gate, but reading them is waste)
-          val chosen = scala.collection.mutable.Map
-            .empty[Int, (Int, String, String)]
-          listedIdx.foreach { case (k, st) =>
-            val g = graft.operators.StoreProtocol.genOf(k)
-            st.foreach { e =>
-              if (e.isDirectory && e.getPath.getName.startsWith("bucket=")) {
-                val b = e.getPath.getName.stripPrefix("bucket=").toInt
-                if (touched.contains(b)) {
-                  val better = chosen.get(b).forall { case (cg, ck, _) =>
-                    g > cg || (g == cg && k > ck)
-                  }
-                  if (better) chosen(b) = (g, k, e.getPath.toString)
-                }
-              }
-            }
+          // EVERY visible generation's touched leaves read (generations
+          // are additive, r15: a fold lands the tail's ids as its own
+          // generation and the K2 invariant keeps ids disjoint across
+          // them — there is no copy to prefer)
+          val leaf = listedIdx.flatMap { case (_, st) =>
+            st.filter(e =>
+                e.isDirectory && e.getPath.getName.startsWith("bucket=") &&
+                touched.contains(
+                  e.getPath.getName.stripPrefix("bucket=").toInt))
+              .map(_.getPath.toString)
           }
-          val leaf = chosen.values.map(_._3).toSeq
           if (leaf.isEmpty) None
           else Some(sp.read.parquet(leaf: _*).select(col(idCol)))
         }).flatten
@@ -738,16 +728,18 @@ object IncrementalStream {
     * they must fold together or readers lose dirs). Returns (visible
     * ingests before, after).
     *
-    * BUCKET-SCOPED like the span/graph folds (r14 verdict #1): the tail
-    * keys' tables concatenate into one new `retained_<gen>_<hash>`
-    * ingest (O(tail) — the key is monotone + content-hashed, so two
-    * successive folds can never reuse one key: r14 advice), its ids
-    * merge into ONLY the `gate_ids` buckets they hash to (a new
-    * generation; untouched bucket dirs stay byte-identical), and the
+    * ADDITIVE like the span/graph folds (r14 verdict #1, sharpened in
+    * r15): the tail keys' tables concatenate into one new
+    * `retained_<gen>_<hash>` ingest (O(tail) — the key is monotone +
+    * content-hashed, so two successive folds can never reuse one key:
+    * r14 advice), its ids land bucketed as that generation's OWN
+    * `gate_ids` base (no surviving generation is read or written — the
+    * K2 gate keeps ids disjoint across them), and the
     * supersede flip retires the tail atomically
-    * ([[graft.operators.StoreProtocol.commitIncremental]]). Oldest
-    * generations beyond [[graft.operators.StoreProtocol.MaxBaseGens]]
-    * fold back in (tiered). `gate_meta.committed_ids` updates exactly —
+    * ([[graft.operators.StoreProtocol.commitIncremental]]). The
+    * SMALLEST generations beyond
+    * [[graft.operators.StoreProtocol.MaxBaseGens]] fold back in
+    * (tiered — [[graft.operators.StoreProtocol.tierFoldSelection]]). `gate_meta.committed_ids` updates exactly —
     * the K2 gate makes every tail id new by construction, so the count
     * is prior + tail (seeded by one full count on a pre-counter store);
     * it is written BEFORE the flip (a crash leaves an overcount on an
@@ -767,16 +759,18 @@ object IncrementalStream {
     val (indexed, flat) = visible.partition(k => fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=$k")))
     val gens = indexed.sortBy(k => (proto.genOf(k), k))
-    if (gens.nonEmpty) proto.sweepStaleBuckets(fs, s"$dir/gate_ids", gens)
     if (flat.isEmpty && gens.length <= maxGens)
       return (before, before)
     val buckets =
       if (gens.isEmpty) proto.WideLsmBuckets else gateBucketsOf(sp, fs, dir)
     val keep = math.max(maxGens - 1, 0)
-    val folded =
-      if (gens.length > keep) gens.take(gens.length - keep) else Nil
+    // tier folds retire the SMALLEST generations, never "the oldest" —
+    // the oldest is the original full base, and age-ordered folding
+    // would rewrite it every `keep` folds (StoreProtocol.tierFoldSelection)
+    val folded = proto.tierFoldSelection(fs, s"$dir/gate_ids", gens, keep)
     val retired = flat ++ folded
-    val live = gens.drop(folded.length)
+    val foldedSet = folded.toSet
+    val live = gens.filterNot(foldedSet)
     val gen = visible.map(proto.genOf).max + 1
     val key = s"retained_${gen}_${proto.keyHash(retired)}"
     tables.foreach { t =>
@@ -788,22 +782,15 @@ object IncrementalStream {
       else Some(sp.read
         .parquet(flat.map(k => s"$dir/docs/ingest=$k"): _*)
         .select(col(idCol)).distinct().localCheckpoint(true))
-    val tailTouched = tailIds.map(
-        _.select(gateBucketExpr(col(idCol), buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq)
-      .getOrElse(Nil)
-    val foldedTouched = folded.flatMap { k =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gate_ids/ingest=$k"))
-        .toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("bucket="))
-        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
-    }
-    val touched = (tailTouched ++ foldedTouched).distinct
-    val baseTouched =
-      if (gens.isEmpty || touched.isEmpty) None
-      else Some(proto.readLsm(sp, fs, s"$dir/gate_ids", gens,
-        Seq(idCol), Some(touched), buckets))
-    val ids = (tailIds.toSeq ++ baseTouched.toSeq) match {
+    // the folded small generations read WHOLE (they are the fold's own
+    // cost, chosen smallest-first); live generations are never opened —
+    // the fold is ADDITIVE (r15): the new generation holds only the
+    // retired keys' ids, disjoint from every survivor by the K2 gate
+    val foldedIds =
+      if (folded.isEmpty) None
+      else Some(proto.readLsm(sp, fs, s"$dir/gate_ids", folded,
+        Seq(idCol), touched = None, buckets))
+    val ids = (tailIds.toSeq ++ foldedIds.toSeq) match {
       case Nil =>
         // unreachable for a store with committed docs; typed off the
         // just-written fold so the write below still lands a schema
@@ -822,7 +809,6 @@ object IncrementalStream {
     }
     writeGateMeta(sp, dir, buckets, total)
     proto.commitIncremental(fs, root, tables :+ "gate_ids", key, retired)
-    proto.sweepStaleBuckets(fs, s"$dir/gate_ids", live :+ key)
     (before, live.length + 1)
   }
 

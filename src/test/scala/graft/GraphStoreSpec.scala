@@ -195,12 +195,11 @@ class GraphStoreSpec extends SparkSpec {
     assert(GraphStore.compact(spark, dir) == ((3, 2)),
       "old base generation + the new one")
     assert(labelsOf(dir) == before)
-    // surviving old-generation files untouched (never rewritten in place)
+    // the fold is ADDITIVE (r15): the tail lands as its own generation
+    // and the base is never opened — EVERY base file stays byte-identical
     val afterFiles = bucketFiles(baseKey)
-    afterFiles.foreach { case (p, meta) =>
-      assert(beforeFiles.get(p).contains(meta),
-        s"untouched base file rewritten by the fold: $p")
-    }
+    assert(afterFiles == beforeFiles,
+      "an additive fold must leave the base generation untouched")
     // exactly ONE remap table remains — the new generation's composed
     // chain (the old generations' copies are subsumed and swept)
     val remapKeys = fs
@@ -222,6 +221,63 @@ class GraphStoreSpec extends SparkSpec {
     assert(GraphStore.componentOf(spark, dir, Seq(31L).toDF("node"))
       .as[(Long, Long)].collect().toSeq == Seq((31L, 20L)))
     // forget still exact across generations (the edge log carried)
+    assert(GraphStore.forget(spark, dir, Seq((2L, 10L)).toDF("a", "b")) == 1L)
+    assert(GraphStore.componentOf(spark, dir, Seq(10L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq == Seq((10L, 10L)))
+  }
+
+  test("tier fold at the cap retires the SMALLEST generation, never the " +
+    "original full base; a merge whose composed remap rode the retired " +
+    "generation survives into the new one (r15: size-aware tiering)") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraphStore.append(spark, dir,
+      Seq((1L, 2L), (10L, 11L), (20L, 21L), (50L, 51L)).toDF("a", "b"),
+      lsmBuckets = 8)
+    assert(GraphStore.compact(spark, dir) == ((1, 1)))
+    def ingests() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest=")).toSeq.sorted
+    val baseKey = ingests().head
+    // SMALL generation: two fresh nodes plus a bridge merging two base
+    // components — its fold carries the composed remap
+    GraphStore.append(spark, dir, Seq((30L, 31L)).toDF("a", "b"))
+    GraphStore.append(spark, dir, Seq((2L, 10L)).toDF("a", "b"))
+    assert(GraphStore.compact(spark, dir)._2 == 2)
+    val gen2 = (ingests().toSet - baseKey).head
+    // fresh tail; cap 2 forces a tier fold over [big base, small gen2]
+    GraphStore.append(spark, dir, Seq((40L, 41L)).toDF("a", "b"))
+    def bucketFiles(key: String): Map[String, (Long, Long)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/labels/ingest=$key"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString,
+        (st.getModificationTime, st.getLen))).toMap
+    val beforeFiles = bucketFiles(baseKey)
+    assert(beforeFiles.nonEmpty)
+    assert(GraphStore.compact(spark, dir, maxGens = 2) == ((3, 2)))
+    val keys = ingests()
+    assert(keys.contains(baseKey), "the big base must survive a tier fold")
+    assert(!keys.contains(gen2), s"the smallest generation must retire: $keys")
+    assert(keys.length == 2)
+    val afterFiles = bucketFiles(baseKey)
+    assert(afterFiles == beforeFiles,
+      "a tier fold must leave the surviving base generation untouched")
+    // labels ≡ one-shot CC over every edge, the folded merge included
+    val e = Seq((1L, 2L), (10L, 11L), (20L, 21L), (50L, 51L),
+      (30L, 31L), (2L, 10L), (40L, 41L)).toDF("a", "b").localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    assert(labelsOf(dir) == Graph.connectedComponents(nodes, e, "node")
+      .orderBy("node").as[(Long, Long)].collect().toSeq)
+    // the retired generation's composed remap must live on: node 10's
+    // untouched base row still resolves through the merge
+    assert(GraphStore.componentOf(spark, dir, Seq(10L).toDF("node"))
+      .as[(Long, Long)].collect().toSeq == Seq((10L, 1L)))
+    // forget stays exact — the edge logs concatenated through both folds
     assert(GraphStore.forget(spark, dir, Seq((2L, 10L)).toDF("a", "b")) == 1L)
     assert(GraphStore.componentOf(spark, dir, Seq(10L).toDF("node"))
       .as[(Long, Long)].collect().toSeq == Seq((10L, 10L)))

@@ -230,10 +230,10 @@ class SpanStoreSpec extends SparkSpec {
       s"$dir/doc_ids/ingest=i9_deadbeef")))
   }
 
-  test("compact is BUCKET-SCOPED (r14 verdict #1): the flat tail merges " +
-    "into a NEW base generation, untouched bucket files stay " +
-    "byte-identical (mtime+length pinned), the retired tail vanishes " +
-    "atomically, and probe results are value-identical") {
+  test("compact is ADDITIVE (r14 verdict #1): the flat tail lands as a " +
+    "NEW base generation, every base bucket file stays byte-identical " +
+    "(mtime+length pinned), the retired tail vanishes atomically, and " +
+    "probe results are value-identical") {
     val dir = tmp()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -264,18 +264,11 @@ class SpanStoreSpec extends SparkSpec {
       "old base generation + the new one")
     assert(probeRows(dir) == probeBefore)
     assert(probeBefore == expected)
-    // every file still in the old generation is BYTE-IDENTICAL (the fold
-    // never rewrites untouched buckets; the touched bucket's dir, if the
-    // base had one, moved to the new generation and was swept here)
+    // the fold is ADDITIVE (r15): the tail lands as its own generation
+    // and the base is never opened — EVERY base file stays byte-identical
     val afterFiles = bucketFiles(baseKey)
-    afterFiles.foreach { case (p, meta) =>
-      assert(beforeFiles.get(p).contains(meta),
-        s"untouched base file rewritten by the fold: $p")
-    }
-    val goneBuckets = (beforeFiles.keySet -- afterFiles.keySet)
-      .map(p => p.split("/bucket=")(1).split("/")(0)).toSet
-    assert(goneBuckets.size <= 1,
-      s"a one-span tail may claim at most one base bucket: $goneBuckets")
+    assert(afterFiles == beforeFiles,
+      "an additive fold must leave the base generation untouched")
     // the retired flat key is gone — markers, dirs and the supersede note
     val keys = ingests()
     assert(keys.length == 2 && keys.contains(baseKey))
@@ -338,6 +331,63 @@ class SpanStoreSpec extends SparkSpec {
     assert(SpanStore.compact(spark, dir, maxGens = 1)._2 == 1)
     assert(SpanStore.append(spark, dir,
       Seq((200L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8) == 0L)
+  }
+
+  test("tier fold at the cap retires the SMALLEST generation, never the " +
+    "original full base: the base key survives with its untouched bucket " +
+    "files byte-identical, the small generation's key vanishes, and " +
+    "probe values + the K2 gate are unchanged (r15: size-aware tiering)") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // BIG base: the corpus plus the batch (≈40 distinct spans over 8
+    // buckets) folded once
+    SpanStore.append(spark, dir, corpus, "text", "doc_id", k = 8,
+      lsmBuckets = 8)
+    SpanStore.append(spark, dir, batch, "text", "doc_id", k = 8)
+    assert(SpanStore.compact(spark, dir) == ((2, 1)))
+    def ingests() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest=")).toSeq.sorted
+    val baseKey = ingests().head
+    // SMALL generation: one single-span doc, folded on its own
+    SpanStore.append(spark, dir,
+      Seq((41L, "g1 g2 g3 g4 g5 g6 g7 g8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    assert(SpanStore.compact(spark, dir)._2 == 2)
+    val gen2 = (ingests().toSet - baseKey).head
+    // fresh single-span tail; the cap of 2 forces a tier fold over
+    // gens = [big base, small gen2] — size-aware selection must pick gen2
+    SpanStore.append(spark, dir,
+      Seq((42L, "h1 h2 h3 h4 h5 h6 h7 h8")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    def bucketFiles(key: String): Map[String, (Long, Long)] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/span_docs/ingest=$key"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString,
+        (st.getModificationTime, st.getLen))).toMap
+    val beforeFiles = bucketFiles(baseKey)
+    assert(beforeFiles.nonEmpty)
+    assert(SpanStore.compact(spark, dir, maxGens = 2) == ((3, 2)))
+    val keys = ingests()
+    assert(keys.contains(baseKey), "the big base must survive a tier fold")
+    assert(!keys.contains(gen2), s"the smallest generation must retire: $keys")
+    assert(keys.length == 2)
+    // the tier fold merges ONLY tail + gen2 — the base is never opened,
+    // so every one of its files stays byte-identical
+    val afterFiles = bucketFiles(baseKey)
+    assert(afterFiles == beforeFiles,
+      "a tier fold must leave the surviving base generation untouched")
+    assert(probeRows(dir) == expected)
+    // the K2 gate still vetoes every doc ever ingested, through the fold
+    Seq(corpus, batch).foreach(d =>
+      assert(SpanStore.append(spark, dir, d, "text", "doc_id", k = 8) == 0L))
+    assert(SpanStore.append(spark, dir,
+      Seq((41L, "g1 g2 g3 g4 g5 g6 g7 g8")).toDF("doc_id", "text"),
       "text", "doc_id", k = 8) == 0L)
   }
 
