@@ -112,7 +112,23 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, k: Int,
                    threshold: Double, maxDf: Int = 100,
                    textShingles: Boolean = false,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false): DataFrame =
+    ngramJaccardFromKept(
+      cappedShingles(df, textCol, idCol, k, maxDf, textShingles, portable),
+      idCol, threshold)
+
+  /** The df-capped, eagerly MATERIALIZED shingle stream every fuzzy-dedup
+    * operator here starts from: one explode pass (cached so the hot-key
+    * aggregate and the kept side read it once), one cap anti-join, one
+    * localCheckpoint. Shared so a caller needing several operators over
+    * the SAME (df, k, maxDf) stream — the dedup quality evals above all —
+    * pays the corpus-scale explode once (r15; the dedup_incremental
+    * slice-sharing move, applied within one query).
+    */
+  private[graft] def cappedShingles(df: DataFrame, textCol: String,
+                                    idCol: String, k: Int, maxDf: Int,
+                                    textShingles: Boolean = false,
+                                    portable: Boolean = false): DataFrame = {
     // default = xxhash64 shingles (the pure-scale path); portable=true uses
     // the md5-poly hashes (SQL-oracle-reproducible, one native pass);
     // textShingles=true keeps the shingle strings themselves
@@ -127,6 +143,14 @@ object Dedup {
     // accumulate cached intermediates (no safe unpersist site exists).
     val kept = dropHotKeys(sh, "shingle", maxDf).localCheckpoint(true)
     sh.unpersist() // everything downstream reads the capped stream only
+    kept
+  }
+
+  /** [[ngramJaccard]]'s verification tail over an already-capped,
+    * MATERIALIZED shingle stream (the [[cappedShingles]] contract).
+    */
+  private[graft] def ngramJaccardFromKept(kept: DataFrame, idCol: String,
+                                          threshold: Double): DataFrame = {
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
     val b = kept.select(col(idCol).as("id_b"), col("shingle"))
@@ -161,11 +185,7 @@ object Dedup {
   def ngramContainment(df: DataFrame, textCol: String, idCol: String, k: Int,
                        threshold: Double, maxDf: Int = 100,
                        portable: Boolean = false): DataFrame = {
-    val sh = (if (portable) shingleHashesPortable(df, textCol, idCol, k)
-              else shingleHashes(df, textCol, idCol, k)).cache()
-    sh.count() // materialize before concurrent consumers (see minhashLsh)
-    val kept = dropHotKeys(sh, "shingle", maxDf).localCheckpoint(true)
-    sh.unpersist()
+    val kept = cappedShingles(df, textCol, idCol, k, maxDf, portable = portable)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col(idCol).as("id_a"), col("shingle"))
     val b = kept.select(col(idCol).as("id_b"), col("shingle"))
@@ -467,22 +487,20 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String, k: Int,
                  threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
-                 maxDf: Int = 100, portable: Boolean = false): DataFrame = {
+                 maxDf: Int = 100, portable: Boolean = false): DataFrame =
     // same df-cap as ngramJaccard: a boilerplate shingle shared by millions
     // of docs would dominate every signature band and the verify join
-    val sh0 = (if (portable) shingleHashesPortable(df, textCol, idCol, k)
-               else shingleHashes(df, textCol, idCol, k)).cache()
-    sh0.count() // the df-cap anti-join reads the raw stream from BOTH sides
-    // (hot-key agg + kept stream) — cached, the tokenize/hash explode runs
-    // once instead of twice
-    // eager localCheckpoint, not cache: sh backs the lazily returned pair
-    // set (verifyJaccard reads it from three consumers), and with no safe
-    // unpersist site a plain cache would accumulate blocks across
-    // invocations; checkpoint blocks are ContextCleaner-reclaimed once the
-    // result is dropped. Eager also pre-empts AQE's concurrent downstream
-    // stages racing to build an unmaterialized cache.
-    val sh = dropHotKeys(sh0, "shingle", maxDf).localCheckpoint(true)
-    sh0.unpersist() // everything downstream reads the capped stream only
+    minhashLshFromKept(
+      cappedShingles(df, textCol, idCol, k, maxDf, portable = portable),
+      idCol, threshold, bands, rowsPerBand, portable)
+
+  /** [[minhashLsh]]'s banding + verification tail over an already-capped,
+    * MATERIALIZED shingle stream (the [[cappedShingles]] contract).
+    */
+  private[graft] def minhashLshFromKept(sh: DataFrame, idCol: String,
+                                        threshold: Double, bands: Int,
+                                        rowsPerBand: Int,
+                                        portable: Boolean): DataFrame = {
     val banded = bandKeysFor(sh, idCol, bands, rowsPerBand, portable)
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band_key"))
@@ -691,15 +709,21 @@ object Dedup {
                    portable: Boolean = false): DataFrame = {
     val blocks = maxHamming + 1
     require(blocks <= 64, "maxHamming must be < 64")
+    // the per-row simhash runs ONCE: dropHotKeys reads its input twice
+    // (hot-key aggregate + kept side), so an unmaterialized sig stream
+    // would re-tokenize and re-hash the whole corpus for the aggregate
+    // (the minhashLsh cache-before-cap discipline, r15). One row per doc
+    // here — the cheap explode reruns off the checkpoint instead.
     val sigs = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol)), portable).as("sig"))
+      .localCheckpoint(true)
     // block b covers bits [b*64/blocks, (b+1)*64/blocks) — widths differ by
     // at most one bit when 64 % blocks != 0
     val blockKeys = pigeonholeBlockKeys(col("sig"), blocks)
     // materialized like minhashLsh's banded side: both aliases of the
-    // self-join (and the hot-key aggregate) would otherwise re-run the
-    // per-row simhash over the whole corpus. Eager localCheckpoint so the
-    // blocks backing the lazy pair result are ContextCleaner-reclaimed.
+    // self-join would otherwise re-run the explode per consumer. Eager
+    // localCheckpoint so the blocks backing the lazy pair result are
+    // ContextCleaner-reclaimed.
     val blocked = dropHotKeys(
       sigs.select(col(idCol), col("sig"), explode(blockKeys).as("block_key")),
       "block_key", maxBucket).localCheckpoint(true)
@@ -780,12 +804,18 @@ object Dedup {
     // gives zero blocks, whose empty explode would silently report "no
     // duplicates" instead of rejecting the caller's sign bug
     require(maxHamming >= 0 && blocks <= 64, "maxHamming in [0, 64)")
+    // the decode+hash codec pass runs ONCE: dropHotKeys reads its input
+    // twice (hot-key aggregate + kept side), and the upstream here is
+    // typically a synthesize/decode/dHash chain over real media bytes —
+    // the most expensive per-row work in the engine (the minhashLsh
+    // cache-before-cap discipline, r15). One row per unit; the explode
+    // reruns cheaply off the checkpoint.
     val sigs = hashes.filter(col("dhash").isNotNull)
       .select(col(idCol), col("grid"), col("dhash").as("sig"))
+      .localCheckpoint(true)
     val blockKeys = pigeonholeBlockKeys(col("sig"), blocks)
     // materialized for the same reason as simhashPairs: both self-join
-    // aliases and the hot-key aggregate would otherwise re-run the
-    // upstream decode+hash codec pass over the whole corpus
+    // aliases would otherwise re-run the explode per consumer
     val blocked = dropHotKeys(
       sigs.select(col(idCol), col("sig"), col("grid"),
         explode(blockKeys).as("block_key")),
@@ -1010,15 +1040,23 @@ object Dedup {
     // through the self-join and the distinct — carrying the vectors through
     // those shuffles would multiply shuffle bytes by the embedding width.
     // Vectors are re-attached once per surviving candidate pair.
+    // The `tables` SRP signatures (bits hyperplane dot products each) are
+    // computed INSIDE the checkpoint: dropHotKeys reads its input twice
+    // (hot-key aggregate + kept side), so buckets derived outside would
+    // re-run the hyperplane arithmetic over the corpus per consumer (the
+    // minhashLsh cache-before-cap discipline, r15); the explode reruns
+    // cheaply off the checkpointed array column.
     // eager localCheckpoint (materializes before concurrent consumers;
     // blocks reclaimed with the lazy result — no unpersist site)
-    val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol)))
-      .localCheckpoint(true)
     val bucketKeys = array((0 until tables).map { t =>
       concat_ws(":", lit(t), srp_signature(col(vecCol), bits, seed = 42L + t, portable))
     }: _*)
+    val vecs = graft.Tables.fanOut(df.select(col(idCol), col(vecCol)))
+      .withColumn("__buckets", bucketKeys)
+      .localCheckpoint(true)
     val sigs = dropHotKeys(
-      vecs.select(col(idCol), explode(bucketKeys).as("bucket")), "bucket", maxBucket)
+      vecs.select(col(idCol), explode(col("__buckets")).as("bucket")),
+      "bucket", maxBucket)
     val cand = sigs.alias("x").join(sigs.alias("y"), Seq("bucket"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

@@ -487,14 +487,18 @@ object Retrieval {
     val post = postings(incoming, textCol, idCol).localCheckpoint(true)
     val docLen = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(true)
-    val statsRow = docLen.agg(count(lit(1)), sum(col("dl"))).head()
+    // ONE aggregate over the checkpointed doc lengths pays for the
+    // admitted count, the stats scalars AND the commit key's content
+    // hash (r15: the hash was a second full pass over docLen); the hash
+    // column is only read when admitted > 0, so the empty null never
+    // surfaces. Deterministic commit key: same batch content + same
+    // generation → same key, so a crashed append's retry overwrites its
+    // own orphan.
+    val statsRow = docLen.agg(count(lit(1)), sum(col("dl")),
+      format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string"))))).head()
     val admitted = statsRow.getLong(0)
     if (admitted == 0L) return 0L
-    // deterministic commit key: same batch content + same generation →
-    // same key, so a crashed append's retry overwrites its own orphan
-    val contentHash = docLen
-      .agg(format_string("%016x", bit_xor(xxhash64(col(idCol).cast("string")))))
-      .head().getString(0).take(12)
+    val contentHash = statsRow.getString(2).take(12)
     val key = s"i${committed.length}_$contentHash"
     // sweep orphans a crashed append may have stranded: an interleaved
     // successful commit bumps the generation, so a retry writes a NEW

@@ -92,12 +92,6 @@ object Similarity {
               idCol: String, k: Int, bits: Int = 8, tables: Int = 4,
               maxBucket: Int = 10000, portable: Boolean = false,
               probes: Int = 0): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val bucketKeys = array((0 until tables).map { t =>
-        concat_ws(":", lit(t), srp_signature(col(vec), bits, seed = 7L + t, portable))
-      }: _*)
-      df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
-    }
     // multi-probe: QUERY side also visits the `probes` lowest-|margin|
     // single-bit signature variants per table — recall rises without
     // touching the corpus index (query side is bounded by construction,
@@ -110,9 +104,23 @@ object Similarity {
       df.select(col(id), col(vec), explode(bucketKeys).as("bucket"))
     }
 
-    val c = graft.operators.Dedup.dropHotKeys(bucketed(
-      graft.Tables.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))),
-      "neighbor_id", "c_vec"), "bucket", maxBucket)
+    // the corpus side's `tables` SRP signatures are computed INSIDE a
+    // checkpoint: dropHotKeys reads its input twice (hot-key aggregate +
+    // kept join side), so an unmaterialized bucket stream would re-run
+    // the hyperplane arithmetic over the whole corpus for the aggregate
+    // (the minhashLsh cache-before-cap discipline, r15); the explode
+    // reruns cheaply off the checkpointed array column
+    val cBucketKeys = array((0 until tables).map { t =>
+      concat_ws(":", lit(t), srp_signature(col("c_vec"), bits, seed = 7L + t, portable))
+    }: _*)
+    val cWith = graft.Tables.fanOut(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+      .withColumn("__buckets", cBucketKeys)
+      .localCheckpoint(true)
+    val c = graft.operators.Dedup.dropHotKeys(
+      cWith.select(col("neighbor_id"), col("c_vec"),
+        explode(col("__buckets")).as("bucket")),
+      "bucket", maxBucket)
     val q = broadcast(bucketedProbed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec"))

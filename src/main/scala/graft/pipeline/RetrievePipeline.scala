@@ -469,7 +469,12 @@ object RetrievePipeline {
       .withColumn("chunk_id",
         (col(idCol).cast("long") * (1L << ChunkBits)) + col("chunk_idx"))
       .localCheckpoint(true)
-    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx"))).head()
+    // ONE aggregate pays for the emptiness/overflow checks AND the commit
+    // key's content hash (r15: the key agg below re-scanned the
+    // checkpointed chunks for a second pass); the hash column is only
+    // read when nChunks > 0, so the empty-batch null never surfaces
+    val stats = chunks.agg(count(lit(1)), max(col("chunk_idx")),
+      format_string("%016x", bit_xor(xxhash64(col("chunk_id"))))).head()
     val nChunks = stats.getLong(0)
     if (nChunks == 0L)
       return Seq(Stage("chunks", 0L), Stage("bm25_chunks", 0L),
@@ -530,9 +535,7 @@ object RetrievePipeline {
     // its own orphan
     val gen = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/chunks"))
       .count(s => s.isDirectory && s.getPath.getName.startsWith("b_"))
-    val key = chunks
-      .agg(format_string("%016x", bit_xor(xxhash64(col("chunk_id")))))
-      .head().getString(0).take(12)
+    val key = stats.getString(2).take(12) // from the single batch aggregate
     val batchDir = new org.apache.hadoop.fs.Path(s"$dir/chunks/b_${gen}_$key")
     fs.delete(batchDir, true) // deterministic key: replay overwrites its own
     if (!fs.rename(stage, batchDir))

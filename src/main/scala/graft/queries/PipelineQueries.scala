@@ -5158,12 +5158,17 @@ ORDER BY doc_id""")
     */
   def dedupEvalLsh(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val exact = Dedup.ngramJaccard(d, "text", "doc_id", k = 8,
-        threshold = 0.30, maxDf = 100, portable = true)
+    // ONE shingle explode + df-cap pass feeds BOTH pair sets: ngramJaccard
+    // and minhashLsh over the same (docs, k=8, maxDf=100, portable) start
+    // from the identical capped stream, so computing it twice was pure
+    // waste (r15 — the dedup_incremental slice-sharing move applied here;
+    // results unchanged, the operators' tails are shared verbatim)
+    val kept = Dedup.cappedShingles(d, "text", "doc_id", k = 8, maxDf = 100,
+      portable = true)
+    val exact = Dedup.ngramJaccardFromKept(kept, "doc_id", threshold = 0.30)
       .select(col("id_a"), col("id_b"), lit(1).as("e"), lit(0).as("l"))
-    val lsh = Dedup.minhashLsh(d, "text", "doc_id", k = 8,
-        threshold = 0.30, bands = 8, rowsPerBand = 4, maxDf = 100,
-        portable = true)
+    val lsh = Dedup.minhashLshFromKept(kept, "doc_id", threshold = 0.30,
+        bands = 8, rowsPerBand = 4, portable = true)
       .select(col("id_a"), col("id_b"), lit(0).as("e"), lit(1).as("l"))
     exact.unionByName(lsh)
       .groupBy("id_a", "id_b")
