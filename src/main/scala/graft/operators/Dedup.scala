@@ -239,9 +239,15 @@ object Dedup {
     val nWin = ceil(size(toks).cast("double") / windowTokens).cast("int")
     val winArr = transform(sequence(lit(0), greatest(nWin, lit(1)) - 1),
       i => concat_ws(" ", slice(toks, i * windowTokens + 1, lit(windowTokens))))
+    // the tokenize + window-slice + md5 explode runs ONCE: wins feeds the
+    // keeper aggregate AND the occurrence join below, and unmaterialized
+    // the whole per-row digest pass re-executes per consumer (the
+    // cache-before-cap discipline, r15). Eager localCheckpoint — blocks
+    // reclaimed with the lazy result.
     val wins = graft.Tables.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(winArr).as(Seq("widx", "wtext")))
       .withColumn("wdig", unhex(md5(col("wtext"))))
+      .localCheckpoint(true)
     // first global occurrence of each distinct window, ordered by
     // (doc id, window position) — struct min compares lexicographically
     val keeper = wins.groupBy("wdig")

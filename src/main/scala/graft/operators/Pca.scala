@@ -11,23 +11,29 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Hotelling deflation is textbook numerical linear algebra (Golub & Van
   * Loan); no library dependency.
   *
-  * Everything is RELATIONAL — no driver-side linear algebra at all:
+  * Everything corpus-sized is RELATIONAL; the d-BOUNDED artifacts (the
+  * means vector, the iterated component) live on the driver and fold
+  * into each pass as array literals — the Clustering.kmeans "broadcast
+  * the centers" move (r15; previously each round was a join + crossJoin
+  * + checkpoint over model-sized frames, ~5 scheduler round-trips per
+  * iteration for 64-row data):
   *   - `flat`: posexplode to (id, i, x) — N·d rows, one scan.
-  *   - means: d grouped fixed-point sums.
+  *   - means: d grouped fixed-point sums, one bounded collect.
   *   - covariance: by default ONE [[graft.functions.GramianAgg]] pass
   *     (d²/2 primitive adds per row into a 128-bit fixed-point buffer;
   *     the exchange is one model-sized buffer per partition); the
   *     equivalent relational self-join of `flat` on id remains as the
   *     SQL-oracle anchor (`gramian = false`) and is pinned bit-equal in
-  *     PcaSpec. C = Σxy/n − mᵢmⱼ either way.
-  *   - power iteration: `iters` rounds of (cov ⋈ v → grouped sum →
-  *     normalize), each on the d²-row matrix — model-sized jobs, eagerly
-  *     localCheckpoint'ed so the loop doesn't deepen the plan.
-  *   - deflation (second component): λ₁ = v₁ᵀCv₁ via one more mat-vec +
-  *     fixed-point dot; C₂ = C − λ₁·v₁v₁ᵀ materialized as one model-sized
-  *     join; iterate again on C₂.
-  *   - projection: flat ⋈ means ⋈ v, one grouped exact-integer sum per
-  *     row (quantized BIGINT terms — order-free without decimals).
+  *     PcaSpec. C = Σxy/n − mᵢmⱼ either way (means as literal).
+  *   - power iteration: `iters` rounds, each ONE aggregate-collect job
+  *     over the d²-row matrix with v as a literal; norm and division on
+  *     the driver replicate the distributed grid exactly ([[qsumLocal]]).
+  *   - deflation (second component): λ₁ = v₁ᵀCv₁ via one more literal
+  *     mat-vec + driver fixed-point dot; C₂ = C − λ₁·v₁v₁ᵀ is a map-only
+  *     projection of C; iterate again on C₂.
+  *   - projection: ONE grouped pass over flat with means/components as
+  *     literals — exact-integer sums (quantized BIGINT terms, order-free
+  *     without decimals), no join.
   *
   * Determinism: cross-row sums go through the fixed-point qsum grid; the
   * per-element ops (double ·, −, /, sqrt) are IEEE-754 correctly rounded
@@ -49,6 +55,24 @@ object Pca {
     sum(floor(least(greatest(term, lit(-Clamp)), lit(Clamp)) * lit(Quantum))
       .cast(DecimalType(38, 0))).cast("double") / lit(Quantum)
 
+  /** [[qsum]]'s clamp/floor/exact-integer-sum grid replicated on the
+    * driver, for the d-BOUNDED folds the literal-vector iteration keeps
+    * local (norm, Rayleigh λ): same IEEE ops in the same order — clamp
+    * (NaN → +Clamp, matching least/greatest's NaN-is-largest), ×2^-free
+    * Quantum multiply, floor-to-long, exact integer sum, one correctly-
+    * rounded conversion to double, one division. The decimal sum is
+    * order-free, so driver iteration order cannot diverge from any
+    * distributed partitioning.
+    */
+  private def qsumLocal(terms: Iterable[Double]): Double = {
+    var acc = BigInt(0)
+    terms.foreach { t =>
+      val c = if (t.isNaN) Clamp else math.min(math.max(t, -Clamp), Clamp)
+      acc += math.floor(c * Quantum).toLong
+    }
+    acc.toDouble / Quantum
+  }
+
   /** flat (id, i, x), means (i, m), cov (i, j, c) — all checkpointed.
     *
     * Two covariance paths with bit-identical output (PcaSpec pins it):
@@ -68,7 +92,7 @@ object Pca {
     */
   private def covariance(df0: DataFrame, vecCol: String, idCol: String,
                          nD: Column, dim: Int,
-                         gramian: Boolean): (DataFrame, DataFrame, DataFrame) = {
+                         gramian: Boolean): (DataFrame, Array[Double], DataFrame) = {
     // both covariance paths must agree on MALFORMED input too: GramianAgg
     // requires length == dim, so the relational path gets the same guard
     // here — a ragged vector fails the job loudly on either path instead
@@ -83,8 +107,17 @@ object Pca {
       .select(col(idCol), (col("i0") + 1).cast("long").as("i"),
         col("xf").cast("double").as("x"))
       .localCheckpoint(true)
-    val means = flat.groupBy("i").agg((qsum(col("x")) / nD).as("m"))
-      .localCheckpoint(true)
+    // the d per-dimension means are BOUNDED by construction — collected
+    // once and folded into every consumer as an array literal (the
+    // Clustering.kmeans "broadcast the centers" move, r15): covariance
+    // assembly and the projection tail become map-only projections
+    // instead of model-sized joins + their exchanges. Values are the
+    // identical qsum(x)/n doubles the joined formulation produced.
+    val means = new Array[Double](dim)
+    flat.groupBy("i").agg((qsum(col("x")) / nD).as("m"))
+      .collect() // bounded: one row per dimension
+      .foreach(r => means((r.getLong(0) - 1).toInt) = r.getDouble(1))
+    val mLit = typedLit(means.toSeq)
     val sxx =
       if (gramian) {
         val tri = df
@@ -104,32 +137,48 @@ object Pca {
     // the model-sized exchanges (measured — an explicit repartition(1)
     // before the checkpoint ADDED a stage and cost ~20% on emb_pca2)
     val cov = sxx
-      .join(means.select(col("i"), col("m").as("mi")), "i")
-      .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
-      .select(col("i"), col("j"), (col("sxx") / nD - col("mi") * col("mj")).as("c"))
+      .select(col("i"), col("j"),
+        (col("sxx") / nD - element_at(mLit, col("i").cast("int"))
+          * element_at(mLit, col("j").cast("int"))).as("c"))
       .localCheckpoint(true)
     (flat, means, cov)
   }
 
-  /** `iters` normalized power-iteration rounds from v₀ = 1/√d. */
-  private def iterate(spark: SparkSession, cov: DataFrame, dim: Int,
-                      iters: Int): DataFrame = {
-    var v = spark.range(1, dim + 1)
-      .select(col("id").as("i"), lit(1.0 / math.sqrt(dim.toDouble)).as("v"))
-      .localCheckpoint(true)
+  /** `iters` normalized power-iteration rounds from v₀ = 1/√d.
+    *
+    * The iteration state is a d-vector — BOUNDED by construction (dim ≤
+    * embedding width) — so it lives on the driver and folds into each
+    * round's mat-vec as an array literal (the Clustering.kmeans
+    * "broadcast the centers" move, r15): one aggregate-collect job per
+    * round over the d²-row matrix, no per-round join, crossJoin, or
+    * checkpoint. The norm fold and division replicate the joined
+    * formulation's arithmetic exactly ([[qsumLocal]]; u/nrm is the same
+    * IEEE division wherever it runs), so the learned component — which
+    * the oracle replays relationally — is bit-identical.
+    */
+  private def iterate(cov: DataFrame, dim: Int, iters: Int): Array[Double] = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
-      val u = matVec(cov, v)
-      val norm = u.agg(sqrt(qsum(col("u") * col("u"))).as("nrm"))
-      v = u.crossJoin(norm)
-        .select(col("i"), (col("u") / col("nrm")).as("v"))
-        .localCheckpoint(true)
+      val u = matVecLocal(cov, v, dim)
+      val nrm = math.sqrt(qsumLocal(u.map(x => x * x)))
+      v = u.map(_ / nrm)
     }
     v
   }
 
-  private def matVec(cov: DataFrame, v: DataFrame): DataFrame =
-    cov.join(v.select(col("i").as("j"), col("v")), "j")
-      .groupBy("i").agg(qsum(col("c") * col("v")).as("u"))
+  /** u = C·v with v as a literal: one grouped qsum over the matrix, one
+    * d-row collect.
+    */
+  private def matVecLocal(cov: DataFrame, v: Array[Double],
+                          dim: Int): Array[Double] = {
+    val u = new Array[Double](dim)
+    cov.groupBy("i")
+      .agg(qsum(col("c") * element_at(typedLit(v.toSeq), col("j").cast("int")))
+        .as("u"))
+      .collect() // bounded: one row per dimension
+      .foreach(r => u((r.getLong(0) - 1).toInt) = r.getDouble(1))
+    u
+  }
 
   /** Quantized-BIGINT per-row projection term for component column `w`.
     * Terms clamp to ±1e6 like qsum's (a term past the clamp would
@@ -137,8 +186,8 @@ object Pca {
     * rows of headroom per GROUP even at the clamp — and a projection
     * group is one vector's d terms, bounded by construction.
     */
-  private def projTerm(w: Column): Column =
-    sum(floor(least(greatest((col("x") - col("m")) * w, lit(-Clamp)), lit(Clamp))
+  private def projTerm(m: Column, w: Column): Column =
+    sum(floor(least(greatest((col("x") - m) * w, lit(-Clamp)), lit(Clamp))
       * lit(Quantum)).cast("long"))
       .cast("double") / lit(Quantum)
 
@@ -151,13 +200,14 @@ object Pca {
                         dim: Int, iters: Int = 6,
                         gramian: Boolean = true): DataFrame = {
     require(dim >= 1 && iters >= 1, "pca needs dim >= 1 and iters >= 1")
-    val spark = df.sparkSession
     val nD = lit(df.count().toDouble)
     val (flat, means, cov) = covariance(df, vecCol, idCol, nD, dim, gramian)
-    val v = iterate(spark, cov, dim, iters)
-    flat.join(means, "i").join(v, "i")
-      .groupBy(col(idCol))
-      .agg(projTerm(col("v")).as("pc1"))
+    val v = iterate(cov, dim, iters)
+    val mL = typedLit(means.toSeq)
+    val i = col("i").cast("int")
+    flat.groupBy(col(idCol))
+      .agg(projTerm(element_at(mL, i),
+        element_at(typedLit(v.toSeq), i)).as("pc1"))
   }
 
   /** (idCol, pc1, pc2): top two components via Hotelling deflation —
@@ -168,26 +218,25 @@ object Pca {
                          dim: Int, iters: Int = 6,
                          gramian: Boolean = true): DataFrame = {
     require(dim >= 2 && iters >= 1, "top2 needs dim >= 2 and iters >= 1")
-    val spark = df.sparkSession
     val nD = lit(df.count().toDouble)
     val (flat, means, cov) = covariance(df, vecCol, idCol, nD, dim, gramian)
-    val v1 = iterate(spark, cov, dim, iters)
-    // Rayleigh quotient of the normalized v1 (|v1| = 1 by construction)
-    val lam = matVec(cov, v1)
-      .join(v1, "i")
-      .agg(qsum(col("v") * col("u")).as("l"))
+    val v1 = iterate(cov, dim, iters)
+    // Rayleigh quotient of the normalized v1 (|v1| = 1 by construction):
+    // one more literal mat-vec, λ folded on the driver's qsum grid
+    val u1 = matVecLocal(cov, v1, dim)
+    val lam = qsumLocal((0 until dim).map(i => v1(i) * u1(i)))
+    val v1L = typedLit(v1.toSeq)
     val cov2 = cov
-      .join(v1.select(col("i"), col("v").as("vi")), "i")
-      .join(v1.select(col("i").as("j"), col("v").as("vj")), "j")
-      .crossJoin(lam)
       .select(col("i"), col("j"),
-        (col("c") - ((col("l") * col("vi")) * col("vj"))).as("c"))
+        (col("c") - ((lit(lam) * element_at(v1L, col("i").cast("int")))
+          * element_at(v1L, col("j").cast("int")))).as("c"))
       .localCheckpoint(true)
-    val v2 = iterate(spark, cov2, dim, iters)
-    flat.join(means, "i")
-      .join(v1.select(col("i"), col("v").as("w1")), "i")
-      .join(v2.select(col("i"), col("v").as("w2")), "i")
-      .groupBy(col(idCol))
-      .agg(projTerm(col("w1")).as("pc1"), projTerm(col("w2")).as("pc2"))
+    val v2 = iterate(cov2, dim, iters)
+    val mL = typedLit(means.toSeq)
+    val i = col("i").cast("int")
+    flat.groupBy(col(idCol))
+      .agg(projTerm(element_at(mL, i), element_at(v1L, i)).as("pc1"),
+        projTerm(element_at(mL, i), element_at(typedLit(v2.toSeq), i))
+          .as("pc2"))
   }
 }

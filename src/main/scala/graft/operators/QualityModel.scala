@@ -66,10 +66,16 @@ object QualityModel {
     */
   def featureTable(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.45): DataFrame = {
+    // the heuristic quality pass (tokenize + per-doc aggregates) runs
+    // ONCE: unmaterialized it re-executes for the scaler aggregate below,
+    // for train()'s persist AND for score()'s map pass — three corpus
+    // passes for one table (r15). Eager localCheckpoint, blocks reclaimed
+    // with the result (no unpersist site — the frame is returned lazily).
     val q = TextAnalysis.quality(df, textCol, idCol)
       .select(col(idCol), col("unique_ratio"), col("stopword_ratio"),
         col("mean_token_len"), (col("n_tokens").cast("double") / 100.0).as("len_scaled"),
         (col("quality_score") > threshold).cast("double").as("label"))
+      .localCheckpoint(true)
     // standardize: (x - mean) / std, moments through the fixed-point
     // funnel so every partitioning AND every engine sees the identical
     // scaler

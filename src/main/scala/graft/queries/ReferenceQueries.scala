@@ -953,8 +953,14 @@ object ReferenceQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        // ONE buffer for both price percentiles (r15): the array form
+        // fills a single per-group value map where two scalar percentile
+        // calls each buffered the full column — identical counts map,
+        // identical interpolation, half the aggregate state
+        expr("percentile(l_extendedprice, array(0.9, 0.99))").as("pp"))
+      .select(col("l_returnflag"), col("p50_qty"),
+        round(element_at(col("pp"), 1), 6).as("p90_price"),
+        round(element_at(col("pp"), 2), 6).as("p99_price"))
       .orderBy("l_returnflag")
 
   /** A6 scale path: Greenwald-Khanna sketch percentiles — O(accuracy)
