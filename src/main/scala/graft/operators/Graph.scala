@@ -38,6 +38,37 @@ object Graph {
     sum(floor(least(greatest(term, lit(-Clamp)), lit(Clamp)) * lit(Quantum))
       .cast(DecimalType(38, 0))).cast("double") / lit(Quantum)
 
+  /** [[qsum]]'s clamp/floor/exact-integer-sum grid replicated on the
+    * driver for the small-graph PageRank fast path: identical IEEE ops
+    * in the identical order (clamp with least/greatest's NaN-is-largest
+    * semantics, ×Quantum, floor-to-long, exact integer sum, one
+    * correctly-rounded conversion, one division). The integer sum is
+    * order-free, so driver iteration order cannot diverge from any
+    * distributed partitioning — the same argument the grid itself makes.
+    */
+  private def qsumLocal(terms: Iterable[Double]): Double = {
+    var acc = BigInt(0)
+    terms.foreach { t =>
+      val c = if (t.isNaN) Clamp else math.min(math.max(t, -Clamp), Clamp)
+      acc += math.floor(c * Quantum).toLong
+    }
+    acc.toDouble / Quantum
+  }
+
+  /** Caps under which [[pageRankCounted]] runs its rank loop on the
+    * driver (the Dedup.clusterRepsLocal precedent): the transition
+    * probabilities are still derived DISTRIBUTED (one pass over the edge
+    * list — the decimal out-weight fold never moves), but once the graph
+    * is measured model-sized (≤ 64k nodes AND ≤ 1M edges — a few MB
+    * collected), `iters` rounds of join + aggregate + checkpoint over
+    * node-sized frames collapse to in-memory folds on the SAME qsum grid
+    * ([[qsumLocal]]) — bit-identical ranks, ~3 scheduler round-trips per
+    * round saved. Above the caps nothing changes: the loop stays fully
+    * distributed, no driver collect anywhere.
+    */
+  private[graft] val LocalNodeCap = 1 << 16
+  private[graft] val LocalEdgeCap = 1 << 20
+
   /** First-order transition matrix: for each entity's event sequence
     * (ordered by `tsCol`, ties broken by `tieCol`), count src→dst
     * transitions and the conditional probability p = n / out(src).
@@ -93,7 +124,9 @@ object Graph {
   private[graft] def pageRankCounted(edges: DataFrame, srcCol: String,
                                      dstCol: String, weightCol: String,
                                      iters: Int = 5, damping: Double = 0.85,
-                                     tol: Double = 0.0): (DataFrame, Int) = {
+                                     tol: Double = 0.0,
+                                     localNodeCap: Long = LocalNodeCap,
+                                     localEdgeCap: Long = LocalEdgeCap): (DataFrame, Int) = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -115,6 +148,11 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list (no nodes found)")
+    // model-sized graph: run the rank loop on the driver over the SAME
+    // grid (see [[LocalNodeCap]] — pe/nodes are already materialized, so
+    // the edge count and the collects are cheap readbacks)
+    if (n <= localNodeCap && pe.count() <= localEdgeCap)
+      return pageRankLocal(spark, pe, nodes, n, iters, damping, tol)
     val nD = lit(n.toDouble)
     val base = lit(1.0 - damping) / nD
     val d = lit(damping)
@@ -152,6 +190,88 @@ object Graph {
       ranks = next
     }
     (ranks, ran)
+  }
+
+  /** The driver rank loop for model-sized graphs — the distributed loop
+    * above, fold for fold: incoming(dst) = grid-sum over in-edges of
+    * rank(src)·p; dangling = grid-sum of non-source ranks (0 when none,
+    * matching the coalesce); rank′ = base + d·(incoming + dangling/n);
+    * the optional L1 delta on the same grid. Every cross-row fold goes
+    * through [[qsumLocal]] and every per-element op is the same IEEE
+    * double op the distributed expressions evaluate, so ranks are
+    * BIT-IDENTICAL (GraphSpec pins local ≡ forced-distributed).
+    * `pe`/`nodes` arrive materialized; node values keep their original
+    * type through the generic Row round-trip.
+    */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+                            pe: DataFrame, nodes: DataFrame, n: Long,
+                            iters: Int, damping: Double,
+                            tol: Double): (DataFrame, Int) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val nodeRows = nodes.collect() // bounded: <= localNodeCap
+    val nodeVals: Array[Any] = nodeRows.map(_.get(0))
+    val idx = nodeVals.zipWithIndex.toMap
+    val edgeRows = pe.collect() // bounded: <= localEdgeCap
+    val m = edgeRows.length
+    val src = new Array[Int](m)
+    val dst = new Array[Int](m)
+    val p = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      src(i) = idx(edgeRows(i).get(0)); dst(i) = idx(edgeRows(i).get(1))
+      p(i) = edgeRows(i).getDouble(2); i += 1
+    }
+    val nn = nodeVals.length
+    val isSrc = new Array[Boolean](nn)
+    src.foreach(s => isSrc(s) = true)
+    val dangIdx = (0 until nn).filterNot(isSrc)
+    val nD = n.toDouble
+    val base = (1.0 - damping) / nD
+    var ranks = Array.fill(nn)(1.0 / nD)
+    var ran = 0
+    var converged = false
+    while (ran < iters && !converged) {
+      // per-dst grid sum of rank·p — exact integer accumulation per
+      // group, identical to the distributed partial+final qsum
+      val acc = Array.fill(nn)(0L) // |terms| * 1e18 can overflow only past
+      val accBig = Array.fill[BigInt](nn)(null) // ~9 terms at the clamp —
+      var j = 0 //                     spill that group to BigInt exactly
+      while (j < m) {
+        val t = ranks(src(j)) * p(j)
+        val c = if (t.isNaN) Clamp else math.min(math.max(t, -Clamp), Clamp)
+        val q = math.floor(c * Quantum).toLong
+        val d0 = dst(j)
+        if (accBig(d0) != null) accBig(d0) += q
+        else {
+          val s = acc(d0) + q
+          // overflow check (Math.addExact semantics without the throw)
+          if (((acc(d0) ^ s) & (q ^ s)) < 0) accBig(d0) = BigInt(acc(d0)) + q
+          else acc(d0) = s
+        }
+        j += 1
+      }
+      def incOf(v: Int): Double =
+        (if (accBig(v) != null) accBig(v).toDouble else acc(v).toDouble) / Quantum
+      val dang = qsumLocal(dangIdx.map(ranks))
+      // a node with no in-edges folds to 0 exactly like the distributed
+      // coalesce(inc, 0.0) — a zero integer sum and an absent group both
+      // read 0.0, so no presence tracking is needed
+      val next = Array.tabulate(nn) { v =>
+        base + damping * (incOf(v) + dang / nD)
+      }
+      ran += 1
+      if (tol > 0.0 && ran < iters) {
+        val delta = qsumLocal((0 until nn).map(v => math.abs(next(v) - ranks(v))))
+        converged = delta < tol
+      }
+      ranks = next
+    }
+    val schema = StructType(Seq(nodes.schema.fields(0).copy(name = "node"),
+      StructField("rank", DoubleType, nullable = true)))
+    val rows = new java.util.ArrayList[Row](nn)
+    (0 until nn).foreach(v => rows.add(Row(nodeVals(v), ranks(v))))
+    (spark.createDataFrame(rows, schema), ran)
   }
 
   // ---------------------------------------------- graph primitives (r13)

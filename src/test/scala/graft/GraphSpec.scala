@@ -72,6 +72,30 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r32)
   }
 
+  test("pageRank: driver fast path is bit-identical to the forced-distributed loop") {
+    // weighted digraph with a dangling node, a hub and parallel-ish edges —
+    // exercises incoming folds, dangling redistribution and the grid; the
+    // default caps route this through pageRankLocal, localNodeCap = 0
+    // forces the distributed loop on the same edges
+    val edges = ((1 to 60).map(i => (s"n${i % 9}", s"n${(i * 5 + 2) % 9}", (i % 7 + 1).toLong))
+      :+ (("n9", "n0", 3L))) // n9 has no in-edges; n0 a heavy hub
+      .toDF("src", "dst", "n")
+    val fast = Graph.pageRank(edges, "src", "dst", "n", iters = 4)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    val dist = Graph.pageRankCounted(edges, "src", "dst", "n", iters = 4,
+        localNodeCap = 0)._1
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(fast == dist, "local and distributed ranks must be bit-identical")
+    // and with the convergence stop engaged on both paths
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "n")
+    val (lf, lr) = Graph.pageRankCounted(cyc, "src", "dst", "n", iters = 50, tol = 1e-12)
+    val (df0, dr) = Graph.pageRankCounted(cyc, "src", "dst", "n", iters = 50,
+      tol = 1e-12, localNodeCap = 0)
+    assert(lr == dr, s"convergence round differs: local $lr vs distributed $dr")
+    assert(lf.orderBy("node").as[(String, Double)].collect().toSeq ==
+      df0.orderBy("node").as[(String, Double)].collect().toSeq)
+  }
+
   test("pageRank: tol stops a converged graph early, same ranks as the full run") {
     // symmetric 2-cycle: the uniform start IS the fixed point — round 1
     // moves nothing, so the L1 check fires immediately
